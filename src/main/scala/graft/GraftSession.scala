@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Local-mode defaults mirror what a cluster deployment would set per
+  * executor: shuffle parallelism sized to cores (not the 200 default),
+  * AQE on so skewed joins / small partitions re-plan at runtime, UTC so
+  * timestamp semantics match the DuckDB oracle.
+  */
+object GraftSession {
+  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session used by tests and mains (driver supplies master for
+    * Verify/Bench; tests call this).
+    */
+  def local(appName: String = "graft", threads: Int = cpus): SparkSession = {
+    val s = builder(appName).master(s"local[$threads]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

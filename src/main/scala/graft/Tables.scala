@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * Plain `spark.read.parquet` — no schema pinning needed (parquet is
+  * self-describing) and no eager caching: each declared query reads only
+  * the tables it uses, so Catalyst can push filters and prune columns
+  * all the way into the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    if (table == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$table.parquet")
+
+  private def rawLoad(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
+    * natively — read it as a nanosecond long (legacy conf) and convert
+    * to a microsecond TIMESTAMP_NTZ (floor), keeping naive-timestamp
+    * semantics aligned with the DuckDB oracle (which reads ns directly).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rawLoad(s, d, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))
+          .cast("timestamp_ntz"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
