@@ -27,7 +27,10 @@ object GraftSession {
     * Verify/Bench; tests call this).
     */
   def local(appName: String = "graft", threads: Int = cpus): SparkSession = {
-    val s = builder(appName).master(s"local[$threads]").getOrCreate()
+    val s = builder(appName)
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

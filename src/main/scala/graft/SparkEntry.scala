@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.CorpusQueries
+import graft.queries.{CorpusQueries, ExtQueries, GeomQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +31,8 @@ object SparkEntry {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  private def specs = CorpusQueries.all
+  private def specs =
+    CorpusQueries.all ++ GeomQueries.all ++ ExtQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,134 @@
+package graft.geom
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+import org.locationtech.jts.geom.{Geometry, Polygon}
+import org.locationtech.jts.geom.util.GeometryFixer
+import org.locationtech.jts.operation.union.UnaryUnionOp
+
+/** ST_* column functions over WKB (OP-44..49, SURVEY §2.8).
+  *
+  * Phase-1 implementation: Scala UDFs over `BinaryType` WKB — simple,
+  * null-safe, and correctness-equivalent to codegen'd Catalyst
+  * expressions. Geometry work is CPU-bound on JTS either way; the UDF
+  * boundary costs one WKB decode per argument, which profiling at
+  * sf0.1 shows is dwarfed by the JTS overlay/union work itself. The
+  * phase-2 upgrade path (custom `Expression` with `doGenCode` for the
+  * hot predicates, SURVEY §4) is correctness-neutral.
+  */
+object GeomFunctions {
+  import GeomCodec.{read, write}
+
+  /** WKT → WKB (test fixtures and literals). */
+  val st_geomfromwkt: Column => Column =
+    udf((wkt: String) => if (wkt == null) null else GeomCodec.wktToWkb(wkt)).apply(_)
+
+  val st_aswkt: Column => Column =
+    udf((wkb: Array[Byte]) => if (wkb == null) null else GeomCodec.wkbToWkt(wkb)).apply(_)
+
+  /** OP-44 RepairGeometry (`bunny.py:221-226`): fix invalid rings,
+    * preserve nulls (delete_null=False semantics).
+    */
+  val st_makevalid: Column => Column =
+    udf((wkb: Array[Byte]) => {
+      val g = read(wkb)
+      if (g == null) null
+      else if (g.isValid) wkb
+      else write(GeometryFixer.fix(g))
+    }).apply(_)
+
+  /** Planar area in the geometry's own CRS units. */
+  val st_area: Column => Column =
+    udf((wkb: Array[Byte]) => { val g = read(wkb); if (g == null) null else java.lang.Double.valueOf(g.getArea) }).apply(_)
+
+  val st_isempty: Column => Column =
+    udf((wkb: Array[Byte]) => { val g = read(wkb); if (g == null) null else java.lang.Boolean.valueOf(g.isEmpty) }).apply(_)
+
+  val st_isvalid: Column => Column =
+    udf((wkb: Array[Byte]) => { val g = read(wkb); if (g == null) null else java.lang.Boolean.valueOf(g.isValid) }).apply(_)
+
+  val st_numgeometries: Column => Column =
+    udf((wkb: Array[Byte]) => { val g = read(wkb); if (g == null) null else java.lang.Integer.valueOf(g.getNumGeometries) }).apply(_)
+
+  /** OP-45 Project (`bunny.py:475-498`): reproject between 4326/3857/3310. */
+  def st_transform(geom: Column, fromSrid: Column, toSrid: Column): Column =
+    udf((wkb: Array[Byte], from: Int, to: Int) => {
+      val g = read(wkb)
+      if (g == null) null else write(CrsMath.transformGeometry(g, from, to))
+    }).apply(geom, fromSrid, toSrid)
+
+  /** OP-46 area in mi², computed in equal-area EPSG:3310 regardless of
+    * layer CRS (`bunny.py:500-506`, `config.py:48-51`).
+    */
+  def st_area_sqmi(geom: Column, srid: Column): Column =
+    udf((wkb: Array[Byte], from: Int) => {
+      val g = read(wkb)
+      if (g == null) null
+      else java.lang.Double.valueOf(
+        CrsMath.transformGeometry(g, from, 3310).getArea / CrsMath.SquareMetersPerSquareMile)
+    }).apply(geom, srid)
+
+  // --- binary predicates (OP-49, coastline.py:129-147) ----------------
+
+  private def pred(f: (Geometry, Geometry) => Boolean) =
+    udf((a: Array[Byte], b: Array[Byte]) => {
+      val (ga, gb) = (read(a), read(b))
+      if (ga == null || gb == null) null
+      else java.lang.Boolean.valueOf(f(ga, gb))
+    })
+
+  val st_intersects: (Column, Column) => Column = pred(_ intersects _).apply(_, _)
+  val st_touches:    (Column, Column) => Column = pred(_ touches _).apply(_, _)
+  val st_disjoint:   (Column, Column) => Column = pred(_ disjoint _).apply(_, _)
+  val st_contains:   (Column, Column) => Column = pred(_ contains _).apply(_, _)
+
+  // --- binary constructive ops (OP-42/43/49) --------------------------
+
+  private def binop(f: (Geometry, Geometry) => Geometry) =
+    udf((a: Array[Byte], b: Array[Byte]) => {
+      val (ga, gb) = (read(a), read(b))
+      if (ga == null || gb == null) null else write(f(ga, gb))
+    })
+
+  val st_intersection: (Column, Column) => Column = binop(_ intersection _).apply(_, _)
+  val st_difference:   (Column, Column) => Column = binop(_ difference _).apply(_, _)
+  val st_union:        (Column, Column) => Column = binop(_ union _).apply(_, _)
+
+  /** Keep only the polygonal component of a mixed-dimension overlay
+    * result (touching inputs intersect in lines/points; planar overlay
+    * semantics want areas only).
+    */
+  val st_polygonal: Column => Column =
+    udf((wkb: Array[Byte]) => {
+      val g = read(wkb)
+      if (g == null) null
+      else {
+        val polys = (0 until g.getNumGeometries).map(g.getGeometryN)
+          .filter(_.getDimension == 2)
+        if (polys.isEmpty) write(GeomCodec.factory.createPolygon())
+        else if (polys.size == g.getNumGeometries) wkb
+        else write(UnaryUnionOp.union(java.util.Arrays.asList(polys: _*)))
+      }
+    }).apply(_)
+
+  /** OP-48 multipart decomposition: WKB → array of per-part WKBs
+    * (explode for st_dump semantics, coastline.py:121-127).
+    */
+  val st_dump: Column => Column =
+    udf((wkb: Array[Byte]) => {
+      val g = read(wkb)
+      if (g == null) null
+      else (0 until g.getNumGeometries).map(i => write(g.getGeometryN(i))).toArray
+    }).apply(_)
+
+  /** OP-48 recomposition: array of WKBs → one (multi)geometry union. */
+  val st_collect: Column => Column =
+    udf((parts: Array[Array[Byte]]) => {
+      if (parts == null) null
+      else {
+        val gs = parts.filter(_ != null).map(read)
+        if (gs.isEmpty) null
+        else write(GeomCodec.factory.buildGeometry(java.util.Arrays.asList(gs: _*)))
+      }
+    }).apply(_)
+}

@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY §2.12). Four escalating signals:
+  *
+  *  - exact: normalize → md5 → keep-first-per-key. One shuffle on the
+  *    hash key; at 100 TB this is the cheapest possible dedup (the
+  *    shuffle carries only (key, id), not the text).
+  *  - MinHash + LSH: char-shingle → 64 minhashes → band into buckets →
+  *    candidate pairs only within buckets. Avoids the O(n²) cross join
+  *    entirely; cost scales with Σ bucket², controlled by band width.
+  *  - SimHash: 64-bit token-weight signature; near-dups have small
+  *    Hamming distance. Candidates via the block trick (pairs within
+  *    Hamming k must share one of k+1 blocks) — again no cross join.
+  *  - n-gram Jaccard: exact verification of candidate pairs (the only
+  *    step that re-reads text, and only for candidates).
+  *
+  * Shingle/token hashing uses codegen'd built-ins (`xxhash64`,
+  * `transform`, `sequence`); only the per-row signature folds are Scala
+  * UDFs (tight loops over already-hashed longs).
+  */
+object Dedup {
+
+  // --- exact dedup ----------------------------------------------------
+
+  /** Normalized content key (lower ∘ trim → md5). */
+  def contentKey(text: Column): Column = md5(lower(trim(text)))
+
+  /** Keep the first row (min id) per normalized content key. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentKey(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // --- MinHash --------------------------------------------------------
+
+  /** Deterministic affine hash family over a Mersenne prime. */
+  private val MersennePrime = (1L << 61) - 1
+  private def hashParams(numHashes: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numHashes)((math.abs(rnd.nextLong()) % MersennePrime + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** Char-shingle hashes via built-ins: xxhash64 of each k-char window. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(lit(1), length(lower(trim(text))) - (k - 1))),
+      i => xxhash64(lower(trim(text)).substr(i, lit(k))))
+
+  /** MinHash signature: per hash function i, min over shingles of
+    * (aᵢ·h + bᵢ) mod p.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleK: Int): Column = {
+    val params = hashParams(numHashes)
+    val sigUdf = udf((hs: Seq[Long]) => {
+      if (hs == null || hs.isEmpty) Array.fill(numHashes)(Long.MaxValue)
+      else {
+        val out = Array.fill(numHashes)(Long.MaxValue)
+        var i = 0
+        while (i < numHashes) {
+          val (a, b) = params(i)
+          var m = Long.MaxValue
+          hs.foreach { h =>
+            // multiply-mod on 61-bit prime via Math.multiplyHigh-free
+            // path: BigInt-free split multiplication
+            val x = java.lang.Math.floorMod(h, MersennePrime)
+            val prod = mulMod(a, x, MersennePrime)
+            val v = java.lang.Math.floorMod(prod + b, MersennePrime)
+            if (v < m) m = v
+          }
+          out(i) = m
+          i += 1
+        }
+        out
+      }
+    })
+    sigUdf(shingleHashes(text, shingleK))
+  }
+
+  private def mulMod(a: Long, b: Long, m: Long): Long = {
+    // 128-bit multiply-mod using Math.multiplyHigh (JDK9+)
+    val hi = java.lang.Math.multiplyHigh(a, b)
+    val lo = a * b
+    // m = 2^61 - 1: fold the high bits (Mersenne reduction)
+    val lo61 = lo & MersennePrime
+    val rest = (hi << 3) | (lo >>> 61)
+    val s = lo61 + rest
+    if (s >= m) s - m else s
+  }
+
+  /** LSH candidate pairs: ids sharing ≥1 band bucket, with the
+    * signature-estimated Jaccard attached. `a < b` dedupes pairs.
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+
+    val bandCols = (0 until bands).map(b =>
+      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(array(bandCols: _*)))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+
+    val l = banded.select(col("band"), col("bucket"), col("id").as("a"), col("sig").as("siga"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("b"), col("sig").as("sigb"))
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+      .groupBy("a", "b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard verification of candidate pairs. */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, shingleK: Int = 5): DataFrame = {
+    val grams = df.select(col(idCol).as("__gid"),
+      array_distinct(shingleHashes(col(textCol), shingleK)).as("__grams"))
+    pairs
+      .join(grams.withColumnRenamed("__gid", "a").withColumnRenamed("__grams", "ga"), Seq("a"))
+      .join(grams.withColumnRenamed("__gid", "b").withColumnRenamed("__grams", "gb"), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("uni", size(array_union(col("ga"), col("gb"))))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0).otherwise(col("inter").cast("double") / col("uni")))
+      .drop("ga", "gb", "inter", "uni")
+  }
+
+  // --- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash(text: Column): Column = {
+    val fold = udf((hs: Seq[Long]) => {
+      val acc = new Array[Int](64)
+      if (hs != null) hs.foreach { h =>
+        var j = 0
+        while (j < 64) { acc(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    })
+    fold(transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t)))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
+    * via the block trick: distance ≤ k ⇒ the pair agrees on at least
+    * one of k+1 16-bit blocks (k ≤ 3).
+    */
+  def simhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val blockCols = (0 until 4).map(b =>
+      shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val blocks = sigs.select(col("id"), col("sig"),
+        posexplode(array(blockCols: _*)))
+      .select(col("id"), col("sig"), col("pos").as("blk"), col("col").as("blkval"))
+    val l = blocks.select(col("blk"), col("blkval"), col("id").as("a"), col("sig").as("siga"))
+    val r = blocks.select(col("blk"), col("blkval"), col("id").as("b"), col("sig").as("sigb"))
+    l.join(r, Seq("blk", "blkval")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+      .groupBy("a", "b").agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --- embedding near-dup ---------------------------------------------
+
+  /** Cosine similarity of two float-array columns via codegen'd
+    * higher-order functions (no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Embedding near-dup pairs (cosine ≥ threshold) via random-hyperplane
+    * sign-LSH: rows landing in the same signBits-bit bucket are compared
+    * exactly. Deterministic hyperplanes (seed 42). At scale the bucket
+    * join replaces the O(n²) cross join; recall is tuned by signBits.
+    */
+  def embeddingNearDup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, signBits: Int = 8): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(signBits, dim)(rnd.nextGaussian())
+    val sigUdf = udf((v: Seq[Float]) => {
+      if (v == null) 0L
+      else {
+        var sig = 0L
+        var b = 0
+        while (b < signBits) {
+          var s = 0.0; var i = 0
+          val p = planes(b)
+          while (i < math.min(dim, v.length)) { s += p(i) * v(i); i += 1 }
+          if (s > 0) sig |= (1L << b)
+          b += 1
+        }
+        sig
+      }
+    })
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sigUdf(col(vecCol)).as("bucket"))
+    val l = bucketed.select(col("bucket"), col("id").as("a"), col("vec").as("va"))
+    val r = bucketed.select(col("bucket"), col("id").as("b"), col("vec").as("vb"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+      .distinct()
+  }
+}

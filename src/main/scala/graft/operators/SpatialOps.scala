@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.Geometry
+import graft.geom.{GeomCodec, GeomFunctions => G}
+import graft.geom.StUnionAgg.st_union_agg
+
+/** Whole-dataset spatial operators (SURVEY §2.5/§2.7/§2.9).
+  *
+  * Scale notes: the pairwise operators (erase, overlayUnion) join on an
+  * `st_intersects` predicate, which Catalyst plans as a broadcast
+  * nested-loop join when one side is broadcast — right for the
+  * reference's workloads (the "other" side is always a small layer,
+  * ≤ a few thousand polygons). The 100 TB path — both sides huge — is a
+  * grid/STRtree-partitioned spatial join (SURVEY §4 item 3), which
+  * changes the join strategy but not these operators' semantics.
+  */
+object SpatialOps {
+
+  /** OP-38 Dissolve (`bunny.py:264-270`): group by keys, union each
+    * group's geometries into one multipart feature; non-key attributes
+    * drop. Partial (map-side) union happens inside [[graft.geom.StUnionAgg]].
+    */
+  def dissolve(df: DataFrame, keys: Seq[String], geomCol: String = "geom"): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(st_union_agg(col(geomCol)).as(geomCol))
+
+  /** OP-42 Erase (`bunny.py:393-400`): subtract the union of all eraser
+    * polygons intersecting each target row; rows whose geometry becomes
+    * empty vanish. The eraser is broadcast (cities layer, small); each
+    * target row unions only the erasers that actually hit it.
+    */
+  def erase(target: DataFrame, eraser: DataFrame, geomCol: String = "geom"): DataFrame = {
+    val tid = target.withColumn("__tid", monotonically_increasing_id())
+    val e = eraser.select(col(geomCol).as("__egeom"))
+    val hits = tid.select("__tid", geomCol)
+      .join(broadcast(e), G.st_intersects(col(geomCol), col("__egeom")), "inner")
+      .groupBy("__tid")
+      .agg(st_union_agg(col("__egeom")).as("__eunion"))
+    tid.join(hits, Seq("__tid"), "left")
+      .withColumn(geomCol,
+        when(col("__eunion").isNull, col(geomCol))
+          .otherwise(G.st_polygonal(G.st_difference(col(geomCol), col("__eunion")))))
+      .drop("__tid", "__eunion")
+      .filter(!G.st_isempty(col(geomCol)))
+  }
+
+  /** OP-43 Union — full planar overlay (`coastline.py:49-52`): output is
+    *  (1) every polygonal intersection piece, attributes from BOTH inputs;
+    *  (2) the leftover of each `a` row after subtracting all its `b`
+    *      partners, `b` string attributes blank `''`;
+    *  (3) symmetric leftover of each `b` row, `a` string attrs `''`.
+    * Blank-not-NULL fill matches file-GDB semantics (SURVEY §1.2) so the
+    * reference's `<> ''` post-filters keep working. Attribute column
+    * names of the two inputs must be disjoint (callers rename first).
+    */
+  def overlayUnion(a: DataFrame, b: DataFrame, geomCol: String = "geom"): DataFrame = {
+    val aAttrs = a.columns.filter(_ != geomCol).toSeq
+    val bAttrs = b.columns.filter(_ != geomCol).toSeq
+
+    val aId = a.withColumn("__aid", monotonically_increasing_id())
+      .withColumnRenamed(geomCol, "__ageom")
+    val bId = b.withColumn("__bid", monotonically_increasing_id())
+      .withColumnRenamed(geomCol, "__bgeom")
+
+    val pairs = aId.join(broadcast(bId),
+      G.st_intersects(col("__ageom"), col("__bgeom")), "inner")
+
+    // (1) intersection pieces, polygonal component only
+    val inter = pairs
+      .withColumn(geomCol, G.st_polygonal(G.st_intersection(col("__ageom"), col("__bgeom"))))
+      .filter(!G.st_isempty(col(geomCol)))
+      .select((aAttrs ++ bAttrs).map(col) :+ col(geomCol): _*)
+
+    def blanks(df: DataFrame, attrs: Seq[String], template: DataFrame): DataFrame =
+      attrs.foldLeft(df) { (d, c) =>
+        val isString = template.schema(c).dataType == org.apache.spark.sql.types.StringType
+        d.withColumn(c, if (isString) lit("") else lit(null).cast(template.schema(c).dataType))
+      }
+
+    // (2) leftovers of a: subtract the union of all intersecting b rows
+    val aHits = pairs.groupBy("__aid").agg(st_union_agg(col("__bgeom")).as("__bunion"))
+    val aRest0 = aId.join(aHits, Seq("__aid"), "left")
+      .withColumn(geomCol,
+        when(col("__bunion").isNull, col("__ageom"))
+          .otherwise(G.st_polygonal(G.st_difference(col("__ageom"), col("__bunion")))))
+      .filter(!G.st_isempty(col(geomCol)))
+    val aRest = blanks(aRest0, bAttrs, b)
+      .select((aAttrs ++ bAttrs).map(col) :+ col(geomCol): _*)
+
+    // (3) leftovers of b, symmetric
+    val bHits = pairs.groupBy("__bid").agg(st_union_agg(col("__ageom")).as("__aunion"))
+    val bRest0 = bId.join(bHits, Seq("__bid"), "left")
+      .withColumn(geomCol,
+        when(col("__aunion").isNull, col("__bgeom"))
+          .otherwise(G.st_polygonal(G.st_difference(col("__bgeom"), col("__aunion")))))
+      .filter(!G.st_isempty(col(geomCol)))
+    val bRest = blanks(bRest0, aAttrs, a)
+      .select((aAttrs ++ bAttrs).map(col) :+ col(geomCol): _*)
+
+    inter.unionByName(aRest).unionByName(bRest)
+  }
+
+  /** §2.9 coastal sliver fix (`coastline.py:68-149`), re-expressed as
+    * typed group processing: bucket polygons by place name, and within
+    * each bucket move any sub-threshold part of one polygon that touches
+    * a super-threshold part of a partner polygon (unless the part hits a
+    * keep-list geometry) — union into the partner, difference out of the
+    * source. Faithful to the reference's quirks: rows ordered by `oidCol`
+    * (= cursor order), only the first two polygons are paired unless the
+    * bucket has exactly three (then all three pairwise, in the same
+    * fixed order), areas/predicates evaluated in the working CRS.
+    */
+  def sliverFix(
+      df: DataFrame,
+      nameCol: String,
+      oidCol: String,
+      geomCol: String,
+      keepFragments: Seq[Array[Byte]],
+      thresholdArea: Double): DataFrame = {
+
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val nameIdx = schema.fieldIndex(nameCol)
+    val oidIdx = schema.fieldIndex(oidCol)
+
+    def checkParts(src: Geometry, dst: Geometry, keeps: Seq[Geometry]): (Geometry, Geometry) = {
+      val parts = (0 until src.getNumGeometries).map(src.getGeometryN)
+      val dstParts = (0 until dst.getNumGeometries).map(dst.getGeometryN)
+      val swaps = parts.filter { p =>
+        p.getArea < thresholdArea &&
+          !keeps.exists(k => !p.disjoint(k)) &&
+          dstParts.exists(dp => dp.getArea > thresholdArea && p.touches(dp))
+      }
+      var (s, d) = (src, dst)
+      swaps.foreach { p => d = d.union(p); s = s.difference(p) }
+      (s, d)
+    }
+
+    def fixPlace(rows: List[Row], keeps: Seq[Geometry]): List[Row] = {
+      if (rows.size < 2) return rows
+      val geoms = rows.map(r => GeomCodec.read(r.getAs[Array[Byte]](geomIdx))).toArray
+      def swap(i: Int, j: Int): Unit = {
+        val (a, b) = checkParts(geoms(i), geoms(j), keeps)
+        geoms(i) = a; geoms(j) = b
+        val (b2, a2) = checkParts(geoms(j), geoms(i), keeps)
+        geoms(j) = b2; geoms(i) = a2
+      }
+      swap(0, 1)
+      if (rows.size == 3) { swap(0, 2); swap(1, 2) }
+      rows.zipWithIndex.map { case (r, i) =>
+        val vals = r.toSeq.toArray
+        vals(geomIdx) = GeomCodec.write(geoms(i))
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+
+    df.groupByKey(r => Option(r.getAs[String](nameIdx)).getOrElse(""))(Encoders.STRING)
+      .flatMapGroups { (_, it) =>
+        val keeps = keepFragments.map(GeomCodec.read)
+        val rows = it.toList.sortBy(_.getAs[Long](oidIdx))
+        fixPlace(rows, keeps).iterator
+      }(Encoders.row(schema))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.12):
+  * language-ID, quality scoring, token counting, fingerprinting. All
+  * built-in (codegen'd) expressions — no UDFs — so they inline into
+  * whole-stage codegen over a 100 TB scan.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language marker sets for the n-gram/stopword heuristic.
+    * Real pipelines plug in a bigger table; the operator shape (argmax
+    * over per-language hit counts, computed in one pass) is the point.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "ein"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "人"))
+
+  private def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Per-language marker-hit count. */
+  def langHits(text: Column, lang: String): Column =
+    size(array_intersect(tokens(text), typedLit(markers(lang))))
+
+  /** Heuristic language ID: argmax of marker hits, 'und' when no
+    * marker matches.
+    */
+  def languageId(text: Column): Column = {
+    val scored = markers.keys.toSeq.sorted.map(l => struct(langHits(text, l).as("hits"), lit(l).as("lang")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality metrics: length, word stats, whitespace/alpha ratios —
+    * cheap per-row signals that large-scale filters threshold on.
+    */
+  def nWords(text: Column): Column = size(tokens(text))
+  def nChars(text: Column): Column = length(text)
+
+  def meanWordLen(text: Column): Column =
+    when(nWords(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / nWords(text))
+
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text))
+
+  /** Composite 0..1 quality score: penalize extreme doc lengths, word
+    * lengths outside 3..12, and low alpha content.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(nChars(text).between(20, 100000), 1.0).otherwise(0.3)
+    val wordOk = when(meanWordLen(text).between(2.0, 12.0), 1.0).otherwise(0.5)
+    val alpha = greatest(alphaRatio(text), lit(0.1))
+    round(lenOk * wordOk * alpha, 4)
+  }
+
+  /** Whitespace token count (the cheap estimator). */
+  def wsTokenCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, " ", "")) + 1
+
+  /** BPE-ish token count: alphanumeric runs + isolated punctuation,
+    * the standard pre-tokenizer shape.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Order-insensitive document fingerprint: md5 over the sorted token
+    * multiset — catches shuffled/reordered copies that exact dedup
+    * misses.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(tokens(text))))
+}

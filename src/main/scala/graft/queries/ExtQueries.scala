@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** Extension-operator queries (SURVEY §2.12) over the `documents` and
+  * `embeddings` tables: dedup family, similarity search, text analysis,
+  * multimodal plumbing. Oracle SQL is declared wherever the operator is
+  * portably SQL-expressible; signature/LSH operators get the rows-only
+  * check (their semantics are pinned by `ExtOpsSpec` unit tests).
+  */
+object ExtQueries {
+
+  private def q(name: String, oracle: String)(
+      body: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, body, Some(oracle))
+
+  private def noOracle(name: String)(body: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, body, None)
+
+  /** Exact dedup: keep-first-per-content-key, oracle-checked. */
+  val x01_dedup_exact: QuerySpec = q("x01_dedup_exact",
+    """SELECT doc_id, lang FROM
+      |  (SELECT doc_id, lang,
+      |     row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+      |   FROM documents) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Dup-group inventory (how much would exact dedup remove). */
+  val x02_dedup_groups: QuerySpec = q("x02_dedup_groups",
+    """SELECT cast(count(*) AS BIGINT) AS dup_groups,
+      |  cast(coalesce(sum(n - 1), 0) AS BIGINT) AS removable
+      |FROM (SELECT md5(lower(trim(text))) AS k, count(*) AS n
+      |      FROM documents GROUP BY 1 HAVING count(*) > 1) t""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(Dedup.contentKey(col("text")).as("k"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("dup_groups"),
+        coalesce(sum(col("n") - 1), lit(0L)).as("removable"))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs (rows-only: LSH not
+    * SQL-expressible; semantics unit-tested).
+    */
+  val x03_minhash_neardup: QuerySpec = noOracle("x03_minhash_neardup") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.minhashCandidates(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("a", "b")
+  }
+
+  /** Exact n-gram Jaccard verification of the MinHash candidates. */
+  val x04_ngram_jaccard: QuerySpec = noOracle("x04_ngram_jaccard") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+    Dedup.ngramJaccard(docs, "doc_id", "text", cands)
+      .select("a", "b", "est_jaccard", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** SimHash near-dup pairs within Hamming distance 3. */
+  val x05_simhash: QuerySpec = noOracle("x05_simhash") { (s, d) =>
+    Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("a", "b")
+  }
+
+  /** Embedding cosine near-dup pairs via sign-LSH buckets. The
+    * synthetic embeddings are random (max pairwise cosine ≈ 0.51), so
+    * the threshold is set data-relative to exercise the operator; a
+    * production near-dup filter would use ≥0.95 on real embeddings.
+    */
+  val x06_embedding_neardup: QuerySpec = noOracle("x06_embedding_neardup") { (s, d) =>
+    Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.3, dim = 64, signBits = 2)
+      .orderBy("a", "b")
+  }
+
+  /** Brute-force cosine top-k against a fixed deterministic query. */
+  val x07_ann_bruteforce: QuerySpec = noOracle("x07_ann_bruteforce") { (s, d) =>
+    val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", query, 10)
+  }
+
+  /** LSH-bucketed ANN top-k (scale path of x07). */
+  val x08_ann_lsh: QuerySpec = noOracle("x08_ann_lsh") { (s, d) =>
+    val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", query,
+      k = 10, dim = 64)
+  }
+
+  /** Language-ID heuristic vs the labeled lang column (confusion counts). */
+  val x09_langid: QuerySpec = noOracle("x09_langid") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), TA.languageId(col("text")).as("pred"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Quality metrics per language — oracle-checked (portable math). */
+  val x10_quality: QuerySpec = q("x10_quality",
+    """SELECT lang,
+      |  round(avg(length(text)), 4) AS avg_chars,
+      |  round(avg(length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_words,
+      |  round(avg(cast(length(replace(text, ' ', '')) AS DOUBLE)
+      |        / (length(text) - length(replace(text, ' ', '')) + 1)), 4) AS avg_word_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val text = col("text")
+    val words = length(text) - length(regexp_replace(text, lit(" "), lit(""))) + 1
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        round(avg(length(text)), 4).as("avg_chars"),
+        round(avg(words), 4).as("avg_words"),
+        round(avg(length(regexp_replace(text, lit(" "), lit(""))).cast("double") / words), 4)
+          .as("avg_word_len"))
+      .orderBy("lang")
+  }
+
+  /** Token counting: whitespace + BPE-ish regex, both portable. */
+  val x11_tokens: QuerySpec = q("x11_tokens",
+    """SELECT lang,
+      |  cast(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS ws_tokens,
+      |  cast(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpeish_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        sum(TA.wsTokenCount(col("text"))).cast("bigint").as("ws_tokens"),
+        sum(regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")))
+          .cast("bigint").as("bpeish_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Order-insensitive fingerprint dedup — oracle-checked. */
+  val x12_fingerprint: QuerySpec = q("x12_fingerprint",
+    """SELECT lang, count(DISTINCT md5(array_to_string(list_sort(string_split(lower(trim(text)), ' ')), ' '))) AS distinct_fp,
+      |  count(*) AS docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(countDistinct(TA.fingerprint(col("text"))).as("distinct_fp"),
+        count(lit(1)).as("docs"))
+      .orderBy("lang")
+  }
+
+  /** Multimodal plumbing: blob struct + batched (stubbed) feature
+    * extraction + frame sampling over binary payloads synthesized from
+    * document text.
+    */
+  val x13_multimodal: QuerySpec = noOracle("x13_multimodal") { (s, d) =>
+    val withBlob = Multimodal.attachBlob(
+      Tables.documents(s, d).withColumn("payload", encode(col("text"), "UTF-8")),
+      "payload", "application/octet-stream")
+    Multimodal.extractFeatures(withBlob)
+      .select(col("doc_id"), col("blob.meta.size_bytes").as("size_bytes"),
+        element_at(col("features"), 1).as("f_len"),
+        round(element_at(col("features"), 2), 4).as("f_mean"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
+    x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
+    x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal)
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.operators.{TextAnalysis => TA}
+
+/** Semantics tests for the §2.12 extension operators: planted
+  * duplicates must be found, clean rows must not be flagged.
+  */
+class ExtOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green hills tonight"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base),                                           // exact dup of 1
+    (3L, base.replace("green", "blue")),                  // near dup of 1
+    (4L, "completely different content about spark query engines and shuffle planning at scale"),
+    (5L, "另一个 完全 不同 的 文档 关于 火车 和 天气")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps first per content key") {
+    val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds the exact and near dup, not the unrelated docs") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .filter($"est_jaccard" >= 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L)))
+    assert(!cands.exists { case (a, b) => b == 4L || a == 4L || a == 5L || b == 5L })
+  }
+
+  test("ngram jaccard verifies candidates exactly") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val verified = Dedup.ngramJaccard(docs, "doc_id", "text", cands)
+      .filter($"a" === 1L && $"b" === 2L).collect()
+    assert(verified.length == 1)
+    assert(math.abs(verified(0).getAs[Double]("jaccard") - 1.0) < 1e-9)
+  }
+
+  test("simhash candidates find the near dup within hamming 3") {
+    val pairs = Dedup.simhashCandidates(docs, "doc_id", "text")
+      .withColumn("hamming", col("hamming").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming"))).toList
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L })
+  }
+
+  test("embedding near-dup flags planted high-cosine pair only") {
+    val v = Array.tabulate(64)(i => math.cos(i * 0.1).toFloat)
+    val vNear = v.clone(); vNear(0) = v(0) + 0.01f
+    val vFar = Array.tabulate(64)(i => math.sin(i * 1.7 + 1).toFloat)
+    val emb = Seq((1L, v.toSeq), (2L, vNear.toSeq), (3L, vFar.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.99, 64)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("lsh top-k agrees with brute force on its own candidates") {
+    val rnd = new scala.util.Random(7)
+    val emb = (1L to 200L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", query, 5, 64,
+      signBits = 4, probeHamming = 4) // full probe = must equal brute force
+    assert(lsh.collect().map(_.getLong(0)).toSeq == brute)
+  }
+
+  test("language id picks the marked language") {
+    val t = Seq(
+      ("en", "the cat and the dog sat in the garden for a while"),
+      ("de", "der hund und die katze sind mit dem mann zu haus"),
+      ("fr", "le chien et le chat sont dans la maison des amis"),
+      ("es", "el perro y el gato de la casa que está en un pueblo")
+    ).toDF("truth", "text")
+      .select($"truth", TA.languageId($"text").as("pred"))
+      .collect()
+    t.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("token counts and fingerprint are order-insensitive where expected") {
+    val df = Seq(("a b c", "c b a"), ("x y", "x y")).toDF("t1", "t2")
+      .select(
+        TA.fingerprint($"t1").as("f1"), TA.fingerprint($"t2").as("f2"),
+        TA.wsTokenCount($"t1").as("n1"), TA.bpeishTokenCount($"t1").as("n2"))
+      .collect()
+    assert(df(0).getString(0) == df(0).getString(1)) // shuffled copy, same fp
+    assert(df(0).getAs[Int]("n1") == 3 && df(0).getAs[Int]("n2") == 3)
+  }
+
+  test("multimodal stub features are deterministic and batched") {
+    val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "text")
+      .withColumn("payload", encode($"text", "UTF-8"))
+    val out = Multimodal.extractFeatures(
+      Multimodal.attachBlob(df, "payload", "text/plain"))
+      .select($"id", element_at($"features", 1).as("len"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Float]("len") == 5.0f)
+    assert(out(1).getAs[Float]("len") == 5.0f)
+    // deterministic: same input twice -> same features
+    val again = Multimodal.extractFeatures(
+      Multimodal.attachBlob(df, "payload", "text/plain"))
+      .select(element_at($"features", 3)).collect().map(_.getFloat(0))
+    assert(again.toSeq == Multimodal.extractFeatures(
+      Multimodal.attachBlob(df, "payload", "text/plain"))
+      .select(element_at($"features", 3)).collect().map(_.getFloat(0)).toSeq)
+  }
+}
