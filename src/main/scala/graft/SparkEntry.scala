@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CorpusQueries, ExtQueries, GeomQueries}
+import graft.queries.{CorpusQueries, ExtQueries, GeomQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,7 +32,7 @@ object SparkEntry {
   }
 
   private def specs =
-    CorpusQueries.all ++ GeomQueries.all ++ ExtQueries.all
+    CorpusQueries.all ++ GeomQueries.all ++ ExtQueries.all ++ PipelineQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

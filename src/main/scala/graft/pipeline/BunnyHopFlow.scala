@@ -1,0 +1,203 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geom.{GeomFunctions => G}
+import graft.operators.{Calc, JoinField, SpatialOps}
+import BunnyHopConfig._
+
+/** The BunnyHop pipeline DAG (SURVEY §3, E1/E2/E3) as one lazy Spark
+  * plan per branch: GNIS (E2, `bunny.py:26-104`), Census
+  * (`bunny.py:106-157` + `retrieve.py:97-135`), and the spatial CDTFA
+  * core (E3, `bunny.py:160-531`). Where the reference materializes six
+  * file-GDB tables per branch, here each branch is a single pipelined
+  * stage; only the dissolves, overlays and joins shuffle, and the two
+  * layer branches are cached at their reuse points (consumed by joins,
+  * coastal cut, erase and merge).
+  */
+object BunnyHopFlow {
+
+  final case class Result(
+      cities: DataFrame,
+      counties: DataFrame,
+      unincorporated: DataFrame,
+      merged: DataFrame)
+
+  /** E2 — `process_gnis` (`bunny.py:26-104`). */
+  def processGnis(raw: DataFrame): DataFrame =
+    raw
+      .filter(col("state_name") === "California" && col("feature_class") === "Civil" &&
+        (col("census_class_code") === "H1" || col("census_class_code") === "C1"))
+      .withColumn(GnisJoinName,
+        Calc.valueReplace(
+          Calc.splitName(col("census_class_code"), col("feature_name")),
+          GnisAdjustments))
+      .withColumn(LegalPlaceName, col("feature_name"))
+      .withColumn(GnisId, col("feature_id").cast("long"))
+
+  /** Census branch — retrieval-side validation (`retrieve.py:108-135`)
+    * + `process_census` (`bunny.py:106-157`). Raw columns arrive as
+    * strings (xlsx dtype pinning); `maxMissing` mirrors the ≤5
+    * blank-FIPS tolerance.
+    */
+  def processCensus(raw: DataFrame, maxMissing: Long = 5): DataFrame = {
+    val underscored = Calc.underscoreColumns(raw)
+    val california = underscored.filter(col("State_FIPS_Code") === "06")
+
+    val fipsCols = Seq("County_FIPS_Code", "County_Subdivision_FIPS_Code",
+      "Place_FIPS_Code", "Consolidated_City_FIPS_Code")
+    val missing = california.filter(!Calc.hasData(fipsCols.map(col))).count()
+    if (missing > maxMissing)
+      throw new IllegalStateException(
+        s"census data has $missing all-blank-FIPS rows (> $maxMissing tolerated) — wrong vintage?")
+
+    california
+      .filter(col("Area_Name") =!= "California")
+      .withColumn("Area_Name", Calc.valueReplace(col("Area_Name"), CensusAdjustments))
+      .withColumn(PlaceType, Calc.lastTokenCapitalize(col("Area_Name")))
+      .withColumn(PlaceName, Calc.placeName(col("Area_Name"), col(PlaceType)))
+      .withColumn(Geoid, Calc.censusGeoid(col(PlaceType),
+        col("State_FIPS_Code"), col("County_FIPS_Code"), col("Place_FIPS_Code")))
+  }
+
+  /** `process_cdtfa_layer` front half (`bunny.py:221-248`): repair,
+    * count guard (eager — a deliberate materialization barrier), rename.
+    */
+  def prepareCdtfa(cdtfa: DataFrame, minRecords: Long = CdtfaMinRecords): DataFrame = {
+    val repaired = cdtfa.withColumn("geom", G.st_makevalid(col("geom")))
+    val n = repaired.count()
+    if (n < minRecords)
+      throw new IllegalStateException(
+        s"CDTFA layer has $n records (< $minRecords) — wrong layer id upstream?")
+    Calc.renameFields(repaired, CdtfaFieldMap)
+  }
+
+  /** `cities_pathway` (`bunny.py:250-294`): select → dissolve by
+    * (city, COPRI) → first-match county attach → place name.
+    */
+  def citiesPathway(cdtfa: DataFrame): DataFrame = {
+    val cities = cdtfa.filter(col(City) =!= "Unincorporated")
+    val dissolved = SpatialOps.dissolve(cities, Seq(City, Copri))
+    JoinField(dissolved, City, cdtfa, City, Seq(County))
+      .withColumn(PlaceName, col(City))
+  }
+
+  /** `counties_pathway` (`bunny.py:296-348`): COPRI ids from the
+    * unincorporated pieces, full-boundary dissolve, COPRI attach.
+    */
+  def countiesPathway(cdtfa: DataFrame): DataFrame = {
+    val copriIds = SpatialOps.dissolve(
+      cdtfa.filter(col(City) === "Unincorporated"), Seq(County, Copri))
+      .drop("geom")
+    val full = SpatialOps.dissolve(cdtfa, Seq(County))
+    JoinField(full, County, copriIds, County, Seq(Copri))
+      .withColumn(PlaceName, col(County))
+  }
+
+  /** `_join_individual` (`bunny.py:426-467`) + `fix_individual_values`
+    * (`508-531`) + placeholder fields + `add_cdt_name_field` (`405-420`).
+    */
+  def runJoins(layer: DataFrame, census: DataFrame, gnis: DataFrame, dla: DataFrame): DataFrame = {
+    val withCensus = JoinField(layer, PlaceName, census, PlaceName, Seq(Geoid, PlaceType))
+    val withGnis = JoinField(withCensus, PlaceName, gnis, GnisJoinName, Seq(LegalPlaceName, GnisId))
+    val withDla = JoinField(withGnis, PlaceName, dla, PlaceName, Seq(PlaceAbbr, CntyAbbr))
+    val fixed = CdtfaAdjust.foldLeft(withDla) {
+      case (df, (checkF, checkV, updF, updV)) =>
+        Calc.fixIndividual(df, checkF, checkV, updF, updV)
+    }
+    fixed
+      .withColumn(PrimaryDomain, lit(null).cast("string"))   // primary_domain.py:14-15
+      .withColumn(Population, lit(null).cast("long"))        // census_population.py:14-15
+      .withColumn(NameShort, Calc.nameShort(col(LegalPlaceName)))
+  }
+
+  /** `coastal_cut` (`coastline.py:12-66`): exclusion select → planar
+    * overlay union → sliver fix → drop overlay bookkeeping → ''-aware
+    * post-filter → blank→NULL. Geometry in the service CRS (3857).
+    */
+  def coastalCut(
+      layer: DataFrame, coastline: DataFrame,
+      runSliverFix: Boolean = true): DataFrame = {
+    val coastalSel = coastline
+      .filter(col(Coastal).isin(CoastlineExclude: _*))
+      .select(col(Coastal), col("geom"))
+
+    val prelim = SpatialOps.overlayUnion(layer, coastalSel)
+      .withColumn("__oid", monotonically_increasing_id())
+
+    val fixedRows =
+      if (runSliverFix)
+        SpatialOps.sliverFix(prelim, LegalPlaceName, "__oid", "geom",
+          KeepFragmentsWkb3857, SliverThresholdM2)
+      else prelim
+
+    fixedRows
+      .drop("__oid")
+      .filter((col(LegalPlaceName) =!= "" || col(PlaceType) =!= "" || col(PlaceName) =!= "") &&
+        G.st_area(col("geom")) > 1)
+      .withColumn(Coastal, Calc.blankToNull(col(Coastal)))
+  }
+
+  /** OP-46 area + OP-32 GUID + OP-45 reproject (`bunny.py:364-391`). */
+  def finalizeLayer(layer: DataFrame, srid: Int = ServiceSrid): DataFrame =
+    layer
+      .withColumn("AREA_SQMI", G.st_area_sqmi(col("geom"), lit(srid)))
+      .withColumn("GlobalID", expr("uuid()"))
+      .withColumn("geom", G.st_transform(col("geom"), lit(srid), lit(OutputSrid)))
+
+  /** `generate_unincorporated_areas` (`bunny.py:393-403`). */
+  def unincorporated(counties3310: DataFrame, cities3310: DataFrame): DataFrame =
+    SpatialOps.erase(counties3310, cities3310.select("geom"))
+      .withColumn(City, lit("Unincorporated"))
+      .withColumn("AREA_SQMI", G.st_area_sqmi(col("geom"), lit(OutputSrid)))
+
+  /** OP-52 quality gate (`quality_check.py:1-6`, planned in the
+    * reference, real here): key-level diff of a new publication against
+    * the previous one.
+    */
+  def qualityDiff(current: DataFrame, previous: DataFrame, keys: Seq[String]): DataFrame = {
+    val cur = current.select(keys.map(col): _*).withColumn("__in_cur", lit(1))
+    val prev = previous.select(keys.map(c => col(c).as(s"__p_$c")): _*)
+      .withColumn("__in_prev", lit(1))
+    // null-safe key equality: county rows legitimately carry NULL city
+    val cond = keys.map(k => cur(k) <=> prev(s"__p_$k")).reduce(_ && _)
+    cur.join(prev, cond, "full_outer")
+      .withColumn("change",
+        when(col("__in_cur").isNull, "removed")
+          .when(col("__in_prev").isNull, "added"))
+      .filter(col("change").isNotNull)
+      .select(keys.map(k => coalesce(cur(k), prev(s"__p_$k")).as(k)) :+ col("change"): _*)
+  }
+
+  /** E1/E3 — the whole flow. Inputs are already-loaded DataFrames
+    * (sources are injected: GNIS pipe-CSV, census xlsx, DLA table,
+    * CDTFA + coastline feature services in EPSG:3857).
+    */
+  def run(
+      gnisRaw: DataFrame,
+      censusRaw: DataFrame,
+      dla: DataFrame,
+      cdtfaRaw: DataFrame,
+      coastline: DataFrame,
+      minCdtfaRecords: Long = CdtfaMinRecords,
+      maxCensusMissing: Long = 5): Result = {
+
+    val gnis = processGnis(gnisRaw)
+    val census = processCensus(censusRaw, maxCensusMissing)
+    val cdtfa = prepareCdtfa(cdtfaRaw, minCdtfaRecords).cache()
+
+    val citiesJoined = runJoins(citiesPathway(cdtfa), census, gnis, dla)
+    val countiesJoined = runJoins(countiesPathway(cdtfa), census, gnis, dla)
+
+    val cities = finalizeLayer(coastalCut(citiesJoined, coastline)).cache()
+    val counties = finalizeLayer(coastalCut(countiesJoined, coastline))
+      .drop(PlaceAbbr)                                        // bunny.py:391
+      .cache()
+
+    val uninc = unincorporated(counties, cities)
+    val merged = cities.unionByName(counties, allowMissingColumns = true)
+
+    Result(cities, counties, uninc, merged)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.locationtech.jts.geom.{Coordinate, Geometry, LinearRing, Polygon}
+import scala.collection.mutable.ArrayBuffer
+
+import graft.geom.GeomCodec
+
+/** ArcGIS REST Feature Service scan (OP-06, `bunny.py:213-216`,
+  * `coastline.py:39-42`): paginated
+  * `…/query?where=1=1&outFields=*&f=geojson&resultOffset=N` fetch, each
+  * page a GeoJSON FeatureCollection, geometry landing as a WKB column.
+  *
+  * Transport is injected (`fetch: url → body`) so the engine itself
+  * stays zero-egress: production wires `java.net.http`, tests wire a
+  * local page map. Pagination runs driver-side (matching the
+  * reference's full-layer fetch) and the parsed features parallelize
+  * into a DataFrame; a 100 TB-scale source would instead partition by
+  * offset ranges and fetch inside mapPartitions — same page parser.
+  */
+object FeatureService {
+
+  private val mapper = new ObjectMapper()
+
+  def queryUrl(baseUrl: String, offset: Int, pageSize: Int): String =
+    s"$baseUrl/query?where=1%3D1&outFields=*&f=geojson&resultOffset=$offset&resultRecordCount=$pageSize"
+
+  /** Fetch all pages until a page comes back empty. */
+  def fetchAll(fetch: String => String, baseUrl: String, pageSize: Int = 1000): Seq[(Map[String, String], Array[Byte])] = {
+    val out = new ArrayBuffer[(Map[String, String], Array[Byte])]
+    var offset = 0
+    var more = true
+    while (more) {
+      val page = parsePage(fetch(queryUrl(baseUrl, offset, pageSize)))
+      out ++= page
+      more = page.nonEmpty && page.size >= pageSize
+      offset += page.size
+    }
+    out.toSeq
+  }
+
+  /** One GeoJSON FeatureCollection page → (properties, WKB) pairs. */
+  def parsePage(json: String): Seq[(Map[String, String], Array[Byte])] = {
+    val root = mapper.readTree(json)
+    val features = root.path("features")
+    (0 until features.size()).map { i =>
+      val f = features.get(i)
+      val props = f.path("properties")
+      val attrs = scala.collection.mutable.Map[String, String]()
+      props.fieldNames().forEachRemaining { n =>
+        val v = props.get(n)
+        attrs(n) = if (v.isNull) null else v.asText()
+      }
+      (attrs.toMap, GeomCodec.write(parseGeometry(f.path("geometry"))))
+    }
+  }
+
+  /** GeoJSON Polygon / MultiPolygon → JTS. */
+  def parseGeometry(g: JsonNode): Geometry = {
+    if (g.isMissingNode || g.isNull) return null
+    val gf = GeomCodec.factory
+    def ring(coords: JsonNode): LinearRing = {
+      val pts = (0 until coords.size()).map { i =>
+        val c = coords.get(i)
+        new Coordinate(c.get(0).asDouble(), c.get(1).asDouble())
+      }
+      gf.createLinearRing(pts.toArray)
+    }
+    def polygon(rings: JsonNode): Polygon = {
+      val shell = ring(rings.get(0))
+      val holes = (1 until rings.size()).map(i => ring(rings.get(i))).toArray
+      gf.createPolygon(shell, holes)
+    }
+    g.path("type").asText() match {
+      case "Polygon"      => polygon(g.path("coordinates"))
+      case "MultiPolygon" =>
+        val cs = g.path("coordinates")
+        gf.createMultiPolygon((0 until cs.size()).map(i => polygon(cs.get(i))).toArray)
+      case other => throw new IllegalArgumentException(s"unsupported GeoJSON type $other")
+    }
+  }
+
+  /** Features → DataFrame: every property a string column (file-GDB
+    * TEXT semantics) + `geom` WKB.
+    */
+  def toDataFrame(
+      spark: SparkSession,
+      features: Seq[(Map[String, String], Array[Byte])],
+      columns: Seq[String]): DataFrame = {
+    val schema = StructType(
+      columns.map(c => StructField(c, StringType, nullable = true)) :+
+        StructField("geom", BinaryType, nullable = true))
+    val rows = features.map { case (attrs, wkb) =>
+      Row.fromSeq(columns.map(attrs.getOrElse(_, null)) :+ wkb)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Full scan: fetch + assemble, column set from the first feature. */
+  def load(spark: SparkSession, fetch: String => String, baseUrl: String): DataFrame = {
+    val features = fetchAll(fetch, baseUrl)
+    require(features.nonEmpty, s"feature service $baseUrl returned no features")
+    toDataFrame(spark, features, features.head._1.keys.toSeq.sorted)
+  }
+}

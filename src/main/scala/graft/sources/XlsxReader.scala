@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.io.InputStream
+import java.util.zip.ZipFile
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.Element
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.Row
+
+/** Minimal XLSX reader (OP-04, `retrieve.py:97-106`): Spark has no xlsx
+  * source and no POI in the jars, so this parses the OOXML directly —
+  * an .xlsx is a zip holding `xl/sharedStrings.xml` and
+  * `xl/worksheets/sheet1.xml` (ECMA-376, public spec). Driver-side
+  * utility for small workbooks (the reference's inputs are ≤ a few
+  * thousand rows); big data never arrives as xlsx.
+  *
+  * All cells surface as strings — exactly the dtype pinning the
+  * reference applies to FIPS columns to keep leading zeros.
+  */
+object XlsxReader {
+
+  /** Parse sheet1 into rows of (possibly null) strings. */
+  def readRows(path: String): Seq[Seq[String]] = {
+    val zip = new ZipFile(path)
+    try {
+      val shared: IndexedSeq[String] = Option(zip.getEntry("xl/sharedStrings.xml")) match {
+        case Some(e) => parseSharedStrings(zip.getInputStream(e))
+        case None    => IndexedSeq.empty
+      }
+      val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
+        .getOrElse(throw new IllegalArgumentException(s"no sheet1 in $path"))
+      parseSheet(zip.getInputStream(sheetEntry), shared)
+    } finally zip.close()
+  }
+
+  /** Rows → DataFrame with `skipRows` leading rows dropped and the next
+    * row used as the header (pandas `skiprows` + header semantics).
+    */
+  def toDataFrame(spark: SparkSession, path: String, skipRows: Int = 0): DataFrame = {
+    val rows = readRows(path).drop(skipRows)
+    require(rows.nonEmpty, s"no data rows in $path after skipping $skipRows")
+    val header = rows.head.map(h => Option(h).getOrElse(""))
+    val width = header.length
+    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    val data = rows.tail.map { r =>
+      Row.fromSeq(r.padTo(width, null).take(width))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
+  }
+
+  private def parseXml(in: InputStream): Element = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(false)
+    f.newDocumentBuilder().parse(in).getDocumentElement
+  }
+
+  private def children(e: Element, tag: String): Seq[Element] = {
+    val nl = e.getElementsByTagName(tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+  }
+
+  private def parseSharedStrings(in: InputStream): IndexedSeq[String] =
+    children(parseXml(in), "si").map(si =>
+      children(si, "t").map(_.getTextContent).mkString).toIndexedSeq
+
+  private def parseSheet(in: InputStream, shared: IndexedSeq[String]): Seq[Seq[String]] = {
+    val rows = new ArrayBuffer[Seq[String]]
+    children(parseXml(in), "row").foreach { row =>
+      val cells = new ArrayBuffer[String]
+      children(row, "c").foreach { c =>
+        val colIdx = refToCol(c.getAttribute("r"))
+        while (cells.length < colIdx) cells += null
+        val t = c.getAttribute("t")
+        val v = children(c, "v").headOption.map(_.getTextContent)
+        val text = t match {
+          case "s"         => v.map(i => shared(i.toInt)).orNull
+          case "inlineStr" => children(c, "t").map(_.getTextContent).mkString
+          case "b"         => v.map(x => if (x == "1") "True" else "False").orNull
+          case _           => v.map(trimNumeric).orNull
+        }
+        cells += text
+      }
+      rows += cells.toSeq
+    }
+    rows.toSeq
+  }
+
+  /** "1234.0" → "1234": xlsx stores every number as double; integral
+    * values come back int-looking, matching pandas' default rendering.
+    */
+  private def trimNumeric(s: String): String =
+    if (s.matches("-?\\d+\\.0+")) s.substring(0, s.indexOf('.')) else s
+
+  /** "BC12" → 0-based column index 54. */
+  private def refToCol(ref: String): Int = {
+    var i = 0; var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i) - 'A' + 1); i += 1
+    }
+    math.max(0, acc - 1)
+  }
+}
