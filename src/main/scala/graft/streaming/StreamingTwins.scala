@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming twins of the batch extension queries
+  * (SURVEY §2.11): the reference is batch-only, so the streaming
+  * surface mirrors Q31 (tumbling window) and Q32 (sessionization) over
+  * the `events` table, plus watermarked streaming dedup. Batch
+  * equivalence is testable because a single micro-batch over a static
+  * file must reproduce the batch answers (`StreamingTwinsSpec`).
+  */
+object StreamingTwins {
+
+  /** Parquet-on-disk schema of events with ns-timestamps read as long
+    * (the same legacy-conf path as `Tables.events`).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),           // nanos (legacy nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the events directory as a stream; ns-long → µs timestamp. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Q31 twin: watermarked tumbling 1-hour aggregate. Late events
+    * beyond 10 minutes are dropped — at scale this bounds state.
+    */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+
+  /** Streaming exact dedup: duplicate event_ids dropped within the
+    * watermark horizon (the streaming face of §2.12 exact dedup).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates(Seq("event_id"))
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class UserSessions(user_id: Long, sessions: Long)
+  final case class SessionState(lastTsMicros: Long, sessions: Long)
+
+  /** Q32 twin: stateful sessionization with a 30-minute gap via
+    * `flatMapGroupsWithState`. State per user is (last-seen ts, session
+    * count); emits the updated count every batch (Update mode).
+    */
+  def sessionize(events: Dataset[EventRow], gapSeconds: Long = 1800): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+
+    def update(
+        userId: Long,
+        rows: Iterator[EventRow],
+        state: GroupState[SessionState]): Iterator[UserSessions] = {
+      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+      sorted.foreach { r =>
+        val us = r.ts.getTime * 1000L
+        val isNew = st.lastTsMicros == Long.MinValue ||
+          (us - st.lastTsMicros) > gapSeconds * 1000000L
+        st = SessionState(us, if (isNew) st.sessions + 1 else st.sessions)
+      }
+      state.update(st)
+      Iterator.single(UserSessions(userId, st.sessions))
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.queries.CorpusQueries
+
+/** Streaming twins must reproduce the batch corpus answers when fed
+  * the same static file as one micro-batch (SURVEY §2.11).
+  */
+class StreamingTwinsSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** events.parquet copied into its own dir (streaming sources read
+    * directories).
+    */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming hourly window matches batch q31") {
+    val q = StreamingTwins.hourlyByType(StreamingTwins.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("hourly")
+      .select(col("w").cast("timestamp_ntz").as("w"), col("event_type"), col("n"), col("v"))
+      .orderBy("w", "event_type").collect()
+    val batch = CorpusQueries.q31.run(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+  }
+
+  test("streaming sessionization matches batch q32") {
+    import spark.implicits._
+    val events = StreamingTwins.readEvents(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[StreamingTwins.EventRow]
+    val q = StreamingTwins.sessionize(events)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sessions")
+      .groupBy("user_id").agg(max("sessions").as("sessions"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = CorpusQueries.q32.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val q = StreamingTwins.dedupEvents(StreamingTwins.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val total = spark.table("deduped").count()
+    val distinct = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id").distinct().count()
+    assert(total == distinct)
+  }
+}
