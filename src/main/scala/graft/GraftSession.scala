@@ -16,6 +16,7 @@ object GraftSession {
     SparkSession
       .builder()
       .appName(appName)
+      .withExtensions(new graft.geom.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

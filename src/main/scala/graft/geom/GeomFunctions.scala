@@ -37,9 +37,10 @@ object GeomFunctions {
       else write(GeometryFixer.fix(g))
     }).apply(_)
 
-  /** Planar area in the geometry's own CRS units. */
-  val st_area: Column => Column =
-    udf((wkb: Array[Byte]) => { val g = read(wkb); if (g == null) null else java.lang.Double.valueOf(g.getArea) }).apply(_)
+  /** Planar area in the geometry's own CRS units — native codegen'd
+    * expression ([[GeomExpressions.st_area_native]]), not a UDF.
+    */
+  val st_area: Column => Column = GeomExpressions.st_area_native(_)
 
   val st_isempty: Column => Column =
     udf((wkb: Array[Byte]) => { val g = read(wkb); if (g == null) null else java.lang.Boolean.valueOf(g.isEmpty) }).apply(_)
@@ -77,7 +78,8 @@ object GeomFunctions {
       else java.lang.Boolean.valueOf(f(ga, gb))
     })
 
-  val st_intersects: (Column, Column) => Column = pred(_ intersects _).apply(_, _)
+  /** Native codegen'd expression (see [[GeomExpressions]]). */
+  val st_intersects: (Column, Column) => Column = GeomExpressions.st_intersects_native(_, _)
   val st_touches:    (Column, Column) => Column = pred(_ touches _).apply(_, _)
   val st_disjoint:   (Column, Column) => Column = pred(_ disjoint _).apply(_, _)
   val st_contains:   (Column, Column) => Column = pred(_ contains _).apply(_, _)

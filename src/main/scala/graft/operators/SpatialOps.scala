@@ -8,13 +8,13 @@ import graft.geom.StUnionAgg.st_union_agg
 
 /** Whole-dataset spatial operators (SURVEY §2.5/§2.7/§2.9).
   *
-  * Scale notes: the pairwise operators (erase, overlayUnion) join on an
-  * `st_intersects` predicate, which Catalyst plans as a broadcast
-  * nested-loop join when one side is broadcast — right for the
-  * reference's workloads (the "other" side is always a small layer,
-  * ≤ a few thousand polygons). The 100 TB path — both sides huge — is a
-  * grid/STRtree-partitioned spatial join (SURVEY §4 item 3), which
-  * changes the join strategy but not these operators' semantics.
+  * Scale notes: the pairwise operators (erase, overlayUnion) pair rows
+  * through [[SpatialJoin.broadcastIntersects]] — an STRtree-indexed
+  * broadcast join (O(n·log m) envelope probes instead of the O(n·m)
+  * BroadcastNestedLoopJoin a raw `st_intersects` predicate join would
+  * plan to). The streaming side never shuffles. The both-sides-huge
+  * 100 TB case upgrades to a grid-partitioned variant of the same
+  * index join; operator semantics are unchanged.
   */
 object SpatialOps {
 
@@ -34,8 +34,8 @@ object SpatialOps {
   def erase(target: DataFrame, eraser: DataFrame, geomCol: String = "geom"): DataFrame = {
     val tid = target.withColumn("__tid", monotonically_increasing_id())
     val e = eraser.select(col(geomCol).as("__egeom"))
-    val hits = tid.select("__tid", geomCol)
-      .join(broadcast(e), G.st_intersects(col(geomCol), col("__egeom")), "inner")
+    val hits = SpatialJoin
+      .broadcastIntersects(tid.select("__tid", geomCol), e, geomCol, "__egeom")
       .groupBy("__tid")
       .agg(st_union_agg(col("__egeom")).as("__eunion"))
     tid.join(hits, Seq("__tid"), "left")
@@ -64,8 +64,7 @@ object SpatialOps {
     val bId = b.withColumn("__bid", monotonically_increasing_id())
       .withColumnRenamed(geomCol, "__bgeom")
 
-    val pairs = aId.join(broadcast(bId),
-      G.st_intersects(col("__ageom"), col("__bgeom")), "inner")
+    val pairs = SpatialJoin.broadcastIntersects(aId, bId, "__ageom", "__bgeom")
 
     // (1) intersection pieces, polygonal component only
     val inter = pairs

@@ -1,0 +1,53 @@
+package graft.geom
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.geom.{GeomFunctions => G}
+
+/** Native codegen'd ST expressions: DataFrame path, SQL registration
+  * via GraftExtensions, and null propagation.
+  */
+class GeomExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("native st_area/st_intersects evaluate correctly incl. nulls") {
+    val df = Seq(
+      ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))"),
+      ("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON((5 5, 6 5, 6 6, 5 6, 5 5))"),
+      (null, "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))")
+    ).toDF("wa", "wb")
+      .withColumn("ga", G.st_geomfromwkt($"wa"))
+      .withColumn("gb", G.st_geomfromwkt($"wb"))
+      .select(
+        GeomExpressions.st_area_native($"ga").as("area"),
+        GeomExpressions.st_intersects_native($"ga", $"gb").as("x"))
+      .collect()
+    assert(df(0).getDouble(0) == 4.0 && df(0).getBoolean(1))
+    assert(df(1).getDouble(0) == 1.0 && !df(1).getBoolean(1))
+    assert(df(2).isNullAt(0) && df(2).isNullAt(1)) // nullIntolerant propagation
+  }
+
+  test("st_area/st_intersects registered in SQL via GraftExtensions") {
+    val df = Seq(("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))"))
+      .toDF("wa", "wb")
+      .withColumn("ga", G.st_geomfromwkt($"wa"))
+      .withColumn("gb", G.st_geomfromwkt($"wb"))
+    df.createOrReplaceTempView("geoms")
+    val out = spark.sql(
+      "SELECT st_area(ga) AS a, st_intersects(ga, gb) AS x FROM geoms").collect()(0)
+    assert(out.getDouble(0) == 4.0 && out.getBoolean(1))
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    // range source: a LocalRelation would be eagerly collapsed by the
+    // optimizer before any codegen happens
+    val df = spark.range(4)
+      .withColumn("g", G.st_geomfromwkt(lit("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))")))
+      .select(GeomExpressions.st_area_native($"g").as("a"))
+      .filter($"a" > 1)
+    // '*' prefixes mark WholeStageCodegen spans; both the Project
+    // computing st_area and the Filter must sit inside one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"), plan)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.SparkTestBase
+import graft.geom.{GeomFunctions => G}
+
+/** Property tests (SURVEY §5 item 4): algebraic invariants of the
+  * spatial and dedup operators over generated inputs. Samples are drawn
+  * deterministically (fixed seed) and kept small — each case runs a
+  * real Spark job.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sq(x0: Double, y0: Double, side: Double): String =
+    s"POLYGON(($x0 $y0, ${x0 + side} $y0, ${x0 + side} ${y0 + side}, $x0 ${y0 + side}, $x0 $y0))"
+
+  /** Disjoint unit squares on a sparse grid with random group keys. */
+  private def sampleGrids(n: Int, seed: Long): Seq[Seq[(String, String)]] = {
+    val gen = for {
+      cells <- Gen.nonEmptyListOf(Gen.choose(0, 400))
+      keys <- Gen.listOfN(cells.distinct.size, Gen.oneOf("A", "B", "C"))
+    } yield cells.distinct.zip(keys).map { case (cell, k) =>
+      (k, sq((cell % 20) * 3.0, (cell / 20) * 3.0, 1.0)) // gap 2 => disjoint
+    }
+    val params = Gen.Parameters.default
+    (0 until n).map(i => gen.pureApply(params, rng.Seed(seed + i)))
+  }
+
+  test("dissolve preserves total area for disjoint inputs") {
+    for (rows <- sampleGrids(4, seed = 7)) {
+      val df = rows.toDF("key", "wkt")
+        .withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
+      val total = df.select(sum(G.st_area($"geom"))).collect()(0).getDouble(0)
+      val dissolved = SpatialOps.dissolve(df, Seq("key"))
+        .select(sum(G.st_area($"geom"))).collect()(0).getDouble(0)
+      assert(math.abs(total - dissolved) < 1e-6, s"$total vs $dissolved")
+    }
+  }
+
+  test("erase output is contained in the target: area never grows") {
+    for (rows <- sampleGrids(3, seed = 21)) {
+      val df = rows.toDF("key", "wkt")
+        .withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
+      // erase a band covering part of the grid
+      val eraser = Seq(sq(0, 0, 25)).toDF("wkt")
+        .withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
+      val before = df.select(sum(G.st_area($"geom"))).collect()(0).getDouble(0)
+      val erased = SpatialOps.erase(df, eraser)
+      val after = Option(erased.select(sum(G.st_area($"geom"))).collect()(0).get(0))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      assert(after <= before + 1e-9, s"$after > $before")
+      // every output geometry is disjoint from the eraser interior
+      val overlaps = erased
+        .crossJoin(eraser.select($"geom".as("egeom")))
+        .select(G.st_area(G.st_intersection($"geom", $"egeom")).as("a"))
+        .filter($"a" > 1e-9).count()
+      assert(overlaps == 0)
+    }
+  }
+
+  test("overlay union conserves covered area (pieces partition the input)") {
+    for (rows <- sampleGrids(3, seed = 33)) {
+      val a = rows.toDF("ka", "wkt")
+        .withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
+      val b = Seq(("B1", sq(1.5, 1.5, 20))).toDF("kb", "wkt")
+        .withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
+      val out = SpatialOps.overlayUnion(a, b)
+      // total piece area == area(a ∪ b) (planar partition, no overlap)
+      val pieceSum = out.select(sum(G.st_area($"geom"))).collect()(0).getDouble(0)
+      val aArea = a.select(sum(G.st_area($"geom"))).collect()(0).getDouble(0)
+      val bArea = b.select(sum(G.st_area($"geom"))).collect()(0).getDouble(0)
+      val interArea = a.crossJoin(b.select($"geom".as("g2")))
+        .select(sum(G.st_area(G.st_intersection($"geom", $"g2")))).collect()(0).getDouble(0)
+      val unionArea = aArea + bArea - interArea
+      assert(math.abs(pieceSum - unionArea) < 1e-6, s"$pieceSum vs $unionArea")
+    }
+  }
+
+  test("merge row count is the sum of the inputs") {
+    val a = (1 to 37).map(i => (i.toLong, s"a$i")).toDF("id", "name")
+    val b = (1 to 21).map(i => (s"b$i", i.toDouble)).toDF("name", "score")
+    val merged = a.unionByName(b.withColumn("id", lit(null).cast("long")),
+      allowMissingColumns = true)
+    assert(merged.count() == 58)
+  }
+
+  test("exact dedup is idempotent and minimal-id-keeping") {
+    val docs = (1L to 60L).map(i => (i, s"text ${i % 7}")).toDF("doc_id", "text")
+    val once = Dedup.exact(docs, "text", "doc_id")
+    val twice = Dedup.exact(once, "text", "doc_id")
+    assert(once.count() == 7 && twice.count() == 7)
+    assert(once.select(min("doc_id")).collect()(0).getLong(0) == 1L)
+  }
+
+  test("minhash estimated jaccard stays in [0,1] and is 1 for identical docs") {
+    val docs = Seq((1L, "aaaa bbbb cccc dddd eeee"), (2L, "aaaa bbbb cccc dddd eeee"),
+      (3L, "zzzz yyyy xxxx wwww vvvv")).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text").collect()
+    cands.foreach { r =>
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    val identical = cands.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(identical.exists(_.getAs[Double]("est_jaccard") == 1.0))
+  }
+}
