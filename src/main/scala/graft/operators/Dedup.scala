@@ -141,6 +141,23 @@ object Dedup {
       .drop("ga", "gb", "inter", "uni")
   }
 
+  /** End-to-end near-dup REMOVAL: detect candidates with MinHash+LSH,
+    * verify with exact n-gram Jaccard, then drop every row that appears
+    * as the higher-id member of a verified pair (keep-first policy —
+    * the standard one-pass LSH dedup; a full transitive-closure variant
+    * would iterate connected components).
+    */
+  def nearDupRemove(
+      df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK)
+    val verified = ngramJaccard(df, idCol, textCol, cands, shingleK)
+      .filter(col("jaccard") >= jaccardThreshold)
+    val drop = verified.select(col("b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // --- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens. */

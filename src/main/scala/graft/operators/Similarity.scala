@@ -49,6 +49,51 @@ object Similarity {
     }).apply(vecCol)
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * vector to a centroid cell; a query scans only the `nprobe` cells
+    * whose centroids are nearest. At 100 TB the table is written
+    * partitioned by `cell` so the probe prunes to a few partition
+    * reads; training samples a fraction of the data.
+    */
+  final case class IvfIndex(
+      assigned: org.apache.spark.sql.DataFrame,   // idCol, vecCol, cell
+      centroids: Array[Array[Double]])
+
+  def ivfBuild(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val feat = df.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("__features").setPredictionCol("cell")
+      .fit(feat)
+    val assigned = model.transform(feat).drop("__features")
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  def ivfTopK(
+      index: IvfIndex, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(c.length, query.length)) {
+        val d = c(i) - query(i); s += d * d; i += 1
+      }
+      s
+    }
+    val probeCells = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c) }
+      .take(nprobe).map(_._2)
+    index.assigned
+      .filter(col("cell").isin(probeCells.toSeq: _*))   // partition-prunable at scale
+      .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k: scan only rows whose LSH bucket is within
     * `probeHamming` bits of the query's bucket, then exact cosine.
     */

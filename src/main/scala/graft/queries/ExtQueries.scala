@@ -167,8 +167,25 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** End-to-end near-dup removal: LSH candidates → Jaccard verify →
+    * keep-first drop.
+    */
+  val x14_neardup_remove: QuerySpec = noOracle("x14_neardup_remove") { (s, d) =>
+    Dedup.nearDupRemove(Tables.documents(s, d), "doc_id", "text")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** IVF ANN top-k (KMeans coarse quantizer, nprobe cell scan). */
+  val x15_ann_ivf: QuerySpec = noOracle("x15_ann_ivf") { (s, d) =>
+    val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val index = Similarity.ivfBuild(Tables.embeddings(s, d), "vec_id", "embedding")
+    Similarity.ivfTopK(index, "vec_id", "embedding", query, k = 10)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
-    x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal)
+    x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal,
+    x14_neardup_remove, x15_ann_ivf)
 }

@@ -94,6 +94,30 @@ class ExtOpsSpec extends SparkTestBase {
     assert(df(0).getAs[Int]("n1") == 3 && df(0).getAs[Int]("n2") == 3)
   }
 
+  test("near-dup removal drops the exact and near copies, keeps originals") {
+    val kept = Dedup.nearDupRemove(docs, "doc_id", "text", jaccardThreshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 2 (exact copy of 1) and 3 (one-word variant of 1) are removed
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("ivf top-k agrees with brute force when probing all cells") {
+    val rnd = new scala.util.Random(11)
+    val emb = (1L to 300L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val index = Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 8)
+    val full = Similarity.ivfTopK(index, "vec_id", "embedding", query, 5, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute)                       // nprobe = all cells == exact
+    val probed = Similarity.ivfTopK(index, "vec_id", "embedding", query, 5, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probed.nonEmpty && probed.toSet.subsetOf(emb.select("vec_id")
+      .collect().map(_.getLong(0)).toSet))
+  }
+
   test("multimodal stub features are deterministic and batched") {
     val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "text")
       .withColumn("payload", encode($"text", "UTF-8"))
