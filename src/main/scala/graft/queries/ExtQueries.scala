@@ -46,12 +46,21 @@ object ExtQueries {
         coalesce(sum(col("n") - 1), lit(0L)).as("removable"))
   }
 
+  // MinHash candidates are expensive and shared by x03/x04: memoize the
+  // persisted candidate DataFrame per (session, dir).
+  private val candCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def minhashCands(s: SparkSession, d: String): DataFrame =
+    candCache.getOrElseUpdate((s, d),
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** MinHash+LSH near-dup candidate pairs (rows-only: LSH not
     * SQL-expressible; semantics unit-tested).
     */
   val x03_minhash_neardup: QuerySpec = noOracle("x03_minhash_neardup") { (s, d) =>
-    val docs = Tables.documents(s, d)
-    Dedup.minhashCandidates(docs, "doc_id", "text")
+    minhashCands(s, d)
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("a", "b")
   }
@@ -59,8 +68,7 @@ object ExtQueries {
   /** Exact n-gram Jaccard verification of the MinHash candidates. */
   val x04_ngram_jaccard: QuerySpec = noOracle("x04_ngram_jaccard") { (s, d) =>
     val docs = Tables.documents(s, d)
-    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
-      .filter(col("est_jaccard") >= 0.5)
+    val cands = minhashCands(s, d).filter(col("est_jaccard") >= 0.5)
     Dedup.ngramJaccard(docs, "doc_id", "text", cands)
       .select("a", "b", "est_jaccard", "jaccard")
       .orderBy("a", "b")

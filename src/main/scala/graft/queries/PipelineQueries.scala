@@ -45,6 +45,10 @@ object PipelineQueries {
   // one flow per session: p01/p02 share the cached branch DataFrames
   @volatile private var memo: Option[(SparkSession, BunnyHopFlow.Result)] = None
 
+  /** Full merged layer (with geometry) for publish sinks. */
+  def mergedWithGeom(s: SparkSession): org.apache.spark.sql.DataFrame =
+    runFlow(s).merged
+
   private def runFlow(s: SparkSession): BunnyHopFlow.Result = synchronized {
     memo match {
       case Some((sess, r)) if sess eq s => r

@@ -1,0 +1,43 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.geom.{GeomFunctions => G}
+
+/** Sinks (OP-05/OP-10): GeoJSON round-trips through the engine's own
+  * feature-service parser; CSV single-file parity.
+  */
+class WritersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("geojson writer round-trips through the feature-service parser") {
+    val df = Seq(
+      ("Alpha", 1L, "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"),
+      ("Beta", 2L, "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)), ((3 3, 4 3, 4 4, 3 4, 3 3)))"))
+      .toDF("name", "id", "wkt")
+      .withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
+
+    val path = Files.createTempFile("layer", ".geojson").toString
+    Writers.writeGeoJson(df, "geom", path)
+
+    val parsed = FeatureService.parsePage(
+      new String(Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+    assert(parsed.length == 2)
+    val byName = parsed.map { case (attrs, wkb) => attrs("name") -> wkb }.toMap
+    assert(graft.geom.GeomCodec.read(byName("Alpha")).getArea == 4.0)
+    assert(graft.geom.GeomCodec.read(byName("Beta")).getNumGeometries == 2)
+    assert(parsed.head._1("id") == "1" || parsed.head._1("id") == "2")
+  }
+
+  test("single-file csv sink writes one part with header") {
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val dir = Files.createTempDirectory("csvout").toString + "/out"
+    Writers.writeCsvSingle(df, dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(parts.length == 1)
+    val lines = scala.io.Source.fromFile(parts(0)).getLines().toList
+    assert(lines.head == "k,v" && lines.size == 3)
+  }
+}
