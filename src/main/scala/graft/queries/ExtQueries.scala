@@ -179,7 +179,8 @@ object ExtQueries {
     * keep-first drop.
     */
   val x14_neardup_remove: QuerySpec = noOracle("x14_neardup_remove") { (s, d) =>
-    Dedup.nearDupRemove(Tables.documents(s, d), "doc_id", "text")
+    Dedup.nearDupRemove(Tables.documents(s, d), "doc_id", "text",
+        precomputedCandidates = Some(minhashCands(s, d)))
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
