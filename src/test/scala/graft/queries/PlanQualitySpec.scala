@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+import graft.sources.Layout
+
+/** Plan-quality regression tests: the physical plans the engine is
+  * designed around must not silently degrade. These assert on
+  * `executedPlan`, the same thing `.explain` prints.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q01 filter reaches the parquet scan (pushdown + pruning)") {
+    val plan = CorpusQueries.q01.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(l_returnflag,R)"), plan)
+    // column pruning: p_name etc. absent, only the 6 needed columns read
+    assert(plan.contains("ReadSchema") && !plan.contains("l_shipdate"), plan)
+  }
+
+  test("q14 lookup joins broadcast; the fact side never exchanges before joining") {
+    val plan = CorpusQueries.q14.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q15 aggregation is two-phase (map-side partial before the exchange)") {
+    val plan = CorpusQueries.q15.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    // partial aggregate appears below (later in the printed tree than)
+    // the exchange — i.e. there are two HashAggregate levels
+    assert(plan.indexOf("HashAggregate", firstAgg + 1) >= 0, plan)
+  }
+
+  test("q30 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = CorpusQueries.q30.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("bucketed co-located join has no Exchange on either side") {
+    // fresh metastore per JVM but the warehouse dir persists: clear any
+    // stale table locations from previous runs
+    for (t <- Seq("orders_b", "customer_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Layout.writeBucketed(Tables.orders(spark, sfDir), "orders_b",
+      Seq("o_custkey"), buckets = 8)
+    Layout.writeBucketed(Tables.customer(spark, sfDir), "customer_b",
+      Seq("c_custkey"), buckets = 8)
+    // disable broadcast so the join strategy itself is under test
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Layout.table(spark, "customer_b")
+        .join(Layout.table(spark, "orders_b"),
+          col("c_custkey") === col("o_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/events_p"
+    val events = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+    Layout.writePartitioned(events, dir, Seq("day"))
+    val firstDay = spark.read.parquet(dir).select(min("day")).collect()(0).getDate(0)
+    val pruned = spark.read.parquet(dir).filter(col("day") === lit(firstDay))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"), plan)
+    assert(pruned.count() > 0)
+  }
+}
