@@ -192,9 +192,30 @@ object ExtQueries {
     Similarity.ivfTopK(index, "vec_id", "embedding", query, k = 10)
   }
 
+  /** The composite training-data pipeline: exact dedup → near-dup
+    * removal → quality filter → per-language token budget. The shape a
+    * 100 TB corpus-cleaning job takes end-to-end; every stage is one of
+    * the operators above.
+    */
+  val x16_clean_corpus: QuerySpec = noOracle("x16_clean_corpus") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val exact = Dedup.exact(docs, "text", "doc_id")
+    val nearDeduped = Dedup.nearDupRemove(exact, "doc_id", "text",
+      precomputedCandidates = Some(minhashCands(s, d)))
+    nearDeduped
+      .withColumn("quality", TA.qualityScore(col("text")))
+      .filter(col("quality") >= 0.3)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs_kept"),
+        sum(TA.bpeishTokenCount(col("text"))).cast("bigint").as("tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
     x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal,
-    x14_neardup_remove, x15_ann_ivf)
+    x14_neardup_remove, x15_ann_ivf, x16_clean_corpus)
 }
