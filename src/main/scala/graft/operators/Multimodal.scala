@@ -77,6 +77,28 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** ======= STUB =======
+    * "Resize": deterministic downsample of the payload to `targetBytes`
+    * by strided byte selection — stands in for an image resize the way
+    * [[decodeStub]] stands in for a decoder; the Spark-side shape
+    * (binary → smaller binary, applied columnwise) is the real part.
+    */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (payload == null || payload.length <= targetBytes) payload
+    else {
+      val out = new Array[Byte](targetBytes)
+      val stride = payload.length.toDouble / targetBytes
+      var i = 0
+      while (i < targetBytes) { out(i) = payload((i * stride).toInt); i += 1 }
+      out
+    }
+  }
+
+  /** Column form of [[resizeStub]]. */
+  def resize(blobPayload: org.apache.spark.sql.Column, targetBytes: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udf((p: Array[Byte]) => resizeStub(p, targetBytes))
+      .apply(blobPayload)
+
   /** Deterministic frame sampling for a (stub) video payload: emit one
     * row per sampled frame offset — the explode shape a real
     * frame-sampler produces, with byte-range metadata a real demuxer

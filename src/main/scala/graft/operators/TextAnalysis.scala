@@ -76,4 +76,45 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(tokens(text))))
+
+  /** Winnowing fingerprints (the rolling-hash document fingerprint of
+    * Schleimer/Wilkerson/Aiken): k-gram rolling hashes → minimum of
+    * each window of `w` consecutive hashes → distinct selected set.
+    * Guarantees any shared substring of length ≥ w+k-1 between two
+    * documents yields at least one shared fingerprint, with ~2/(w+1)
+    * of positions selected — the sparse local-similarity signal used
+    * for plagiarism/copy detection at corpus scale.
+    */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val f = udf((raw: String) => {
+      if (raw == null) Array.empty[Long]
+      else {
+        val s = raw.trim.toLowerCase
+        val n = math.max(1, s.length - k + 1)
+        val hs = new Array[Long](n)
+        var i = 0
+        while (i < n) {                       // rolling k-gram hashes
+          var h = 0xcbf29ce484222325L
+          var j = i
+          val end = math.min(s.length, i + k)
+          while (j < end) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+          h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+          hs(i) = h
+          i += 1
+        }
+        val out = scala.collection.mutable.LinkedHashSet[Long]()
+        var start = 0
+        while (start <= n - math.min(w, n)) { // min of each hash window
+          var m = Long.MaxValue
+          var j = start
+          val end = math.min(n, start + w)
+          while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+          out += m
+          start += 1
+        }
+        out.toArray
+      }
+    })
+    f(text)
+  }
 }

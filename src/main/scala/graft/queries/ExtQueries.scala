@@ -213,9 +213,25 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  /** Winnowing (rolling-hash) fingerprint overlap: documents sharing
+    * ≥ minShared selected fingerprints — local-similarity detection
+    * that survives insertions/deletions the way whole-doc hashing
+    * cannot.
+    */
+  val x17_winnowing: QuerySpec = noOracle("x17_winnowing") { (s, d) =>
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TA.winnowingFingerprints(col("text"))).as("fp"))
+    val l = fps.select(col("fp"), col("doc_id").as("a"))
+    val r = fps.select(col("fp"), col("doc_id").as("b"))
+    l.join(r, Seq("fp")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 25)
+      .orderBy("a", "b")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
     x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal,
-    x14_neardup_remove, x15_ann_ivf, x16_clean_corpus)
+    x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing)
 }

@@ -118,6 +118,28 @@ class ExtOpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet))
   }
 
+  test("winnowing guarantees a shared fingerprint for long shared substrings") {
+    import graft.operators.{TextAnalysis => T}
+    val shared = "this exact long passage appears verbatim in both documents of the pair"
+    val df = Seq(
+      (1L, s"prefix one $shared and then some suffix"),
+      (2L, s"a totally different lead-in $shared closing words here"),
+      (3L, "nothing in common with the others at all, separate content entirely"))
+      .toDF("id", "text")
+      .select($"id", T.winnowingFingerprints($"text").as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Long]]("fps").toSet).toMap
+    assert((df(1L) & df(2L)).nonEmpty)      // guaranteed overlap (len >= w+k-1)
+    assert((df(1L) & df(3L)).size < (df(1L) & df(2L)).size)
+  }
+
+  test("multimodal resize stub downsamples deterministically") {
+    val big = Array.tabulate[Byte](1000)(i => (i % 127).toByte)
+    val small = Multimodal.resizeStub(big, 100)
+    assert(small.length == 100)
+    assert(Multimodal.resizeStub(big, 100).toSeq == small.toSeq)
+    assert(Multimodal.resizeStub(small, 200) eq small) // no upscaling
+  }
+
   test("multimodal stub features are deterministic and batched") {
     val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "text")
       .withColumn("payload", encode($"text", "UTF-8"))
