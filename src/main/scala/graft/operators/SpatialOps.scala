@@ -64,7 +64,10 @@ object SpatialOps {
     val bId = b.withColumn("__bid", monotonically_increasing_id())
       .withColumnRenamed(geomCol, "__bgeom")
 
+    // pairs feeds three consumers (intersection pieces + both leftover
+    // branches): persist so the spatial join runs once, not three times
     val pairs = SpatialJoin.broadcastIntersects(aId, bId, "__ageom", "__bgeom")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // (1) intersection pieces, polygonal component only
     val inter = pairs

@@ -221,17 +221,41 @@ object ExtQueries {
   val x17_winnowing: QuerySpec = noOracle("x17_winnowing") { (s, d) =>
     val fps = Tables.documents(s, d)
       .select(col("doc_id"), explode(TA.winnowingFingerprints(col("text"))).as("fp"))
-    val l = fps.select(col("fp"), col("doc_id").as("a"))
-    val r = fps.select(col("fp"), col("doc_id").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stop-fingerprint removal: a fingerprint present in many documents
+    // is a common phrase, not a similarity signal, and it is also the
+    // hot key that makes the inverted self-join quadratic. Standard
+    // winnowing practice and the scale guard at 100 TB.
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 20)
+    val kept = fps.join(broadcast(rare.select("fp")), Seq("fp"), "left_semi")
+    val l = kept.select(col("fp"), col("doc_id").as("a"))
+    val r = kept.select(col("fp"), col("doc_id").as("b"))
     l.join(r, Seq("fp")).filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= 25)
       .orderBy("a", "b")
   }
 
+  /** Region rollup — exercises the one table no other query scans, so
+    * every synthetic table has oracle-verified coverage.
+    */
+  val x18_region_rollup: QuerySpec = q("x18_region_rollup",
+    """SELECT r.r_name, count(*) AS nations,
+      |  cast(sum(CASE WHEN n.n_name LIKE 'A%' THEN 1 ELSE 0 END) AS BIGINT) AS a_nations
+      |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin) { (s, d) =>
+    Tables.region(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("nations"),
+        sum(when(col("n_name").startsWith("A"), 1L).otherwise(0L)).as("a_nations"))
+      .orderBy("r_name")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
     x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal,
-    x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing)
+    x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing,
+    x18_region_rollup)
 }
