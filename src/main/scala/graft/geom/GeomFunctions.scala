@@ -133,4 +133,103 @@ object GeomFunctions {
         else write(GeomCodec.factory.buildGeometry(java.util.Arrays.asList(gs: _*)))
       }
     }).apply(_)
+
+  // --- general GIS vocabulary (beyond the reference's call sites, part
+  // --- of the complete engine surface) --------------------------------
+
+  private def geo1(f: Geometry => Geometry) =
+    udf((wkb: Array[Byte]) => { val g = read(wkb); if (g == null) null else write(f(g)) })
+
+  private def num1(f: Geometry => Double) =
+    udf((wkb: Array[Byte]) => { val g = read(wkb); if (g == null) null else java.lang.Double.valueOf(f(g)) })
+
+  val st_centroid: Column => Column = geo1(_.getCentroid).apply(_)
+  val st_envelope: Column => Column = geo1(_.getEnvelope).apply(_)
+  val st_convexhull: Column => Column = geo1(_.convexHull()).apply(_)
+  val st_boundary: Column => Column = geo1(_.getBoundary).apply(_)
+  val st_length: Column => Column = num1(_.getLength).apply(_)
+
+  def st_buffer(geom: Column, distance: Column): Column =
+    udf((wkb: Array[Byte], d: Double) => {
+      val g = read(wkb); if (g == null) null else write(g.buffer(d))
+    }).apply(geom, distance)
+
+  def st_simplify(geom: Column, tolerance: Column): Column =
+    udf((wkb: Array[Byte], t: Double) => {
+      val g = read(wkb)
+      if (g == null) null
+      else write(org.locationtech.jts.simplify.DouglasPeuckerSimplifier.simplify(g, t))
+    }).apply(geom, tolerance)
+
+  val st_distance: (Column, Column) => Column =
+    udf((a: Array[Byte], b: Array[Byte]) => {
+      val (ga, gb) = (read(a), read(b))
+      if (ga == null || gb == null) null else java.lang.Double.valueOf(ga.distance(gb))
+    }).apply(_, _)
+
+  val st_within:   (Column, Column) => Column = pred(_ within _).apply(_, _)
+  val st_covers:   (Column, Column) => Column = pred(_ covers _).apply(_, _)
+  val st_crosses:  (Column, Column) => Column = pred(_ crosses _).apply(_, _)
+  val st_overlaps: (Column, Column) => Column = pred(_ overlaps _).apply(_, _)
+
+  /** Register every ST function for `spark.sql` users (the codegen'd
+    * st_area/st_intersects come via GraftExtensions; these cover the
+    * rest of the vocabulary as named UDFs).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val u = spark.udf
+    u.register("st_geomfromwkt", (w: String) => if (w == null) null else GeomCodec.wktToWkb(w))
+    u.register("st_aswkt", (b: Array[Byte]) => if (b == null) null else GeomCodec.wkbToWkt(b))
+    u.register("st_makevalid", (b: Array[Byte]) => {
+      val g = read(b); if (g == null) null else if (g.isValid) b else write(GeometryFixer.fix(g))
+    })
+    u.register("st_isempty", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Boolean.valueOf(g.isEmpty) })
+    u.register("st_isvalid", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Boolean.valueOf(g.isValid) })
+    u.register("st_numgeometries", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Integer.valueOf(g.getNumGeometries) })
+    u.register("st_transform", (b: Array[Byte], from: Int, to: Int) => {
+      val g = read(b); if (g == null) null else write(CrsMath.transformGeometry(g, from, to))
+    })
+    u.register("st_area_sqmi", (b: Array[Byte], from: Int) => {
+      val g = read(b)
+      if (g == null) null
+      else java.lang.Double.valueOf(
+        CrsMath.transformGeometry(g, from, 3310).getArea / CrsMath.SquareMetersPerSquareMile)
+    })
+    u.register("st_centroid", (b: Array[Byte]) => { val g = read(b); if (g == null) null else write(g.getCentroid) })
+    u.register("st_envelope", (b: Array[Byte]) => { val g = read(b); if (g == null) null else write(g.getEnvelope) })
+    u.register("st_convexhull", (b: Array[Byte]) => { val g = read(b); if (g == null) null else write(g.convexHull()) })
+    u.register("st_boundary", (b: Array[Byte]) => { val g = read(b); if (g == null) null else write(g.getBoundary) })
+    u.register("st_length", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Double.valueOf(g.getLength) })
+    u.register("st_buffer", (b: Array[Byte], d: Double) => { val g = read(b); if (g == null) null else write(g.buffer(d)) })
+    u.register("st_simplify", (b: Array[Byte], t: Double) => {
+      val g = read(b)
+      if (g == null) null
+      else write(org.locationtech.jts.simplify.DouglasPeuckerSimplifier.simplify(g, t))
+    })
+    u.register("st_distance", (a: Array[Byte], b: Array[Byte]) => {
+      val (ga, gb) = (read(a), read(b))
+      if (ga == null || gb == null) null else java.lang.Double.valueOf(ga.distance(gb))
+    })
+    def reg2(name: String, f: (Geometry, Geometry) => Boolean): Unit =
+      u.register(name, (a: Array[Byte], b: Array[Byte]) => {
+        val (ga, gb) = (read(a), read(b))
+        if (ga == null || gb == null) null else java.lang.Boolean.valueOf(f(ga, gb))
+      })
+    reg2("st_touches", _ touches _)
+    reg2("st_disjoint", _ disjoint _)
+    reg2("st_contains", _ contains _)
+    reg2("st_within", _ within _)
+    reg2("st_covers", _ covers _)
+    reg2("st_crosses", _ crosses _)
+    reg2("st_overlaps", _ overlaps _)
+    def geo2(name: String, f: (Geometry, Geometry) => Geometry): Unit =
+      u.register(name, (a: Array[Byte], b: Array[Byte]) => {
+        val (ga, gb) = (read(a), read(b))
+        if (ga == null || gb == null) null else write(f(ga, gb))
+      })
+    geo2("st_intersection", _ intersection _)
+    geo2("st_difference", _ difference _)
+    geo2("st_union", _ union _)
+    spark.udf.register("st_union_agg", StUnionAgg.asUdaf)
+  }
 }

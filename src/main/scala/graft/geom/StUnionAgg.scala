@@ -51,5 +51,6 @@ object StUnionAgg extends Aggregator[Array[Byte], ArrayBuffer[Array[Byte]], Arra
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 
   /** Column form: `df.groupBy(keys).agg(st_union_agg($"geom"))`. */
-  val st_union_agg: Column => Column = udaf(StUnionAgg).apply(_)
+  lazy val asUdaf: org.apache.spark.sql.expressions.UserDefinedFunction = udaf(StUnionAgg)
+  val st_union_agg: Column => Column = asUdaf.apply(_)
 }

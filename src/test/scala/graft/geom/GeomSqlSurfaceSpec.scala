@@ -1,0 +1,50 @@
+package graft.geom
+
+import graft.SparkTestBase
+
+/** The full ST vocabulary through `spark.sql` after
+  * `GeomFunctions.registerAll` — a SQL user's view of the geometry
+  * engine, including the dissolve aggregate.
+  */
+class GeomSqlSurfaceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("registered ST functions drive a dissolve + metrics query in pure SQL") {
+    GeomFunctions.registerAll(spark)
+    Seq(
+      ("A", "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"),
+      ("A", "POLYGON((1 0, 2 0, 2 1, 1 1, 1 0))"),
+      ("B", "POLYGON((4 4, 6 4, 6 6, 4 6, 4 4))"))
+      .toDF("key", "wkt").createOrReplaceTempView("shapes")
+
+    val out = spark.sql(
+      """SELECT key,
+        |  st_area(g) AS area,
+        |  st_aswkt(st_centroid(g)) AS centroid,
+        |  st_length(st_boundary(g)) AS perimeter,
+        |  st_numgeometries(g) AS nparts
+        |FROM (SELECT key, st_union_agg(st_geomfromwkt(wkt)) AS g
+        |      FROM shapes GROUP BY key)
+        |ORDER BY key""".stripMargin).collect()
+
+    assert(out(0).getAs[Double]("area") == 2.0)
+    assert(out(0).getAs[String]("centroid") == "POINT (1 0.5)")
+    assert(out(0).getAs[Double]("perimeter") == 6.0)
+    assert(out(1).getAs[Double]("area") == 4.0)
+
+    val preds = spark.sql(
+      """SELECT
+        |  st_within(st_geomfromwkt('POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))'),
+        |            st_geomfromwkt('POLYGON((0 0, 5 0, 5 5, 0 5, 0 0))')) AS w,
+        |  st_distance(st_geomfromwkt('POINT(0 0)'), st_geomfromwkt('POINT(3 4)')) AS d,
+        |  st_area(st_buffer(st_geomfromwkt('POINT(0 0)'), 1.0)) AS buf,
+        |  st_aswkt(st_simplify(st_geomfromwkt(
+        |    'POLYGON((0 0, 1 0.01, 2 0, 2 2, 0 2, 0 0))'), 0.1)) AS simp
+        |""".stripMargin).collect()(0)
+    assert(preds.getAs[Boolean]("w"))
+    assert(preds.getAs[Double]("d") == 5.0)
+    // 8 quadrant segments (JTS default) undershoot the circle by ~0.02
+    assert(math.abs(preds.getAs[Double]("buf") - math.Pi) < 0.03)
+    assert(!preds.getAs[String]("simp").contains("0.01"))          // vertex simplified away
+  }
+}
