@@ -22,10 +22,34 @@ import scala.collection.mutable.ArrayBuffer
 object StUnionAgg extends Aggregator[Array[Byte], ArrayBuffer[Array[Byte]], Array[Byte]] {
   val CompactAt = 64
 
+  /** Cascaded union with the SURVEY §7.4 robustness ladder: plain union
+    * first; on TopologyException fix invalid inputs and retry; as the
+    * last resort snap everything to a 1e-6 precision grid (micron-scale
+    * for projected meters) and retry — dirty real-world polygons with
+    * near-coincident vertices land here, and a deterministic slightly-
+    * snapped union beats a failed job.
+    */
   private def unionAll(wkbs: Seq[Array[Byte]]): Geometry = {
     val geoms = new java.util.ArrayList[Geometry](wkbs.size)
     wkbs.foreach(w => if (w != null) geoms.add(GeomCodec.read(w)))
-    UnaryUnionOp.union(geoms, GeomCodec.factory)
+    try UnaryUnionOp.union(geoms, GeomCodec.factory)
+    catch {
+      case _: org.locationtech.jts.geom.TopologyException =>
+        val fixed = new java.util.ArrayList[Geometry](geoms.size)
+        geoms.forEach { g =>
+          fixed.add(if (g.isValid) g else org.locationtech.jts.geom.util.GeometryFixer.fix(g))
+        }
+        try UnaryUnionOp.union(fixed, GeomCodec.factory)
+        catch {
+          case _: org.locationtech.jts.geom.TopologyException =>
+            val pm = new org.locationtech.jts.geom.PrecisionModel(1e6)
+            val snapped = new java.util.ArrayList[Geometry](fixed.size)
+            fixed.forEach { g =>
+              snapped.add(org.locationtech.jts.precision.GeometryPrecisionReducer.reduce(g, pm))
+            }
+            UnaryUnionOp.union(snapped, GeomCodec.factory)
+        }
+    }
   }
 
   private def compact(b: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] =

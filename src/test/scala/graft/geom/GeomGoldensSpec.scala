@@ -137,6 +137,25 @@ class GeomGoldensSpec extends SparkTestBase {
     assert(math.abs(out(2).getAs[Double]("area") - 100.0) < 1e-6)   // untouched
   }
 
+  test("dissolve survives invalid (self-intersecting) inputs via the fallback ladder") {
+    val df = Seq(
+      ("K", "POLYGON((0 0, 2 2, 2 0, 0 2, 0 0))"),   // bowtie, invalid
+      ("K", sq(0, 0, 1, 1)),
+      ("K", sq(10, 10, 11, 11))
+    ).toDF("key", "wkt").withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
+    val out = SpatialOps.dissolve(df, Seq("key"))
+      .withColumn("area", G.st_area($"geom"))
+      .withColumn("valid", G.st_isvalid($"geom"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Boolean]("valid"))
+    // bowtie(2.0) ∪ unit square overlapping one lobe + disjoint square:
+    // exact overlap area varies with how the lobe is fixed, but the
+    // union must be at least each input and at most their sum
+    val a = out(0).getAs[Double]("area")
+    assert(a >= 2.0 && a <= 4.0, s"area $a")
+  }
+
   test("G7b: three-polygon place pairs all members (coastline.py:92-106)") {
     val threshold = 100.0
     val p1 = sq(0, 0, 100, 100)                       // big
