@@ -16,6 +16,8 @@ object GeomOps {
   def area(wkb: Array[Byte]): Double = GeomCodec.read(wkb).getArea
   def intersects(a: Array[Byte], b: Array[Byte]): Boolean =
     GeomCodec.read(a).intersects(GeomCodec.read(b))
+  def transform(wkb: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] =
+    GeomCodec.write(CrsMath.transformGeometry(GeomCodec.read(wkb), fromSrid, toSrid))
 }
 
 /** `st_area(geom)` as a native Catalyst expression with codegen. */
@@ -50,10 +52,38 @@ case class StIntersectsExpr(left: Expression, right: Expression) extends BinaryE
     copy(left = l, right = r)
 }
 
+/** `st_transform(geom, fromSrid, toSrid)` as a native Catalyst
+  * expression with codegen — the reprojection kernel runs on every row
+  * of every published layer, so it stays inside whole-stage codegen.
+  */
+case class StTransformExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_transform"
+
+  override protected def nullSafeEval(g: Any, from: Any, to: Any): Any =
+    GeomOps.transform(g.asInstanceOf[Array[Byte]],
+      from.asInstanceOf[Int], to.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, f, t) => s"graft.geom.GeomOps.transform($g, $f, $t)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): StTransformExpr =
+    copy(first = f, second = s, third = t)
+}
+
 object GeomExpressions {
   /** Column wrappers around the native expressions. */
   def st_area_native(c: Column): Column =
     GraftColumnBridge.column(StAreaExpr(GraftColumnBridge.expression(c)))
+
+  def st_transform_native(g: Column, from: Column, to: Column): Column =
+    GraftColumnBridge.column(StTransformExpr(
+      GraftColumnBridge.expression(g),
+      GraftColumnBridge.expression(from),
+      GraftColumnBridge.expression(to)))
   def st_intersects_native(a: Column, b: Column): Column =
     GraftColumnBridge.column(StIntersectsExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -64,7 +94,10 @@ object GeomExpressions {
       (exprs: Seq[Expression]) => StAreaExpr(exprs.head)),
     (FunctionIdentifier("st_intersects"),
       new ExpressionInfo(classOf[StIntersectsExpr].getName, "st_intersects"),
-      (exprs: Seq[Expression]) => StIntersectsExpr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => StIntersectsExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_transform"),
+      new ExpressionInfo(classOf[StTransformExpr].getName, "st_transform"),
+      (exprs: Seq[Expression]) => StTransformExpr(exprs(0), exprs(1), exprs(2))))
 }
 
 /** SparkSessionExtensions hook: `spark.sql("SELECT st_area(geom) …")`

@@ -51,12 +51,11 @@ object GeomFunctions {
   val st_numgeometries: Column => Column =
     udf((wkb: Array[Byte]) => { val g = read(wkb); if (g == null) null else java.lang.Integer.valueOf(g.getNumGeometries) }).apply(_)
 
-  /** OP-45 Project (`bunny.py:475-498`): reproject between 4326/3857/3310. */
+  /** OP-45 Project (`bunny.py:475-498`): reproject between
+    * 4326/3857/3310 — native codegen'd expression.
+    */
   def st_transform(geom: Column, fromSrid: Column, toSrid: Column): Column =
-    udf((wkb: Array[Byte], from: Int, to: Int) => {
-      val g = read(wkb)
-      if (g == null) null else write(CrsMath.transformGeometry(g, from, to))
-    }).apply(geom, fromSrid, toSrid)
+    GeomExpressions.st_transform_native(geom, fromSrid, toSrid)
 
   /** OP-46 area in mi², computed in equal-area EPSG:3310 regardless of
     * layer CRS (`bunny.py:500-506`, `config.py:48-51`).
