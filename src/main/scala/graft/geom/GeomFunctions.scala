@@ -166,6 +166,18 @@ object GeomFunctions {
       if (ga == null || gb == null) null else java.lang.Double.valueOf(ga.distance(gb))
     }).apply(_, _)
 
+  def st_point(x: Column, y: Column): Column =
+    udf((px: Double, py: Double) =>
+      GeomCodec.write(GeomCodec.factory.createPoint(
+        new org.locationtech.jts.geom.Coordinate(px, py)))).apply(x, y)
+
+  def st_dwithin(a: Column, b: Column, distance: Column): Column =
+    udf((wa: Array[Byte], wb: Array[Byte], d: Double) => {
+      val (ga, gb) = (read(wa), read(wb))
+      if (ga == null || gb == null) null
+      else java.lang.Boolean.valueOf(ga.isWithinDistance(gb, d))
+    }).apply(a, b, distance)
+
   val st_within:   (Column, Column) => Column = pred(_ within _).apply(_, _)
   val st_covers:   (Column, Column) => Column = pred(_ covers _).apply(_, _)
   val st_crosses:  (Column, Column) => Column = pred(_ crosses _).apply(_, _)
@@ -214,6 +226,14 @@ object GeomFunctions {
         val (ga, gb) = (read(a), read(b))
         if (ga == null || gb == null) null else java.lang.Boolean.valueOf(f(ga, gb))
       })
+    u.register("st_point", (x: Double, y: Double) =>
+      GeomCodec.write(GeomCodec.factory.createPoint(
+        new org.locationtech.jts.geom.Coordinate(x, y))))
+    u.register("st_dwithin", (a: Array[Byte], b: Array[Byte], d: Double) => {
+      val (ga, gb) = (read(a), read(b))
+      if (ga == null || gb == null) null
+      else java.lang.Boolean.valueOf(ga.isWithinDistance(gb, d))
+    })
     reg2("st_touches", _ touches _)
     reg2("st_disjoint", _ disjoint _)
     reg2("st_contains", _ contains _)

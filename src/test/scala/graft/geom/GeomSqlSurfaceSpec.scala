@@ -43,6 +43,12 @@ class GeomSqlSurfaceSpec extends SparkTestBase {
         |""".stripMargin).collect()(0)
     assert(preds.getAs[Boolean]("w"))
     assert(preds.getAs[Double]("d") == 5.0)
+
+    val dw = spark.sql(
+      """SELECT st_dwithin(st_point(0, 0), st_point(3, 4), 5.0) AS inside,
+        |       st_dwithin(st_point(0, 0), st_point(3, 4), 4.9) AS outside""".stripMargin)
+      .collect()(0)
+    assert(dw.getAs[Boolean]("inside") && !dw.getAs[Boolean]("outside"))
     // 8 quadrant segments (JTS default) undershoot the circle by ~0.02
     assert(math.abs(preds.getAs[Double]("buf") - math.Pi) < 0.03)
     assert(!preds.getAs[String]("simp").contains("0.01"))          // vertex simplified away
