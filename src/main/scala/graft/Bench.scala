@@ -30,21 +30,24 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
     }
 
+    // a failed query reports -1 (never a plausible-looking elapsed time)
+    // and lands in `failed` so breakage is visible in the JSON itself
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val failed = results.collect { case (k, v) if v < 0 => s""""$k"""" }.mkString("[", ",", "]")
 
     def group(prefix: String): Double =
-      results.filter(_._1.startsWith(prefix)).map(_._2).sum
+      results.filter(_._1.startsWith(prefix)).map(_._2).filter(_ >= 0).sum
 
     val corpus = group("q")
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val groups =
       s"""{"corpus_q01_q34":$corpus,"geometry":${group("g")},"extension":${group("x")},"pipeline":${group("p")}}"""
     println(
-      s"""{"metric":"corpus_sweep","value":$corpus,"unit":"sec","queries":$qs,"groups":$groups,"sf":"$sfDir"}""")
+      s"""{"metric":"corpus_sweep","value":$corpus,"unit":"sec","queries":$qs,"failed":$failed,"groups":$groups,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

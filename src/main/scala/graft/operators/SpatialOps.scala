@@ -18,6 +18,18 @@ import graft.geom.StUnionAgg.st_union_agg
   */
 object SpatialOps {
 
+  /** Deterministic row-correlation key: xxhash64 over every column.
+    * `monotonically_increasing_id` is nondeterministic under shuffle
+    * reordering / task retry / cache eviction, so a recomputed subtree
+    * could disagree with ids captured in a sibling subtree and silently
+    * mis-join. A content hash is stable across recomputation; exact
+    * duplicate rows share a key, which is safe for erase/overlay — the
+    * per-key aggregation (geometry union) is idempotent and the join
+    * back is one-row-per-duplicate.
+    */
+  private def withRowKey(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn(keyCol, xxhash64(df.columns.map(col): _*))
+
   /** OP-38 Dissolve (`bunny.py:264-270`): group by keys, union each
     * group's geometries into one multipart feature; non-key attributes
     * drop. Partial (map-side) union happens inside [[graft.geom.StUnionAgg]].
@@ -32,7 +44,7 @@ object SpatialOps {
     * target row unions only the erasers that actually hit it.
     */
   def erase(target: DataFrame, eraser: DataFrame, geomCol: String = "geom"): DataFrame = {
-    val tid = target.withColumn("__tid", monotonically_increasing_id())
+    val tid = withRowKey(target, "__tid")
     val e = eraser.select(col(geomCol).as("__egeom"))
     val hits = SpatialJoin
       .broadcastIntersects(tid.select("__tid", geomCol), e, geomCol, "__egeom")
@@ -59,10 +71,8 @@ object SpatialOps {
     val aAttrs = a.columns.filter(_ != geomCol).toSeq
     val bAttrs = b.columns.filter(_ != geomCol).toSeq
 
-    val aId = a.withColumn("__aid", monotonically_increasing_id())
-      .withColumnRenamed(geomCol, "__ageom")
-    val bId = b.withColumn("__bid", monotonically_increasing_id())
-      .withColumnRenamed(geomCol, "__bgeom")
+    val aId = withRowKey(a, "__aid").withColumnRenamed(geomCol, "__ageom")
+    val bId = withRowKey(b, "__bid").withColumnRenamed(geomCol, "__bgeom")
 
     // pairs feeds three consumers (intersection pieces + both leftover
     // branches): persist so the spatial join runs once, not three times

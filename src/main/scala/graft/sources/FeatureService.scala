@@ -27,7 +27,13 @@ object FeatureService {
   def queryUrl(baseUrl: String, offset: Int, pageSize: Int): String =
     s"$baseUrl/query?where=1%3D1&outFields=*&f=geojson&resultOffset=$offset&resultRecordCount=$pageSize"
 
-  /** Fetch all pages until a page comes back empty. */
+  /** Fetch all pages until a page comes back empty. A short page does
+    * NOT terminate the scan: ArcGIS servers clamp `resultRecordCount`
+    * to the service's `maxRecordCount`, so when that cap is below the
+    * requested page size every page is "short" — stopping there would
+    * silently truncate the layer to its first page. The offset always
+    * advances by the number of rows actually returned.
+    */
   def fetchAll(fetch: String => String, baseUrl: String, pageSize: Int = 1000): Seq[(Map[String, String], Array[Byte])] = {
     val out = new ArrayBuffer[(Map[String, String], Array[Byte])]
     var offset = 0
@@ -35,7 +41,7 @@ object FeatureService {
     while (more) {
       val page = parsePage(fetch(queryUrl(baseUrl, offset, pageSize)))
       out ++= page
-      more = page.nonEmpty && page.size >= pageSize
+      more = page.nonEmpty
       offset += page.size
     }
     out.toSeq

@@ -30,11 +30,14 @@ object Shapefile {
     */
   def read(spark: SparkSession, base: String): DataFrame = {
     val geoms = readShp(s"$base.shp")
-    val (fields, attrs) = readDbf(s"$base.dbf")
-    require(geoms.length == attrs.length,
-      s".shp has ${geoms.length} records but .dbf has ${attrs.length}")
+    val (fields, allAttrs, live) = readDbfRaw(s"$base.dbf")
+    require(geoms.length == allAttrs.length,
+      s".shp has ${geoms.length} records but .dbf has ${allAttrs.length}")
     val schema = StructType(fields :+ StructField("geom", BinaryType, nullable = true))
-    val rows = attrs.zip(geoms).map { case (a, g) =>
+    // records flagged deleted in the .dbf drop together with their
+    // positional .shp twin — dBASE deletion is logical, the .shp record
+    // is still physically present
+    val rows = allAttrs.zip(geoms).zip(live).collect { case ((a, g), true) =>
       Row.fromSeq(a :+ (if (g == null) null else GeomCodec.write(g)))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
@@ -93,9 +96,18 @@ object Shapefile {
   }
 
   /** .dbf: dBASE III — 32-byte field descriptors, fixed-width ASCII
-    * records with a deletion-flag byte.
+    * records with a deletion-flag byte. Records flagged deleted
+    * (0x2A '*') are dropped.
     */
   def readDbf(path: String): (Seq[StructField], Seq[Seq[Any]]) = {
+    val (schema, rows, live) = readDbfRaw(path)
+    (schema, rows.zip(live).collect { case (r, true) => r })
+  }
+
+  /** All records plus a liveness mask, so [[read]] can drop the .shp
+    * twin of a deleted .dbf record by position.
+    */
+  private def readDbfRaw(path: String): (Seq[StructField], Seq[Seq[Any]], Seq[Boolean]) = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val numRecords = buf.getInt(4)
@@ -120,6 +132,7 @@ object Shapefile {
     }
     val schema = fields.map(f => StructField(f.name, sparkType(f.typ), nullable = true)).toSeq
 
+    val live = (0 until numRecords).map(r => bytes(headerSize + r * recordSize) != 0x2a)
     val rows = (0 until numRecords).map { r =>
       var off = headerSize + r * recordSize + 1         // +1 deletion flag
       fields.map { f =>
@@ -133,6 +146,6 @@ object Shapefile {
         }
       }.toSeq
     }
-    (schema, rows)
+    (schema, rows, live)
   }
 }

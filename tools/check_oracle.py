@@ -20,8 +20,9 @@ fails = []
 for name in sorted(sql):
     try:
         oracle = con.execute(sql[name]).fetch_arrow_table()
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
-        got = pq.read_table(files[0]) if files else None
+        # read the whole output dir — queries may write >1 part file
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+        got = pq.read_table(files) if files else None
         if got is None:
             fails.append((name, "no spark output")); continue
         o = oracle.select(sorted(oracle.column_names))
