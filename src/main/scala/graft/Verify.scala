@@ -7,14 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // GraftSession.builder: UTC, TIMESTAMP_MICROS parquet output (the
+    // driver's DuckDB schema compare needs µs, not INT96), AQE, and the
+    // Graft extensions (native ST functions + spatial join strategy)
+    val spark = GraftSession.builder("graft-verify")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // write timestamps as µs (not legacy INT96) so the driver's
-      // DuckDB-side schema compare sees the same type as the oracle
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -3,7 +3,8 @@ package graft.geom
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.types.{BinaryType, IntegerType}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
 
@@ -18,10 +19,18 @@ object GeomOps {
     GeomCodec.read(a).intersects(GeomCodec.read(b))
   def transform(wkb: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] =
     GeomCodec.write(CrsMath.transformGeometry(GeomCodec.read(wkb), fromSrid, toSrid))
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean =
+    GeomCodec.read(a).contains(GeomCodec.read(b))
+  def within(a: Array[Byte], b: Array[Byte]): Boolean =
+    GeomCodec.read(a).within(GeomCodec.read(b))
+  def dwithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean =
+    GeomCodec.read(a).isWithinDistance(GeomCodec.read(b), d)
 }
 
 /** `st_area(geom)` as a native Catalyst expression with codegen. */
-case class StAreaExpr(child: Expression) extends UnaryExpression {
+case class StAreaExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_area"
@@ -37,7 +46,9 @@ case class StAreaExpr(child: Expression) extends UnaryExpression {
 }
 
 /** `st_intersects(a, b)` as a native Catalyst expression with codegen. */
-case class StIntersectsExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class StIntersectsExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_intersects"
@@ -52,12 +63,76 @@ case class StIntersectsExpr(left: Expression, right: Expression) extends BinaryE
     copy(left = l, right = r)
 }
 
+/** `st_contains(a, b)` — native, codegen'd, and pattern-matchable by
+  * [[graft.plans.SpatialJoinStrategy]] (a ScalaUDF would be opaque to
+  * the planner).
+  */
+case class StContainsExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_contains"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomOps.contains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomOps.contains($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StContainsExpr =
+    copy(left = l, right = r)
+}
+
+/** `st_within(a, b)` — native twin of [[StContainsExpr]]. */
+case class StWithinExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_within"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomOps.within(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomOps.within($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StWithinExpr =
+    copy(left = l, right = r)
+}
+
+/** `st_dwithin(a, b, distance)` — native; the planner rewrites distance
+  * joins on it when the distance is foldable.
+  */
+case class StDWithinExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_dwithin"
+
+  override protected def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    GeomOps.dwithin(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, d) => s"graft.geom.GeomOps.dwithin($a, $b, $d)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): StDWithinExpr =
+    copy(first = f, second = s, third = t)
+}
+
 /** `st_transform(geom, fromSrid, toSrid)` as a native Catalyst
   * expression with codegen — the reprojection kernel runs on every row
   * of every published layer, so it stays inside whole-stage codegen.
   */
 case class StTransformExpr(first: Expression, second: Expression, third: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType, IntegerType)
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_transform"
@@ -88,6 +163,20 @@ object GeomExpressions {
     GraftColumnBridge.column(StIntersectsExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  def st_contains_native(a: Column, b: Column): Column =
+    GraftColumnBridge.column(StContainsExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def st_within_native(a: Column, b: Column): Column =
+    GraftColumnBridge.column(StWithinExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def st_dwithin_native(a: Column, b: Column, d: Column): Column =
+    GraftColumnBridge.column(StDWithinExpr(
+      GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b),
+      GraftColumnBridge.expression(d)))
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("st_area"),
       new ExpressionInfo(classOf[StAreaExpr].getName, "st_area"),
@@ -95,6 +184,15 @@ object GeomExpressions {
     (FunctionIdentifier("st_intersects"),
       new ExpressionInfo(classOf[StIntersectsExpr].getName, "st_intersects"),
       (exprs: Seq[Expression]) => StIntersectsExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_contains"),
+      new ExpressionInfo(classOf[StContainsExpr].getName, "st_contains"),
+      (exprs: Seq[Expression]) => StContainsExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_within"),
+      new ExpressionInfo(classOf[StWithinExpr].getName, "st_within"),
+      (exprs: Seq[Expression]) => StWithinExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_dwithin"),
+      new ExpressionInfo(classOf[StDWithinExpr].getName, "st_dwithin"),
+      (exprs: Seq[Expression]) => StDWithinExpr(exprs(0), exprs(1), exprs(2))),
     (FunctionIdentifier("st_transform"),
       new ExpressionInfo(classOf[StTransformExpr].getName, "st_transform"),
       (exprs: Seq[Expression]) => StTransformExpr(exprs(0), exprs(1), exprs(2))))
@@ -105,6 +203,8 @@ object GeomExpressions {
   * or with `spark.sql.extensions=graft.geom.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GeomExpressions.functions.foreach(e.injectFunction)
+    e.injectPlannerStrategy(_ => graft.plans.SpatialJoinStrategy)
+  }
 }

@@ -77,11 +77,15 @@ object GeomFunctions {
       else java.lang.Boolean.valueOf(f(ga, gb))
     })
 
-  /** Native codegen'd expression (see [[GeomExpressions]]). */
+  /** Native codegen'd expressions (see [[GeomExpressions]]) — also
+    * what [[graft.plans.SpatialJoinStrategy]] pattern-matches to plan
+    * index joins, so predicate joins written with these get the STRtree
+    * physical operator automatically.
+    */
   val st_intersects: (Column, Column) => Column = GeomExpressions.st_intersects_native(_, _)
+  val st_contains:   (Column, Column) => Column = GeomExpressions.st_contains_native(_, _)
   val st_touches:    (Column, Column) => Column = pred(_ touches _).apply(_, _)
   val st_disjoint:   (Column, Column) => Column = pred(_ disjoint _).apply(_, _)
-  val st_contains:   (Column, Column) => Column = pred(_ contains _).apply(_, _)
 
   // --- binary constructive ops (OP-42/43/49) --------------------------
 
@@ -172,20 +176,19 @@ object GeomFunctions {
         new org.locationtech.jts.geom.Coordinate(px, py)))).apply(x, y)
 
   def st_dwithin(a: Column, b: Column, distance: Column): Column =
-    udf((wa: Array[Byte], wb: Array[Byte], d: Double) => {
-      val (ga, gb) = (read(wa), read(wb))
-      if (ga == null || gb == null) null
-      else java.lang.Boolean.valueOf(ga.isWithinDistance(gb, d))
-    }).apply(a, b, distance)
+    GeomExpressions.st_dwithin_native(a, b, distance)
 
-  val st_within:   (Column, Column) => Column = pred(_ within _).apply(_, _)
+  val st_within:   (Column, Column) => Column = GeomExpressions.st_within_native(_, _)
   val st_covers:   (Column, Column) => Column = pred(_ covers _).apply(_, _)
   val st_crosses:  (Column, Column) => Column = pred(_ crosses _).apply(_, _)
   val st_overlaps: (Column, Column) => Column = pred(_ overlaps _).apply(_, _)
 
-  /** Register every ST function for `spark.sql` users (the codegen'd
-    * st_area/st_intersects come via GraftExtensions; these cover the
-    * rest of the vocabulary as named UDFs).
+  /** Register the ST vocabulary for `spark.sql` users as named UDFs.
+    * Functions with native codegen'd twins (st_area, st_intersects,
+    * st_contains, st_within, st_dwithin, st_transform) are NOT
+    * registered here — they come via [[GraftExtensions]], and a UDF
+    * registration would shadow the native (hiding it from both codegen
+    * and the spatial-join planner strategy).
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val u = spark.udf
@@ -197,9 +200,6 @@ object GeomFunctions {
     u.register("st_isempty", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Boolean.valueOf(g.isEmpty) })
     u.register("st_isvalid", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Boolean.valueOf(g.isValid) })
     u.register("st_numgeometries", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Integer.valueOf(g.getNumGeometries) })
-    u.register("st_transform", (b: Array[Byte], from: Int, to: Int) => {
-      val g = read(b); if (g == null) null else write(CrsMath.transformGeometry(g, from, to))
-    })
     u.register("st_area_sqmi", (b: Array[Byte], from: Int) => {
       val g = read(b)
       if (g == null) null
@@ -229,15 +229,8 @@ object GeomFunctions {
     u.register("st_point", (x: Double, y: Double) =>
       GeomCodec.write(GeomCodec.factory.createPoint(
         new org.locationtech.jts.geom.Coordinate(x, y))))
-    u.register("st_dwithin", (a: Array[Byte], b: Array[Byte], d: Double) => {
-      val (ga, gb) = (read(a), read(b))
-      if (ga == null || gb == null) null
-      else java.lang.Boolean.valueOf(ga.isWithinDistance(gb, d))
-    })
     reg2("st_touches", _ touches _)
     reg2("st_disjoint", _ disjoint _)
-    reg2("st_contains", _ contains _)
-    reg2("st_within", _ within _)
     reg2("st_covers", _ covers _)
     reg2("st_crosses", _ crosses _)
     reg2("st_overlaps", _ overlaps _)

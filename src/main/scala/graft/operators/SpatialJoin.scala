@@ -1,71 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.types.StructType
-import org.locationtech.jts.geom.Geometry
-import org.locationtech.jts.index.strtree.STRtree
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
-import graft.geom.GeomCodec
+import graft.geom.{GeomFunctions => G}
 
-/** Broadcast spatial join on an STRtree (SURVEY §4 item 3 — the 100 TB
-  * path for erase/overlay).
+/** Broadcast spatial join (SURVEY §4 item 3 — the 100 TB path for
+  * erase/overlay).
   *
-  * A predicate join like `a JOIN b ON st_intersects(a.geom, b.geom)`
-  * plans as BroadcastNestedLoopJoin: every (a, b) pair is tested —
-  * O(|a|·|b|) geometry decodes. Here the small side is collected,
-  * indexed once into an STRtree (R-tree bulk load), broadcast, and each
-  * streaming-side partition probes the index: O(|a|·log|b|) with only
-  * envelope tests before the exact predicate. The big side never
-  * shuffles and the index is built once per executor, not per row.
+  * Declared as a plain predicate join on the native `st_intersects`
+  * expression; [[graft.plans.SpatialJoinStrategy]] (installed by
+  * `GraftExtensions` on every engine session) plans it as
+  * [[graft.plans.SpatialIndexJoinExec]]: the smaller side goes through
+  * a real BroadcastExchange, each task bulk-loads it into an STRtree
+  * once, and the streaming side probes envelopes — O(n·log m) instead
+  * of the O(n·m) BroadcastNestedLoopJoin a predicate join would
+  * otherwise get. The big side never shuffles, the exchange is
+  * AQE-reusable, and on a session without the extension the same plan
+  * still executes correctly (nested-loop fallback).
   *
-  * The output schema is left columns ++ right columns (caller ensures
-  * disjoint names), matching what the equivalent predicate join yields.
+  * The output schema is big's columns ++ small's columns (caller
+  * ensures disjoint names), identical to the predicate join's.
   */
 object SpatialJoin {
 
   /** Inner intersects-join of `big` against broadcast-indexed `small`. */
   def broadcastIntersects(
       big: DataFrame, small: DataFrame,
-      bigGeom: String = "geom", smallGeom: String = "geom"): DataFrame = {
-
-    val spark = big.sparkSession
-    val smallSchema = small.schema
-    val smallRows = small.collect()
-    require(smallRows.length <= 5000000,
-      s"broadcast side too large (${smallRows.length} rows) for an in-memory STRtree")
-    val smallGeomIdx = smallSchema.fieldIndex(smallGeom)
-    val bc = spark.sparkContext.broadcast(smallRows)
-
-    val bigSchema = big.schema
-    val bigGeomIdx = bigSchema.fieldIndex(bigGeom)
-    val outSchema = StructType(bigSchema.fields ++ smallSchema.fields)
-
-    big.mapPartitions { rows =>
-      // build (or reuse) the index once per partition from the
-      // broadcast rows; JTS geometries decode once per executor-task
-      val entries = bc.value.map { r =>
-        val wkb = r.getAs[Array[Byte]](smallGeomIdx)
-        (r, if (wkb == null) null else GeomCodec.read(wkb))
-      }
-      val index = new STRtree()
-      entries.foreach { case (r, g) => if (g != null) index.insert(g.getEnvelopeInternal, (r, g)) }
-
-      rows.flatMap { row =>
-        val wkb = row.getAs[Array[Byte]](bigGeomIdx)
-        val g = if (wkb == null) null else GeomCodec.read(wkb)
-        if (g == null) Iterator.empty
-        else {
-          val candidates = index.query(g.getEnvelopeInternal)
-          val it = candidates.iterator()
-          val out = scala.collection.mutable.ArrayBuffer[Row]()
-          while (it.hasNext) {
-            val (sr, sg) = it.next().asInstanceOf[(Row, Geometry)]
-            if (g.intersects(sg))
-              out += Row.fromSeq(row.toSeq ++ sr.toSeq)
-          }
-          out.iterator
-        }
-      }
-    }(Encoders.row(outSchema))
-  }
+      bigGeom: String = "geom", smallGeom: String = "geom"): DataFrame =
+    big.join(small, G.st_intersects(col(bigGeom), col(smallGeom)))
 }

@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
+
+import graft.geom.{StContainsExpr, StDWithinExpr, StIntersectsExpr, StWithinExpr}
+
+/** Plans `a JOIN b ON st_intersects(a.geom, b.geom)` (and contains /
+  * within / dwithin-with-literal-distance) as [[SpatialIndexJoinExec]]
+  * instead of the O(n·m) BroadcastNestedLoopJoin Spark would pick for
+  * an arbitrary-predicate join (SURVEY §4 item 3).
+  *
+  * Applies only when:
+  *  - the join is Inner with a spatial predicate conjunct whose two
+  *    geometry expressions resolve one-per-side;
+  *  - no equi-join conjunct exists (if one does, a hash join keyed on
+  *    it with the spatial predicate as a residual filter is the better
+  *    plan — leave it to Catalyst);
+  *  - at least one side's stats fit the broadcast budget
+  *    (`spark.graft.spatial.broadcastThreshold`, default 256 MiB —
+  *    geometry joins tolerate a much larger build side than the 10 MB
+  *    autoBroadcastJoinThreshold because the index probe replaces a
+  *    per-row cartesian, not a hash lookup). Both-sides-huge falls
+  *    through to Spark's planner unchanged.
+  *
+  * The smaller side becomes the broadcast build side; asymmetric
+  * relations (contains/within) are mirrored when the build side swaps.
+  */
+object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
+
+  val ThresholdKey = "spark.graft.spatial.broadcastThreshold"
+  private val DefaultThreshold: Long = 256L * 1024 * 1024
+
+  private def asDouble(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  /** (leftGeomExpr, rightGeomExpr, relation) if `e` is a supported
+    * spatial predicate in JOIN orientation.
+    */
+  private def asSpatial(e: Expression): Option[(Expression, Expression, SpatialRel)] = e match {
+    case StIntersectsExpr(a, b) => Some((a, b, IntersectsRel))
+    case StContainsExpr(a, b) => Some((a, b, ContainsRel))
+    case StWithinExpr(a, b) => Some((a, b, WithinRel))
+    case StDWithinExpr(a, b, d) if d.foldable =>
+      asDouble(d.eval(null)).map(dist => (a, b, DWithinRel(dist)))
+    case _ => None
+  }
+
+  private def isEqui(left: LogicalPlan, right: LogicalPlan)(e: Expression): Boolean = e match {
+    case EqualTo(l, r) =>
+      (l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
+        (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet))
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(left, right, Inner, Some(cond), _) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      if (conjuncts.exists(isEqui(left, right))) return Nil
+
+      val spatial = conjuncts.iterator.flatMap { c =>
+        asSpatial(c).flatMap { case (a, b, rel) =>
+          if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
+            Some((c, a, b, rel))
+          else if (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+            // mirror into JOIN orientation: pred(a,b) with a from the
+            // right side ≡ mirrored-pred(b,a) with b from the left
+            Some((c, b, a, rel match {
+              case ContainsRel => WithinRel
+              case WithinRel => ContainsRel
+              case other => other
+            }))
+          else None
+        }
+      }.toSeq.headOption
+
+      spatial match {
+        case Some((chosen, lg, rg, rel)) =>
+          val threshold =
+            try SQLConf.get.getConfString(ThresholdKey, DefaultThreshold.toString).toLong
+            catch { case _: NumberFormatException => DefaultThreshold }
+          val lSize = left.stats.sizeInBytes
+          val rSize = right.stats.sizeInBytes
+          if (lSize.min(rSize) > threshold) return Nil  // both huge: fall through
+          val buildRight = rSize <= lSize
+          val extra = conjuncts.filterNot(_ eq chosen).reduceOption(And)
+          SpatialIndexJoinExec(lg, rg, rel, extra, buildRight,
+            planLater(left), planLater(right)) :: Nil
+        case None => Nil
+      }
+    case _ => Nil
+  }
+}
