@@ -170,6 +170,22 @@ object GeomFunctions {
       if (ga == null || gb == null) null else java.lang.Double.valueOf(ga.distance(gb))
     }).apply(_, _)
 
+  /** First-coordinate accessors (point X/Y; for non-points, the first
+    * coordinate — matching the "representative vertex" reading used by
+    * CRS checks).
+    */
+  val st_x: Column => Column =
+    udf((wkb: Array[Byte]) => {
+      val g = read(wkb)
+      if (g == null || g.isEmpty) null else java.lang.Double.valueOf(g.getCoordinate.x)
+    }).apply(_)
+
+  val st_y: Column => Column =
+    udf((wkb: Array[Byte]) => {
+      val g = read(wkb)
+      if (g == null || g.isEmpty) null else java.lang.Double.valueOf(g.getCoordinate.y)
+    }).apply(_)
+
   def st_point(x: Column, y: Column): Column =
     udf((px: Double, py: Double) =>
       GeomCodec.write(GeomCodec.factory.createPoint(
@@ -226,6 +242,14 @@ object GeomFunctions {
         val (ga, gb) = (read(a), read(b))
         if (ga == null || gb == null) null else java.lang.Boolean.valueOf(f(ga, gb))
       })
+    u.register("st_x", (b: Array[Byte]) => {
+      val g = read(b)
+      if (g == null || g.isEmpty) null else java.lang.Double.valueOf(g.getCoordinate.x)
+    })
+    u.register("st_y", (b: Array[Byte]) => {
+      val g = read(b)
+      if (g == null || g.isEmpty) null else java.lang.Double.valueOf(g.getCoordinate.y)
+    })
     u.register("st_point", (x: Double, y: Double) =>
       GeomCodec.write(GeomCodec.factory.createPoint(
         new org.locationtech.jts.geom.Coordinate(x, y))))

@@ -51,6 +51,30 @@ object DialectShim {
       s = s.substring(0, m.start) + s"concat_ws(${args._2}, ${args._1})" + s.substring(end + 1)
     }
     s = s.replaceAll("""\blen\(""", "size(")
+    s = s.replaceAll("""\bregexp_split_to_array\(""", "split(")
+    s = s.replaceAll("""\blist_intersect\(""", "array_intersect(")
+    // DuckDB list literal ['a','b'] → Spark array('a','b'). Only when
+    // the content is quoted strings — regex character classes like
+    // [A-Za-z0-9] contain no quotes and must pass through untouched.
+    s = s.replaceAll("""\[(\s*'[^\[\]]*')\]""", "array($1)")
+    // Spark SQL string literals eat single backslashes ('\s+' parses to
+    // "s+"); DuckDB keeps them. Double them for Spark's parser.
+    s = s.replaceAll("""\\s\+""", """\\\\s+""")
+    // DuckDB encode(str) → Spark encode(str, 'UTF-8'); octet_length
+    // then works on the binary in both engines
+    val en = """\bencode\(""".r
+    var searchFrom = 0
+    var m = en.findFirstMatchIn(s.substring(searchFrom)).map(x => (x.start + searchFrom, x.end + searchFrom))
+    while (m.isDefined) {
+      val (mStart, mEnd) = m.get
+      val (arg, end) = splitOneArg(s, mEnd)
+      if (arg.contains("'UTF-8'")) searchFrom = mEnd
+      else {
+        s = s.substring(0, mStart) + s"encode($arg, 'UTF-8')" + s.substring(end + 1)
+        searchFrom = mStart + s"encode($arg, 'UTF-8')".length
+      }
+      m = en.findFirstMatchIn(s.substring(searchFrom)).map(x => (x.start + searchFrom, x.end + searchFrom))
+    }
     s
   }
 

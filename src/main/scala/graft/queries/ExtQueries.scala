@@ -104,8 +104,33 @@ object ExtQueries {
       k = 10, dim = 64)
   }
 
-  /** Language-ID heuristic vs the labeled lang column (confusion counts). */
-  val x09_langid: QuerySpec = noOracle("x09_langid") { (s, d) =>
+  /** Language-ID heuristic vs the labeled lang column (confusion
+    * counts). Oracle re-implements the marker argmax in DuckDB list
+    * SQL: same tokenization (`\s+` on lower∘trim), same distinct-marker
+    * hit counts (`list_intersect` dedupes exactly like Spark's
+    * `array_intersect`), same tie-break (Spark's array_max over
+    * (hits, lang) structs picks the alphabetically-LAST language on
+    * equal hits — hence the reverse-alphabetical CASE).
+    */
+  val x09_langid: QuerySpec = q("x09_langid", {
+    val langs = TA.markers.keys.toSeq.sorted
+    val hitExprs = langs.map { l =>
+      val lst = TA.markers(l).map(m => s"'${m}'").mkString("[", ", ", "]")
+      s"len(list_intersect(regexp_split_to_array(lower(trim(text)), '\\s+'), $lst)) AS h_$l"
+    }.mkString(",\n      ")
+    val bestExpr = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val caseArms = langs.reverse.map(l => s"WHEN h_$l = best THEN '$l'").mkString("\n        ")
+    s"""WITH hits AS (SELECT lang,
+      $hitExprs
+      FROM documents),
+    best AS (SELECT *, $bestExpr AS best FROM hits)
+    SELECT lang,
+      CASE WHEN best = 0 THEN 'und'
+        $caseArms
+      END AS pred,
+      count(*) AS n
+    FROM best GROUP BY lang, pred ORDER BY lang, pred"""
+  }) { (s, d) =>
     Tables.documents(s, d)
       .select(col("lang"), TA.languageId(col("text")).as("pred"))
       .groupBy("lang", "pred")
@@ -239,6 +264,27 @@ object ExtQueries {
   /** Region rollup — exercises the one table no other query scans, so
     * every synthetic table has oracle-verified coverage.
     */
+  /** Multimodal blob metadata + frame sampling, oracle-checked: the
+    * blob struct's byte size and the demux frame count are plain
+    * integer math DuckDB reproduces (`octet_length(encode(text))` =
+    * Spark's `length(encode(text,'UTF-8'))`; frames = one per 256-byte
+    * stride). Complements x13, whose stubbed feature floats stay
+    * rows-only.
+    */
+  val x19_multimodal_frames: QuerySpec = q("x19_multimodal_frames",
+    """SELECT doc_id,
+      |  cast(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+      |  cast(floor(greatest(octet_length(encode(text)) - 1, 0) / 256) + 1 AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val withBlob = Multimodal.attachBlob(
+      Tables.documents(s, d).withColumn("payload", encode(col("text"), "UTF-8")),
+      "payload", "application/octet-stream")
+    Multimodal.sampleFrames(withBlob, "blob", 256)
+      .groupBy(col("doc_id"), col("blob.meta.size_bytes").as("size_bytes"))
+      .agg(count(lit(1)).as("n_frames"))
+      .orderBy("doc_id")
+  }
+
   val x18_region_rollup: QuerySpec = q("x18_region_rollup",
     """SELECT r.r_name, count(*) AS nations,
       |  cast(sum(CASE WHEN n.n_name LIKE 'A%' THEN 1 ELSE 0 END) AS BIGINT) AS a_nations
@@ -257,5 +303,5 @@ object ExtQueries {
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
     x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal,
     x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing,
-    x18_region_rollup)
+    x18_region_rollup, x19_multimodal_frames)
 }

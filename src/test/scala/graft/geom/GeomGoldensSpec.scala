@@ -137,6 +137,28 @@ class GeomGoldensSpec extends SparkTestBase {
     assert(math.abs(out(2).getAs[Double]("area") - 100.0) < 1e-6)   // untouched
   }
 
+  test("G8: keep-list constant geometries round-trip 3310->3857->3310 (OP-47, config.py:62-66)") {
+    // authored in 3310 (Farallon box, Alcatraz point, Angel Island box)
+    val fixtures = Seq(
+      (1, sq(-281052.0, -38503.0, -257873.0, -16085.0), 23179.0 * 22418.0),
+      (2, "POINT(-212926 -18383)", 0.0),
+      (3, sq(-212938.0, -15762.0, -211711.0, -14187.0), 1227.0 * 1575.0))
+    val out = fixtures.map { case (id, wkt, _) => (id, wkt) }
+      .toDF("id", "wkt")
+      .withColumn("g", G.st_geomfromwkt($"wkt"))
+      .withColumn("rt", G.st_transform(G.st_transform($"g", lit(3310), lit(3857)),
+        lit(3857), lit(3310)))
+      .withColumn("area", G.st_area($"rt"))
+      .orderBy("id").collect()
+    fixtures.zip(out).foreach { case ((_, wkt, expectArea), row) =>
+      assert(math.abs(row.getAs[Double]("area") - expectArea) < 1.0, wkt)
+      val orig = GeomCodec.read(GeomCodec.wktToWkb(wkt)).getCoordinate
+      val rt = GeomCodec.read(row.getAs[Array[Byte]]("rt")).getCoordinate
+      assert(math.abs(rt.x - orig.x) < 1e-4 && math.abs(rt.y - orig.y) < 1e-4,
+        s"round-trip drift: $orig -> $rt")
+    }
+  }
+
   test("dissolve survives invalid (self-intersecting) inputs via the fallback ladder") {
     val df = Seq(
       ("K", "POLYGON((0 0, 2 2, 2 0, 0 2, 0 0))"),   // bowtie, invalid
