@@ -222,8 +222,30 @@ object GeomQueries {
       .orderBy("id")
   }
 
+  /** G10 (OP-06-adjacent interchange format): native Shapefile
+    * write→read round-trip — polygons with holes plus typed dBASE
+    * attributes survive the .shp/.shx/.dbf encoding. Golden: areas and
+    * the N-field attribute are hand-known.
+    */
+  val g10_shapefile_io: QuerySpec = q("g10_shapefile_io",
+    """SELECT * FROM (VALUES ('Donut', CAST(96.0 AS DOUBLE), CAST(96.0 AS DOUBLE)),
+      |                     ('Square', CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) AS t(name, area_attr, area)
+      |ORDER BY name""".stripMargin) { (s, _) =>
+    import s.implicits._
+    val donut = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    val df = Seq(("Donut", 96.0, donut), ("Square", 1.0, sq(20, 20, 21, 21)))
+      .toDF("name", "area_attr", "wkt")
+      .withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
+    val base = java.nio.file.Files.createTempDirectory("g10_shp").toString + "/layer"
+    graft.sources.Shapefile.write(df, base)
+    graft.sources.Shapefile.read(s, base)
+      .select($"NAME".as("name"), $"AREA_ATTR".as("area_attr"),
+        round(G.st_area($"geom"), 6).as("area"))
+      .orderBy("name")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     g1_makevalid, g2_dissolve, g3_overlay, g4_erase,
     g5_reproject, g6_parts, g7_sliver_fix, g8_keeplist_roundtrip,
-    g9_crs_forward)
+    g9_crs_forward, g10_shapefile_io)
 }

@@ -44,7 +44,9 @@ object Shapefile {
   }
 
   /** .shp: 100-byte header then length-prefixed records. Supports
-    * Polygon (5) and the null shape (0).
+    * Point (1), PolyLine (3), Polygon (5), MultiPoint (8) and the null
+    * shape (0) — every 2D type the spec defines. M/Z variants are not
+    * emitted by the reference's ecosystem exports and raise.
     */
   def readShp(path: String): Seq[Geometry] = {
     val bytes = Files.readAllBytes(Paths.get(path))
@@ -58,25 +60,48 @@ object Shapefile {
       val contentWords = buf.getInt(pos + 4)            // record header: num, length (BE)
       val content = ByteBuffer.wrap(bytes, pos + 8, contentWords * 2)
         .order(ByteOrder.LITTLE_ENDIAN)
-      out += parsePolygonRecord(content)
+      out += parseRecord(content)
       pos += 8 + contentWords * 2
     }
     out.toSeq
   }
 
-  private def parsePolygonRecord(b: ByteBuffer): Geometry = {
+  /** (parts[], points[]) for the poly types' shared record layout. */
+  private def readPartedPoints(b: ByteBuffer): (Array[Int], Array[Coordinate]) = {
+    b.position(b.position() + 32)                       // skip bbox
+    val numParts = b.getInt
+    val numPoints = b.getInt
+    val parts = Array.fill(numParts)(b.getInt)
+    val pts = Array.fill(numPoints)(new Coordinate(b.getDouble, b.getDouble))
+    (parts, pts)
+  }
+
+  private def parseRecord(b: ByteBuffer): Geometry = {
     val gf = GeomCodec.factory
     b.getInt match {                                    // shape type (LE)
       case 0 => null                                    // null shape
-      case 5 =>
+      case 1 =>                                         // Point
+        gf.createPoint(new Coordinate(b.getDouble, b.getDouble))
+      case 8 =>                                         // MultiPoint
         b.position(b.position() + 32)                   // skip bbox
-        val numParts = b.getInt
-        val numPoints = b.getInt
-        val parts = Array.fill(numParts)(b.getInt)
-        val pts = Array.fill(numPoints)(new Coordinate(b.getDouble, b.getDouble))
-        val rings = (0 until numParts).map { i =>
+        val n = b.getInt
+        val pts = Array.fill(n)(new Coordinate(b.getDouble, b.getDouble))
+        if (n == 1) gf.createPoint(pts(0))
+        else gf.createMultiPoint(pts.map(gf.createPoint))
+      case 3 =>                                         // PolyLine
+        val (parts, pts) = readPartedPoints(b)
+        val lines = parts.indices.map { i =>
           val from = parts(i)
-          val until = if (i + 1 < numParts) parts(i + 1) else numPoints
+          val until = if (i + 1 < parts.length) parts(i + 1) else pts.length
+          gf.createLineString(pts.slice(from, until))
+        }
+        if (lines.size == 1) lines.head
+        else gf.createMultiLineString(lines.toArray)
+      case 5 =>                                         // Polygon
+        val (parts, pts) = readPartedPoints(b)
+        val rings = parts.indices.map { i =>
+          val from = parts(i)
+          val until = if (i + 1 < parts.length) parts(i + 1) else pts.length
           gf.createLinearRing(pts.slice(from, until))
         }
         // spec: clockwise rings are shells, counter-clockwise are holes;
@@ -93,6 +118,203 @@ object Shapefile {
         else gf.createMultiPolygon(polys.toArray)
       case other => throw new IllegalArgumentException(s"unsupported shape type $other")
     }
+  }
+
+  // --- writer ---------------------------------------------------------
+
+  /** Write a DataFrame as `base.shp` + `base.shx` + `base.dbf`
+    * (driver-side collect — shapefile is a publish format for final
+    * layers, reference-ecosystem interchange, not a lake format; the
+    * format itself caps at 2 GB). Geometry type is inferred from the
+    * rows: points → 1, (multi)linestrings → 3, (multi)polygons → 5,
+    * multipoints → 8; null geometries become null-shape records.
+    */
+  def write(df: org.apache.spark.sql.DataFrame, base: String, geomCol: String = "geom"): Unit = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val rows = df.collect()
+    val geoms = rows.map { r =>
+      val wkb = r.getAs[Array[Byte]](geomIdx)
+      if (wkb == null) null else GeomCodec.read(wkb)
+    }
+
+    val shapeType = {
+      val kinds = geoms.filter(_ != null).map {
+        case _: org.locationtech.jts.geom.Point => 1
+        case _: org.locationtech.jts.geom.MultiPoint => 8
+        case _: org.locationtech.jts.geom.LineString => 3
+        case _: org.locationtech.jts.geom.MultiLineString => 3
+        case _: Polygon => 5
+        case _: org.locationtech.jts.geom.MultiPolygon => 5
+        case g => throw new IllegalArgumentException(s"unsupported geometry ${g.getGeometryType}")
+      }.distinct
+      require(kinds.length <= 1 || kinds.toSet == Set(1, 8),
+        s"mixed geometry types ${kinds.mkString(",")} — a shapefile holds one type")
+      if (kinds.isEmpty) 0 else if (kinds.contains(8)) 8 else kinds.head
+    }
+
+    val contents = geoms.map(g => if (g == null) nullRecord() else recordBytes(g, shapeType))
+    writeShpShx(base, shapeType, geoms, contents)
+    writeDbf(s"$base.dbf", schema.fields.zipWithIndex.filter(_._1.name != geomCol), rows)
+  }
+
+  private def nullRecord(): Array[Byte] = {
+    val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0)
+    b.array()
+  }
+
+  private def ringCoords(ring: org.locationtech.jts.geom.LinearRing, wantCCW: Boolean): Array[Coordinate] = {
+    val cs = ring.getCoordinates
+    if (Orientation.isCCW(ring.getCoordinateSequence) == wantCCW) cs else cs.reverse
+  }
+
+  private def recordBytes(g: Geometry, shapeType: Int): Array[Byte] = {
+    val gf = GeomCodec.factory
+    def env = g.getEnvelopeInternal
+    shapeType match {
+      case 1 =>
+        val b = ByteBuffer.allocate(4 + 16).order(ByteOrder.LITTLE_ENDIAN)
+        val c = g.getCoordinate
+        b.putInt(1).putDouble(c.x).putDouble(c.y)
+        b.array()
+      case 8 =>
+        val pts = g.getCoordinates
+        val b = ByteBuffer.allocate(4 + 32 + 4 + 16 * pts.length).order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(8).putDouble(env.getMinX).putDouble(env.getMinY)
+          .putDouble(env.getMaxX).putDouble(env.getMaxY).putInt(pts.length)
+        pts.foreach(c => b.putDouble(c.x).putDouble(c.y))
+        b.array()
+      case 3 | 5 =>
+        // part coordinate arrays: lines as-is; polygon shells CW,
+        // holes CCW per the spec's orientation rule
+        val parts: Seq[Array[Coordinate]] =
+          (0 until g.getNumGeometries).flatMap { i =>
+            g.getGeometryN(i) match {
+              case p: Polygon =>
+                ringCoords(p.getExteriorRing, wantCCW = false) +:
+                  (0 until p.getNumInteriorRing).map(h =>
+                    ringCoords(p.getInteriorRingN(h), wantCCW = true))
+              case l: org.locationtech.jts.geom.LineString => Seq(l.getCoordinates)
+              case other =>
+                throw new IllegalArgumentException(s"unexpected part ${other.getGeometryType}")
+            }
+          }
+        val totalPts = parts.map(_.length).sum
+        val b = ByteBuffer.allocate(4 + 32 + 8 + 4 * parts.length + 16 * totalPts)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(shapeType).putDouble(env.getMinX).putDouble(env.getMinY)
+          .putDouble(env.getMaxX).putDouble(env.getMaxY)
+          .putInt(parts.length).putInt(totalPts)
+        parts.scanLeft(0)(_ + _.length).dropRight(1).foreach(b.putInt)
+        parts.foreach(_.foreach(c => b.putDouble(c.x).putDouble(c.y)))
+        b.array()
+    }
+  }
+
+  private def writeShpShx(
+      base: String, shapeType: Int,
+      geoms: Array[Geometry], contents: Array[Array[Byte]]): Unit = {
+    val totalContent = contents.map(_.length).sum
+    val shpLen = 100 + 8 * contents.length + totalContent
+    val shp = ByteBuffer.allocate(shpLen)
+    val shx = ByteBuffer.allocate(100 + 8 * contents.length)
+
+    def header(b: ByteBuffer, fileLenBytes: Int): Unit = {
+      b.order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0, 9994)
+      b.putInt(24, fileLenBytes / 2)
+      b.order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(28, 1000)
+      b.putInt(32, shapeType)
+      val live = geoms.filter(_ != null)
+      val (minX, minY, maxX, maxY) =
+        if (live.isEmpty) (0.0, 0.0, 0.0, 0.0)
+        else (live.map(_.getEnvelopeInternal.getMinX).min,
+          live.map(_.getEnvelopeInternal.getMinY).min,
+          live.map(_.getEnvelopeInternal.getMaxX).max,
+          live.map(_.getEnvelopeInternal.getMaxY).max)
+      b.putDouble(36, minX).putDouble(44, minY).putDouble(52, maxX).putDouble(60, maxY)
+      // Z/M ranges (68..99) stay zero
+    }
+    header(shp, shpLen)
+    header(shx, 100 + 8 * contents.length)
+
+    shp.position(100)
+    shx.position(100)
+    var offsetWords = 50
+    contents.zipWithIndex.foreach { case (c, i) =>
+      shp.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(c.length / 2)
+      shp.put(c)
+      shx.order(ByteOrder.BIG_ENDIAN).putInt(offsetWords).putInt(c.length / 2)
+      offsetWords += 4 + c.length / 2
+    }
+    Files.write(Paths.get(s"$base.shp"), shp.array())
+    Files.write(Paths.get(s"$base.shx"), shx.array())
+  }
+
+  private def writeDbf(
+      path: String,
+      fields: Array[(StructField, Int)],
+      rows: Array[org.apache.spark.sql.Row]): Unit = {
+    final case class Fld(name: String, typ: Char, len: Int, dec: Int, idx: Int)
+    val flds = fields.map { case (f, idx) =>
+      f.dataType match {
+        case StringType =>
+          val w = math.max(1, math.min(254,
+            rows.map(r => if (r.isNullAt(idx)) 0 else r.getAs[String](idx).length).foldLeft(1)(math.max)))
+          Fld(f.name.take(10), 'C', w, 0, idx)
+        case BooleanType => Fld(f.name.take(10), 'L', 1, 0, idx)
+        case IntegerType | LongType => Fld(f.name.take(10), 'N', 19, 0, idx)
+        case _ => Fld(f.name.take(10), 'N', 19, 8, idx)   // double/float/decimal
+      }
+    }
+    val recordSize = 1 + flds.map(_.len).sum
+    val headerSize = 32 + 32 * flds.length + 1
+    val out = ByteBuffer.allocate(headerSize + recordSize * rows.length + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(0, 0x03.toByte)
+    out.put(1, 95.toByte); out.put(2, 7.toByte); out.put(3, 26.toByte) // fixed date: deterministic output
+    out.putInt(4, rows.length)
+    out.putShort(8, headerSize.toShort)
+    out.putShort(10, recordSize.toShort)
+    var fp = 32
+    flds.foreach { f =>
+      val nameBytes = f.name.getBytes("ASCII")
+      var i = 0
+      while (i < math.min(10, nameBytes.length)) { out.put(fp + i, nameBytes(i)); i += 1 }
+      out.put(fp + 11, f.typ.toByte)
+      out.put(fp + 16, f.len.toByte)
+      out.put(fp + 17, f.dec.toByte)
+      fp += 32
+    }
+    out.put(fp, 0x0d.toByte)
+    out.position(headerSize)
+    def pad(s: String, len: Int, left: Boolean): String = {
+      val t = if (s.length > len) s.take(len) else s
+      if (left) (" " * (len - t.length)) + t else t + (" " * (len - t.length))
+    }
+    rows.foreach { r =>
+      out.put(' '.toByte)                                // live record flag
+      flds.foreach { f =>
+        val s =
+          if (r.isNullAt(f.idx)) " " * f.len
+          else f.typ match {
+            case 'C' => pad(r.get(f.idx).toString, f.len, left = false)
+            case 'L' => if (r.getAs[Boolean](f.idx)) "T" else "F"
+            case 'N' if f.dec == 0 => pad(r.get(f.idx).toString, f.len, left = true)
+            case 'N' =>
+              val d = r.get(f.idx) match {
+                case x: java.lang.Number => x.doubleValue()
+                case x => x.toString.toDouble
+              }
+              pad(f"$d%.8f", f.len, left = true)
+          }
+        s.getBytes("ASCII").foreach(out.put)
+      }
+    }
+    out.put(0x1a.toByte)                                 // EOF
+    Files.write(Paths.get(path), out.array())
   }
 
   /** .dbf: dBASE III — 32-byte field descriptors, fixed-width ASCII

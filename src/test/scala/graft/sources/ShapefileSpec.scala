@@ -26,6 +26,69 @@ class ShapefileSpec extends SparkTestBase {
     assert(math.abs(rows(1).getAs[Double]("area") - 1.0) < 1e-9)
   }
 
+  test("write/read round-trip: polygons with holes, attributes preserved") {
+    val tmp = java.nio.file.Files.createTempDirectory("shp_rt").toString + "/poly"
+    val df = Shapefile.read(spark, base)
+    Shapefile.write(df, tmp)
+    val back = Shapefile.read(spark, tmp)
+      .withColumn("area", G.st_area(col("geom")))
+      .orderBy("NAME").collect()
+    assert(back.length == 2)
+    assert(back(0).getAs[String]("NAME") == "Alpha")
+    assert(math.abs(back(0).getAs[Double]("area") - 96.0) < 1e-9)
+    assert(back(0).getAs[Double]("AREA_KM") == 96.0)
+    assert(math.abs(back(1).getAs[Double]("area") - 1.0) < 1e-9)
+  }
+
+  test("point / multipoint / polyline record types round-trip") {
+    import spark.implicits._
+    val gf = graft.geom.GeomCodec
+    val dir = java.nio.file.Files.createTempDirectory("shp_types").toString
+
+    val pts = Seq(("a", gf.wktToWkb("POINT(1 2)")), ("b", gf.wktToWkb("POINT(-3.5 4.25)")))
+      .toDF("id", "geom")
+    Shapefile.write(pts, s"$dir/pts")
+    val ptsBack = Shapefile.read(spark, s"$dir/pts")
+      .select($"id", G.st_aswkt($"geom").as("wkt")).orderBy("id").collect()
+    assert(ptsBack(0).getString(1) == "POINT (1 2)")
+    assert(ptsBack(1).getString(1) == "POINT (-3.5 4.25)")
+
+    val mpts = Seq(("m", gf.wktToWkb("MULTIPOINT((0 0), (1 1), (2 0))"))).toDF("id", "geom")
+    Shapefile.write(mpts, s"$dir/mpts")
+    val mBack = Shapefile.read(spark, s"$dir/mpts")
+      .select(G.st_numgeometries($"geom")).collect()
+    assert(mBack(0).getInt(0) == 3)
+
+    val lines = Seq(
+      ("l1", gf.wktToWkb("LINESTRING(0 0, 10 0, 10 10)")),
+      ("l2", gf.wktToWkb("MULTILINESTRING((0 0, 1 0), (5 5, 6 6, 7 5))"))).toDF("id", "geom")
+    Shapefile.write(lines, s"$dir/lines")
+    val lBack = Shapefile.read(spark, s"$dir/lines")
+      .select($"id", G.st_length($"geom").as("len"),
+        G.st_numgeometries($"geom").as("n")).orderBy("id").collect()
+    assert(math.abs(lBack(0).getAs[Double]("len") - 20.0) < 1e-9)
+    assert(lBack(0).getAs[Int]("n") == 1)
+    assert(lBack(1).getAs[Int]("n") == 2)
+
+    // null geometry -> null-shape record, preserved on read
+    val withNull = Seq(("n1", gf.wktToWkb("POINT(9 9)")), ("n2", null: Array[Byte]))
+      .toDF("id", "geom")
+    Shapefile.write(withNull, s"$dir/nulls")
+    val nBack = Shapefile.read(spark, s"$dir/nulls").orderBy("id").collect()
+    assert(nBack(1).getAs[Array[Byte]]("geom") == null)
+  }
+
+  test("shx index matches the shp records") {
+    val tmp = java.nio.file.Files.createTempDirectory("shp_shx").toString + "/x"
+    Shapefile.write(Shapefile.read(spark, base), tmp)
+    val shx = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp.shx"))
+    val buf = java.nio.ByteBuffer.wrap(shx).order(java.nio.ByteOrder.BIG_ENDIAN)
+    assert(buf.getInt(0) == 9994)
+    val n = (shx.length - 100) / 8
+    assert(n == 2)
+    assert(buf.getInt(100) == 50)  // first record right after the header
+  }
+
   test("shapefile geometries flow into the spatial operators") {
     val df = Shapefile.read(spark, base)
     val dissolved = graft.operators.SpatialOps.dissolve(
