@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, Predicate, UnsafeProjection}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.locationtech.jts.geom.{Envelope, Geometry}
+import org.locationtech.jts.index.strtree.STRtree
+
+import graft.geom.GeomCodec
+
+/** Grid-partitioned spatial join — the both-sides-huge path
+  * (SURVEY §4 item 3's 100 TB upgrade; the SpatialHadoop / PBSM
+  * partitioned-join shape).
+  *
+  * Neither side fits an executor, so instead of broadcasting: every row
+  * is assigned to each fixed-size grid cell its envelope (expanded by
+  * the distance for dwithin) overlaps, both sides shuffle by cell id,
+  * and each cell joins locally — an STRtree over the smaller-side rows
+  * of the cell, probed by the other side. A pair whose envelopes span
+  * k cells would surface k times; the REFERENCE-POINT rule (emit only
+  * in the cell that contains the top-left corner of the envelope
+  * intersection) makes every pair unique without a global distinct —
+  * no second shuffle, no dedup state.
+  *
+  * Scale properties: shuffle volume is O(rows × cells-per-envelope)
+  * (≈1–4 for a well-chosen cell size), parallelism is #occupied cells
+  * (millions at 100 TB), memory per task is one cell's rows. Skewed
+  * cells split further by AQE since the shuffle is a plain hash
+  * repartition on cell id.
+  */
+case class GridSpatialJoinExec(
+    leftGeom: Expression,
+    rightGeom: Expression,
+    rel: SpatialRel,
+    extraCondition: Option[Expression],
+    cellSize: Double,
+    numPartitions: Int,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends SparkPlan with BinaryExecNode {
+
+  require(cellSize > 0, "cellSize must be positive")
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  /** (cellKey, (wkb, row)) for every grid cell the (possibly expanded)
+    * envelope overlaps. The closure captures only the bound expression
+    * and two doubles — never the plan node.
+    */
+  private def tag(
+      plan: SparkPlan, geomExpr: Expression, expand: Double): RDD[((Long, Long), (Array[Byte], InternalRow))] = {
+    val bound = BindReferences.bindReference(geomExpr, plan.output)
+    val cs = cellSize
+    plan.execute().mapPartitions { iter =>
+      iter.flatMap { row =>
+        val wkb = bound.eval(row).asInstanceOf[Array[Byte]]
+        if (wkb == null) Iterator.empty
+        else {
+          val env = new Envelope(GeomCodec.read(wkb).getEnvelopeInternal)
+          if (expand > 0) env.expandBy(expand)
+          val copied = row.copy()
+          val x0 = math.floor(env.getMinX / cs).toLong
+          val x1 = math.floor(env.getMaxX / cs).toLong
+          val y0 = math.floor(env.getMinY / cs).toLong
+          val y1 = math.floor(env.getMaxY / cs).toLong
+          for (cx <- (x0 to x1).iterator; cy <- (y0 to y1).iterator)
+            yield ((cx, cy), (wkb, copied))
+        }
+      }
+    }
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val rel0 = rel
+    val cs = cellSize
+    val outAttrs = output
+    val cond = extraCondition
+
+    // expand only one side for dwithin — expanding both double-counts
+    // the distance
+    val leftTagged = tag(left, leftGeom, rel0.expand)
+    val rightTagged = tag(right, rightGeom, 0.0)
+
+    leftTagged.cogroup(rightTagged, numPartitions).flatMap { case ((cx, cy), (ls, rs)) =>
+      if (ls.isEmpty || rs.isEmpty) Iterator.empty
+      else {
+        val joined = new JoinedRow
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val pred = cond.map(c => Predicate.create(c, outAttrs))
+        pred.foreach(_.initialize(0))
+        val cellMinX = cx * cs
+        val cellMinY = cy * cs
+        val cellMaxX = cellMinX + cs
+        val cellMaxY = cellMinY + cs
+
+        // index the smaller group, stream the larger
+        val (buildSide, streamSide, buildIsRight) =
+          if (ls.size <= rs.size) (ls, rs, false) else (rs, ls, true)
+        val index = new STRtree()
+        buildSide.foreach { case (wkb, row) =>
+          val g = GeomCodec.read(wkb)
+          index.insert(g.getEnvelopeInternal, (row, g))
+        }
+        streamSide.iterator.flatMap { case (wkb, srow) =>
+          val g = GeomCodec.read(wkb)
+          val env = new Envelope(g.getEnvelopeInternal)
+          // the STRtree holds UNexpanded envelopes, so the probe side
+          // always carries the dwithin expansion
+          if (rel0.expand > 0) env.expandBy(rel0.expand)
+          val candidates = index.query(env)
+          val out = Seq.newBuilder[InternalRow]
+          val it = candidates.iterator()
+          while (it.hasNext) {
+            val (brow, bg) = it.next().asInstanceOf[(InternalRow, Geometry)]
+            val (lg, rg) = if (buildIsRight) (g, bg) else (bg, g)
+            // reference point: top-left corner of the (expanded)
+            // envelope intersection — exactly one cell owns each pair
+            val lEnv = new Envelope(lg.getEnvelopeInternal)
+            if (rel0.expand > 0) lEnv.expandBy(rel0.expand)
+            val rEnv = rg.getEnvelopeInternal
+            val refX = math.max(lEnv.getMinX, rEnv.getMinX)
+            val refY = math.max(lEnv.getMinY, rEnv.getMinY)
+            val owns = refX >= cellMinX && refX < cellMaxX &&
+              refY >= cellMinY && refY < cellMaxY
+            if (owns && rel0.eval(lg, rg)) {
+              val (lr, rr) = if (buildIsRight) (srow, brow) else (brow, srow)
+              val j = joined(lr, rr)
+              if (pred.forall(_.eval(j))) {
+                numOutputRows += 1
+                out += proj(j).copy()
+              }
+            }
+          }
+          out.result().iterator
+        }
+      }
+    }
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GridSpatialJoin ${rel.name}, cell=$cellSize"
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): GridSpatialJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -32,6 +32,12 @@ import graft.geom.{StContainsExpr, StDWithinExpr, StIntersectsExpr, StWithinExpr
 object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
 
   val ThresholdKey = "spark.graft.spatial.broadcastThreshold"
+  /** Grid cell size (geometry units) for the both-sides-huge
+    * partitioned join. Unset → huge-huge joins fall through to Spark
+    * (a blind default cell size in an unknown CRS could replicate every
+    * row across thousands of cells; the caller knows the units).
+    */
+  val GridCellKey = "spark.graft.spatial.gridCellSize"
   private val DefaultThreshold: Long = 256L * 1024 * 1024
 
   private def asDouble(v: Any): Option[Double] = v match {
@@ -90,11 +96,20 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
             catch { case _: NumberFormatException => DefaultThreshold }
           val lSize = left.stats.sizeInBytes
           val rSize = right.stats.sizeInBytes
-          if (lSize.min(rSize) > threshold) return Nil  // both huge: fall through
-          val buildRight = rSize <= lSize
           val extra = conjuncts.filterNot(_ eq chosen).reduceOption(And)
-          SpatialIndexJoinExec(lg, rg, rel, extra, buildRight,
-            planLater(left), planLater(right)) :: Nil
+          if (lSize.min(rSize) > threshold) {
+            // both sides too big to broadcast: grid-partitioned join if
+            // the caller declared a cell size, else leave it to Spark
+            val cell = SQLConf.get.getConfString(GridCellKey, "")
+            if (cell.isEmpty) Nil
+            else GridSpatialJoinExec(lg, rg, rel, extra, cell.toDouble,
+              SQLConf.get.numShufflePartitions,
+              planLater(left), planLater(right)) :: Nil
+          } else {
+            val buildRight = rSize <= lSize
+            SpatialIndexJoinExec(lg, rg, rel, extra, buildRight,
+              planLater(left), planLater(right)) :: Nil
+          }
         case None => Nil
       }
     case _ => Nil
