@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Primitive float-vector kernels for the similarity operators
+  * (SURVEY §2.12). Embedding comparisons run once per CANDIDATE PAIR —
+  * the hot path of LSH-bucket near-dup at scale — so they are native
+  * codegen'd expressions over `array<float>`: direct `getFloat(i)`
+  * reads off Tungsten array data, no per-element boxing, no Seq
+  * conversion (a `udf((a: Seq[Float], ...)` boxes every element of
+  * every pair).
+  */
+object VecOps {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    val d = math.sqrt(aa) * math.sqrt(bb)
+    if (d == 0.0) 0.0 else ab / d
+  }
+}
+
+/** `vec_dot(a, b)`: float-array dot product. */
+case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotExpr =
+    copy(left = l, right = r)
+}
+
+/** `vec_cosine(a, b)`: float-array cosine similarity. */
+case class VecCosineExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosineExpr =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  def vec_dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VecDotExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def vec_cosine(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VecCosineExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  /** SQL registration via GraftExtensions. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosineExpr].getName, "vec_cosine"),
+      (exprs: Seq[Expression]) => VecCosineExpr(exprs(0), exprs(1))))
+}

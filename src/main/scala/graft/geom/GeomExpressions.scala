@@ -205,6 +205,7 @@ object GeomExpressions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GeomExpressions.functions.foreach(e.injectFunction)
+    graft.functions.VectorFunctions.functions.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.SpatialJoinStrategy)
   }
 }

@@ -231,29 +231,13 @@ object Dedup {
 
   // --- embedding near-dup ---------------------------------------------
 
-  /** Cosine similarity of two float-array columns via codegen'd
-    * higher-order functions (no UDF).
+  /** Cosine similarity of two float-array columns — native codegen'd
+    * expression ([[graft.functions.VecCosineExpr]]): primitive
+    * `getFloat(i)` reads, no per-element boxing. Runs once per
+    * candidate pair, the hot path of every similarity operator.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
-
-  /** Fast dot product over float arrays (tight primitive loop — the
-    * per-pair hot path of LSH bucket comparison; ~10× the higher-order
-    * -function formulation on wide pair sets).
-    */
-  private[operators] val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
-    if (a == null || b == null) 0.0
-    else {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-  })
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vec_cosine(a, b)
 
   /** L2-normalize a float vector once per row, so per-pair cosine
     * reduces to a single dot product.
@@ -307,7 +291,8 @@ object Dedup {
     val l = bucketed.select(col("bucket"), col("id").as("a"), col("vec").as("va"))
     val r = bucketed.select(col("bucket"), col("id").as("b"), col("vec").as("vb"))
     l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .withColumn("cosine", dotUdf(col("va"), col("vb")))
+      // vectors are pre-normalized: one native dot product per pair
+      .withColumn("cosine", graft.functions.VectorFunctions.vec_dot(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
       .distinct()

@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.ZipFile
+
+/** Driver-side retrieval I/O (OP-01/OP-02, SURVEY §2.1):
+  * `retrieve.py:50-58` streams an HTTP download to a tempfile in
+  * chunks; `retrieve.py:33-37` opens one member of the GNIS zip.
+  *
+  * Transport is injected (`fetch: url → bytes`) so the engine stays
+  * zero-egress — production wires `java.net.http.HttpClient`, tests
+  * wire a map. These are I/O utilities, not operators: data enters the
+  * engine through `spark.read` on the extracted files.
+  */
+object Archive {
+
+  /** OP-01: streamed download to a file, chunked writes
+    * (`retrieve.py:56` uses 4096-byte chunks; chunking matters for the
+    * real socket transport, the injected form just writes through).
+    */
+  def download(fetch: String => Array[Byte], url: String, dest: Path,
+      chunkSize: Int = 4096): Path = {
+    val bytes = fetch(url)
+    val out = new BufferedOutputStream(new FileOutputStream(dest.toFile), chunkSize)
+    try {
+      var off = 0
+      while (off < bytes.length) {
+        val n = math.min(chunkSize, bytes.length - off)
+        out.write(bytes, off, n)
+        off += n
+      }
+    } finally out.close()
+    dest
+  }
+
+  /** OP-02: extract one member of a zip archive to a file
+    * (`Text/FederalCodes_CA.txt` inside the GNIS download,
+    * `config.py:109`). Returns the extraction path.
+    */
+  def extractZipMember(zipPath: String, memberName: String, destDir: Path): Path = {
+    val zf = new ZipFile(zipPath)
+    try {
+      val entry = Option(zf.getEntry(memberName)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$zipPath has no member $memberName (members: " +
+            zf.stream().limit(20).map[String](_.getName).toArray.mkString(", ") + ")"))
+      val dest = destDir.resolve(Paths.get(memberName).getFileName)
+      val in = zf.getInputStream(entry)
+      try Files.copy(in, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      dest
+    } finally zf.close()
+  }
+}
