@@ -110,4 +110,24 @@ object FeatureService {
     require(features.nonEmpty, s"feature service $baseUrl returned no features")
     toDataFrame(spark, features, features.head._1.keys.toSeq.sorted)
   }
+
+  /** OP-09 idempotent source caching (`coastline.py:38`'s
+    * `arcpy.Exists` skip-download): the fetched layer lands as parquet
+    * keyed by URL (+ an optional vintage tag, e.g. a date); a later
+    * load with the same key never touches the network. The cache is
+    * also what makes re-runs of a 100 TB pipeline cheap — sources are
+    * scanned from columnar storage, not re-paginated over HTTP.
+    */
+  def loadCached(
+      spark: SparkSession, fetch: String => String, baseUrl: String,
+      cacheDir: String, vintage: String = ""): DataFrame = {
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$baseUrl#$vintage").toLong & 0xffffffffL)
+    val path = s"$cacheDir/fs_$key.parquet"
+    val marker = new java.io.File(s"$path/_SUCCESS")
+    if (!marker.exists()) {
+      load(spark, fetch, baseUrl).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
 }

@@ -31,6 +31,30 @@ class WritersSpec extends SparkTestBase {
     assert(parsed.head._1("id") == "1" || parsed.head._1("id") == "2")
   }
 
+  test("feature-service cache is idempotent: second load makes zero fetches (OP-09)") {
+    val page = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{"NAME":"A"},
+       "geometry":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}}]}"""
+    var fetches = 0
+    val fetch: String => String = url => {
+      fetches += 1
+      if (url.contains("resultOffset=0")) page
+      else """{"type":"FeatureCollection","features":[]}"""
+    }
+    val cacheDir = java.nio.file.Files.createTempDirectory("fs_cache").toString
+    val first = FeatureService.loadCached(spark, fetch, "http://svc/layer/0", cacheDir)
+    assert(first.count() == 1)
+    val fetchesAfterFirst = fetches
+    assert(fetchesAfterFirst >= 2) // data page + terminating empty page
+    val second = FeatureService.loadCached(spark, fetch, "http://svc/layer/0", cacheDir)
+    assert(second.count() == 1)
+    assert(fetches == fetchesAfterFirst) // cache hit: no network
+    // a different vintage is a different key -> refetches
+    FeatureService.loadCached(spark, fetch, "http://svc/layer/0", cacheDir, vintage = "2026-08")
+      .count()
+    assert(fetches > fetchesAfterFirst)
+  }
+
   test("single-file csv sink writes one part with header") {
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val dir = Files.createTempDirectory("csvout").toString + "/out"
