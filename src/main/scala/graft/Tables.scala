@@ -14,9 +14,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoized per (session, dir, table): the DataFrame is a lazy plan
+  // (NOT cached data — scans still push filters and prune columns), but
+  // re-resolving it costs a parquet footer read + schema inference per
+  // query, which adds up over a 60-query sweep.
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    if (table == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$table.parquet")
+    memo.getOrElseUpdate((spark, sfDir, table),
+      if (table == "events") events(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$table.parquet"))
 
   private def rawLoad(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")

@@ -37,6 +37,33 @@ object VecOps {
     val d = math.sqrt(aa) * math.sqrt(bb)
     if (d == 0.0) 0.0 else ab / d
   }
+
+  def eqCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+}
+
+/** `sig_eqcount(a, b)`: number of positions where two long-array
+  * signatures agree — the MinHash similarity estimator's kernel, one
+  * call per candidate pair.
+  */
+case class SigEqCountExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sig_eqcount"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.eqCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigEqCountExpr =
+    copy(left = l, right = r)
 }
 
 /** `vec_dot(a, b)`: float-array dot product. */
@@ -78,6 +105,10 @@ object VectorFunctions {
 
   def vec_cosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(VecCosineExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def sig_eqcount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SigEqCountExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   import org.apache.spark.sql.catalyst.FunctionIdentifier

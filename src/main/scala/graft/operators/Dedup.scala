@@ -40,12 +40,23 @@ object Dedup {
 
   // --- MinHash --------------------------------------------------------
 
-  /** Deterministic affine hash family over a Mersenne prime. */
-  private val MersennePrime = (1L << 61) - 1
-  private def hashParams(numHashes: Int): Array[(Long, Long)] = {
+  /** Deterministic seeded hash family: h_i(x) = splitmix64(x ^ seed_i).
+    * For min-wise hashing the family only needs per-seed uniform
+    * 64-bit mixing; the splitmix64 finalizer (2 multiplies + shifts)
+    * costs a third of an affine-mod-Mersenne-prime evaluation, and the
+    * signature loop runs numHashes × shingles times per document —
+    * the single hottest loop of the dedup pipeline at corpus scale.
+    */
+  private def hashSeeds(numHashes: Int): Array[Long] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(numHashes)((math.abs(rnd.nextLong()) % MersennePrime + 1,
-      math.abs(rnd.nextLong()) % MersennePrime))
+    Array.fill(numHashes)(rnd.nextLong())
+  }
+
+  @inline private def mix64(x0: Long): Long = {
+    var z = x0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
   /** Char-shingle hashes: 64-bit FNV-1a + avalanche over each k-char
@@ -79,44 +90,29 @@ object Dedup {
   }
 
   /** MinHash signature: per hash function i, min over shingles of
-    * (aᵢ·h + bᵢ) mod p.
+    * splitmix64(h ^ seedᵢ). Shingle-outer loop order so each shingle
+    * hash is loaded once and streamed across all hash functions.
     */
   def minhashSignature(text: Column, numHashes: Int, shingleK: Int): Column = {
-    val params = hashParams(numHashes)
-    val sigUdf = udf((hs: Seq[Long]) => {
-      if (hs == null || hs.isEmpty) Array.fill(numHashes)(Long.MaxValue)
-      else {
-        val out = Array.fill(numHashes)(Long.MaxValue)
-        var i = 0
-        while (i < numHashes) {
-          val (a, b) = params(i)
-          var m = Long.MaxValue
-          hs.foreach { h =>
-            // multiply-mod on 61-bit prime via Math.multiplyHigh-free
-            // path: BigInt-free split multiplication
-            val x = java.lang.Math.floorMod(h, MersennePrime)
-            val prod = mulMod(a, x, MersennePrime)
-            val v = java.lang.Math.floorMod(prod + b, MersennePrime)
-            if (v < m) m = v
+    val seeds = hashSeeds(numHashes)
+    val sigUdf = udf((hs: Array[Long]) => {
+      val out = Array.fill(numHashes)(Long.MaxValue)
+      if (hs != null) {
+        var j = 0
+        while (j < hs.length) {
+          val h = hs(j)
+          var i = 0
+          while (i < numHashes) {
+            val v = mix64(h ^ seeds(i))
+            if (v < out(i)) out(i) = v
+            i += 1
           }
-          out(i) = m
-          i += 1
+          j += 1
         }
-        out
       }
+      out
     })
     sigUdf(shingleHashes(text, shingleK))
-  }
-
-  private def mulMod(a: Long, b: Long, m: Long): Long = {
-    // 128-bit multiply-mod using Math.multiplyHigh (JDK9+)
-    val hi = java.lang.Math.multiplyHigh(a, b)
-    val lo = a * b
-    // m = 2^61 - 1: fold the high bits (Mersenne reduction)
-    val lo61 = lo & MersennePrime
-    val rest = (hi << 3) | (lo >>> 61)
-    val s = lo61 + rest
-    if (s >= m) s - m else s
   }
 
   /** LSH candidate pairs: ids sharing ≥1 band bucket, with the
@@ -134,19 +130,29 @@ object Dedup {
         minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Bucket join carries ONLY (band, bucket, id): a near-dup pair
+    // co-occurs in many bands, so dedupe the bare id pairs FIRST (a
+    // 16-byte-per-row shuffle) and only then attach the 64-long
+    // signatures — via two broadcast joins against the small sigs
+    // table — to estimate Jaccard exactly once per distinct pair with
+    // the native agreement-count kernel.
     val bandCols = (0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-    val banded = sigs.select(col("id"), col("sig"),
-        posexplode(array(bandCols: _*)))
-      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = sigs.select(col("id"), posexplode(array(bandCols: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
 
-    val l = banded.select(col("band"), col("bucket"), col("id").as("a"), col("sig").as("siga"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("b"), col("sig").as("sigb"))
-    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("b"))
+    val pairKeys = l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+
+    pairKeys
+      .join(broadcast(sigs.select(col("id").as("a"), col("sig").as("siga"))), Seq("a"))
+      .join(broadcast(sigs.select(col("id").as("b"), col("sig").as("sigb"))), Seq("b"))
       .select(col("a"), col("b"),
-        (aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
-      .groupBy("a", "b").agg(max("est_jaccard").as("est_jaccard"))
+        (graft.functions.VectorFunctions.sig_eqcount(col("siga"), col("sigb"))
+          .cast("double") / numHashes).as("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard verification of candidate pairs. */
