@@ -87,7 +87,9 @@ object Calc {
 
   /** OP-18 bulk rename driven by a field map (`bunny.py:236-248`). */
   def renameFields(df: DataFrame, fieldMap: Map[String, String]): DataFrame =
-    fieldMap.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    // one toDF, not a withColumnRenamed per field — each Dataset
+    // transformation re-runs the analyzer over the whole plan
+    df.toDF(df.columns.map(c => fieldMap.getOrElse(c, c)).toIndexedSeq: _*)
 
   /** Spaces→underscores header rename (`retrieve.py:109`). */
   def underscoreColumns(df: DataFrame): DataFrame =

@@ -39,6 +39,9 @@ object JoinField {
     val joined = left.join(broadcast(firstMatch),
       col(leftKey) === col("__jf_key"), "left")
       .drop("__jf_key")
-    fields.foldLeft(joined)((d, f) => d.withColumnRenamed("__jf_" + f, f))
+    // one toDF instead of a withColumnRenamed per field (each Dataset
+    // transformation re-analyzes the whole plan)
+    joined.toDF(joined.columns.map(c =>
+      if (c.startsWith("__jf_")) c.stripPrefix("__jf_") else c).toIndexedSeq: _*)
   }
 }

@@ -85,11 +85,23 @@ object SpatialOps {
       .filter(!G.st_isempty(col(geomCol)))
       .select((aAttrs ++ bAttrs).map(col) :+ col(geomCol): _*)
 
-    def blanks(df: DataFrame, attrs: Seq[String], template: DataFrame): DataFrame =
-      attrs.foldLeft(df) { (d, c) =>
-        val isString = template.schema(c).dataType == org.apache.spark.sql.types.StringType
-        d.withColumn(c, if (isString) lit("") else lit(null).cast(template.schema(c).dataType))
+    // single select, not a withColumn per attribute: every Dataset
+    // transformation re-runs the analyzer over the whole (deep) plan.
+    // The other input's attrs don't exist on a leftover row yet — they
+    // are appended as blank literals ('' for strings, NULL otherwise,
+    // the file-GDB fill of SURVEY §1.2); any that do exist are
+    // overwritten in place.
+    def blanks(df: DataFrame, attrs: Seq[String], template: DataFrame): DataFrame = {
+      def blank(c: String) = {
+        val dt = template.schema(c).dataType
+        val isString = dt == org.apache.spark.sql.types.StringType
+        (if (isString) lit("") else lit(null).cast(dt)).as(c)
       }
+      val attrSet = attrs.toSet
+      val existing = df.columns.map(c => if (attrSet.contains(c)) blank(c) else col(c))
+      val appended = attrs.filterNot(df.columns.contains).map(blank)
+      df.select((existing ++ appended).toIndexedSeq: _*)
+    }
 
     // (2) leftovers of a: subtract the union of all intersecting b rows
     val aHits = pairs.groupBy("__aid").agg(st_union_agg(col("__bgeom")).as("__bunion"))
