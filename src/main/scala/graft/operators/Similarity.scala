@@ -67,8 +67,12 @@ object Similarity {
     import org.apache.spark.ml.linalg.Vector
 
     val feat = df.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
+    // a coarse quantizer only needs rough cells — 8 Lloyd iterations is
+    // the standard IVF training budget (vs mllib's default 20); recall
+    // is governed by nprobe, not centroid polish
     val model = new KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("__features").setPredictionCol("cell")
+      .setK(nCells).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("__features").setPredictionCol("cell")
       .fit(feat)
     val assigned = model.transform(feat).drop("__features")
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
