@@ -23,12 +23,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup on the smallest scale factor so the measured
-    // numbers reflect steady-state execution, matching BASELINE.md's
-    // "post-warmup" budgets.
-    SparkEntry.queries.get("q15").foreach { fn =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
-    }
+    // JVM/codegen warmup at the smallest scale factor so measured
+    // numbers reflect steady-state execution (BASELINE.md's
+    // "post-warmup" budgets): run every DATA-SCALED query once at
+    // sf0.001 — same plans, so codegen caches and JIT warm, while the
+    // sf0.1 measurement still does all the data-proportional work.
+    // Fixture-fixed groups (g*, p*) are NOT warmed: they ignore the
+    // scale dir, so a warm run would only measure their caches.
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => n.startsWith("q") || n.startsWith("x") }
+      .foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+      }
 
     // a failed query reports -1 (never a plausible-looking elapsed time)
     // and lands in `failed` so breakage is visible in the JSON itself
