@@ -51,6 +51,7 @@ object DialectShim {
       s = s.substring(0, m.start) + s"concat_ws(${args._2}, ${args._1})" + s.substring(end + 1)
     }
     s = s.replaceAll("""\blen\(""", "size(")
+    s = s.replaceAll("""\bquantile_cont\(""", "percentile(")
     s = s.replaceAll("""\bregexp_split_to_array\(""", "split(")
     s = s.replaceAll("""\blist_intersect\(""", "array_intersect(")
     // DuckDB list literal ['a','b'] → Spark array('a','b'). Only when

@@ -298,10 +298,43 @@ object ExtQueries {
       .orderBy("r_name")
   }
 
+  /** CUBE aggregation (all grouping-set combinations) — the reporting
+    * shape over a cleaned corpus; oracle-checked in both engines.
+    */
+  val x20_cube: QuerySpec = q("x20_cube",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |  cast(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("qty"))
+      .orderBy("rf", "ls")
+  }
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`) — the distribution-profiling shape for corpus
+    * quality cutoffs.
+    */
+  val x21_percentile: QuerySpec = q("x21_percentile",
+    """SELECT lang,
+      |  round(quantile_cont(n_chars, 0.5), 2) AS p50,
+      |  round(quantile_cont(n_chars, 0.9), 2) AS p90
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 2).as("p90"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
     x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal,
     x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing,
-    x18_region_rollup, x19_multimodal_frames)
+    x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile)
 }

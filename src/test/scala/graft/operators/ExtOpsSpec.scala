@@ -140,6 +140,16 @@ class ExtOpsSpec extends SparkTestBase {
     assert(Multimodal.resizeStub(small, 200) eq small) // no upscaling
   }
 
+  test("HLL approx distinct stays within 5% of exact at corpus scale") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect()(0)
+    val exact = row.getAs[Long]("exact").toDouble
+    val approx = row.getAs[Long]("approx").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("multimodal stub features are deterministic and batched") {
     val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "text")
       .withColumn("payload", encode($"text", "UTF-8"))
