@@ -37,25 +37,35 @@ case class GridSpatialJoinExec(
     extraCondition: Option[Expression],
     cellSize: Double,
     numPartitions: Int,
+    salts: Int,
     left: SparkPlan,
     right: SparkPlan)
   extends SparkPlan with BinaryExecNode {
 
   require(cellSize > 0, "cellSize must be positive")
+  require(salts >= 1, "salts must be >= 1")
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
-  /** (cellKey, (wkb, row)) for every grid cell the (possibly expanded)
-    * envelope overlaps. The closure captures only the bound expression
-    * and two doubles — never the plan node.
+  /** ((cellKey, salt), (wkb, row)) for every grid cell the (possibly
+    * expanded) envelope overlaps. Hot cells (spatial skew — think urban
+    * cores) would otherwise be single straggler tasks, since an RDD
+    * cogroup sits outside AQE's skew splitting: with `salts` > 1 each
+    * LEFT row lands in exactly one of `salts` sub-groups of its cell
+    * (`replicate = false`) while each RIGHT row is replicated to all of
+    * them (`replicate = true`) — the standard salted-join decomposition,
+    * output unchanged because every (left, right) pair still meets in
+    * exactly one (cell, salt) group.
     */
   private def tag(
-      plan: SparkPlan, geomExpr: Expression, expand: Double): RDD[((Long, Long), (Array[Byte], InternalRow))] = {
+      plan: SparkPlan, geomExpr: Expression, expand: Double,
+      replicate: Boolean): RDD[((Long, Long, Int), (Array[Byte], InternalRow))] = {
     val bound = BindReferences.bindReference(geomExpr, plan.output)
     val cs = cellSize
+    val nSalts = salts
     plan.execute().mapPartitions { iter =>
       iter.flatMap { row =>
         val wkb = bound.eval(row).asInstanceOf[Array[Byte]]
@@ -68,8 +78,15 @@ case class GridSpatialJoinExec(
           val x1 = math.floor(env.getMaxX / cs).toLong
           val y0 = math.floor(env.getMinY / cs).toLong
           val y1 = math.floor(env.getMaxY / cs).toLong
-          for (cx <- (x0 to x1).iterator; cy <- (y0 to y1).iterator)
-            yield ((cx, cy), (wkb, copied))
+          val saltSeq: Seq[Int] =
+            if (nSalts == 1) Seq(0)
+            else if (replicate) 0 until nSalts
+            else Seq(math.floorMod(java.util.Arrays.hashCode(wkb), nSalts))
+          for {
+            cx <- (x0 to x1).iterator
+            cy <- (y0 to y1).iterator
+            s <- saltSeq.iterator
+          } yield ((cx, cy, s), (wkb, copied))
         }
       }
     }
@@ -83,11 +100,11 @@ case class GridSpatialJoinExec(
     val cond = extraCondition
 
     // expand only one side for dwithin — expanding both double-counts
-    // the distance
-    val leftTagged = tag(left, leftGeom, rel0.expand)
-    val rightTagged = tag(right, rightGeom, 0.0)
+    // the distance. Left is the salted (stream) side, right replicates.
+    val leftTagged = tag(left, leftGeom, rel0.expand, replicate = false)
+    val rightTagged = tag(right, rightGeom, 0.0, replicate = true)
 
-    leftTagged.cogroup(rightTagged, numPartitions).flatMap { case ((cx, cy), (ls, rs)) =>
+    leftTagged.cogroup(rightTagged, numPartitions).flatMap { case ((cx, cy, _), (ls, rs)) =>
       if (ls.isEmpty || rs.isEmpty) Iterator.empty
       else {
         val joined = new JoinedRow
@@ -144,7 +161,8 @@ case class GridSpatialJoinExec(
   }
 
   override def simpleString(maxFields: Int): String =
-    s"GridSpatialJoin ${rel.name}, cell=$cellSize"
+    s"GridSpatialJoin ${rel.name}, cell=$cellSize" +
+      (if (salts > 1) s", salts=$salts" else "")
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): GridSpatialJoinExec =

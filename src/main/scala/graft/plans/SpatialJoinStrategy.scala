@@ -38,6 +38,11 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
     * row across thousands of cells; the caller knows the units).
     */
   val GridCellKey = "spark.graft.spatial.gridCellSize"
+  /** Sub-splits per grid cell for spatial skew (hot urban cells):
+    * left rows hash into one of N sub-groups, right rows replicate to
+    * all of them. 1 = off.
+    */
+  val GridSaltsKey = "spark.graft.spatial.gridSalts"
   private val DefaultThreshold: Long = 256L * 1024 * 1024
 
   private def asDouble(v: Any): Option[Double] = v match {
@@ -104,6 +109,7 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
             if (cell.isEmpty) Nil
             else GridSpatialJoinExec(lg, rg, rel, extra, cell.toDouble,
               SQLConf.get.numShufflePartitions,
+              SQLConf.get.getConfString(GridSaltsKey, "1").toInt,
               planLater(left), planLater(right)) :: Nil
           } else {
             val buildRight = rSize <= lSize

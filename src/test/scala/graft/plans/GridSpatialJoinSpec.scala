@@ -90,6 +90,19 @@ class GridSpatialJoinSpec extends SparkTestBase {
     assert(got == expected && !got.exists(_._2 == "z0"))
   }
 
+  test("salted cells produce exactly the unsalted pairs (skew splitting)") {
+    val expected = pairsOf(parcels.join(zones, G.st_intersects($"geom", $"zgeom"))).sorted
+    for (salts <- Seq(2, 5)) {
+      spark.conf.set(SpatialJoinStrategy.GridSaltsKey, salts.toString)
+      try {
+        val got = withGrid(10.0) {
+          pairsOf(parcels.join(zones, G.st_intersects($"geom", $"zgeom")))
+        }.sorted
+        assert(got == expected, s"salts=$salts")
+      } finally spark.conf.unset(SpatialJoinStrategy.GridSaltsKey)
+    }
+  }
+
   test("scale smoke: 10k x 10k random boxes — grid equals broadcast, cells stay bounded") {
     val rnd = new scala.util.Random(7)
     def randBoxes(n: Int, tag: String) =
