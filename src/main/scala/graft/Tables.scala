@@ -21,10 +21,14 @@ object Tables {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    // bounded: clear on overflow so stopped sessions / regenerated
+    // files don't stay pinned through a long-lived JVM
+    if (memo.size > 64) memo.clear()
     memo.getOrElseUpdate((spark, sfDir, table),
       if (table == "events") events(spark, sfDir)
       else spark.read.parquet(s"$sfDir/$table.parquet"))
+  }
 
   private def rawLoad(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")

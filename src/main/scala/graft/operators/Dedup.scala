@@ -147,9 +147,13 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
 
+    // no broadcast() hint: sigs has one row per input document, so at
+    // corpus scale it exceeds any broadcast budget. AQE's dynamic join
+    // selection broadcasts it when the runtime shuffle stats are small
+    // and shuffle-joins it when they aren't.
     pairKeys
-      .join(broadcast(sigs.select(col("id").as("a"), col("sig").as("siga"))), Seq("a"))
-      .join(broadcast(sigs.select(col("id").as("b"), col("sig").as("sigb"))), Seq("b"))
+      .join(sigs.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
       .select(col("a"), col("b"),
         (graft.functions.VectorFunctions.sig_eqcount(col("siga"), col("sigb"))
           .cast("double") / numHashes).as("est_jaccard"))

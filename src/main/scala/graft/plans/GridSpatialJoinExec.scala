@@ -104,13 +104,17 @@ case class GridSpatialJoinExec(
     val leftTagged = tag(left, leftGeom, rel0.expand, replicate = false)
     val rightTagged = tag(right, rightGeom, 0.0, replicate = true)
 
-    leftTagged.cogroup(rightTagged, numPartitions).flatMap { case ((cx, cy, _), (ls, rs)) =>
+    leftTagged.cogroup(rightTagged, numPartitions).mapPartitions { groups =>
+      // projection/predicate built once per TASK, not once per occupied
+      // cell — at scale a partition holds many small cells
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val pred = cond.map(c => Predicate.create(c, outAttrs))
+      pred.foreach(_.initialize(0))
+
+      groups.flatMap { case ((cx, cy, _), (ls, rs)) =>
       if (ls.isEmpty || rs.isEmpty) Iterator.empty
       else {
-        val joined = new JoinedRow
-        val proj = UnsafeProjection.create(outAttrs, outAttrs)
-        val pred = cond.map(c => Predicate.create(c, outAttrs))
-        pred.foreach(_.initialize(0))
         val cellMinX = cx * cs
         val cellMinY = cy * cs
         val cellMaxX = cellMinX + cs
@@ -156,6 +160,7 @@ case class GridSpatialJoinExec(
           }
           out.result().iterator
         }
+      }
       }
     }
   }

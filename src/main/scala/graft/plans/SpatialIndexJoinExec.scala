@@ -64,8 +64,7 @@ case class SpatialIndexJoinExec(
   override def output: Seq[Attribute] = left.output ++ right.output
 
   override lazy val metrics = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
-    "buildRows" -> SQLMetrics.createMetric(sparkContext, "broadcast index rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
   private def buildPlan: SparkPlan = if (buildRight) right else left
   private def streamPlan: SparkPlan = if (buildRight) left else right
@@ -82,7 +81,6 @@ case class SpatialIndexJoinExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
-    val buildRowsMetric = longMetric("buildRows")
 
     val buildGeomBound = BindReferences.bindReference(
       if (buildRight) rightGeom else leftGeom, buildPlan.output)
@@ -99,16 +97,13 @@ case class SpatialIndexJoinExec(
       // Bulk-load the index once per task; geometries decode once here,
       // not once per probe.
       val index = new STRtree()
-      var n = 0L
       broadcastRows.value.foreach { row =>
         val wkb = buildGeomBound.eval(row).asInstanceOf[Array[Byte]]
         if (wkb != null) {
           val g = GeomCodec.read(wkb)
           index.insert(g.getEnvelopeInternal, (row, g))
-          n += 1
         }
       }
-      buildRowsMetric.set(n)
 
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)

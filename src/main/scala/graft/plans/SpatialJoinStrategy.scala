@@ -105,12 +105,21 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
           if (lSize.min(rSize) > threshold) {
             // both sides too big to broadcast: grid-partitioned join if
             // the caller declared a cell size, else leave it to Spark
+            // malformed conf falls back to Spark's planner instead of
+            // failing every huge-huge spatial join at planning time
             val cell = SQLConf.get.getConfString(GridCellKey, "")
-            if (cell.isEmpty) Nil
-            else GridSpatialJoinExec(lg, rg, rel, extra, cell.toDouble,
-              SQLConf.get.numShufflePartitions,
-              SQLConf.get.getConfString(GridSaltsKey, "1").toInt,
-              planLater(left), planLater(right)) :: Nil
+            val cellSize = try Some(cell.toDouble).filter(_ > 0)
+              catch { case _: NumberFormatException => None }
+            val saltCount =
+              try math.max(1, SQLConf.get.getConfString(GridSaltsKey, "1").toInt)
+              catch { case _: NumberFormatException => 1 }
+            cellSize match {
+              case None => Nil
+              case Some(cs) =>
+                GridSpatialJoinExec(lg, rg, rel, extra, cs,
+                  SQLConf.get.numShufflePartitions, saltCount,
+                  planLater(left), planLater(right)) :: Nil
+            }
           } else {
             val buildRight = rSize <= lSize
             SpatialIndexJoinExec(lg, rg, rel, extra, buildRight,

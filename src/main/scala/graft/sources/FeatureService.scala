@@ -34,14 +34,27 @@ object FeatureService {
     * silently truncate the layer to its first page. The offset always
     * advances by the number of rows actually returned.
     */
-  def fetchAll(fetch: String => String, baseUrl: String, pageSize: Int = 1000): Seq[(Map[String, String], Array[Byte])] = {
+  def fetchAll(fetch: String => String, baseUrl: String, pageSize: Int = 1000,
+      maxPages: Int = 100000): Seq[(Map[String, String], Array[Byte])] = {
     val out = new ArrayBuffer[(Map[String, String], Array[Byte])]
     var offset = 0
     var more = true
+    var pages = 0
+    var prevFirst: Option[Map[String, String]] = None
     while (more) {
       val page = parsePage(fetch(queryUrl(baseUrl, offset, pageSize)))
+      // a server that ignores resultOffset (supportsPagination=false)
+      // returns the same page for every offset — detect the lack of
+      // progress instead of looping forever
+      val stalled = page.nonEmpty && prevFirst.contains(page.head._1)
+      if (stalled)
+        throw new IllegalStateException(
+          s"$baseUrl ignores resultOffset (same page at offset $offset) — " +
+            "the service does not support pagination")
       out ++= page
-      more = page.nonEmpty
+      prevFirst = page.headOption.map(_._1)
+      pages += 1
+      more = page.nonEmpty && pages < maxPages
       offset += page.size
     }
     out.toSeq
@@ -121,8 +134,11 @@ object FeatureService {
   def loadCached(
       spark: SparkSession, fetch: String => String, baseUrl: String,
       cacheDir: String, vintage: String = ""): DataFrame = {
-    val key = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$baseUrl#$vintage").toLong & 0xffffffffL)
+    // full MD5 of the key: a truncated hash could collide two services
+    // and silently serve the wrong cached layer
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$baseUrl#$vintage".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val path = s"$cacheDir/fs_$key.parquet"
     val marker = new java.io.File(s"$path/_SUCCESS")
     if (!marker.exists()) {

@@ -258,17 +258,32 @@ object Shapefile {
       fields: Array[(StructField, Int)],
       rows: Array[org.apache.spark.sql.Row]): Unit = {
     final case class Fld(name: String, typ: Char, len: Int, dec: Int, idx: Int)
+    def numText(v: Any, dec: Int): String = v match {
+      case null => ""
+      case x: java.lang.Number if dec > 0 => f"${x.doubleValue()}%.8f"
+      case x => x.toString
+    }
     val flds = fields.map { case (f, idx) =>
+      def maxLen(dec: Int): Int =
+        rows.map(r => if (r.isNullAt(idx)) 0 else numText(r.get(idx), dec).length)
+          .foldLeft(1)(math.max)
       f.dataType match {
         case StringType =>
           val w = math.max(1, math.min(254,
             rows.map(r => if (r.isNullAt(idx)) 0 else r.getAs[String](idx).length).foldLeft(1)(math.max)))
           Fld(f.name.take(10), 'C', w, 0, idx)
         case BooleanType => Fld(f.name.take(10), 'L', 1, 0, idx)
-        case IntegerType | LongType => Fld(f.name.take(10), 'N', 19, 0, idx)
-        case _ => Fld(f.name.take(10), 'N', 19, 8, idx)   // double/float/decimal
+        // numeric widths sized from the actual formatted values (never
+        // silently truncate a number — Long.MinValue is 20 chars, large
+        // doubles at %.8f exceed a fixed 19)
+        case IntegerType | LongType =>
+          Fld(f.name.take(10), 'N', math.max(19, maxLen(0)), 0, idx)
+        case _ =>
+          Fld(f.name.take(10), 'N', math.max(19, maxLen(8)), 8, idx)
       }
     }
+    flds.foreach(f => require(f.len <= 254,
+      s"dbf field ${f.name} needs width ${f.len} (> 254, the dBASE limit)"))
     val recordSize = 1 + flds.map(_.len).sum
     val headerSize = 32 + 32 * flds.length + 1
     val out = ByteBuffer.allocate(headerSize + recordSize * rows.length + 1)
@@ -291,6 +306,12 @@ object Shapefile {
     out.put(fp, 0x0d.toByte)
     out.position(headerSize)
     def pad(s: String, len: Int, left: Boolean): String = {
+      // left-justified C fields truncate (dBASE semantics for text);
+      // numeric fields are pre-sized to their longest value, so an
+      // overflow here is a bug — fail loudly rather than write a
+      // silently wrong number
+      require(left == false || s.length <= len,
+        s"numeric value '$s' exceeds dbf field width $len")
       val t = if (s.length > len) s.take(len) else s
       if (left) (" " * (len - t.length)) + t else t + (" " * (len - t.length))
     }
