@@ -128,37 +128,20 @@ case class GridSpatialJoinExec(
           val g = GeomCodec.read(wkb)
           index.insert(g.getEnvelopeInternal, (row, g))
         }
+        // reference point: top-left corner of the (dwithin-expanded)
+        // envelope intersection — exactly one cell owns each pair
+        val owns: (Geometry, Geometry) => Boolean = (lg, rg) => {
+          val lEnv = new Envelope(lg.getEnvelopeInternal)
+          if (rel0.expand > 0) lEnv.expandBy(rel0.expand)
+          val rEnv = rg.getEnvelopeInternal
+          val refX = math.max(lEnv.getMinX, rEnv.getMinX)
+          val refY = math.max(lEnv.getMinY, rEnv.getMinY)
+          refX >= cellMinX && refX < cellMaxX &&
+            refY >= cellMinY && refY < cellMaxY
+        }
         streamSide.iterator.flatMap { case (wkb, srow) =>
-          val g = GeomCodec.read(wkb)
-          val env = new Envelope(g.getEnvelopeInternal)
-          // the STRtree holds UNexpanded envelopes, so the probe side
-          // always carries the dwithin expansion
-          if (rel0.expand > 0) env.expandBy(rel0.expand)
-          val candidates = index.query(env)
-          val out = Seq.newBuilder[InternalRow]
-          val it = candidates.iterator()
-          while (it.hasNext) {
-            val (brow, bg) = it.next().asInstanceOf[(InternalRow, Geometry)]
-            val (lg, rg) = if (buildIsRight) (g, bg) else (bg, g)
-            // reference point: top-left corner of the (expanded)
-            // envelope intersection — exactly one cell owns each pair
-            val lEnv = new Envelope(lg.getEnvelopeInternal)
-            if (rel0.expand > 0) lEnv.expandBy(rel0.expand)
-            val rEnv = rg.getEnvelopeInternal
-            val refX = math.max(lEnv.getMinX, rEnv.getMinX)
-            val refY = math.max(lEnv.getMinY, rEnv.getMinY)
-            val owns = refX >= cellMinX && refX < cellMaxX &&
-              refY >= cellMinY && refY < cellMaxY
-            if (owns && rel0.eval(lg, rg)) {
-              val (lr, rr) = if (buildIsRight) (srow, brow) else (brow, srow)
-              val j = joined(lr, rr)
-              if (pred.forall(_.eval(j))) {
-                numOutputRows += 1
-                out += proj(j).copy()
-              }
-            }
-          }
-          out.result().iterator
+          SpatialProbe.probeOne(index, GeomCodec.read(wkb), srow, rel0,
+            buildIsRight, joined, proj, pred, numOutputRows, owns)
         }
       }
       }

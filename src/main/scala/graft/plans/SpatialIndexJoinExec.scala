@@ -113,27 +113,8 @@ case class SpatialIndexJoinExec(
       iter.flatMap { srow =>
         val wkb = streamGeomBound.eval(srow).asInstanceOf[Array[Byte]]
         if (wkb == null) Iterator.empty
-        else {
-          val g = GeomCodec.read(wkb)
-          val env = new Envelope(g.getEnvelopeInternal)
-          if (rel0.expand > 0) env.expandBy(rel0.expand)
-          val candidates = index.query(env)
-          val out = Seq.newBuilder[InternalRow]
-          val it = candidates.iterator()
-          while (it.hasNext) {
-            val (brow, bg) = it.next().asInstanceOf[(InternalRow, Geometry)]
-            val ok =
-              if (buildIsRight) rel0.eval(g, bg) else rel0.eval(bg, g)
-            if (ok) {
-              val j = if (buildIsRight) joined(srow, brow) else joined(brow, srow)
-              if (pred.forall(_.eval(j))) {
-                numOutputRows += 1
-                out += proj(j).copy()
-              }
-            }
-          }
-          out.result().iterator
-        }
+        else SpatialProbe.probeOne(index, GeomCodec.read(wkb), srow, rel0,
+          buildIsRight, joined, proj, pred, numOutputRows, SpatialProbe.AlwaysOwns)
       }
     }
   }
