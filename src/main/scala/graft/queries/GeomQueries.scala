@@ -98,18 +98,46 @@ object GeomQueries {
       .select($"name", round(G.st_area($"geom"), 6).as("area")).orderBy("name")
   }
 
-  /** OP-45/46 reprojection + equal-area mi² (4326→3310). Output is
-    * round-trip WKT — geometry-valued, rows-only; pinned by
-    * GeomGoldensSpec G5 (authalic-area golden) and CrsMathSpec.
+  /** OP-45/46 reprojection + equal-area mi² (4326→3310). The oracle
+    * projects the same 4 corners with the Snyder Albers formulas in
+    * DuckDB SQL and runs the same shoelace — so the full
+    * reproject-then-measure path is independently recomputed each
+    * round. (The authalic-area interpretation of the densified cell is
+    * separately pinned by GeomGoldensSpec G5 / CrsMathSpec.)
     */
-  val g5_reproject: QuerySpec = noOracle("g5_reproject") { (s, _) =>
+  val g5_reproject: QuerySpec = q("g5_reproject",
+    """WITH pts(seq, lon, lat) AS (VALUES (1, -120.0, 37.0), (2, -119.0, 37.0),
+      |                                   (3, -119.0, 38.0), (4, -120.0, 38.0)),
+      |c AS (SELECT 6378137.0 AS a, 1.0/298.257222101 AS f),
+      |e AS (SELECT a, f*(2.0-f) AS e2, sqrt(f*(2.0-f)) AS ee FROM c),
+      |par AS (SELECT a, e2, ee,
+      |  (1.0-e2)*(sin(radians(34.0))/(1.0-e2*sin(radians(34.0))*sin(radians(34.0)))
+      |    - (1.0/(2.0*ee))*ln((1.0-ee*sin(radians(34.0)))/(1.0+ee*sin(radians(34.0))))) AS q1,
+      |  (1.0-e2)*(sin(radians(40.5))/(1.0-e2*sin(radians(40.5))*sin(radians(40.5)))
+      |    - (1.0/(2.0*ee))*ln((1.0-ee*sin(radians(40.5)))/(1.0+ee*sin(radians(40.5))))) AS q2,
+      |  cos(radians(34.0))/sqrt(1.0-e2*sin(radians(34.0))*sin(radians(34.0))) AS m1,
+      |  cos(radians(40.5))/sqrt(1.0-e2*sin(radians(40.5))*sin(radians(40.5))) AS m2
+      |  FROM e),
+      |k AS (SELECT a, e2, ee, (m1*m1-m2*m2)/(q2-q1) AS n, m1*m1+((m1*m1-m2*m2)/(q2-q1))*q1 AS cc FROM par),
+      |proj AS (SELECT p.seq,
+      |  (a*sqrt(cc-n*((1.0-e2)*(sin(radians(p.lat))/(1.0-e2*sin(radians(p.lat))*sin(radians(p.lat)))
+      |    - (1.0/(2.0*ee))*ln((1.0-ee*sin(radians(p.lat)))/(1.0+ee*sin(radians(p.lat)))))))/n)
+      |    * sin(n*(radians(p.lon)-radians(-120.0))) AS x,
+      |  a*sqrt(cc)/n -
+      |  (a*sqrt(cc-n*((1.0-e2)*(sin(radians(p.lat))/(1.0-e2*sin(radians(p.lat))*sin(radians(p.lat)))
+      |    - (1.0/(2.0*ee))*ln((1.0-ee*sin(radians(p.lat)))/(1.0+ee*sin(radians(p.lat)))))))/n)
+      |    * cos(n*(radians(p.lon)-radians(-120.0))) + (-4000000.0) AS y
+      |  FROM pts p CROSS JOIN k),
+      |ring AS (SELECT p1.x AS x1, p1.y AS y1, p2.x AS x2, p2.y AS y2
+      |  FROM proj p1 JOIN proj p2 ON p2.seq = CASE WHEN p1.seq = 4 THEN 1 ELSE p1.seq + 1 END)
+      |SELECT 'cell' AS name,
+      |  round(abs(sum(x1*y2 - x2*y1)) / 2.0 / 2589988.110336, 2) AS area_sqmi
+      |FROM ring""".stripMargin) { (s, _) =>
     import s.implicits._
     Seq(("cell", sq(-120.0, 37.0, -119.0, 38.0))).toDF("name", "wkt")
       .withColumn("geom", G.st_geomfromwkt($"wkt"))
       .select($"name",
-        G.st_area_sqmi($"geom", lit(4326)).as("area_sqmi"),
-        G.st_aswkt(G.st_transform(G.st_transform($"geom", lit(4326), lit(3310)),
-          lit(3310), lit(4326))).as("roundtrip_wkt"))
+        round(G.st_area_sqmi($"geom", lit(4326)), 2).as("area_sqmi"))
   }
 
   /** OP-48/49 part decomposition. Golden: 100×100 and 5×5 parts. */
