@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 
 /** Extension-operator queries (SURVEY §2.12) over the `documents` and
   * `embeddings` tables: dedup family, similarity search, text analysis,
@@ -331,10 +331,35 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  /** As-of join: each click enriched with the latest preceding view's
+    * value per user. The engine composes it from a union + one window
+    * sweep (operators/AsOfJoin); the oracle is DuckDB's NATIVE
+    * `ASOF LEFT JOIN` — a genuinely independent implementation of the
+    * same semantics (excluded from the spark.sql parity run for that
+    * reason).
+    */
+  val x22_asof: QuerySpec = q("x22_asof",
+    """SELECT c.event_id, c.user_id, round(v.value, 2) AS asof_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id AND c.ts >= v.ts
+      |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    AsOfJoin.asOfJoin(clicks, views, Seq("user_id"), "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        round(col("asof_value"), 2).as("asof_value"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
     x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal,
     x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing,
-    x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile)
+    x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
+    x22_asof)
 }

@@ -140,6 +140,22 @@ class ExtOpsSpec extends SparkTestBase {
     assert(Multimodal.resizeStub(small, 200) eq small) // no upscaling
   }
 
+  test("as-of join attaches the latest preceding right row per key") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val trades = Seq((1L, 10L, ts(100)), (2L, 10L, ts(200)), (3L, 20L, ts(50)))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq((10L, ts(90), 1.0), (10L, ts(150), 2.0), (10L, ts(200), 3.0),
+      (20L, ts(60), 9.0)).toDF("sym", "ts", "px")
+    val out = graft.operators.AsOfJoin
+      .asOfJoin(trades, quotes, Seq("sym"), "ts", Seq("px"))
+      .select($"trade_id", $"asof_px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(1.0))   // quote@90 precedes trade@100
+    assert(out(2L).contains(3.0))   // equal-ts quote@200 counts (>= semantics)
+    assert(out(3L).isEmpty)         // no quote before trade@50
+  }
+
   test("HLL approx distinct stays within 5% of exact at corpus scale") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
     val row = li.agg(

@@ -21,7 +21,11 @@ class SqlParitySpec extends SparkTestBase {
 
   test("all oracle SQL runs via spark.sql and matches the DataFrame results") {
     registerTables()
-    val specs = (CorpusQueries.all ++ ExtQueries.all).filter(_.oracle.isDefined)
+    // ASOF JOIN oracles use DuckDB's native operator on purpose (an
+    // independent implementation of the semantics) — no Spark SQL twin
+    val specs = (CorpusQueries.all ++ ExtQueries.all)
+      .filter(_.oracle.isDefined)
+      .filterNot(_.oracle.get.contains("ASOF "))
     assert(specs.nonEmpty)
     val failures = specs.flatMap { spec =>
       try {
