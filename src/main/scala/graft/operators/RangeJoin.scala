@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (band) join: pair each right row with every left row whose
+  * `[lo, hi]` interval contains the right row's value. Spark plans the
+  * raw inequality join as a BroadcastNestedLoopJoin — O(n·m); here the
+  * interval side explodes into fixed-width buckets and the value side
+  * hashes into exactly one, so the pairing becomes an equi shuffle
+  * join on the bucket id plus the exact BETWEEN as residual — the same
+  * decomposition as the spatial grid join, in one dimension. Each
+  * right row lives in exactly one bucket, so pairs are exactly-once
+  * with no distinct.
+  *
+  * Bucket width tunes replication: intervals spanning k buckets
+  * replicate k times. Pick width ≈ the typical interval length.
+  */
+object RangeJoin {
+
+  def bandJoin(
+      intervals: DataFrame, loCol: String, hiCol: String,
+      values: DataFrame, vCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lSel = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    val rSel = values.withColumn("__bucket",
+      floor(col(vCol) / bucketWidth).cast("long"))
+    lSel.join(rSel, Seq("__bucket"))
+      .filter(col(vCol) >= col(loCol) && col(vCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis => TA}
 
 /** Extension-operator queries (SURVEY §2.12) over the `documents` and
   * `embeddings` tables: dedup family, similarity search, text analysis,
@@ -355,11 +355,37 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Range join: documents matched into every language's typical-length
+    * band (avg ± stddev). The engine buckets the inequality into an
+    * equi shuffle join (operators/RangeJoin); the oracle is DuckDB's
+    * plain BETWEEN join (its IEJoin) — an independent implementation.
+    * Band edges round to 4dp on both sides so FP differences in the
+    * two engines' stddev accumulation can't flip a boundary.
+    */
+  val x23_rangejoin: QuerySpec = q("x23_rangejoin",
+    """WITH bands AS (SELECT lang AS band_lang,
+      |    round(avg(n_chars) - stddev(n_chars), 4) AS lo,
+      |    round(avg(n_chars) + stddev(n_chars), 4) AS hi
+      |  FROM documents GROUP BY lang)
+      |SELECT band_lang, cast(count(*) AS BIGINT) AS docs_in_band
+      |FROM bands JOIN documents d ON d.n_chars BETWEEN bands.lo AND bands.hi
+      |GROUP BY band_lang ORDER BY band_lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bands = docs.groupBy(col("lang").as("band_lang"))
+      .agg(round(avg(col("n_chars")) - stddev(col("n_chars")), 4).as("lo"),
+        round(avg(col("n_chars")) + stddev(col("n_chars")), 4).as("hi"))
+    RangeJoin.bandJoin(bands, "lo", "hi",
+        docs.select(col("doc_id"), col("n_chars")), "n_chars", bucketWidth = 64.0)
+      .groupBy("band_lang")
+      .agg(count(lit(1)).cast("bigint").as("docs_in_band"))
+      .orderBy("band_lang")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
     x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal,
     x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing,
     x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
-    x22_asof)
+    x22_asof, x23_rangejoin)
 }

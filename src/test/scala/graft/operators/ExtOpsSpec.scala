@@ -156,6 +156,24 @@ class ExtOpsSpec extends SparkTestBase {
     assert(out(3L).isEmpty)         // no quote before trade@50
   }
 
+  test("band join equals the naive inequality join, exactly once per pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val intervals = (0 until 50).map { i =>
+      val lo = rnd.nextDouble() * 100; (s"i$i", lo, lo + rnd.nextDouble() * 40)
+    }.toDF("iid", "lo", "hi")
+    val values = (0 until 200).map(j => (s"v$j", rnd.nextDouble() * 160 - 10))
+      .toDF("vid", "v")
+    val naive = intervals.join(values, $"v" >= $"lo" && $"v" <= $"hi")
+      .select("iid", "vid").as[(String, String)].collect().sorted.toSeq
+    for (w <- Seq(5.0, 33.0, 500.0)) {
+      val banded = graft.operators.RangeJoin
+        .bandJoin(intervals, "lo", "hi", values, "v", w)
+        .select("iid", "vid").as[(String, String)].collect().sorted.toSeq
+      assert(banded == naive, s"width=$w")
+    }
+  }
+
   test("HLL approx distinct stays within 5% of exact at corpus scale") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
     val row = li.agg(
