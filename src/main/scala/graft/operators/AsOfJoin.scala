@@ -31,26 +31,26 @@ object AsOfJoin {
     val leftCols = left.columns
     // shared layout: left columns ++ __asof_<attach> ++ __tag
     val lSel = left.select(
-      leftCols.map(col) ++
+      (leftCols.map(col) ++
         attach.map(c => lit(null).cast(right.schema(c).dataType).as(s"__asof_$c")) :+
-        lit(1).as("__tag"): _*)
+        lit(1).as("__tag")).toIndexedSeq: _*)
     val rSel = right.select(
-      leftCols.map { c =>
+      (leftCols.map { c =>
         if (keys.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
       } ++
         attach.map(c => col(c).as(s"__asof_$c")) :+
-        lit(0).as("__tag"): _*)
+        lit(0).as("__tag")).toIndexedSeq: _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val swept = lSel.unionByName(rSel).select(
-      (leftCols.map(col) :+
+      ((leftCols.map(col) :+
         col("__tag")) ++
         attach.map(c => last(col(s"__asof_$c"), ignoreNulls = true).over(w)
-          .as(s"asof_$c")): _*)
+          .as(s"asof_$c"))).toIndexedSeq: _*)
 
     swept.filter(col("__tag") === 1).drop("__tag")
   }

@@ -28,7 +28,7 @@ object SpatialOps {
     * back is one-row-per-duplicate.
     */
   private def withRowKey(df: DataFrame, keyCol: String): DataFrame =
-    df.withColumn(keyCol, xxhash64(df.columns.map(col): _*))
+    df.withColumn(keyCol, xxhash64(df.columns.map(col).toIndexedSeq: _*))
 
   /** OP-38 Dissolve (`bunny.py:264-270`): group by keys, union each
     * group's geometries into one multipart feature; non-key attributes

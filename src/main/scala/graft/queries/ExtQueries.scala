@@ -381,11 +381,33 @@ object ExtQueries {
       .orderBy("band_lang")
   }
 
+  /** Deterministic stratified sampling: top-N per language by a
+    * content-independent hash of the id — the reproducible-subset
+    * primitive every training-data pipeline needs (rand()-based
+    * sampling can't be re-derived or oracle-checked; md5-ordering is
+    * identical in any engine, so the exact sample is portable).
+    */
+  val x24_sample: QuerySpec = q("x24_sample",
+    """SELECT lang, doc_id FROM
+      |  (SELECT lang, doc_id,
+      |     row_number() OVER (PARTITION BY lang ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rn
+      |   FROM documents) t
+      |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
     x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal,
     x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing,
     x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
-    x22_asof, x23_rangejoin)
+    x22_asof, x23_rangejoin, x24_sample)
 }
