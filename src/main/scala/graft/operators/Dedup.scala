@@ -199,6 +199,73 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected pair list via min-label
+    * propagation: every node adopts the smallest label reachable in one
+    * hop per round, so labels converge to the component minimum in
+    * O(diameter) rounds. Near-dup clusters are shallow (a dup cluster's
+    * diameter is tiny), so the loop exits after 2-3 rounds on real
+    * corpora; `maxIter` bounds pathological chains. Each round is two
+    * shuffle joins on the pair list — no driver-side graph.
+    *
+    * Returns (id, component) with component = min id of the cluster.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 10): DataFrame = {
+    // symmetric edge list + self loops
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate label per node: min over its own and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "__nc"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("__nc")).as("__minNeighbor"))
+      val updated = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__minNeighbor"), col("component")))
+            .as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
+        .filter(col("component") < col("__old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup removal with CLUSTER semantics: candidates → exact
+    * verification → connected components → keep the min-id row of each
+    * component. Strictly stronger than the keep-first pair policy of
+    * [[nearDupRemove]]: edges (a,c),(b,c) form one cluster — the pair
+    * policy keeps {a, b}, this keeps only a.
+    */
+  def nearDupRemoveCC(
+      df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
+      precomputedCandidates: Option[DataFrame] = None): DataFrame = {
+    val cands = precomputedCandidates
+      .getOrElse(minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK))
+      .filter(col("est_jaccard") >= jaccardThreshold - 0.15)
+    val verified = ngramJaccard(df, idCol, textCol, cands, shingleK)
+      .filter(col("jaccard") >= jaccardThreshold)
+    val comps = connectedComponents(verified, "a", "b")
+    val drop = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // --- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens. */

@@ -403,11 +403,23 @@ object ExtQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Near-dup CLUSTER dedup: candidates → exact verification →
+    * connected components → keep min-id per cluster (the production
+    * LSH-dedup semantics; strictly stronger than pairwise keep-first).
+    * Rows-only (minhash-derived); component logic unit-proven.
+    */
+  val x25_neardup_clusters: QuerySpec = noOracle("x25_neardup_clusters") { (s, d) =>
+    Dedup.nearDupRemoveCC(Tables.documents(s, d), "doc_id", "text",
+        precomputedCandidates = Some(minhashCands(s, d)))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
     x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal,
     x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing,
     x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
-    x22_asof, x23_rangejoin, x24_sample)
+    x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters)
 }
