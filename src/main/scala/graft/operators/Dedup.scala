@@ -211,7 +211,48 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10,
+      driverThreshold: Long = 1L << 20): DataFrame = {
+    // scale-adaptive (the AQE-style choice): a verified near-dup pair
+    // list is usually a tiny fraction of the corpus — below the
+    // threshold, classic union-find on the driver beats a multi-round
+    // distributed loop by an order of magnitude; above it, fall through
+    // to label propagation
+    val nPairs = pairs.count()
+    if (nPairs <= driverThreshold) {
+      val spark = pairs.sparkSession
+      val idType = pairs.schema(aCol).dataType
+      val edges = pairs.select(col(aCol), col(bCol)).collect()
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      val ord = new Ordering[Any] {
+        def compare(x: Any, y: Any): Int = (x, y) match {
+          case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+          case (a: Int, b: Int) => java.lang.Integer.compare(a, b)
+          case _ => x.toString.compareTo(y.toString)
+        }
+      }
+      edges.foreach { r =>
+        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+        if (ra != rb) {
+          val (lo, hi) = if (ord.lt(ra, rb)) (ra, rb) else (rb, ra)
+          parent(hi) = lo                    // min id becomes the root
+        }
+      }
+      val ids = edges.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+      val rows = ids.map(id => org.apache.spark.sql.Row(id, find(id)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    }
     // symmetric edge list + self loops
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))

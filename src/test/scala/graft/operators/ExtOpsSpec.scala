@@ -140,13 +140,19 @@ class ExtOpsSpec extends SparkTestBase {
     assert(Multimodal.resizeStub(small, 200) eq small) // no upscaling
   }
 
-  test("connected components converge to the min id per cluster") {
+  test("connected components converge to the min id per cluster (both paths)") {
     import spark.implicits._
-    // components: {1,2,3} (chain), {7,9} via one edge, {5} isolated-by-absence
+    // components: {1,2,3} (chain), {7,9} via one edge
     val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("a", "b")
-    val comps = Dedup.connectedComponents(pairs, "a", "b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    // driver union-find path (default threshold)
+    val viaDriver = Dedup.connectedComponents(pairs, "a", "b")
       .as[(Long, Long)].collect().toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(viaDriver == expect)
+    // distributed label-propagation path (threshold forced to 0)
+    val viaCluster = Dedup.connectedComponents(pairs, "a", "b", driverThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaCluster == expect)
   }
 
   test("CC dedup keeps one row per cluster where pair policy keeps two") {
