@@ -121,5 +121,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))),
     (FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosineExpr].getName, "vec_cosine"),
-      (exprs: Seq[Expression]) => VecCosineExpr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => VecCosineExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("sig_eqcount"),
+      new ExpressionInfo(classOf[SigEqCountExpr].getName, "sig_eqcount"),
+      (exprs: Seq[Expression]) => SigEqCountExpr(exprs(0), exprs(1))))
 }

@@ -9,6 +9,17 @@ import graft.SparkTestBase
 class GeomSqlSurfaceSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("injected vector kernels work from pure SQL") {
+    val r = spark.sql(
+      """SELECT round(vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)), 6) AS d,
+        |  round(vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)), 6) AS c,
+        |  sig_eqcount(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS e""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getInt(2) == 2)
+  }
+
   test("registered ST functions drive a dissolve + metrics query in pure SQL") {
     GeomFunctions.registerAll(spark)
     Seq(
