@@ -39,6 +39,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.indexOf("HashAggregate", firstAgg + 1) >= 0, plan)
   }
 
+  test("dissolve aggregates partially map-side (two-phase union aggregator)") {
+    import spark.implicits._
+    import graft.geom.{GeomFunctions => G}
+    val df = Seq(("A", "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"))
+      .toDF("k", "wkt").withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
+    val plan = graft.operators.SpatialOps.dissolve(df, Seq("k"))
+      .queryExecution.executedPlan.toString
+    // typed Aggregator over WKB plans as ObjectHashAggregate; partial
+    // (map-side) level must appear below the exchange in addition to
+    // the final merge level
+    val first = plan.indexOf("ObjectHashAggregate")
+    assert(first >= 0, plan)
+    assert(plan.indexOf("ObjectHashAggregate", first + 1) >= 0, plan)
+    assert(plan.contains("Exchange"), plan)
+  }
+
   test("q30 top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = CorpusQueries.q30.run(spark, sfDir)
       .queryExecution.executedPlan.toString
