@@ -52,6 +52,7 @@ object DialectShim {
     }
     s = s.replaceAll("""\blen\(""", "size(")
     s = s.replaceAll("""\bquantile_cont\(""", "percentile(")
+    s = s.replaceAll("""\bjson_extract_string\(""", "get_json_object(")
     s = s.replaceAll("""\bregexp_split_to_array\(""", "split(")
     s = s.replaceAll("""\blist_intersect\(""", "array_intersect(")
     // DuckDB list literal ['a','b'] → Spark array('a','b'). Only when

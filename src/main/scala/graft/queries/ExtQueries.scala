@@ -415,11 +415,28 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Semi-structured extraction: JSON property pulled out of the
+    * events `props` column and aggregated — the schema-on-read shape
+    * for event payloads (Spark `get_json_object` ≡ DuckDB
+    * `json_extract_string`, shimmed).
+    */
+  val x26_json: QuerySpec = q("x26_json",
+    """SELECT event_type,
+      |  cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  round(avg(cast(json_extract_string(props, '$.k') AS BIGINT)), 2) AS k_avg
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(sum(k).cast("bigint").as("k_sum"), round(avg(k), 2).as("k_avg"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
     x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal,
     x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing,
     x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
-    x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters)
+    x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters, x26_json)
 }
