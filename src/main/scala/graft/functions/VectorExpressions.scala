@@ -5,7 +5,8 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Primitive float-vector kernels for the similarity operators
   * (SURVEY §2.12). Embedding comparisons run once per CANDIDATE PAIR —
@@ -51,7 +52,9 @@ object VecOps {
   * signatures agree — the MinHash similarity estimator's kernel, one
   * call per candidate pair.
   */
-case class SigEqCountExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class SigEqCountExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sig_eqcount"
@@ -67,7 +70,9 @@ case class SigEqCountExpr(left: Expression, right: Expression) extends BinaryExp
 }
 
 /** `vec_dot(a, b)`: float-array dot product. */
-case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_dot"
@@ -83,7 +88,9 @@ case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpress
 }
 
 /** `vec_cosine(a, b)`: float-array cosine similarity. */
-case class VecCosineExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class VecCosineExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_cosine"

@@ -53,12 +53,16 @@ object DialectShim {
     s = s.replaceAll("""\blen\(""", "size(")
     s = s.replaceAll("""\bquantile_cont\(""", "percentile(")
     s = s.replaceAll("""\bjson_extract_string\(""", "get_json_object(")
+    // DuckDB vector SQL → the engine's injected native kernels
+    s = s.replaceAll("""\blist_cosine_similarity\(""", "vec_cosine(")
+    s = s.replaceAll("""AS DOUBLE\[\]\)""", "AS ARRAY<DOUBLE>)")
     s = s.replaceAll("""\bregexp_split_to_array\(""", "split(")
     s = s.replaceAll("""\blist_intersect\(""", "array_intersect(")
-    // DuckDB list literal ['a','b'] → Spark array('a','b'). Only when
-    // the content is quoted strings — regex character classes like
-    // [A-Za-z0-9] contain no quotes and must pass through untouched.
+    // DuckDB list literal ['a','b'] / [CAST(...), ...] → Spark
+    // array(...). Only when the content starts with a quote or CAST —
+    // regex character classes like [A-Za-z0-9] must pass through.
     s = s.replaceAll("""\[(\s*'[^\[\]]*')\]""", "array($1)")
+    s = s.replaceAll("""\[(\s*CAST\([^\[\]]+)\]""", "array($1)")
     // Spark SQL string literals eat single backslashes ('\s+' parses to
     // "s+"); DuckDB keeps them. Double them for Spark's parser.
     s = s.replaceAll("""\\s\+""", """\\\\s+""")

@@ -91,10 +91,26 @@ object ExtQueries {
       .orderBy("a", "b")
   }
 
-  /** Brute-force cosine top-k against a fixed deterministic query. */
-  val x07_ann_bruteforce: QuerySpec = noOracle("x07_ann_bruteforce") { (s, d) =>
-    val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
-    Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", query, 10)
+  /** Brute-force cosine top-k against a fixed deterministic query,
+    * oracle-checked: DuckDB recomputes the cosine in double arithmetic
+    * (embedding cast DOUBLE[], query = float-rounded sin values cast
+    * back to double — exactly the numbers the engine's float arrays
+    * hold). Both sides select by the ROUNDED score + vec_id so the
+    * top-10 set is stable against last-ulp ordering noise.
+    */
+  val x07_ann_bruteforce: QuerySpec = q("x07_ann_bruteforce", {
+    val qv = (1 to 64).map(i => s"CAST(CAST(sin($i) AS REAL) AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qv), 4) AS cosine
+       |FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }) { (s, d) =>
+    val query = typedLit(Array.tabulate(64)(i => math.sin(i + 1).toFloat))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.vec_cosine(col("embedding"), query), 4)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
   }
 
   /** LSH-bucketed ANN top-k (scale path of x07). */
