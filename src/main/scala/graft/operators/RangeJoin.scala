@@ -33,4 +33,28 @@ object RangeJoin {
       .filter(col(vCol) >= col(loCol) && col(vCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: pair every `[aLo, aHi]` with every
+    * `[bLo, bHi]` that overlaps it — the 1-D analog of the spatial
+    * grid join. BOTH sides explode into the buckets their interval
+    * spans; a pair spanning k shared buckets surfaces k times, so only
+    * the bucket containing `max(aLo, bLo)` (the overlap's left edge —
+    * the 1-D reference point) emits it: exactly-once with no distinct.
+    * Column names of the two inputs must be disjoint.
+    */
+  def intervalOverlapJoin(
+      a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def tagged(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bucket",
+        explode(sequence(
+          floor(col(lo) / bucketWidth).cast("long"),
+          floor(col(hi) / bucketWidth).cast("long"))))
+    tagged(a, aLo, aHi).join(tagged(b, bLo, bHi), Seq("__bucket"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(floor(greatest(col(aLo), col(bLo)) / bucketWidth).cast("long") === col("__bucket"))
+      .drop("__bucket")
+  }
 }

@@ -448,11 +448,39 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
+  /** Interval-overlap join: users whose activity windows overlap — the
+    * 1-D grid decomposition (both sides bucketed, reference-point
+    * exactly-once) vs DuckDB's plain inequality join as oracle.
+    */
+  val x27_interval_overlap: QuerySpec = q("x27_interval_overlap",
+    """WITH w AS (SELECT user_id, epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+      |  FROM events GROUP BY user_id)
+      |SELECT a.user_id, cast(count(*) AS BIGINT) AS n_overlapping
+      |FROM w a JOIN w b
+      |  ON a.lo <= b.hi AND b.lo <= a.hi AND a.user_id < b.user_id
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin) { (s, d) =>
+    // µs integers on both sides (timestamps carry sub-second parts;
+    // epoch_us ≡ unix_micros is the proven parity pair from Q32)
+    val w = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(unix_micros(min(col("ts")).cast("timestamp")).as("lo"),
+        unix_micros(max(col("ts")).cast("timestamp")).as("hi"))
+    val a = w.select(col("user_id").as("a_user"), col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val b = w.select(col("user_id").as("b_user"), col("lo").as("b_lo"), col("hi").as("b_hi"))
+    RangeJoin.intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+        bucketWidth = 86400e6)
+      .filter(col("a_user") < col("b_user"))
+      .groupBy(col("a_user").as("user_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_overlapping"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
     x09_langid, x10_quality, x11_tokens, x12_fingerprint, x13_multimodal,
     x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing,
     x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
-    x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters, x26_json)
+    x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters, x26_json,
+    x27_interval_overlap)
 }

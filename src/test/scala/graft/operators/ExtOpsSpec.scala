@@ -208,6 +208,24 @@ class ExtOpsSpec extends SparkTestBase {
     }
   }
 
+  test("interval overlap join equals the naive inequality join, exactly once per pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def intervals(n: Int, p: String) = (0 until n).map { i =>
+      val lo = rnd.nextDouble() * 100; (s"$p$i", lo, lo + rnd.nextDouble() * 50)
+    }
+    val a = intervals(60, "a").toDF("aid", "a_lo", "a_hi")
+    val b = intervals(60, "b").toDF("bid", "b_lo", "b_hi")
+    val naive = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select("aid", "bid").as[(String, String)].collect().sorted.toSeq
+    for (w <- Seq(7.0, 40.0, 1000.0)) {
+      val got = graft.operators.RangeJoin
+        .intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", w)
+        .select("aid", "bid").as[(String, String)].collect().sorted.toSeq
+      assert(got == naive, s"width=$w: ${got.size} vs ${naive.size}")
+    }
+  }
+
   test("HLL approx distinct stays within 5% of exact at corpus scale") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
     val row = li.agg(
