@@ -269,11 +269,22 @@ object Dedup {
           .withColumnRenamed("component", "__nc"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("__nc")).as("__minNeighbor"))
-      val updated = labels.join(viaNeighbors, Seq("id"), "left")
+      val hop = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__minNeighbor"), col("component")))
             .as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer doubling: additionally adopt the label OF one's current
+      // label, halving label-chain depth every round — convergence drops
+      // from O(diameter) to O(log diameter), so a 10-round budget covers
+      // chains ~2^10 deep instead of 10
+      val byLabel = hop.select(col("id").as("__lid"), col("component").as("__lc"))
+      // localCheckpoint (not just persist): the self-referencing join
+      // doubles the LOGICAL plan every round; lineage must be cut or
+      // round k carries a 2^k-node plan into the analyzer
+      val updated = hop.join(byLabel, hop("component") === byLabel("__lid"), "left")
+        .select(hop("id"),
+          least(hop("component"), coalesce(col("__lc"), hop("component"))).as("component"))
+        .localCheckpoint(true)
       val changed = updated.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
         .filter(col("component") < col("__old")).limit(1).count()
       labels.unpersist()
@@ -282,6 +293,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // partial labels would silently split clusters (dedup keeps rows it
+    // should drop, with no signal) — refuse to return them
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"(pathological component diameter > ~2^$maxIter); raise maxIter")
     labels
   }
 

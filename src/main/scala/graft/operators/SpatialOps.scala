@@ -18,17 +18,25 @@ import graft.geom.StUnionAgg.st_union_agg
   */
 object SpatialOps {
 
-  /** Deterministic row-correlation key: xxhash64 over every column.
+  /** Deterministic row-correlation key: a 128-bit content hash (two
+    * independently-salted xxhash64 halves packed in a struct).
     * `monotonically_increasing_id` is nondeterministic under shuffle
     * reordering / task retry / cache eviction, so a recomputed subtree
     * could disagree with ids captured in a sibling subtree and silently
     * mis-join. A content hash is stable across recomputation; exact
     * duplicate rows share a key, which is safe for erase/overlay — the
     * per-key aggregation (geometry union) is idempotent and the join
-    * back is one-row-per-duplicate.
+    * back is one-row-per-duplicate. 128 bits (not 64) because a single
+    * 64-bit hash collides with better-than-even odds around ~5B rows
+    * (birthday bound) — inside the 100 TB envelope this operator
+    * targets — and a collision silently unions one row's erasers into
+    * another's. At 128 bits the bound is ~10^19 rows.
     */
-  private def withRowKey(df: DataFrame, keyCol: String): DataFrame =
-    df.withColumn(keyCol, xxhash64(df.columns.map(col).toIndexedSeq: _*))
+  private def withRowKey(df: DataFrame, keyCol: String): DataFrame = {
+    val cs = df.columns.map(col).toIndexedSeq
+    df.withColumn(keyCol,
+      struct(xxhash64(cs: _*).as("h1"), xxhash64((lit("graft:h2") +: cs): _*).as("h2")))
+  }
 
   /** OP-38 Dissolve (`bunny.py:264-270`): group by keys, union each
     * group's geometries into one multipart feature; non-key attributes

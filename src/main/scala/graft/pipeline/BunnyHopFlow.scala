@@ -123,8 +123,15 @@ object BunnyHopFlow {
       .filter(col(Coastal).isin(CoastlineExclude: _*))
       .select(col(Coastal), col("geom"))
 
-    val prelim = SpatialOps.overlayUnion(layer, coastalSel)
-      .withColumn("__oid", monotonically_increasing_id())
+    // deterministic pairing-order key: sliverFix sorts each place bucket
+    // by this column to decide which polygon absorbs a sliver, so it must
+    // be stable run-to-run. monotonically_increasing_id() on a shuffle-fed
+    // plan is NOT — task retry / reduce-fetch reordering / cache eviction
+    // renumber rows, silently flipping which polygon wins a sliver. A
+    // content hash of the overlay output row is.
+    val overlaid = SpatialOps.overlayUnion(layer, coastalSel)
+    val prelim = overlaid
+      .withColumn("__oid", xxhash64(overlaid.columns.map(col).toIndexedSeq: _*))
 
     val fixedRows =
       if (runSliverFix)

@@ -40,19 +40,26 @@ object FeatureService {
     var offset = 0
     var more = true
     var pages = 0
-    var prevFirst: Option[Map[String, String]] = None
+    var prevSig: Option[Seq[(Map[String, String], Seq[Byte])]] = None
     while (more) {
       val page = parsePage(fetch(queryUrl(baseUrl, offset, pageSize)))
       // a server that ignores resultOffset (supportsPagination=false)
       // returns the same page for every offset — detect the lack of
-      // progress instead of looping forever
-      val stalled = page.nonEmpty && prevFirst.contains(page.head._1)
+      // progress instead of looping forever. The comparison covers the
+      // WHOLE page (every feature's attributes + geometry bytes), not
+      // just the head feature: consecutive pages can legitimately start
+      // with identical attribute maps (sparse/duplicated attributes),
+      // and a head-only check would abort a valid fetch.
+      val sig = page.map { case (attrs, wkb) =>
+        (attrs, if (wkb == null) Seq.empty[Byte] else wkb.toSeq)
+      }
+      val stalled = page.nonEmpty && prevSig.contains(sig)
       if (stalled)
         throw new IllegalStateException(
-          s"$baseUrl ignores resultOffset (same page at offset $offset) — " +
+          s"$baseUrl ignores resultOffset (identical page at offset $offset) — " +
             "the service does not support pagination")
       out ++= page
-      prevFirst = page.headOption.map(_._1)
+      prevSig = Some(sig)
       pages += 1
       more = page.nonEmpty && pages < maxPages
       offset += page.size

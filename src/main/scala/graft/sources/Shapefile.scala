@@ -285,6 +285,12 @@ object Shapefile {
     flds.foreach(f => require(f.len <= 254,
       s"dbf field ${f.name} needs width ${f.len} (> 254, the dBASE limit)"))
     val recordSize = 1 + flds.map(_.len).sum
+    // dBASE stores record size as UNSIGNED 16-bit; ~129 max-width fields
+    // push it past 32767 and putShort would silently wrap negative,
+    // emitting a corrupt .dbf (the per-field check above can't see this)
+    require(recordSize <= 0xFFFF,
+      s"dbf record size $recordSize exceeds 65535 (unsigned 16-bit dBASE limit); " +
+        "drop or narrow columns")
     val headerSize = 32 + 32 * flds.length + 1
     val out = ByteBuffer.allocate(headerSize + recordSize * rows.length + 1)
       .order(ByteOrder.LITTLE_ENDIAN)

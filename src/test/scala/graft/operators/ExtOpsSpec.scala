@@ -190,6 +190,34 @@ class ExtOpsSpec extends SparkTestBase {
     assert(out(3L).isEmpty)         // no quote before trade@50
   }
 
+  test("as-of join: NULL attach values come from the MATCHED row, not a stale one") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val trades = Seq((1L, 10L, ts(100))).toDF("trade_id", "sym", "ts")
+    // latest preceding quote has px=NULL but sz=7: native ASOF JOIN
+    // attaches (NULL, 7) — a per-column last(ignoreNulls) sweep would
+    // wrongly resurrect the older row's px=1.0
+    val quotes = Seq(
+      (10L, ts(50), Some(1.0), Some(5L)),
+      (10L, ts(90), None, Some(7L))).toDF("sym", "ts", "px", "sz")
+    val out = graft.operators.AsOfJoin
+      .asOfJoin(trades, quotes, Seq("sym"), "ts", Seq("px", "sz"))
+      .select($"asof_px", $"asof_sz").as[(Option[Double], Option[Long])]
+      .collect()
+    assert(out.toSeq == Seq((None, Some(7L))),
+      s"expected attach (NULL, 7) from the matched row, got ${out.toSeq}")
+  }
+
+  test("connected components converge on a chain deeper than maxIter (pointer doubling)") {
+    import spark.implicits._
+    // a 40-node path: diameter 39 >> the 10-round budget of plain
+    // min-label propagation; pointer doubling must still converge
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs, "a", "b", driverThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == 40 && comps.values.forall(_ == 0L), s"got $comps")
+  }
+
   test("band join equals the naive inequality join, exactly once per pair") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

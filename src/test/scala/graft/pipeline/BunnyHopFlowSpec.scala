@@ -141,6 +141,46 @@ class BunnyHopFlowSpec extends SparkTestBase {
     assert(diff.length == 1 && diff(0).getAs[String]("change") == "removed")
   }
 
+  test("coastal cut is deterministic under shuffle-partition changes (r2 verdict #1)") {
+    import spark.implicits._
+    def sq(x0: Double, y0: Double, x1: Double, y1: Double): String =
+      s"POLYGON(($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))"
+    // place "Tri": rows A and B are big squares with a 100 m gap; row C
+    // owns a sub-threshold sliver in the gap touching BOTH A and B, plus
+    // a big part of its own. Whichever of A/B pairs with C first absorbs
+    // the sliver — the exact ordering-sensitive case the __oid key decides.
+    val layer = Seq(
+      ("Tri", "City", "Tri", sq(0, 0, 1000, 1000)),
+      ("Tri", "City", "Tri", sq(1100, 0, 2100, 1000)),
+      ("Tri", "City", "Tri",
+        s"MULTIPOLYGON(((3000 0, 4000 0, 4000 1000, 3000 1000, 3000 0)), " +
+          s"((1000 0, 1100 0, 1100 100, 1000 100, 1000 0)))"))
+      .toDF(LegalPlaceName, PlaceType, PlaceName, "wkt")
+      .withColumn("geom", G.st_geomfromwkt(col("wkt"))).drop("wkt")
+    val coast = Seq(("ocean", sq(9000, 9000, 9500, 9500)))
+      .toDF(Coastal, "wkt")
+      .withColumn("geom", G.st_geomfromwkt(col("wkt"))).drop("wkt")
+
+    def runOnce(shufflePartitions: Int, inputPartitions: Int): Seq[(String, String, Double)] = {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      try {
+        BunnyHopFlow.coastalCut(layer.repartition(inputPartitions), coast)
+          .select(col(LegalPlaceName), md5(col("geom")).as("fp"), G.st_area(col("geom")).as("a"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+
+    val run1 = runOnce(4, 1)
+    val run2 = runOnce(7, 3)
+    assert(run1 == run2, s"coastalCut output differs across shuffle layouts:\n$run1\nvs\n$run2")
+    // and the sliver really moved: one polygon grew to 1.01e6 m²
+    val areas = run1.map(_._3).sorted
+    assert(areas.count(a => math.abs(a - 1.0e6) < 1e-3) == 2 &&
+      areas.count(a => math.abs(a - 1.01e6) < 1e-3) == 1, s"areas $areas")
+  }
+
   test("census processing: CDP geoid NULL, out-of-state and statewide dropped") {
     val census = BunnyHopFlow.processCensus(
       BunnySources.readCensusXlsx(spark, res("census_geocodes.xlsx")))
