@@ -37,11 +37,18 @@ object Bench {
       }
 
     // a failed query reports -1 (never a plausible-looking elapsed time)
-    // and lands in `failed` so breakage is visible in the JSON itself
+    // and lands in `failed` so breakage is visible in the JSON itself.
+    // Each query runs `reps` times and reports the MEDIAN — a single
+    // run can't distinguish a real regression from GC/section-ordering
+    // noise (r2's p02 "regression" was exactly that ambiguity).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      name -> (if (times.size == reps) times.sorted.apply(reps / 2) else -1.0)
     }
     val failed = results.collect { case (k, v) if v < 0 => s""""$k"""" }.mkString("[", ",", "]")
 

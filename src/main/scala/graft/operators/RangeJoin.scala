@@ -34,6 +34,31 @@ object RangeJoin {
       .drop("__bucket")
   }
 
+  /** Median interval length across both inputs — the bucket width that
+    * keeps per-interval replication ≈ 2 for the typical row. A width
+    * chosen blind degenerates two ways: too narrow and every interval
+    * explodes into span/width buckets (replication blow-up — the r2
+    * x27 failure mode, where day-wide buckets under corpus-spanning
+    * windows collapsed the decomposition toward all-pairs × #buckets);
+    * too wide and all rows land in one bucket (no parallelism). The
+    * data's own median is the right scale by construction. One cheap
+    * aggregation pass; deterministic for a given input.
+    */
+  def autoBucketWidth(
+      a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String): Double = {
+    val lens = a.select((col(aHi) - col(aLo)).cast("double").as("len"))
+      .unionAll(b.select((col(bHi) - col(bLo)).cast("double").as("len")))
+    val row = lens.agg(
+      percentile_approx(col("len"), lit(0.5), lit(10000)).as("med"),
+      max(col("len")).as("mx")).head()
+    val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val mx = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+    // degenerate inputs: all point intervals (med = 0) still need a
+    // positive width; any value gives replication 1 per row
+    if (med > 0) med else if (mx > 0) mx else 1.0
+  }
+
   /** Interval-overlap join: pair every `[aLo, aHi]` with every
     * `[bLo, bHi]` that overlaps it — the 1-D analog of the spatial
     * grid join. BOTH sides explode into the buckets their interval
@@ -41,7 +66,16 @@ object RangeJoin {
     * the bucket containing `max(aLo, bLo)` (the overlap's left edge —
     * the 1-D reference point) emits it: exactly-once with no distinct.
     * Column names of the two inputs must be disjoint.
+    *
+    * Prefer the width-less overload unless profiling says otherwise:
+    * it derives the width from the data ([[autoBucketWidth]]).
     */
+  def intervalOverlapJoin(
+      a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String): DataFrame =
+    intervalOverlapJoin(a, aLo, aHi, b, bLo, bHi,
+      autoBucketWidth(a, aLo, aHi, b, bLo, bHi))
+
   def intervalOverlapJoin(
       a: DataFrame, aLo: String, aHi: String,
       b: DataFrame, bLo: String, bHi: String,

@@ -467,8 +467,10 @@ object ExtQueries {
         unix_micros(max(col("ts")).cast("timestamp")).as("hi"))
     val a = w.select(col("user_id").as("a_user"), col("lo").as("a_lo"), col("hi").as("a_hi"))
     val b = w.select(col("user_id").as("b_user"), col("lo").as("b_lo"), col("hi").as("b_hi"))
-    RangeJoin.intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
-        bucketWidth = 86400e6)
+    // width auto-derived (median window length): these windows span
+    // nearly the whole corpus timeline, so a fixed day-wide width
+    // replicated every interval into every bucket (r2's slowest query)
+    RangeJoin.intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi")
       .filter(col("a_user") < col("b_user"))
       .groupBy(col("a_user").as("user_id"))
       .agg(count(lit(1)).cast("bigint").as("n_overlapping"))

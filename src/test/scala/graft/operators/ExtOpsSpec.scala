@@ -252,6 +252,17 @@ class ExtOpsSpec extends SparkTestBase {
         .select("aid", "bid").as[(String, String)].collect().sorted.toSeq
       assert(got == naive, s"width=$w: ${got.size} vs ${naive.size}")
     }
+    // auto width (median interval length) gives the same answer and a
+    // sane width for this data (lengths uniform in [0,50] -> median ~25)
+    val autoW = graft.operators.RangeJoin.autoBucketWidth(a, "a_lo", "a_hi", b, "b_lo", "b_hi")
+    assert(autoW > 5.0 && autoW < 50.0, s"auto width $autoW")
+    val gotAuto = graft.operators.RangeJoin
+      .intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi")
+      .select("aid", "bid").as[(String, String)].collect().sorted.toSeq
+    assert(gotAuto == naive)
+    // degenerate inputs don't produce a zero width
+    val pts = Seq(("p", 3.0, 3.0)).toDF("pid", "p_lo", "p_hi")
+    assert(graft.operators.RangeJoin.autoBucketWidth(pts, "p_lo", "p_hi", pts, "p_lo", "p_hi") > 0)
   }
 
   test("HLL approx distinct stays within 5% of exact at corpus scale") {
