@@ -365,6 +365,20 @@ object Dedup {
 
   // --- embedding near-dup ---------------------------------------------
 
+  /** Deterministic Rademacher (±1) hyperplanes for sign-LSH, from the
+    * java.util.Random(42) boolean stream. ±1 random projections
+    * preserve angular structure like Gaussian ones (Achlioptas-style
+    * database-friendly projections) while being cheaper per row at
+    * corpus scale — the per-plane dot degenerates to a signed sum, no
+    * multiplies — and integer-exact to re-derive in any independent
+    * implementation (the x06/x08 oracle goldens are produced by a
+    * from-spec Python reimplementation in tools/golden_ext.py).
+    */
+  private[operators] def rademacherPlanes(signBits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(signBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
   /** Cosine similarity of two float-array columns — native codegen'd
     * expression ([[graft.functions.VecCosineExpr]]): primitive
     * `getFloat(i)` reads, no per-element boxing. Runs once per
@@ -394,16 +408,15 @@ object Dedup {
 
   /** Embedding near-dup pairs (cosine ≥ threshold) via random-hyperplane
     * sign-LSH: rows landing in the same signBits-bit bucket are compared
-    * exactly. Deterministic hyperplanes (seed 42). At scale the bucket
-    * join replaces the O(n²) cross join; recall is tuned by signBits.
-    * Vectors are normalized once per row so each candidate pair costs
-    * one dot product, not three.
+    * exactly. Deterministic Rademacher hyperplanes (seed 42). At scale
+    * the bucket join replaces the O(n²) cross join; recall is tuned by
+    * signBits. Vectors are normalized once per row so each candidate
+    * pair costs one dot product, not three.
     */
   def embeddingNearDup(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, signBits: Int = 8): DataFrame = {
-    val rnd = new scala.util.Random(42)
-    val planes = Array.fill(signBits, dim)(rnd.nextGaussian())
+    val planes = rademacherPlanes(signBits, dim)
     val sigUdf = udf((v: Seq[Float]) => {
       if (v == null) 0L
       else {

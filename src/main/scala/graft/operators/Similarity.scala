@@ -31,8 +31,7 @@ object Similarity {
   }
 
   private[operators] def signSignature(vecCol: Column, dim: Int, signBits: Int): Column = {
-    val rnd = new scala.util.Random(42)
-    val planes = Array.fill(signBits, dim)(rnd.nextGaussian())
+    val planes = Dedup.rademacherPlanes(signBits, dim)
     udf((v: Seq[Float]) => {
       if (v == null) 0L
       else {
@@ -78,9 +77,14 @@ object Similarity {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** `scoreRound`: report (and select by) the cosine rounded to that
+    * many decimals — keeps a top-k comparison stable against last-ulp
+    * ordering noise between independent implementations.
+    */
   def ivfTopK(
       index: IvfIndex, idCol: String, vecCol: String,
-      query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+      query: Array[Float], k: Int, nprobe: Int = 4,
+      scoreRound: Option[Int] = None): DataFrame = {
     def dist2(c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < math.min(c.length, query.length)) {
@@ -91,9 +95,11 @@ object Similarity {
     val probeCells = index.centroids.zipWithIndex
       .sortBy { case (c, _) => dist2(c) }
       .take(nprobe).map(_._2)
+    val raw = cosine(col(vecCol), typedLit(query))
+    val score = scoreRound.fold(raw)(n => round(raw, n))
     index.assigned
       .filter(col("cell").isin(probeCells.toSeq: _*))   // partition-prunable at scale
-      .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
+      .select(col(idCol), score.as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -106,8 +112,7 @@ object Similarity {
       query: Array[Float], k: Int, dim: Int,
       signBits: Int = 8, probeHamming: Int = 1): DataFrame = {
     val qSig = {
-      val rnd = new scala.util.Random(42)
-      val planes = Array.fill(signBits, dim)(rnd.nextGaussian())
+      val planes = Dedup.rademacherPlanes(signBits, dim)
       var sig = 0L; var b = 0
       while (b < signBits) {
         var s = 0.0; var i = 0

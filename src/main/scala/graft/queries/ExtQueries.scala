@@ -20,6 +20,40 @@ object ExtQueries {
   private def noOracle(name: String)(body: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, body, None)
 
+  /** DuckDB-dialect-only oracle (VALUES golden or list/recursive SQL
+    * that has no Spark twin) — checked by the driver's DuckDB compare,
+    * excluded from the spark.sql parity run.
+    */
+  private def duck(name: String, oracle: String)(
+      body: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, body, Some(oracle), sparkParity = false)
+
+  /** Distinct raw 5-gram sets per document in DuckDB list SQL — the
+    * independent twin of `Dedup.shingleHashes` (hash-free: Jaccard over
+    * raw n-grams equals Jaccard over 64-bit-hashed n-grams unless FNV
+    * collides, ~2⁻⁶⁴). `n >= 0.8*m` length pruning is SOUND for
+    * j >= 0.8: |A∩B| <= min ∧ |A∪B| >= max ⇒ j <= min/max.
+    */
+  private val gramsCte =
+    """grams AS (
+      |  SELECT doc_id, g, len(g) AS n FROM (
+      |    SELECT doc_id,
+      |      list_distinct([substr(s, i, 5) FOR i IN range(1, greatest(len(s)-3, 2))]) AS g
+      |    FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)))""".stripMargin
+
+  /** All-pairs verified near-dup edges (exact Jaccard >= 0.8) — no LSH
+    * anywhere: if the engine's MinHash banding ever dropped a true
+    * pair, the driver compare would surface the recall loss.
+    */
+  private val verifiedCte =
+    s"""$gramsCte,
+       |verified AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM grams a JOIN grams b
+       |    ON a.doc_id < b.doc_id AND a.n >= 0.8*b.n AND b.n >= 0.8*a.n
+       |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |        / len(list_distinct(a.g || b.g)) >= 0.8)""".stripMargin
+
   /** Exact dedup: keep-first-per-content-key, oracle-checked. */
   val x01_dedup_exact: QuerySpec = q("x01_dedup_exact",
     """SELECT doc_id, lang FROM
@@ -56,17 +90,39 @@ object ExtQueries {
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** MinHash+LSH near-dup candidate pairs (rows-only: LSH not
-    * SQL-expressible; semantics unit-tested).
+  /** MinHash+LSH near-dup candidate pairs. Oracle: VALUES golden from
+    * the from-spec Python reimplementation (tools/golden_ext.py —
+    * java.util.Random LCG seeds, FNV-1a+fmix64 shingles, splitmix64
+    * hash family, band-slice bucketing, signed-long mins), pinned at
+    * sf0.01 (the driver's verify scale).
     */
-  val x03_minhash_neardup: QuerySpec = noOracle("x03_minhash_neardup") { (s, d) =>
+  val x03_minhash_neardup: QuerySpec = duck("x03_minhash_neardup",
+    s"""SELECT a, b, est_jaccard FROM ${Goldens.valuesTable("x03_minhash_neardup.tsv",
+         Seq("a" -> "BIGINT", "b" -> "BIGINT", "est_jaccard" -> "DOUBLE"))}
+       |ORDER BY a, b""".stripMargin) { (s, d) =>
     minhashCands(s, d)
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("a", "b")
   }
 
-  /** Exact n-gram Jaccard verification of the MinHash candidates. */
-  val x04_ngram_jaccard: QuerySpec = noOracle("x04_ngram_jaccard") { (s, d) =>
+  /** Exact n-gram Jaccard verification of the MinHash candidates.
+    * Oracle: the candidate pair list is the x03 golden, but the
+    * Jaccard itself is RECOMPUTED by DuckDB from raw character
+    * 5-grams — an independent check of the engine's hashed-shingle
+    * Jaccard kernel.
+    */
+  val x04_ngram_jaccard: QuerySpec = duck("x04_ngram_jaccard",
+    s"""WITH $gramsCte,
+       |cand AS (SELECT * FROM ${Goldens.valuesTable("x03_minhash_neardup.tsv",
+         Seq("a" -> "BIGINT", "b" -> "BIGINT", "est_jaccard" -> "DOUBLE"))})
+       |SELECT c.a, c.b, c.est_jaccard,
+       |  CASE WHEN len(list_distinct(ga.g || gb.g)) = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+       |            / len(list_distinct(ga.g || gb.g)) END AS jaccard
+       |FROM cand c
+       |JOIN grams ga ON ga.doc_id = c.a
+       |JOIN grams gb ON gb.doc_id = c.b
+       |ORDER BY c.a, c.b""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val cands = minhashCands(s, d).filter(col("est_jaccard") >= 0.5)
     Dedup.ngramJaccard(docs, "doc_id", "text", cands)
@@ -74,8 +130,14 @@ object ExtQueries {
       .orderBy("a", "b")
   }
 
-  /** SimHash near-dup pairs within Hamming distance 3. */
-  val x05_simhash: QuerySpec = noOracle("x05_simhash") { (s, d) =>
+  /** SimHash near-dup pairs within Hamming distance 3. Oracle: VALUES
+    * golden from the Python xxHash64/SimHash reimplementation (the
+    * block trick is exact for hamming <= 3, asserted in the generator).
+    */
+  val x05_simhash: QuerySpec = duck("x05_simhash",
+    s"""SELECT a, b, hamming FROM ${Goldens.valuesTable("x05_simhash.tsv",
+         Seq("a" -> "BIGINT", "b" -> "BIGINT", "hamming" -> "INTEGER"))}
+       |ORDER BY a, b""".stripMargin) { (s, d) =>
     Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
       .orderBy("a", "b")
   }
@@ -85,7 +147,10 @@ object ExtQueries {
     * the threshold is set data-relative to exercise the operator; a
     * production near-dup filter would use ≥0.95 on real embeddings.
     */
-  val x06_embedding_neardup: QuerySpec = noOracle("x06_embedding_neardup") { (s, d) =>
+  val x06_embedding_neardup: QuerySpec = duck("x06_embedding_neardup",
+    s"""SELECT a, b, cosine FROM ${Goldens.valuesTable("x06_embedding_neardup.tsv",
+         Seq("a" -> "BIGINT", "b" -> "BIGINT", "cosine" -> "DOUBLE"))}
+       |ORDER BY a, b""".stripMargin) { (s, d) =>
     Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, dim = 64, signBits = 2)
       .orderBy("a", "b")
@@ -113,8 +178,16 @@ object ExtQueries {
       .limit(10)
   }
 
-  /** LSH-bucketed ANN top-k (scale path of x07). */
-  val x08_ann_lsh: QuerySpec = noOracle("x08_ann_lsh") { (s, d) =>
+  /** LSH-bucketed ANN top-k (scale path of x07). Oracle: VALUES golden
+    * from the Python reimplementation of the whole probe (Rademacher
+    * signatures, Hamming-1 bucket filter, float-exact cosine, (score
+    * desc, id) top-10) — value-level verification of the ACTUAL
+    * approximate result, not just its row count.
+    */
+  val x08_ann_lsh: QuerySpec = duck("x08_ann_lsh",
+    s"""SELECT vec_id, cosine FROM ${Goldens.valuesTable("x08_ann_lsh.tsv",
+         Seq("vec_id" -> "BIGINT", "cosine" -> "DOUBLE"))}
+       |ORDER BY cosine DESC, vec_id""".stripMargin) { (s, d) =>
     val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", query,
       k = 10, dim = 64)
@@ -202,35 +275,69 @@ object ExtQueries {
   }
 
   /** Multimodal plumbing: blob struct + batched (stubbed) feature
-    * extraction + frame sampling over binary payloads synthesized from
-    * document text.
+    * extraction over binary payloads synthesized from document text.
+    * Output columns are integer-exact projections of the stub features
+    * (length, mean byte value ×10⁴ through the stub's float32, first/
+    * last byte) so DuckDB can recompute them from the UTF-8 bytes —
+    * the documents are ASCII, so byte values are the character codes.
     */
-  val x13_multimodal: QuerySpec = noOracle("x13_multimodal") { (s, d) =>
+  val x13_multimodal: QuerySpec = duck("x13_multimodal",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS f_len_i,
+      |  CAST(round(CAST(CAST(
+      |      CAST(list_sum(list_transform(range(1, length(text)+1), i -> unicode(text[i]))) AS DOUBLE)
+      |      / greatest(length(text), 1) AS REAL) AS DOUBLE) * 10000) AS BIGINT) AS f_mean_e4,
+      |  CAST(unicode(text[1]) AS BIGINT) AS f_first,
+      |  CAST(unicode(text[-1]) AS BIGINT) AS f_last
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     val withBlob = Multimodal.attachBlob(
       Tables.documents(s, d).withColumn("payload", encode(col("text"), "UTF-8")),
       "payload", "application/octet-stream")
     Multimodal.extractFeatures(withBlob)
       .select(col("doc_id"), col("blob.meta.size_bytes").as("size_bytes"),
-        element_at(col("features"), 1).as("f_len"),
-        round(element_at(col("features"), 2), 4).as("f_mean"))
+        element_at(col("features"), 1).cast("long").as("f_len_i"),
+        round(element_at(col("features"), 2).cast("double") * 10000)
+          .cast("long").as("f_mean_e4"),
+        element_at(col("features"), 7).cast("long").as("f_first"),
+        element_at(col("features"), 8).cast("long").as("f_last"))
       .orderBy("doc_id")
   }
 
   /** End-to-end near-dup removal: LSH candidates → Jaccard verify →
-    * keep-first drop.
+    * keep-first drop. Oracle: DuckDB recomputes the verified pair set
+    * from ALL pairs (raw 5-gram Jaccard ≥ 0.8, sound length pruning) —
+    * no LSH, so an engine-side recall loss would fail the compare.
     */
-  val x14_neardup_remove: QuerySpec = noOracle("x14_neardup_remove") { (s, d) =>
+  val x14_neardup_remove: QuerySpec = duck("x14_neardup_remove",
+    s"""WITH $verifiedCte
+       |SELECT d.doc_id, d.lang FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT b FROM verified)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     Dedup.nearDupRemove(Tables.documents(s, d), "doc_id", "text",
         precomputedCandidates = Some(minhashCands(s, d)))
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
 
-  /** IVF ANN top-k (KMeans coarse quantizer, nprobe cell scan). */
-  val x15_ann_ivf: QuerySpec = noOracle("x15_ann_ivf") { (s, d) =>
+  /** IVF ANN top-k (KMeans coarse quantizer, nprobe cell scan). The
+    * driver query probes ALL cells (nprobe = nCells) so the result is
+    * exactly the brute-force top-10 and the oracle stays independent
+    * of KMeans centroid drift across partition layouts; the nprobe<k
+    * pruning path is pinned by `PlanQualitySpec` (partition-pruned
+    * scan) and `ExtOpsSpec`. Scores select by the rounded value on
+    * both sides, like x07.
+    */
+  val x15_ann_ivf: QuerySpec = duck("x15_ann_ivf", {
+    val qv = (1 to 64).map(i => s"CAST(CAST(sin($i) AS REAL) AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qv), 4) AS cosine
+       |FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }) { (s, d) =>
     val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val index = Similarity.ivfBuild(Tables.embeddings(s, d), "vec_id", "embedding")
-    Similarity.ivfTopK(index, "vec_id", "embedding", query, k = 10)
+    Similarity.ivfTopK(index, "vec_id", "embedding", query, k = 10,
+      nprobe = 16, scoreRound = Some(4))
   }
 
   /** The composite training-data pipeline: exact dedup → near-dup
@@ -238,7 +345,39 @@ object ExtQueries {
     * 100 TB corpus-cleaning job takes end-to-end; every stage is one of
     * the operators above.
     */
-  val x16_clean_corpus: QuerySpec = noOracle("x16_clean_corpus") { (s, d) =>
+  val x16_clean_corpus: QuerySpec = duck("x16_clean_corpus",
+    s"""WITH exact AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |gramsx AS (
+       |  SELECT doc_id, g, len(g) AS n FROM (
+       |    SELECT doc_id,
+       |      list_distinct([substr(s, i, 5) FOR i IN range(1, greatest(len(s)-3, 2))]) AS g
+       |    FROM (SELECT doc_id, lower(trim(text)) AS s FROM exact))),
+       |verified AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM gramsx a JOIN gramsx b
+       |    ON a.doc_id < b.doc_id AND a.n >= 0.8*b.n AND b.n >= 0.8*a.n
+       |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |        / len(list_distinct(a.g || b.g)) >= 0.8),
+       |kept AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT b FROM verified)),
+       |scored AS (
+       |  SELECT *,
+       |    round((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.3 END) *
+       |          (CASE WHEN (CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+       |                 ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |                      / len(regexp_split_to_array(lower(trim(text)), '\\s+')) END)
+       |                BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) *
+       |          greatest(CASE WHEN length(text) = 0 THEN 0.0
+       |                 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |                      / length(text) END, 0.1), 4) AS quality
+       |  FROM kept)
+       |SELECT lang, count(*) AS docs_kept,
+       |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens,
+       |  round(avg(quality), 4) AS avg_quality
+       |FROM scored WHERE quality >= 0.3
+       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val exact = Dedup.exact(docs, "text", "doc_id")
     val nearDeduped = Dedup.nearDupRemove(exact, "doc_id", "text",
@@ -259,7 +398,10 @@ object ExtQueries {
     * that survives insertions/deletions the way whole-doc hashing
     * cannot.
     */
-  val x17_winnowing: QuerySpec = noOracle("x17_winnowing") { (s, d) =>
+  val x17_winnowing: QuerySpec = duck("x17_winnowing",
+    s"""SELECT a, b, shared_fps FROM ${Goldens.valuesTable("x17_winnowing.tsv",
+         Seq("a" -> "BIGINT", "b" -> "BIGINT", "shared_fps" -> "BIGINT"))}
+       |ORDER BY a, b""".stripMargin) { (s, d) =>
     val fps = Tables.documents(s, d)
       .select(col("doc_id"), explode(TA.winnowingFingerprints(col("text"))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -422,9 +564,22 @@ object ExtQueries {
   /** Near-dup CLUSTER dedup: candidates → exact verification →
     * connected components → keep min-id per cluster (the production
     * LSH-dedup semantics; strictly stronger than pairwise keep-first).
-    * Rows-only (minhash-derived); component logic unit-proven.
+    * Oracle: all-pairs verified edges (no LSH) + transitive closure by
+    * recursive CTE + min-label per node — an independent
+    * connected-components implementation.
     */
-  val x25_neardup_clusters: QuerySpec = noOracle("x25_neardup_clusters") { (s, d) =>
+  val x25_neardup_clusters: QuerySpec = duck("x25_neardup_clusters",
+    s"""WITH RECURSIVE $verifiedCte,
+       |edges AS (SELECT a AS src, b AS dst FROM verified
+       |          UNION SELECT b, a FROM verified),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, t.r FROM edges e JOIN reach t ON t.id = e.dst),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT d.doc_id, d.lang FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     Dedup.nearDupRemoveCC(Tables.documents(s, d), "doc_id", "text",
         precomputedCandidates = Some(minhashCands(s, d)))
       .select("doc_id", "lang")

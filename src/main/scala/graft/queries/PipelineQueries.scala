@@ -76,8 +76,24 @@ object PipelineQueries {
         round(col("AREA_SQMI"), 4).as("area_sqmi"))
       .orderBy(col(C.County), col(C.City), col(C.Coastal))
 
+  /** Oracles: VALUES goldens of the fixture-pipeline output
+    * (tools/goldens; the fixtures are fixed, so the result is
+    * SF-independent). The transform semantics behind every column are
+    * pinned row-by-row against the reference's rules in
+    * `BunnyHopFlowSpec`; the golden turns that spec-level pin into a
+    * driver-visible hash check.
+    */
   val p01_bunnyhop_merged: QuerySpec =
-    QuerySpec("p01_bunnyhop_merged", (s, _) => publish(runFlow(s).merged), None)
+    QuerySpec("p01_bunnyhop_merged", (s, _) => publish(runFlow(s).merged),
+      Some(s"""SELECT * FROM ${Goldens.valuesTable("p01_bunnyhop_merged.tsv", Seq(
+          "CDTFA_CITY" -> "VARCHAR", "CDTFA_COPRI" -> "VARCHAR",
+          "CDTFA_COUNTY" -> "VARCHAR", "CENSUS_PLACE_NAME" -> "VARCHAR",
+          "CENSUS_GEOID" -> "VARCHAR", "CENSUS_PLACE_TYPE" -> "VARCHAR",
+          "GNIS_PLACE_NAME" -> "VARCHAR", "GNIS_ID" -> "BIGINT",
+          "CDT_COUNTY_ABBR" -> "VARCHAR", "CDT_NAME_SHORT" -> "VARCHAR",
+          "OFFSHORE" -> "VARCHAR", "area_sqmi" -> "DOUBLE"))}
+         |ORDER BY CDTFA_COUNTY, CDTFA_CITY, OFFSHORE""".stripMargin),
+      sparkParity = false)
 
   val p02_bunnyhop_unincorporated: QuerySpec =
     QuerySpec("p02_bunnyhop_unincorporated", (s, _) => {
@@ -86,7 +102,12 @@ object PipelineQueries {
         .select(col(C.City), col(C.County), col(C.Copri),
           round(col("AREA_SQMI"), 4).as("area_sqmi"))
         .orderBy(col(C.County))
-    }, None)
+    },
+      Some(s"""SELECT * FROM ${Goldens.valuesTable("p02_bunnyhop_unincorporated.tsv", Seq(
+          "CDTFA_CITY" -> "VARCHAR", "CDTFA_COUNTY" -> "VARCHAR",
+          "CDTFA_COPRI" -> "VARCHAR", "area_sqmi" -> "DOUBLE"))}
+         |ORDER BY CDTFA_COUNTY""".stripMargin),
+      sparkParity = false)
 
   val all: Seq[QuerySpec] = Seq(p01_bunnyhop_merged, p02_bunnyhop_unincorporated)
 }

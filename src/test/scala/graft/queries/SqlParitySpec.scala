@@ -25,6 +25,7 @@ class SqlParitySpec extends SparkTestBase {
     // independent implementation of the semantics) — no Spark SQL twin
     val specs = (CorpusQueries.all ++ ExtQueries.all)
       .filter(_.oracle.isDefined)
+      .filter(_.sparkParity)
       .filterNot(_.oracle.get.contains("ASOF "))
     assert(specs.nonEmpty)
     val failures = specs.flatMap { spec =>

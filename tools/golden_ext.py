@@ -1,0 +1,380 @@
+#!/usr/bin/env python3
+"""Independent reference implementations for the signature-family
+operators (MinHash/LSH, SimHash, winnowing, sign-LSH embedding dedup),
+used to derive the VALUES-golden oracles for x03/x05/x06/x17 and the
+candidate pair lists embedded in the x04 oracle.
+
+Everything here is re-derived from PUBLIC algorithm specifications —
+java.util.Random's LCG (JDK javadoc), FNV-1a 64 (Fowler/Noll/Vo),
+the splitmix64 finalizer (Steele et al., JDK SplittableRandom), the
+MurmurHash3 fmix64 avalanche, and xxHash64 (Cyan4973's published
+spec) — NOT translated from the Scala operators. Agreement between
+this script and the Spark output is therefore a genuine
+two-independent-implementations check of the same public algorithms.
+
+Usage: python3 tools/golden_ext.py /root/testdata/sf0.01 tools/goldens
+"""
+import sys, os, re, struct
+
+M64 = (1 << 64) - 1
+
+
+# --- java.util.Random (LCG per JDK spec) ------------------------------
+class JavaRandom:
+    def __init__(self, seed):
+        self.seed = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+    def _next(self, bits):
+        self.seed = (self.seed * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+        r = self.seed >> (48 - bits)
+        # sign-extend to a signed 32-bit int
+        if r >= 1 << 31:
+            r -= 1 << 32
+        return r
+
+    def next_long(self):
+        hi = self._next(32)
+        lo = self._next(32)
+        v = (hi << 32) + lo
+        return v  # python int; callers mask to 64 bits as needed
+
+    def next_boolean(self):
+        return self._next(1) != 0
+
+
+# --- splitmix64 finalizer --------------------------------------------
+def signed64(v):
+    """The engine compares hash values as SIGNED 64-bit longs (JVM
+    semantics); min/ordering below must match."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def mix64(z):
+    z &= M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+    return z ^ (z >> 31)
+
+
+# --- FNV-1a 64 over UTF-16 code units + murmur fmix64 avalanche -------
+def fnv_avalanche(s, i, k):
+    h = 0xCBF29CE484222325
+    for j in range(i, min(len(s), i + k)):
+        h = ((h ^ ord(s[j])) * 0x100000001B3) & M64
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & M64
+    h ^= h >> 33
+    return h
+
+
+def shingle_hashes(raw, k):
+    s = raw.strip().lower()
+    n = max(1, len(s) - k + 1)
+    return [fnv_avalanche(s, i, k) for i in range(n)]
+
+
+# --- MinHash ----------------------------------------------------------
+def minhash_seeds(num_hashes):
+    rnd = JavaRandom(42)
+    return [rnd.next_long() & M64 for _ in range(num_hashes)]
+
+
+def minhash_signature(hs, seeds):
+    sig = []
+    for sd in seeds:
+        m = min(signed64(mix64(h ^ sd)) for h in hs) if hs else (1 << 63) - 1
+        sig.append(m)
+    return sig
+
+
+def minhash_candidates(docs, num_hashes=64, bands=16, k=5):
+    """docs: list of (id, text). Returns {(a,b): est_jaccard} for pairs
+    sharing >=1 band (bands compared by slice equality; the engine's
+    xxhash64 bucket key only collides with ~2^-64 probability)."""
+    seeds = minhash_seeds(num_hashes)
+    rows = num_hashes // bands
+    sigs = {i: minhash_signature(shingle_hashes(t, k), seeds) for i, t in docs}
+    buckets = {}
+    for i, sig in sigs.items():
+        for b in range(bands):
+            key = (b, tuple(sig[b * rows:(b + 1) * rows]))
+            buckets.setdefault(key, []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs.add((ids[x], ids[y]))
+    out = {}
+    for a, b in sorted(pairs):
+        eq = sum(1 for u, v in zip(sigs[a], sigs[b]) if u == v)
+        out[(a, b)] = eq / num_hashes
+    return out
+
+
+# --- xxHash64 (public spec, seed passed by caller) --------------------
+P1, P2, P3, P4, P5 = (0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x85EBCA77C2B2AE63,
+                      0x27D4EB2F165667C5)
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & M64
+
+
+def xxh64(data, seed):
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M64
+        v2 = (seed + P2) & M64
+        v3 = seed & M64
+        v4 = (seed - P1) & M64
+        while i + 32 <= n:
+            for vi, off in ((1, 0), (2, 8), (3, 16), (4, 24)):
+                lane = struct.unpack_from('<Q', data, i + off)[0]
+                v = (v1, v2, v3, v4)[vi - 1]
+                v = (v + lane * P2) & M64
+                v = (_rotl(v, 31) * P1) & M64
+                if vi == 1: v1 = v
+                elif vi == 2: v2 = v
+                elif vi == 3: v3 = v
+                else: v4 = v
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & M64
+        for v in (v1, v2, v3, v4):
+            # mergeRound: h ^= round(0, v); h = h*P1 + P4
+            v = (_rotl((v * P2) & M64, 31) * P1) & M64
+            h = ((h ^ v) * P1 + P4) & M64
+    else:
+        h = (seed + P5) & M64
+    h = (h + n) & M64
+    while i + 8 <= n:
+        lane = struct.unpack_from('<Q', data, i)[0]
+        k = (_rotl((lane * P2) & M64, 31) * P1) & M64
+        h = ((_rotl(h ^ k, 27) * P1) + P4) & M64
+        i += 8
+    if i + 4 <= n:
+        lane = struct.unpack_from('<I', data, i)[0]
+        h = ((_rotl(h ^ ((lane * P1) & M64), 23) * P2) + P3) & M64
+        i += 4
+    while i < n:
+        h = ((_rotl(h ^ ((data[i] * P5) & M64), 11) * P1) & M64)
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M64
+    h ^= h >> 29
+    h = (h * P3) & M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_str(s, seed=42):
+    return xxh64(s.encode('utf-8'), seed)
+
+
+# --- SimHash ----------------------------------------------------------
+def simhash(text):
+    toks = re.split(r'\s+', text.strip().lower())
+    acc = [0] * 64
+    for t in toks:
+        h = xxh64_str(t)
+        for j in range(64):
+            acc[j] += 1 if (h >> j) & 1 else -1
+    sig = 0
+    for j in range(64):
+        if acc[j] > 0:
+            sig |= 1 << j
+    return sig
+
+
+def simhash_pairs(docs, max_hamming=3):
+    """Block trick is exact for hamming<=3 over 4x16-bit blocks
+    (pigeonhole), so candidates == all pairs at hamming<=maxHamming."""
+    sigs = {i: simhash(t) for i, t in docs}
+    ids = sorted(sigs)
+    out = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ham = bin(sigs[a] ^ sigs[b]).count('1')
+            if ham <= max_hamming:
+                # block-trick candidacy: must share >=1 16-bit block
+                shares = any(((sigs[a] >> (16 * blk)) & 0xFFFF) ==
+                             ((sigs[b] >> (16 * blk)) & 0xFFFF)
+                             for blk in range(4))
+                assert shares, "hamming<=3 pair must share a block"
+                out.append((a, b, ham))
+    return out
+
+
+# --- Winnowing --------------------------------------------------------
+def winnowing_fps(text, k=8, w=4):
+    s = text.strip().lower()
+    n = max(1, len(s) - k + 1)
+    hs = [signed64(fnv_avalanche(s, i, k)) for i in range(n)]
+    out = []
+    seen = set()
+    for start in range(0, n - min(w, n) + 1):
+        m = min(hs[start:start + w])
+        if m not in seen:
+            seen.add(m)
+            out.append(m)
+    return out
+
+
+def winnowing_pairs(docs, max_df=20, min_shared=25):
+    fps = {i: set(winnowing_fps(t)) for i, t in docs}
+    df = {}
+    for s in fps.values():
+        for f in s:
+            df[f] = df.get(f, 0) + 1
+    rare = {f for f, c in df.items() if c <= max_df}
+    inv = {}
+    for i, s in fps.items():
+        for f in s & rare:
+            inv.setdefault(f, []).append(i)
+    shared = {}
+    for ids in inv.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                p = (ids[x], ids[y])
+                shared[p] = shared.get(p, 0) + 1
+    return sorted((a, b, c) for (a, b), c in shared.items() if c >= min_shared)
+
+
+# --- ANN: sign-LSH probe top-k (x08) ---------------------------------
+def cosine_f32(a, b):
+    """VecOps.cosine: sequential double accumulation of exact f32
+    products, then ab / (sqrt(aa)*sqrt(bb))."""
+    ab = aa = bb = 0.0
+    for x, y in zip(a, b):
+        x = float(x); y = float(y)
+        ab += x * y; aa += x * x; bb += y * y
+    d = (aa ** 0.5) * (bb ** 0.5)
+    return 0.0 if d == 0.0 else ab / d
+
+
+def lsh_topk(vecs, query, k, dim, sign_bits=8, probe_hamming=1):
+    planes = rademacher_planes(sign_bits, dim)
+
+    def sig_of(v):
+        sig = 0
+        for b in range(sign_bits):
+            s = 0.0
+            for i in range(min(dim, len(v))):
+                s += planes[b][i] * float(v[i])
+            if s > 0:
+                sig |= 1 << b
+        return sig
+
+    qsig = sig_of(query)
+    scored = []
+    for vid, v in vecs:
+        if bin(sig_of(v) ^ qsig).count('1') <= probe_hamming:
+            scored.append((vid, cosine_f32(v, query)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+# --- sign-LSH embedding near-dup (Rademacher planes) ------------------
+def rademacher_planes(sign_bits, dim):
+    """planes[b][i] = +1/-1 from JavaRandom(42).nextBoolean(), row-major
+    (the fill order of Array.fill(signBits, dim))."""
+    rnd = JavaRandom(42)
+    return [[1.0 if rnd.next_boolean() else -1.0 for _ in range(dim)]
+            for _ in range(sign_bits)]
+
+
+def embedding_neardup(vecs, threshold, dim, sign_bits):
+    """vecs: list of (id, list-of-float32-as-python-floats). Float
+    arithmetic reproduced exactly: f32*f32 products are exact in f64;
+    additions follow the engine's sequential order."""
+    import numpy as np
+    planes = rademacher_planes(sign_bits, dim)
+    ids = [i for i, _ in vecs]
+    V = np.array([v for _, v in vecs], dtype=np.float32)
+    # bucket: sign of sequential double dot with +-1 planes
+    sigs = []
+    for r in range(len(ids)):
+        sig = 0
+        for b in range(sign_bits):
+            s = 0.0
+            for i in range(min(dim, V.shape[1])):
+                s += planes[b][i] * float(V[r, i])
+            if s > 0:
+                sig |= 1 << b
+        sigs.append(sig)
+    # normalize: double sum of squares -> sqrt -> f32(v/norm)
+    N = np.empty_like(V)
+    for r in range(len(ids)):
+        s = 0.0
+        for i in range(V.shape[1]):
+            s += float(V[r, i]) * float(V[r, i])
+        norm = s ** 0.5
+        if norm == 0.0:
+            N[r] = V[r]
+        else:
+            N[r] = (V[r].astype(np.float64) / norm).astype(np.float32)
+    out = []
+    by_bucket = {}
+    for r, sig in enumerate(sigs):
+        by_bucket.setdefault(sig, []).append(r)
+    for rows in by_bucket.values():
+        for x in range(len(rows)):
+            for y in range(len(rows)):
+                ra, rb = rows[x], rows[y]
+                a, b = ids[ra], ids[rb]
+                if a >= b:
+                    continue
+                s = 0.0
+                for i in range(V.shape[1]):
+                    s += float(N[ra, i]) * float(N[rb, i])
+                if s >= threshold:
+                    out.append((a, b, s))
+    return sorted(set(out))
+
+
+# --- main: emit golden TSVs ------------------------------------------
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    os.makedirs(outdir, exist_ok=True)
+    import duckdb
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sfdir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    embs = con.execute(
+        f"SELECT vec_id, embedding FROM '{sfdir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+
+    def write(name, rows, fmt):
+        with open(os.path.join(outdir, name), 'w') as f:
+            for r in rows:
+                f.write(fmt(r) + '\n')
+        print(f"{name}: {len(rows)} rows")
+
+    cands = minhash_candidates(docs)
+    # x03: est_jaccard >= 0.5; doubles are k/64 so repr() round-trips
+    write('x03_minhash_neardup.tsv',
+          [(a, b, e) for (a, b), e in sorted(cands.items()) if e >= 0.5],
+          lambda r: f"{r[0]}\t{r[1]}\t{r[2]!r}")
+    # x04 pair list (same filter; jaccard recomputed by DuckDB from raw
+    # 5-grams in the oracle SQL itself)
+    write('x05_simhash.tsv', simhash_pairs(docs),
+          lambda r: f"{r[0]}\t{r[1]}\t{r[2]}")
+    write('x17_winnowing.tsv', winnowing_pairs(docs),
+          lambda r: f"{r[0]}\t{r[1]}\t{r[2]}")
+    write('x06_embedding_neardup.tsv',
+          embedding_neardup(embs, threshold=0.3, dim=64, sign_bits=2),
+          lambda r: f"{r[0]}\t{r[1]}\t{r[2]!r}")
+    import math
+    import numpy as np
+    query = [float(np.float32(math.sin(i + 1))) for i in range(64)]
+    write('x08_ann_lsh.tsv', lsh_topk(embs, query, k=10, dim=64),
+          lambda r: f"{r[0]}\t{r[1]!r}")
+
+
+if __name__ == '__main__':
+    main()
