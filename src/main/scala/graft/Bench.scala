@@ -56,11 +56,16 @@ object Bench {
       results.filter(_._1.startsWith(prefix)).map(_._2).filter(_ >= 0).sum
 
     val corpus = group("q")
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // 4-decimal (0.1 ms) formatting: full double precision pushed the
+    // JSON line past the driver's 2 KB stdout-tail window, so its parse
+    // of the line always failed; 0.1 ms resolution is far below
+    // run-to-run noise and keeps the whole line inside the window
+    def f4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s""""$k":${f4(v)}""" }.mkString("{", ",", "}")
     val groups =
-      s"""{"corpus_q01_q34":$corpus,"geometry":${group("g")},"extension":${group("x")},"pipeline":${group("p")}}"""
+      s"""{"corpus_q01_q34":${f4(corpus)},"geometry":${f4(group("g"))},"extension":${f4(group("x"))},"pipeline":${f4(group("p"))}}"""
     println(
-      s"""{"metric":"corpus_sweep","value":$corpus,"unit":"sec","queries":$qs,"failed":$failed,"groups":$groups,"sf":"$sfDir"}""")
+      s"""{"metric":"corpus_sweep","value":${f4(corpus)},"unit":"sec","queries":$qs,"failed":$failed,"groups":$groups,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
