@@ -77,14 +77,11 @@ object Similarity {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
-  /** `scoreRound`: report (and select by) the cosine rounded to that
-    * many decimals — keeps a top-k comparison stable against last-ulp
-    * ordering noise between independent implementations.
+  /** The `nprobe` cell ids whose centroids are nearest to the query —
+    * the only piece of driver-side work in an IVF probe.
     */
-  def ivfTopK(
-      index: IvfIndex, idCol: String, vecCol: String,
-      query: Array[Float], k: Int, nprobe: Int = 4,
-      scoreRound: Option[Int] = None): DataFrame = {
+  def ivfProbeCells(
+      centroids: Array[Array[Double]], query: Array[Float], nprobe: Int): Seq[Int] = {
     def dist2(c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < math.min(c.length, query.length)) {
@@ -92,17 +89,46 @@ object Similarity {
       }
       s
     }
-    val probeCells = index.centroids.zipWithIndex
+    centroids.zipWithIndex
       .sortBy { case (c, _) => dist2(c) }
-      .take(nprobe).map(_._2)
+      .take(nprobe).map(_._2).toSeq
+  }
+
+  /** Persist the assigned table hive-partitioned by `cell`: the 100 TB
+    * layout. A probe's `cell IN (...)` filter then becomes a partition
+    * filter — the scan lists and reads only the `nprobe` matching
+    * directories instead of the whole table (pinned by
+    * `PlanQualitySpec`'s numPartitions metric check).
+    */
+  def ivfWrite(index: IvfIndex, path: String): Unit =
+    graft.sources.Layout.writePartitioned(index.assigned, path, Seq("cell"))
+
+  /** Probe any assigned table (in-memory or read back from the
+    * cell-partitioned layout) for the exact top-k within the probed
+    * cells. `scoreRound`: report (and select by) the cosine rounded to
+    * that many decimals — keeps a top-k comparison stable against
+    * last-ulp ordering noise between independent implementations.
+    */
+  def ivfProbe(
+      assigned: DataFrame, centroids: Array[Array[Double]],
+      idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nprobe: Int = 4,
+      scoreRound: Option[Int] = None): DataFrame = {
+    val probeCells = ivfProbeCells(centroids, query, nprobe)
     val raw = cosine(col(vecCol), typedLit(query))
     val score = scoreRound.fold(raw)(n => round(raw, n))
-    index.assigned
-      .filter(col("cell").isin(probeCells.toSeq: _*))   // partition-prunable at scale
+    assigned
+      .filter(col("cell").isin(probeCells: _*))   // partition filter on the ivfWrite layout
       .select(col(idCol), score.as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  def ivfTopK(
+      index: IvfIndex, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nprobe: Int = 4,
+      scoreRound: Option[Int] = None): DataFrame =
+    ivfProbe(index.assigned, index.centroids, idCol, vecCol, query, k, nprobe, scoreRound)
 
   /** ANN top-k: scan only rows whose LSH bucket is within
     * `probeHamming` bits of the query's bucket, then exact cosine.

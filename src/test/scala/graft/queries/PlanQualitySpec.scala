@@ -94,6 +94,35 @@ class PlanQualitySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("IVF probe on the cell-partitioned layout reads only nprobe partitions") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val index = Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/emb_by_cell"
+    Similarity.ivfWrite(index, dir)
+
+    val query = emb.select("embedding").head().getSeq[Float](0).toArray
+    val nprobe = 2
+    val probed = Similarity.ivfProbe(
+      spark.read.parquet(dir), index.centroids,
+      "vec_id", "embedding", query, k = 5, nprobe = nprobe)
+
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    // collect() (not count()) so the metric lands on THIS QueryExecution
+    assert(probed.collect().nonEmpty)
+
+    // the scan's own metric: directories actually read == nprobe
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = probed.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, plan)
+    val partitionsRead = scans.map(_.metrics("numPartitions").value).sum
+    assert(partitionsRead == nprobe,
+      s"expected $nprobe partitions read, got $partitionsRead:\n$plan")
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/events_p"
     val events = Tables.events(spark, sfDir)
