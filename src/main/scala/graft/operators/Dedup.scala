@@ -163,9 +163,25 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, shingleK: Int = 5): DataFrame = {
-    val grams = df.select(col(idCol).as("__gid"),
-      array_distinct(shingleHashes(col(textCol), shingleK)).as("__grams"))
-    pairs
+    // Only pair members need their shingle sets: semi-join the id list
+    // (tiny vs the corpus) BEFORE hashing, so the expensive shingle
+    // pass runs over candidate docs only — then persist, because the
+    // result feeds both the a-side and b-side joins and Catalyst does
+    // not dedupe self-referenced subtrees (same reason as the minhash
+    // signature persist above). Without this, the shingle pass ran
+    // over the ENTIRE corpus twice. `pairs` is persisted too: it is
+    // referenced three times below (two id projections + the join
+    // spine), and it is typically the output of the LSH candidate
+    // pipeline — small (candidate pairs), expensive to recompute.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = p.select(col("a").as("__gid"))
+      .unionByName(p.select(col("b").as("__gid"))).distinct()
+    val grams = df.select(col(idCol).as("__gid"), col(textCol).as("__text"))
+      .join(ids, Seq("__gid"), "left_semi")
+      .select(col("__gid"),
+        array_distinct(shingleHashes(col("__text"), shingleK)).as("__grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p
       .join(grams.withColumnRenamed("__gid", "a").withColumnRenamed("__grams", "ga"), Seq("a"))
       .join(grams.withColumnRenamed("__gid", "b").withColumnRenamed("__grams", "gb"), Seq("b"))
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
@@ -348,7 +364,11 @@ object Dedup {
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // persist: the block table feeds both sides of the self-join, and
+    // without it the tokenize+fold signature UDF runs twice over the
+    // whole corpus (Catalyst does not dedupe self-join subtrees)
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockCols = (0 until 4).map(b =>
       shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
     val blocks = sigs.select(col("id"), col("sig"),
