@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Explode, Expression, ImplicitCastInputTypes, Literal, PredicateHelper, QuaternaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType}
+import org.locationtech.jts.geom.Envelope
+
+import graft.geom.GeomCodec
+
+/** Static grid kernels invoked from generated Java (same pattern as
+  * [[graft.geom.GeomOps]]): WKB in, primitives out, no boxing in the
+  * generated loop.
+  *
+  * Cell ids are packed `(cx << 32) | (cy & 0xFFFFFFFF)` with cx/cy the
+  * floor of coordinate / cellSize — 32 bits per axis spans ±2.1e9
+  * cells, far beyond any real CRS extent at any sane cell size.
+  */
+object GridOps {
+  def encode(cx: Int, cy: Int): Long = (cx.toLong << 32) | (cy.toLong & 0xFFFFFFFFL)
+
+  /** Every grid cell the geometry's (optionally expanded) envelope
+    * overlaps — the replication set of the PBSM decomposition.
+    */
+  def gridCells(wkb: Array[Byte], cellSize: Double, expand: Double): ArrayData = {
+    val env = new Envelope(GeomCodec.read(wkb).getEnvelopeInternal)
+    if (expand > 0) env.expandBy(expand)
+    val x0 = math.floor(env.getMinX / cellSize).toInt
+    val x1 = math.floor(env.getMaxX / cellSize).toInt
+    val y0 = math.floor(env.getMinY / cellSize).toInt
+    val y1 = math.floor(env.getMaxY / cellSize).toInt
+    val out = new Array[Long]((x1 - x0 + 1) * (y1 - y0 + 1))
+    var i = 0
+    var cx = x0
+    while (cx <= x1) {
+      var cy = y0
+      while (cy <= y1) { out(i) = encode(cx, cy); i += 1; cy += 1 }
+      cx += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** The one cell that OWNS the pair under the reference-point rule:
+    * the cell containing the top-left corner of the envelope
+    * intersection (left envelope expanded by `expand` for dwithin —
+    * matching the replication in [[gridCells]], where only the left
+    * side expands). A pair meets in every shared cell; emitting it only
+    * where `gridRefCell == cell` makes output exactly-once without a
+    * global distinct.
+    */
+  def gridRefCell(a: Array[Byte], b: Array[Byte], cellSize: Double, expand: Double): Long = {
+    val lEnv = new Envelope(GeomCodec.read(a).getEnvelopeInternal)
+    if (expand > 0) lEnv.expandBy(expand)
+    val rEnv = GeomCodec.read(b).getEnvelopeInternal
+    val refX = math.max(lEnv.getMinX, rEnv.getMinX)
+    val refY = math.max(lEnv.getMinY, rEnv.getMinY)
+    encode(math.floor(refX / cellSize).toInt, math.floor(refY / cellSize).toInt)
+  }
+}
+
+/** `st_grid_cells(geom, cellSize, expand)` → array<bigint> of packed
+  * cell ids. Codegen'd so the explode feeding the grid join stays
+  * cheap.
+  */
+case class StGridCellsExpr(geom: Expression, cellSize: Expression, expand: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression = geom
+  override def second: Expression = cellSize
+  override def third: Expression = expand
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_grid_cells"
+
+  override protected def nullSafeEval(g: Any, cs: Any, ex: Any): Any =
+    GridOps.gridCells(g.asInstanceOf[Array[Byte]],
+      cs.asInstanceOf[Double], ex.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (g, cs, ex) => s"graft.plans.GridOps.gridCells($g, $cs, $ex)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): StGridCellsExpr =
+    copy(geom = f, cellSize = s, expand = t)
+}
+
+/** `st_grid_refcell(a, b, cellSize, expand)` → the packed id of the
+  * cell owning the (a, b) pair under the reference-point rule.
+  */
+case class StGridRefCellExpr(
+    a: Expression, b: Expression, cellSize: Expression, expand: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = cellSize
+  override def fourth: Expression = expand
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_grid_refcell"
+
+  override protected def nullSafeEval(ga: Any, gb: Any, cs: Any, ex: Any): Any =
+    GridOps.gridRefCell(ga.asInstanceOf[Array[Byte]], gb.asInstanceOf[Array[Byte]],
+      cs.asInstanceOf[Double], ex.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (ga, gb, cs, ex) => s"graft.plans.GridOps.gridRefCell($ga, $gb, $cs, $ex)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): StGridRefCellExpr =
+    copy(a = f, b = s, cellSize = t, expand = q)
+}
+
+/** Logical rewrite of the both-sides-huge spatial join into an exploded
+  * CELL EQUI-JOIN — the same PBSM decomposition as
+  * [[GridSpatialJoinExec]], but expressed with stock logical operators
+  * (Generate / Join / Project) so everything downstream is Spark's own
+  * machinery:
+  *
+  *  - the join plans as a shuffled hash / sort-merge join on the packed
+  *    cell id — inside whole-stage codegen;
+  *  - AQE sees a plain shuffle join, so its skew-split handles hot
+  *    cells (urban cores) with runtime sizes instead of the static
+  *    salt count the RDD-cogroup exec needs;
+  *  - the exact spatial predicate and the reference-point ownership
+  *    check ride along as residual join conditions (exactly-once
+  *    output, no global distinct).
+  *
+  * Fires under the same guards as the strategy's grid path: inner join,
+  * a supported spatial conjunct one-geometry-per-side, NO equi conjunct
+  * (its own output contains one, so the rule is self-stabilizing),
+  * both sides above `spark.graft.spatial.broadcastThreshold`, and
+  * `spark.graft.spatial.gridCellSize` set by the caller (a blind
+  * default in an unknown CRS could replicate every row across
+  * thousands of cells). `spark.graft.spatial.gridMode=exec` disables
+  * the rewrite, falling back to the RDD-cogroup [[GridSpatialJoinExec]].
+  */
+object GridJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val GridModeKey = "spark.graft.spatial.gridMode"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(GridModeKey, "rewrite") != "rewrite") return plan
+    val cellSize =
+      try Some(conf.getConfString(SpatialJoinStrategy.GridCellKey, "").toDouble).filter(_ > 0)
+      catch { case _: NumberFormatException => None }
+    cellSize match {
+      case None => plan
+      case Some(cs) => plan.transform {
+        case j @ Join(left, right, Inner, Some(cond), hint) =>
+          val conjuncts = splitConjunctivePredicates(cond)
+          if (conjuncts.exists(SpatialJoinStrategy.isEqui(left, right))) j
+          else SpatialJoinStrategy.findSpatial(left, right, conjuncts) match {
+            case Some((chosen, lg, rg, rel))
+                if left.stats.sizeInBytes.min(right.stats.sizeInBytes) >
+                  SpatialJoinStrategy.threshold =>
+              val cellL: Attribute =
+                AttributeReference("__grid_cell_l", LongType, nullable = false)()
+              val cellR: Attribute =
+                AttributeReference("__grid_cell_r", LongType, nullable = false)()
+              // only the left side expands for dwithin — expanding both
+              // would double-count the distance (same as the exec)
+              val genL = Generate(
+                Explode(StGridCellsExpr(lg, Literal(cs), Literal(rel.expand))),
+                unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                generatorOutput = Seq(cellL), child = left)
+              val genR = Generate(
+                Explode(StGridCellsExpr(rg, Literal(cs), Literal(0.0))),
+                unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                generatorOutput = Seq(cellR), child = right)
+              val owns = EqualTo(
+                StGridRefCellExpr(lg, rg, Literal(cs), Literal(rel.expand)), cellL)
+              val newCond = (EqualTo(cellL, cellR) +: chosen +: owns +:
+                conjuncts.filterNot(_ eq chosen)).reduce(And)
+              Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
+            case _ => j
+          }
+      }
+    }
+  }
+}

@@ -66,39 +66,51 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
     case _ => None
   }
 
-  private def isEqui(left: LogicalPlan, right: LogicalPlan)(e: Expression): Boolean = e match {
+  private[plans] def isEqui(left: LogicalPlan, right: LogicalPlan)(e: Expression): Boolean = e match {
     case EqualTo(l, r) =>
       (l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
         (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet))
     case _ => false
   }
 
+  /** The first conjunct that is a supported spatial predicate with one
+    * geometry expression per side, in JOIN orientation (mirrored if it
+    * was written right-to-left). Shared by this strategy and the
+    * [[GridJoinRewrite]] logical rule so both paths recognize exactly
+    * the same joins.
+    */
+  private[plans] def findSpatial(
+      left: LogicalPlan, right: LogicalPlan,
+      conjuncts: Seq[Expression]): Option[(Expression, Expression, Expression, SpatialRel)] =
+    conjuncts.iterator.flatMap { c =>
+      asSpatial(c).flatMap { case (a, b, rel) =>
+        if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
+          Some((c, a, b, rel))
+        else if (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+          // mirror into JOIN orientation: pred(a,b) with a from the
+          // right side ≡ mirrored-pred(b,a) with b from the left
+          Some((c, b, a, rel match {
+            case ContainsRel => WithinRel
+            case WithinRel => ContainsRel
+            case other => other
+          }))
+        else None
+      }
+    }.nextOption()
+
+  private[plans] def threshold: Long =
+    try SQLConf.get.getConfString(ThresholdKey, DefaultThreshold.toString).toLong
+    catch { case _: NumberFormatException => DefaultThreshold }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case Join(left, right, Inner, Some(cond), _) =>
       val conjuncts = splitConjunctivePredicates(cond)
       if (conjuncts.exists(isEqui(left, right))) return Nil
 
-      val spatial = conjuncts.iterator.flatMap { c =>
-        asSpatial(c).flatMap { case (a, b, rel) =>
-          if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
-            Some((c, a, b, rel))
-          else if (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
-            // mirror into JOIN orientation: pred(a,b) with a from the
-            // right side ≡ mirrored-pred(b,a) with b from the left
-            Some((c, b, a, rel match {
-              case ContainsRel => WithinRel
-              case WithinRel => ContainsRel
-              case other => other
-            }))
-          else None
-        }
-      }.toSeq.headOption
+      val spatial = findSpatial(left, right, conjuncts)
 
       spatial match {
         case Some((chosen, lg, rg, rel)) =>
-          val threshold =
-            try SQLConf.get.getConfString(ThresholdKey, DefaultThreshold.toString).toLong
-            catch { case _: NumberFormatException => DefaultThreshold }
           val lSize = left.stats.sizeInBytes
           val rSize = right.stats.sizeInBytes
           val extra = conjuncts.filterNot(_ eq chosen).reduceOption(And)

@@ -29,9 +29,22 @@ class GridSpatialJoinSpec extends SparkTestBase {
       (s"z$i", square((i % 4) * 13.0 - 5.0, (i / 4) * 11.0 - 3.0, 8.0 + (i % 3) * 12.0))
     }.toDF("zid", "zgeom")
 
+  /** Exec path: RDD-cogroup [[GridSpatialJoinExec]] (gridMode=exec). */
   private def withGrid[A](cell: Double)(f: => A): A = {
     spark.conf.set(SpatialJoinStrategy.GridCellKey, cell.toString)
     spark.conf.set(SpatialJoinStrategy.ThresholdKey, "1") // force the huge-huge path
+    spark.conf.set(GridJoinRewrite.GridModeKey, "exec")
+    try f finally {
+      spark.conf.unset(SpatialJoinStrategy.GridCellKey)
+      spark.conf.unset(SpatialJoinStrategy.ThresholdKey)
+      spark.conf.unset(GridJoinRewrite.GridModeKey)
+    }
+  }
+
+  /** Default path: the logical exploded-equi-join rewrite. */
+  private def withRewrite[A](cell: Double)(f: => A): A = {
+    spark.conf.set(SpatialJoinStrategy.GridCellKey, cell.toString)
+    spark.conf.set(SpatialJoinStrategy.ThresholdKey, "1")
     try f finally {
       spark.conf.unset(SpatialJoinStrategy.GridCellKey)
       spark.conf.unset(SpatialJoinStrategy.ThresholdKey)
@@ -116,6 +129,84 @@ class GridSpatialJoinSpec extends SparkTestBase {
 
     val expected = pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom"))).sorted
     val got = withGrid(25.0) {
+      pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom")))
+    }.sorted
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("rewrite: both-huge spatial join plans as an exploded equi-join, not GridSpatialJoin") {
+    withRewrite(10.0) {
+      // tiny fixtures would broadcast the cell join; force the shape a
+      // both-huge join takes at scale (shuffled equi-join)
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+      val df = parcels.join(zones, G.st_intersects($"geom", $"zgeom"))
+      df.collect()   // finalize the AQE plan so codegen spans are visible
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("GridSpatialJoin"), plan)
+      assert(!plan.contains("SpatialIndexJoin"), plan)
+      // PBSM shape with stock operators: explode of the cell array
+      // feeding a shuffled equi-join on the packed cell id
+      assert(plan.contains("st_grid_cells") || plan.contains("Generate"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // the join runs inside whole-stage codegen (the `*(n)` span
+      // prefix) — the thing the RDD-cogroup exec can never give
+      assert("""\*\(\d+\) (SortMergeJoin|ShuffledHashJoin)""".r
+        .findFirstIn(plan).isDefined, plan)
+      // and AQE owns the shuffle (runtime coalesce/skew-split)
+      assert(plan.contains("AdaptiveSparkPlan"), plan)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    }
+  }
+
+  test("rewrite pairs == broadcast join pairs, exactly once each") {
+    val expected = pairsOf(parcels.join(zones, G.st_intersects($"geom", $"zgeom")))
+      .sorted
+    assert(expected.nonEmpty)
+    for (cell <- Seq(3.0, 10.0, 50.0)) {
+      val got = withRewrite(cell) {
+        pairsOf(parcels.join(zones, G.st_intersects($"geom", $"zgeom")))
+      }.sorted
+      assert(got == expected, s"cell=$cell: ${got.size} vs ${expected.size}")
+    }
+  }
+
+  test("rewrite dwithin and contains match broadcast; residual applies") {
+    val expectedD = pairsOf(
+      parcels.join(zones, G.st_dwithin($"geom", $"zgeom", lit(4.0)))).sorted
+    assert(withRewrite(10.0) {
+      pairsOf(parcels.join(zones, G.st_dwithin($"geom", $"zgeom", lit(4.0))))
+    }.sorted == expectedD)
+
+    val expectedC = pairsOf(
+      zones.join(parcels, G.st_contains($"zgeom", $"geom")).select("pid", "zid")).sorted
+    assert(withRewrite(10.0) {
+      pairsOf(zones.join(parcels, G.st_contains($"zgeom", $"geom")).select("pid", "zid"))
+    }.sorted == expectedC)
+
+    val expectedR = pairsOf(parcels.join(zones,
+      G.st_intersects($"geom", $"zgeom") && $"zid" =!= "z0")).sorted
+    val gotR = withRewrite(10.0) {
+      pairsOf(parcels.join(zones,
+        G.st_intersects($"geom", $"zgeom") && $"zid" =!= "z0"))
+    }.sorted
+    assert(gotR == expectedR && !gotR.exists(_._2 == "z0"))
+  }
+
+  test("rewrite scale smoke: 10k x 10k random boxes equals broadcast") {
+    val rnd = new scala.util.Random(11)
+    def randBoxes(n: Int, tag: String) =
+      (0 until n).map { i =>
+        val x = rnd.nextDouble() * 1000.0 - 500.0
+        val y = rnd.nextDouble() * 1000.0 - 500.0
+        (s"$tag$i", square(x, y, 0.2 + rnd.nextDouble() * 3.0))
+      }
+    val a = randBoxes(10000, "a").toDF("pid", "geom").repartition(8)
+    val b = randBoxes(10000, "b").toDF("zid", "zgeom").repartition(8)
+    val expected = pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom"))).sorted
+    val got = withRewrite(25.0) {
       pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom")))
     }.sorted
     assert(got == expected)
