@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination (SURVEY §2.12 extension surface): remove
+  * training documents that share any token n-gram with a held-out
+  * benchmark/eval corpus — the standard guard against test-set leakage
+  * into a pretraining mix (the "13-gram overlap" rule of GPT-3/PaLM
+  * lineage, parameterized here).
+  *
+  * Scale shape: the eval side is benchmarks — thousands of documents,
+  * millions of distinct n-grams — so its distinct gram set broadcasts.
+  * The training corpus (the 100 TB side) streams once: generate grams,
+  * broadcast-hash semi-join, aggregate doc ids. No slab of exploded
+  * training grams is ever shuffled or materialized; the whole pass is
+  * scan → generate → broadcast probe → partial distinct.
+  */
+object Decontaminate {
+
+  /** Distinct n-gram strings of the eval corpus (the broadcast side). */
+  def evalGrams(eval: DataFrame, textCol: String, n: Int): DataFrame =
+    eval.select(explode(TextAnalysis.tokenNgrams(col(textCol), n)).as("gram")).distinct()
+
+  /** Ids of training docs sharing ≥1 token n-gram with the eval set. */
+  def contaminatedIds(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame =
+    train.select(col(idCol), explode(TextAnalysis.tokenNgrams(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams(eval, textCol, n)), Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+
+  /** The decontaminated training corpus: `train` minus every document
+    * overlapping the eval set.
+    */
+  def removeContaminated(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame =
+    train.join(contaminatedIds(train, eval, idCol, textCol, n), Seq(idCol), "left_anti")
+}

@@ -77,6 +77,30 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(tokens(text))))
 
+  /** Token n-grams as space-joined strings (positions 1..len-n+1; a
+    * doc shorter than n tokens yields itself as its only gram). The
+    * unit of eval-set decontamination overlap — raw strings, not
+    * hashes, so an independent oracle needs no hash-function parity.
+    */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => array_join(slice(t, i, lit(n)), " ")))
+  }
+
+  /** Within-document repetition: 1 − distinct/total token n-grams —
+    * the Gopher-style repetitious-text signal (loops, boilerplate,
+    * keyword stuffing score high; clean prose near 0).
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    val all = transform(
+      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => array_join(slice(t, i, lit(n)), " "))
+    lit(1.0) - size(array_distinct(all)).cast("double") / size(all)
+  }
+
   /** Winnowing fingerprints (the rolling-hash document fingerprint of
     * Schleimer/Wilkerson/Aiken): k-gram rolling hashes → minimum of
     * each window of `w` consecutive hashes → distinct selected set.

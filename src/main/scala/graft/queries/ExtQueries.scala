@@ -632,6 +632,69 @@ object ExtQueries {
       .orderBy("user_id")
   }
 
+  /** Eval-set decontamination: training docs sharing any token 8-gram
+    * with the held-out eval slice (doc_id ≡ 0 mod 97) are flagged; the
+    * per-language contamination census is the deliverable. Oracle
+    * recomputes the whole overlap from raw grams in DuckDB list SQL —
+    * no hash parity needed because grams are raw strings.
+    */
+  val x28_decontaminate: QuerySpec = duck("x28_decontaminate",
+    """WITH tok AS (SELECT doc_id, lang,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |g AS (SELECT doc_id, lang,
+      |    list_distinct([array_to_string(t[i:i+7], ' ')
+      |                   FOR i IN range(1, greatest(len(t)-6, 2))]) AS grams
+      |  FROM tok),
+      |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+      |train AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+      |cont AS (SELECT DISTINCT tg.doc_id
+      |  FROM (SELECT doc_id, unnest(grams) AS gram FROM train) tg
+      |  JOIN ev USING (gram))
+      |SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS docs_total,
+      |  CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM cont)) AS BIGINT)
+      |    AS docs_contaminated,
+      |  CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM cont)) AS BIGINT)
+      |    AS docs_kept
+      |FROM train GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    import graft.operators.Decontaminate
+    val docs = Tables.documents(s, d)
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val cont = Decontaminate.contaminatedIds(train, eval, "doc_id", "text", n = 8)
+    train.join(cont.withColumn("__c", lit(1)), Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("docs_total"),
+        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).cast("bigint")
+          .as("docs_contaminated"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).cast("bigint").as("docs_kept"))
+      .orderBy("lang")
+  }
+
+  /** Gopher-style repetition signal: per-language average / max of the
+    * within-doc duplicate-trigram fraction, plus the count above the
+    * removal threshold.
+    */
+  val x29_repetition: QuerySpec = duck("x29_repetition",
+    """WITH tok AS (SELECT lang,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |r AS (SELECT lang,
+      |    1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) AS rep
+      |  FROM (SELECT lang, [array_to_string(t[i:i+2], ' ')
+      |                      FOR i IN range(1, greatest(len(t)-1, 2))] AS g FROM tok))
+      |SELECT lang, round(avg(rep), 4) AS avg_rep, round(max(rep), 4) AS max_rep,
+      |  CAST(count(*) FILTER (WHERE rep > 0.5) AS BIGINT) AS repetitive_docs
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), TA.repetitionRatio(col("text"), 3).as("rep"))
+      .groupBy("lang")
+      .agg(round(avg("rep"), 4).as("avg_rep"),
+        round(max("rep"), 4).as("max_rep"),
+        sum(when(col("rep") > 0.5, 1L).otherwise(0L)).cast("bigint")
+          .as("repetitive_docs"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -639,5 +702,5 @@ object ExtQueries {
     x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing,
     x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
     x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters, x26_json,
-    x27_interval_overlap)
+    x27_interval_overlap, x28_decontaminate, x29_repetition)
 }

@@ -275,6 +275,39 @@ class ExtOpsSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("decontamination drops exactly the docs sharing an n-gram with the eval set") {
+    val eval = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zzz alpha beta gamma delta yyy"),  // contains the eval 4-gram
+      (2L, "alpha beta delta gamma"),          // same tokens, different order — clean
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val kept = Decontaminate.removeContaminated(train, eval, "doc_id", "text", n = 4)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 3L))
+    // short eval doc (< n tokens) contaminates via its whole-doc gram
+    val evalShort = Seq((200L, "rare pair")).toDF("doc_id", "text")
+    val keptShort = Decontaminate.removeContaminated(
+      Seq((1L, "rare pair"), (2L, "other text")).toDF("doc_id", "text"),
+      evalShort, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(keptShort == Seq(2L))
+  }
+
+  test("repetition ratio is 0 for all-distinct trigrams and rises with repeats") {
+    val df = Seq(
+      (1L, "a b c d e f"),          // all 4 trigrams distinct -> 0
+      (2L, "x y x y x y x y"),      // cycling -> high repetition
+      (3L, "w")                     // shorter than n -> single gram -> 0
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        TextAnalysis.repetitionRatio($"text", 3).as("rep"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got(0)._2 == 0.0)
+    assert(got(1)._2 > 0.5)
+    assert(got(2)._2 == 0.0)
+  }
+
   test("multimodal stub features are deterministic and batched") {
     val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "text")
       .withColumn("payload", encode($"text", "UTF-8"))
