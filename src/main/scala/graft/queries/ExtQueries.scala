@@ -695,6 +695,37 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  /** Per-language token-budget sampling: walk each language's docs in
+    * deterministic (md5, id) order, keep docs while the budget has
+    * room — the "N tokens per language" mix-construction step of a
+    * pretraining pipeline. Reuses x24's proven md5-order parity and
+    * x11's token-count parity. The window cumsum shuffles once per
+    * stratum; strata are independent, so at 100 TB each language
+    * sorts/scans in parallel.
+    */
+  val x30_token_budget: QuerySpec = q("x30_token_budget",
+    """SELECT lang, doc_id, toks FROM (
+      |  SELECT lang, doc_id, toks,
+      |    coalesce(sum(toks) OVER (PARTITION BY lang
+      |      ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM (SELECT lang, doc_id,
+      |          cast(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS toks
+      |        FROM documents) t) s
+      |WHERE cum_before < 1500 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .withColumn("toks",
+        regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")).cast("bigint"))
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .filter(col("cum_before") < 1500)
+      .select("lang", "doc_id", "toks")
+      .orderBy("lang", "doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -702,5 +733,5 @@ object ExtQueries {
     x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing,
     x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
     x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters, x26_json,
-    x27_interval_overlap, x28_decontaminate, x29_repetition)
+    x27_interval_overlap, x28_decontaminate, x29_repetition, x30_token_budget)
 }
