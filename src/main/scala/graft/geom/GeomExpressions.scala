@@ -195,7 +195,16 @@ object GeomExpressions {
       (exprs: Seq[Expression]) => StDWithinExpr(exprs(0), exprs(1), exprs(2))),
     (FunctionIdentifier("st_transform"),
       new ExpressionInfo(classOf[StTransformExpr].getName, "st_transform"),
-      (exprs: Seq[Expression]) => StTransformExpr(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => StTransformExpr(exprs(0), exprs(1), exprs(2))),
+    // grid decomposition primitives (the PBSM building blocks the
+    // GridJoinRewrite emits) — exposed so SQL users can hand-build a
+    // cell-partitioned spatial join or a cell-keyed layout
+    (FunctionIdentifier("st_grid_cells"),
+      new ExpressionInfo(classOf[graft.plans.StGridCellsExpr].getName, "st_grid_cells"),
+      (exprs: Seq[Expression]) => graft.plans.StGridCellsExpr(exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier("st_grid_refcell"),
+      new ExpressionInfo(classOf[graft.plans.StGridRefCellExpr].getName, "st_grid_refcell"),
+      (exprs: Seq[Expression]) => graft.plans.StGridRefCellExpr(exprs(0), exprs(1), exprs(2), exprs(3))))
 }
 
 /** SparkSessionExtensions hook: `spark.sql("SELECT st_area(geom) …")`

@@ -64,4 +64,20 @@ class GeomSqlSurfaceSpec extends SparkTestBase {
     assert(math.abs(preds.getAs[Double]("buf") - math.Pi) < 0.03)
     assert(!preds.getAs[String]("simp").contains("0.01"))          // vertex simplified away
   }
+
+  test("grid decomposition primitives work from pure SQL") {
+    GeomFunctions.registerAll(spark)
+    // a 2x1-cell envelope at cell size 10: cells (0,0) and (1,0)
+    val r = spark.sql(
+      """SELECT st_grid_cells(st_geomfromwkt('POLYGON((1 1, 15 1, 15 5, 1 5, 1 1))'),
+        |                     10.0D, 0.0D) AS cells,
+        |       st_grid_refcell(st_geomfromwkt('POLYGON((1 1, 15 1, 15 5, 1 5, 1 1))'),
+        |                       st_geomfromwkt('POLYGON((12 2, 14 2, 14 4, 12 4, 12 2))'),
+        |                       10.0D, 0.0D) AS refcell""".stripMargin)
+      .collect()(0)
+    val cells = r.getSeq[Long](0)
+    assert(cells.length == 2 && cells.contains(0L) && cells.contains(1L << 32), cells)
+    // ref point = (max(1,12), max(1,2)) = (12,2) -> cell (1,0)
+    assert(r.getLong(1) == (1L << 32))
+  }
 }

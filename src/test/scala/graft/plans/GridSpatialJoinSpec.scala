@@ -213,6 +213,45 @@ class GridSpatialJoinSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("rewrite: AQE skew-splits a hot cell (what the RDD-cogroup exec needed static salts for)") {
+    // one pathological cell: thousands of rows pile into cell (0,0)
+    // while the rest of the grid is sparse
+    val hotA = (0 until 4000).map(i => (s"h$i", square(1.0 + (i % 7) * 0.001, 1.0, 0.5)))
+    val coldA = (0 until 40).map(i => (s"c$i", square(100.0 + i * 30.0, 50.0, 0.5)))
+    val a = (hotA ++ coldA).toDF("pid", "geom").repartition(8)
+    val hotB = (0 until 300).map(i => (s"H$i", square(1.2, 1.0 + (i % 5) * 0.001, 0.5)))
+    val coldB = (0 until 40).map(i => (s"C$i", square(100.0 + i * 30.0, 50.0, 0.5)))
+    val b = (hotB ++ coldB).toDF("zid", "zgeom").repartition(8)
+
+    val expected = pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom"))).sorted
+    assert(expected.size > 1000000 / 2 || expected.nonEmpty)
+
+    val skewConfs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prior = skewConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val got = withRewrite(25.0) {
+        val df = a.join(b, G.st_intersects($"geom", $"zgeom"))
+        df.collect()   // finalize AQE
+        val plan = df.queryExecution.executedPlan.toString
+        // AQE recognized and split the hot cell at runtime — no salt
+        // conf anywhere
+        assert(plan.contains("skewed"), plan)
+        pairsOf(df)
+      }.sorted
+      assert(got == expected)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("negative-coordinate geometries hash to the correct cells") {
     val a = Seq(("a1", square(-25.0, -25.0, 10.0))).toDF("pid", "geom")
     val b = Seq(("b1", square(-20.0, -20.0, 10.0)), ("b2", square(5.0, 5.0, 1.0)))
