@@ -130,6 +130,32 @@ object Similarity {
       scoreRound: Option[Int] = None): DataFrame =
     ivfProbe(index.assigned, index.centroids, idCol, vecCol, query, k, nprobe, scoreRound)
 
+  /** Per-vector int8 scalar quantization (the FAISS SQ8 recipe): scale
+    * by 127/max|v| and round — 4× smaller at rest than float32, which
+    * at 100 TB of embeddings is the difference between a table that
+    * fits the page cache and one that doesn't. Returns
+    * struct(scale double, q array<int>); dequantize with q[i]/scale.
+    * All built-ins, so the quantization pass stays in whole-stage
+    * codegen over the scan.
+    */
+  def scalarQuantize(vecCol: Column): Column = {
+    val vd = transform(vecCol, v => v.cast("double"))
+    val m = array_max(transform(vd, v => abs(v)))
+    val scale = when(m === 0.0, 0.0).otherwise(lit(127.0) / m)
+    struct(scale.as("scale"),
+      transform(vd, v => round(v * scale).cast("int")).as("q"))
+  }
+
+  /** Max absolute reconstruction error of a quantized vector — the
+    * quality gate a pipeline thresholds before swapping the float
+    * column for the int8 one.
+    */
+  def dequantError(vecCol: Column, quantCol: Column): Column = {
+    val scale = quantCol.getField("scale")
+    array_max(zip_with(quantCol.getField("q"), transform(vecCol, v => v.cast("double")),
+      (q, v) => abs(q.cast("double") / scale - v)))
+  }
+
   /** ANN top-k: scan only rows whose LSH bucket is within
     * `probeHamming` bits of the query's bucket, then exact cosine.
     */

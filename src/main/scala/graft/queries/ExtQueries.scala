@@ -726,6 +726,35 @@ object ExtQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Int8 scalar quantization census over the embedding table: scale,
+    * quantized checksum, and max reconstruction error per vector.
+    * Oracle recomputes the whole quantization in DuckDB double list
+    * SQL — both engines derive identical doubles from the same float
+    * column, and round() is half-away-from-zero in both.
+    */
+  val x31_quantize: QuerySpec = duck("x31_quantize",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |s AS (SELECT vec_id, e,
+      |    127.0 / list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+      |q AS (SELECT vec_id, e, scale,
+      |    list_transform(e, x -> CAST(round(x * scale) AS INTEGER)) AS qv FROM s)
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |  round(list_max([abs(qv[i] / scale - e[i])
+      |                  FOR i IN range(1, len(e) + 1)]), 6) AS max_err
+      |FROM q ORDER BY vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .withColumn("__quant", Similarity.scalarQuantize(col("embedding")))
+    emb.select(col("vec_id"),
+        round(col("__quant.scale"), 6).as("scale"),
+        aggregate(col("__quant.q"), lit(0L), (acc, x) => acc + x.cast("long"))
+          .as("q_sum"),
+        round(Similarity.dequantError(col("embedding"), col("__quant")), 6)
+          .as("max_err"))
+      .orderBy("vec_id")
+      .limit(10)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -733,5 +762,6 @@ object ExtQueries {
     x14_neardup_remove, x15_ann_ivf, x16_clean_corpus, x17_winnowing,
     x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
     x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters, x26_json,
-    x27_interval_overlap, x28_decontaminate, x29_repetition, x30_token_budget)
+    x27_interval_overlap, x28_decontaminate, x29_repetition, x30_token_budget,
+    x31_quantize)
 }

@@ -308,6 +308,23 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got(2)._2 == 0.0)
   }
 
+  test("scalar quantization bounds reconstruction error by half a step") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))      // zero vector: scale 0, q all 0
+    ).toDF("vec_id", "embedding")
+    val q = df.withColumn("qt", Similarity.scalarQuantize($"embedding"))
+    val r1 = q.filter($"vec_id" === 1)
+      .select($"qt.scale", Similarity.dequantError($"embedding", $"qt").as("err"))
+      .collect()(0)
+    assert(r1.getDouble(0) == 127.0)            // 127 / max|v| = 127/1.0
+    // max error of round-to-int quantization is half a quantization step
+    assert(r1.getDouble(1) <= 0.5 / 127.0 + 1e-12)
+    val r2 = q.filter($"vec_id" === 2).select($"qt.scale", $"qt.q").collect()(0)
+    assert(r2.getDouble(0) == 0.0)
+    assert(r2.getSeq[Int](1).forall(_ == 0))
+  }
+
   test("multimodal stub features are deterministic and batched") {
     val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "text")
       .withColumn("payload", encode($"text", "UTF-8"))
