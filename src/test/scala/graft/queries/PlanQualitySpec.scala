@@ -123,6 +123,19 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected $nprobe partitions read, got $partitionsRead:\n$plan")
   }
 
+  test("decontamination probes the eval grams via broadcast — the corpus side never shuffles") {
+    import graft.operators.Decontaminate
+    val docs = Tables.documents(spark, sfDir)
+    val cont = Decontaminate.contaminatedIds(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8)
+    val plan = cont.queryExecution.executedPlan.toString
+    // the gram probe is a broadcast LEFT SEMI: only the distinct doc
+    // ids (not the exploded grams) ever reach an exchange
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/events_p"
     val events = Tables.events(spark, sfDir)
