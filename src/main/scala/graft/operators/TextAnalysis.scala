@@ -101,6 +101,21 @@ object TextAnalysis {
     lit(1.0) - size(array_distinct(all)).cast("double") / size(all)
   }
 
+  /** Fixed-size token windows (training-sequence chunking): the text's
+    * whitespace tokens packed into consecutive `chunkSize`-token
+    * chunks, each rejoined with single spaces — the
+    * document→training-sequence step of a pretraining pipeline. The
+    * last chunk is the (possibly short) remainder; an empty doc yields
+    * one empty chunk.
+    */
+  def chunkTokens(text: Column, chunkSize: Int): Column = {
+    val t = tokens(text)
+    val nChunks = greatest(
+      ceil(size(t).cast("double") / chunkSize).cast("int"), lit(1))
+    transform(sequence(lit(1), nChunks),
+      i => array_join(slice(t, (i - 1) * chunkSize + 1, lit(chunkSize)), " "))
+  }
+
   /** Winnowing fingerprints (the rolling-hash document fingerprint of
     * Schleimer/Wilkerson/Aiken): k-gram rolling hashes → minimum of
     * each window of `w` consecutive hashes → distinct selected set.

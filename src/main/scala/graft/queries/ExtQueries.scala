@@ -755,6 +755,39 @@ object ExtQueries {
       .limit(10)
   }
 
+  /** Training-sequence chunking: every document split into 64-token
+    * windows; per-chunk rows (index, token count, content hash) for
+    * the first docs. Oracle rebuilds the chunks in DuckDB list SQL
+    * with a lateral range — content-level verification of the packing,
+    * not just the counts.
+    */
+  val x32_chunking: QuerySpec = duck("x32_chunking",
+    """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents WHERE doc_id < 20),
+      |c AS (SELECT doc_id,
+      |    [array_to_string(t[(i-1)*64+1 : i*64], ' ')
+      |     FOR i IN range(1, greatest(CAST(ceil(len(t)/64.0) AS INT), 1) + 1)] AS chunks
+      |  FROM tok)
+      |SELECT doc_id,
+      |  CAST(u['chunk_idx'] AS BIGINT) AS chunk_idx,
+      |  CAST(len(regexp_split_to_array(u['chunk'], ' ')) AS BIGINT) AS chunk_tokens,
+      |  md5(u['chunk']) AS chunk_md5
+      |FROM (SELECT doc_id,
+      |        unnest([{'chunk_idx': i, 'chunk': chunks[i]}
+      |                FOR i IN range(1, len(chunks) + 1)]) AS u
+      |      FROM c)
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(TA.chunkTokens(col("text"), 64)).as(Seq("pos", "chunk")))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("bigint").as("chunk_idx"),
+        size(split(col("chunk"), " ")).cast("bigint").as("chunk_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -763,5 +796,5 @@ object ExtQueries {
     x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
     x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters, x26_json,
     x27_interval_overlap, x28_decontaminate, x29_repetition, x30_token_budget,
-    x31_quantize)
+    x31_quantize, x32_chunking)
 }

@@ -308,6 +308,18 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got(2)._2 == 0.0)
   }
 
+  test("token chunking packs full windows plus a short tail and loses nothing") {
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = df.select(TextAnalysis.chunkTokens($"text", 4).as("c"))
+      .collect()(0).getSeq[String](0)
+    assert(chunks == Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+    // round-trip: rejoined chunks == original token stream
+    assert(chunks.mkString(" ") == (1 to 10).map(i => s"w$i").mkString(" "))
+    // short doc -> one chunk, whole text
+    val one = df.select(TextAnalysis.chunkTokens(lit("a b"), 4)).collect()(0).getSeq[String](0)
+    assert(one == Seq("a b"))
+  }
+
   test("scalar quantization bounds reconstruction error by half a step") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
