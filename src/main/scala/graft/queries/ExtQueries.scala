@@ -788,6 +788,43 @@ object ExtQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Data-mixture construction: per-SOURCE token budgets scaled by a
+    * domain weight (the "2x books, 0.5x web" reweighting every
+    * pretraining mix does), filled deterministically in (md5, id)
+    * order. The weights ride a broadcast dim join; budgets are
+    * per-stratum, so the 100 TB corpus fills all domains in parallel.
+    */
+  val x33_mix_weights: QuerySpec = duck("x33_mix_weights",
+    """WITH d AS (SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS toks,
+      |    (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) + 1 AS w
+      |  FROM documents),
+      |c AS (SELECT *, coalesce(sum(toks) OVER (PARTITION BY source
+      |    ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM d)
+      |SELECT source, CAST(count(*) AS BIGINT) AS docs_sampled,
+      |  CAST(sum(toks) AS BIGINT) AS tokens_sampled
+      |FROM c WHERE cum_before < w * 400
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val weights = docs.select("source").distinct()
+      .withColumn("w",
+        (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1).cast("long"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(weights), Seq("source"))
+      .withColumn("toks",
+        regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")).cast("bigint"))
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .filter(col("cum_before") < col("w") * 400)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("docs_sampled"),
+        sum(col("toks")).cast("bigint").as("tokens_sampled"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -796,5 +833,5 @@ object ExtQueries {
     x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
     x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters, x26_json,
     x27_interval_overlap, x28_decontaminate, x29_repetition, x30_token_budget,
-    x31_quantize, x32_chunking)
+    x31_quantize, x32_chunking, x33_mix_weights)
 }
