@@ -1,31 +1,39 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
-/** As-of join: attach to each left row the latest right row with
-  * `right.ts <= left.ts` per key — the standard event-enrichment join
+/** As-of join: attach to each left row the nearest right row per key
+  * in the requested direction — the standard event-enrichment join
   * (trade↔quote, click↔view) that plain SQL joins can't express
   * without a per-row subquery.
   *
+  *  - `backward` (default): latest right row with `right.ts <= left.ts`
+  *  - `forward`: earliest right row with `right.ts >= left.ts`
+  *  - `nearest`: whichever of the two is closer in time (ties →
+  *    backward, the pandas `merge_asof` convention)
+  *
   * Composed from built-ins (the SURVEY §4 preference order): tag and
-  * union both sides, then one `last(value, ignoreNulls) OVER
-  * (PARTITION BY keys ORDER BY ts, tag ROWS UNBOUNDED PRECEDING)`
-  * window. At scale that is ONE shuffle on the key columns and a
-  * sorted within-partition sweep — the same cost envelope as the
-  * dedicated merge-join implementations in kdb/DuckDB/Flink, with
-  * Spark's window machinery handling spill. Right rows order before
-  * left rows at equal ts (tag 0 < 1), giving `>=` semantics.
+  * union both sides, then ONE window sweep per direction —
+  * `last(value, ignoreNulls) ROWS UNBOUNDED PRECEDING` for backward,
+  * `first(value, ignoreNulls) ROWS UNBOUNDED FOLLOWING` for forward.
+  * At scale that is ONE shuffle on the key columns and sorted
+  * within-partition sweeps — the same cost envelope as the dedicated
+  * merge-join implementations in kdb/DuckDB/Flink, with Spark's window
+  * machinery handling spill (`nearest` runs both sweeps over the same
+  * exchange). Tag ordering makes both directions inclusive: right rows
+  * order before left rows at equal ts for backward (tag 0 < 1, ts asc),
+  * and after them for forward (tag desc).
   */
 object AsOfJoin {
 
   /** Left as-of join. Attached right columns surface as `asof_<name>`
-    * (NULL when no right row precedes the left row).
+    * (NULL when no right row matches in the direction).
     *
     * All attach columns are swept as ONE struct so every attached value
-    * comes from the SAME latest right row, and a NULL inside that row
+    * comes from the SAME matched right row, and a NULL inside that row
     * propagates as NULL instead of being skipped in favor of a stale
     * older row (per-column `last(ignoreNulls)` would do exactly that,
     * deviating from native ASOF JOIN semantics).
@@ -33,11 +41,17 @@ object AsOfJoin {
   def asOfJoin(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], tsCol: String,
-      attach: Seq[String]): DataFrame = {
+      attach: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
 
     val leftCols = left.columns
+    // the matched row's ts rides inside the struct (as __rts) so
+    // `nearest` can compare time distances; it is not surfaced
     val packType = StructType(attach.map(c =>
-      StructField(c, right.schema(c).dataType, nullable = true)))
+      StructField(c, right.schema(c).dataType, nullable = true)) :+
+      StructField("__rts", right.schema(tsCol).dataType, nullable = true))
     // shared layout: left columns ++ __asof_s (struct of attach cols) ++ __tag
     val lSel = left.select(
       (leftCols.map(col) :+
@@ -48,21 +62,43 @@ object AsOfJoin {
         if (keys.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
       } :+
-        struct(attach.map(c => col(c).as(c)): _*).as("__asof_s") :+
+        struct(attach.map(c => col(c).as(c)) :+ col(tsCol).as("__rts"): _*).as("__asof_s") :+
         lit(0).as("__tag")).toIndexedSeq: _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__tag").asc)
+    val part = Window.partitionBy(keys.map(col): _*)
+    val wBack = part.orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = part.orderBy(col(tsCol).asc, col("__tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    // the struct is non-null exactly on right rows, so last(ignoreNulls)
-    // lands on the latest right row as a UNIT; inner fields may be NULL
-    val swept = lSel.unionByName(rSel)
-      .withColumn("__asof_hit", last(col("__asof_s"), ignoreNulls = true).over(w))
+    // the struct is non-null exactly on right rows, so last/first with
+    // ignoreNulls lands on the matched right row as a UNIT
+    val u = lSel.unionByName(rSel)
+    val withHit = direction match {
+      case "backward" =>
+        u.withColumn("__asof_hit", last(col("__asof_s"), ignoreNulls = true).over(wBack))
+      case "forward" =>
+        u.withColumn("__asof_hit", first(col("__asof_s"), ignoreNulls = true).over(wFwd))
+      case "nearest" =>
+        // both sweeps share the one shuffle (same partitioning); pick
+        // the closer match, backward on ties
+        val ts: Column = col(tsCol).cast("double")
+        val back = col("__b"); val fwd = col("__f")
+        u.withColumn("__b", last(col("__asof_s"), ignoreNulls = true).over(wBack))
+          .withColumn("__f", first(col("__asof_s"), ignoreNulls = true).over(wFwd))
+          .withColumn("__asof_hit",
+            when(back.isNull, fwd)
+              .when(fwd.isNull, back)
+              .when(ts - back.getField("__rts").cast("double") <=
+                fwd.getField("__rts").cast("double") - ts, back)
+              .otherwise(fwd))
+          .drop("__b", "__f")
+    }
+
+    withHit
       .select(
         ((leftCols.map(col) :+ col("__tag")) ++
           attach.map(c => col(s"__asof_hit.$c").as(s"asof_$c"))).toIndexedSeq: _*)
-
-    swept.filter(col("__tag") === 1).drop("__tag")
+      .filter(col("__tag") === 1).drop("__tag")
   }
 }

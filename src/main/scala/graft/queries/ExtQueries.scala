@@ -825,6 +825,28 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** FORWARD as-of: each click enriched with the EARLIEST following
+    * view (`v.ts >= c.ts`) — the other direction of x22, against
+    * DuckDB's native forward ASOF JOIN as an independent oracle.
+    */
+  val x34_asof_forward: QuerySpec = q("x34_asof_forward",
+    """SELECT c.event_id, c.user_id, round(v.value, 2) AS asof_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id AND c.ts <= v.ts
+      |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    AsOfJoin.asOfJoin(clicks, views, Seq("user_id"), "ts", Seq("value"),
+        direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        round(col("asof_value"), 2).as("asof_value"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -833,5 +855,5 @@ object ExtQueries {
     x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
     x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters, x26_json,
     x27_interval_overlap, x28_decontaminate, x29_repetition, x30_token_budget,
-    x31_quantize, x32_chunking, x33_mix_weights)
+    x31_quantize, x32_chunking, x33_mix_weights, x34_asof_forward)
 }

@@ -308,6 +308,25 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got(2)._2 == 0.0)
   }
 
+  test("as-of forward and nearest directions pick the right neighbor") {
+    val l = Seq((1L, "k", 10L), (2L, "k", 25L), (3L, "k", 100L)).toDF("id", "k", "ts")
+    val r = Seq(("k", 8L, "a"), ("k", 20L, "b"), ("k", 30L, "c")).toDF("k", "ts", "v")
+    def run(dir: String): Map[Long, String] =
+      AsOfJoin.asOfJoin(l, r, Seq("k"), "ts", Seq("v"), direction = dir)
+        .collect().map(row => row.getAs[Long]("id") -> row.getAs[String]("asof_v")).toMap
+    // backward: latest <=; forward: earliest >=; nearest: closer, ties backward
+    assert(run("backward") == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(run("forward") == Map(1L -> "b", 2L -> "c", 3L -> null))
+    // ts=25 is 5 from b(20) and 5 from c(30): tie -> backward -> b
+    assert(run("nearest") == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // inclusive on equal ts in both directions
+    val lEq = Seq((1L, "k", 20L)).toDF("id", "k", "ts")
+    assert(AsOfJoin.asOfJoin(lEq, r, Seq("k"), "ts", Seq("v"), "forward")
+      .collect()(0).getAs[String]("asof_v") == "b")
+    assert(AsOfJoin.asOfJoin(lEq, r, Seq("k"), "ts", Seq("v"), "backward")
+      .collect()(0).getAs[String]("asof_v") == "b")
+  }
+
   test("token chunking packs full windows plus a short tail and loses nothing") {
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
     val chunks = df.select(TextAnalysis.chunkTokens($"text", 4).as("c"))
