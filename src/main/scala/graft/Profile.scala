@@ -25,7 +25,11 @@ object Profile {
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
-      fn(spark, "/root/testdata/sf0.001").count()   // plan/codegen warmup
+      // plan/codegen warmup at the smallest SF (same guard as Bench:
+      // a missing warmup dir or a warmup-only failure must not kill
+      // the measurement)
+      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+      try fn(spark, warmDir).count() catch { case _: Throwable => }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

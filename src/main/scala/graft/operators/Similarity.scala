@@ -152,8 +152,13 @@ object Similarity {
     */
   def dequantError(vecCol: Column, quantCol: Column): Column = {
     val scale = quantCol.getField("scale")
-    array_max(zip_with(quantCol.getField("q"), transform(vecCol, v => v.cast("double")),
-      (q, v) => abs(q.cast("double") / scale - v)))
+    // scale == 0 means the all-zero vector: q is all zeros and the
+    // reconstruction is exact — without the guard, q/scale is 0/0 →
+    // NULL, and a `dequantError <= t` quality gate would silently DROP
+    // the row instead of keeping a perfect reconstruction
+    when(scale === 0.0, lit(0.0)).otherwise(
+      array_max(zip_with(quantCol.getField("q"), transform(vecCol, v => v.cast("double")),
+        (q, v) => abs(q.cast("double") / scale - v))))
   }
 
   /** ANN top-k: scan only rows whose LSH bucket is within

@@ -82,22 +82,26 @@ object TextAnalysis {
     * unit of eval-set decontamination overlap — raw strings, not
     * hashes, so an independent oracle needs no hash-function parity.
     */
-  def tokenNgrams(text: Column, n: Int): Column = {
+  /** All positional token n-grams (with duplicates) — the shared gram
+    * builder under [[tokenNgrams]] and [[repetitionRatio]], so x28's
+    * oracle-parity proof of the boundary arithmetic covers both.
+    */
+  private def rawTokenNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
-    array_distinct(transform(
+    transform(
       sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
-      i => array_join(slice(t, i, lit(n)), " ")))
+      i => array_join(slice(t, i, lit(n)), " "))
   }
+
+  def tokenNgrams(text: Column, n: Int): Column =
+    array_distinct(rawTokenNgrams(text, n))
 
   /** Within-document repetition: 1 − distinct/total token n-grams —
     * the Gopher-style repetitious-text signal (loops, boilerplate,
     * keyword stuffing score high; clean prose near 0).
     */
   def repetitionRatio(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    val all = transform(
-      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
-      i => array_join(slice(t, i, lit(n)), " "))
+    val all = rawTokenNgrams(text, n)
     lit(1.0) - size(array_distinct(all)).cast("double") / size(all)
   }
 

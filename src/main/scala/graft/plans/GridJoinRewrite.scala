@@ -22,6 +22,14 @@ import graft.geom.GeomCodec
 object GridOps {
   def encode(cx: Int, cy: Int): Long = (cx.toLong << 32) | (cy.toLong & 0xFFFFFFFFL)
 
+  /** Hard cap on cells a single row may replicate into: far beyond any
+    * sane cellSize (a 2048×2048-cell envelope), yet it turns the
+    * wrong-CRS-units mistake (degrees-sized cells on a meters layer, or
+    * one continent-spanning outlier) into a clear per-row error instead
+    * of an Int overflow / multi-GB allocation inside generated code.
+    */
+  val MaxCellsPerRow: Long = 4L * 1024 * 1024
+
   /** Every grid cell the geometry's (optionally expanded) envelope
     * overlaps — the replication set of the PBSM decomposition.
     */
@@ -32,7 +40,12 @@ object GridOps {
     val x1 = math.floor(env.getMaxX / cellSize).toInt
     val y0 = math.floor(env.getMinY / cellSize).toInt
     val y1 = math.floor(env.getMaxY / cellSize).toInt
-    val out = new Array[Long]((x1 - x0 + 1) * (y1 - y0 + 1))
+    val nCells = (x1.toLong - x0 + 1) * (y1.toLong - y0 + 1)
+    if (nCells > MaxCellsPerRow) throw new IllegalArgumentException(
+      s"geometry envelope [${env.getMinX},${env.getMinY} .. ${env.getMaxX},${env.getMaxY}] " +
+        s"spans $nCells grid cells at cellSize=$cellSize (limit $MaxCellsPerRow) — " +
+        s"raise ${SpatialJoinStrategy.GridCellKey} (is it in the layer's CRS units?)")
+    val out = new Array[Long](nCells.toInt)
     var i = 0
     var cx = x0
     while (cx <= x1) {

@@ -808,13 +808,15 @@ object ExtQueries {
       |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val weights = docs.select("source").distinct()
-      .withColumn("w",
-        (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1).cast("long"))
     val w = Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.join(broadcast(weights), Seq("source"))
+    // the weight is a pure function of the source, so it computes
+    // row-local in the same scan — a config-table variant would
+    // broadcast-join a literal dim, never re-scan the corpus for it
+    docs
+      .withColumn("w",
+        (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1).cast("long"))
       .withColumn("toks",
         regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")).cast("bigint"))
       .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
