@@ -65,6 +65,31 @@ object StreamingTwins {
     points.join(fences,
       graft.geom.GeomFunctions.st_intersects(col(pointGeom), col(fenceGeom)))
 
+  /** Streaming corpus ingestion — the batch cleaning pipeline's
+    * streaming face (§2.12 meets §2.11): exact dedup on the content
+    * key (STATEFUL `dropDuplicates`; with an event-time column,
+    * `dropDuplicatesWithinWatermark` bounds the state), eval-set
+    * decontamination, and the quality gate (both stateless, so they
+    * inline into each micro-batch's codegen).
+    *
+    * `evalGrams` is the benchmark gram set — benchmark-sized by
+    * definition, so it ships as a literal/broadcast to every executor
+    * (a production variant broadcasts a bloom filter of it; the
+    * semantics here are the exact-membership upper bound).
+    */
+  def ingestCorpus(
+      docs: DataFrame, evalGrams: Seq[String],
+      n: Int = 8, minQuality: Double = 0.3): DataFrame =
+    docs
+      .withColumn("__k", graft.operators.Dedup.contentKey(col("text")))
+      .dropDuplicates("__k")
+      .filter(!arrays_overlap(
+        graft.operators.TextAnalysis.tokenNgrams(col("text"), n),
+        typedLit(evalGrams)))
+      .withColumn("quality", graft.operators.TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .drop("__k")
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class UserSessions(user_id: Long, sessions: Long)
   final case class SessionState(lastTsMicros: Long, sessions: Long)

@@ -90,6 +90,42 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(explained.contains("SpatialIndexJoin"), explained)
   }
 
+  test("streaming corpus ingestion matches the batch cleaning pipeline") {
+    import graft.operators.{Dedup, Decontaminate, TextAnalysis => TA}
+    val docsDir = {
+      val dir = Files.createTempDirectory("docs_stream")
+      Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+        dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    }
+    val static = spark.read.parquet(docsDir)
+    val evalDocs = static.filter(col("doc_id") % 97 === 0)
+    val evalGrams = Decontaminate.evalGrams(evalDocs, "text", 8)
+      .collect().map(_.getString(0)).toSeq
+
+    val stream = spark.readStream.schema(static.schema).parquet(docsDir)
+      .filter(col("doc_id") % 97 =!= 0)
+    val q = StreamingTwins.ingestCorpus(stream, evalGrams)
+      .writeStream.format("memory").queryName("ingested")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // batch twin: exact dedup -> decontaminate -> quality gate.
+    // Compare CONTENT-KEY sets: streaming dedup keeps the first
+    // ARRIVED row per key, batch keeps the min id — same survivors
+    // content-wise, possibly different representative ids.
+    val train = static.filter(col("doc_id") % 97 =!= 0)
+    val batch = Decontaminate.removeContaminated(
+        Dedup.exact(train, "text", "doc_id"), evalDocs, "doc_id", "text", n = 8)
+      .withColumn("quality", TA.qualityScore(col("text")))
+      .filter(col("quality") >= 0.3)
+    val batchKeys = batch.select(Dedup.contentKey(col("text"))).collect().map(_.getString(0)).toSet
+    val streamKeys = spark.table("ingested")
+      .select(Dedup.contentKey(col("text"))).collect().map(_.getString(0)).toSet
+    assert(streamKeys == batchKeys)
+    assert(streamKeys.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val q = StreamingTwins.dedupEvents(StreamingTwins.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("deduped")
