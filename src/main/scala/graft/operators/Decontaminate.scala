@@ -37,4 +37,28 @@ object Decontaminate {
       train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 8): DataFrame =
     train.join(contaminatedIds(train, eval, idCol, textCol, n), Seq(idCol), "left_anti")
+
+  /** Bloom-filter variant for when the eval gram set outgrows an exact
+    * broadcast (a many-benchmark suite at small n): probe a bloom
+    * filter of the eval grams instead of hash-joining them. One-sided
+    * error in the SAFE direction — no false negatives, so every truly
+    * contaminated doc is flagged; `fpp` controls how much clean data
+    * is over-dropped (spec'd as a superset of the exact ids). The
+    * probe is a UDF by necessity (sketch membership has no built-in),
+    * confined to the gram stream like the Dedup numeric kernels.
+    */
+  def contaminatedIdsBloom(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val grams = evalGrams(eval, textCol, n).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = grams.stat.bloomFilter("gram", math.max(grams.count(), 1L), fpp)
+    grams.unpersist()
+    val bc = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    train.select(col(idCol), explode(TextAnalysis.tokenNgrams(col(textCol), n)).as("gram"))
+      .filter(mightContain(col("gram")))
+      .select(idCol).distinct()
+  }
 }

@@ -71,6 +71,19 @@ object Writers {
     } finally out.close()
   }
 
+  /** Read a GeoJSON FeatureCollection file back as a DataFrame (every
+    * property a string column + `geom` WKB) — the round-trip of
+    * [[writeGeoJson]] and the same parser the feature-service scan
+    * uses. Driver-side parse: GeoJSON artifacts are publish-sized by
+    * design (the 100 TB interchange format is parquet).
+    */
+  def readGeoJson(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val features = FeatureService.parsePage(new String(
+      Files.readAllBytes(Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+    val columns = features.flatMap(_._1.keys).distinct.sorted
+    FeatureService.toDataFrame(spark, features, columns)
+  }
+
   /** JTS Polygon/MultiPolygon → GeoJSON geometry text. */
   def geoJsonGeometry(g: org.locationtech.jts.geom.Geometry): String = {
     def ring(r: org.locationtech.jts.geom.LineString): String =

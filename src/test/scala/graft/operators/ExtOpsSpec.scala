@@ -294,6 +294,21 @@ class ExtOpsSpec extends SparkTestBase {
     assert(keptShort == Seq(2L))
   }
 
+  test("bloom decontamination flags a superset of the exact contaminated ids") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val train = (1 to 50).map(i => (i.toLong, s"doc $i filler words " + ("x " * i).trim))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, "pre alpha beta gamma delta epsilon zeta eta theta post"))
+        .toDF("doc_id", "text"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val exact = ids(Decontaminate.contaminatedIds(train, eval, "doc_id", "text", n = 8))
+    val bloom = ids(Decontaminate.contaminatedIdsBloom(train, eval, "doc_id", "text", n = 8))
+    assert(exact == Set(99L))
+    // no false negatives ever; false positives bounded by fpp
+    assert(exact.subsetOf(bloom))
+  }
+
   test("repetition ratio is 0 for all-distinct trigrams and rises with repeats") {
     val df = Seq(
       (1L, "a b c d e f"),          // all 4 trigrams distinct -> 0

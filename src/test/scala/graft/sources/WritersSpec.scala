@@ -31,6 +31,19 @@ class WritersSpec extends SparkTestBase {
     assert(parsed.head._1("id") == "1" || parsed.head._1("id") == "2")
   }
 
+  test("readGeoJson round-trips writeGeoJson as a DataFrame") {
+    val df = Seq(("Gamma", 7L, "POLYGON((0 0, 3 0, 3 3, 0 3, 0 0))"))
+      .toDF("name", "id", "wkt")
+      .withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
+    val path = Files.createTempFile("layer2", ".geojson").toString
+    Writers.writeGeoJson(df, "geom", path)
+    val back = Writers.readGeoJson(spark, path)
+    val row = back.collect()(0)
+    assert(row.getAs[String]("name") == "Gamma")
+    assert(row.getAs[String]("id") == "7")      // file-GDB TEXT semantics
+    assert(graft.geom.GeomCodec.read(row.getAs[Array[Byte]]("geom")).getArea == 9.0)
+  }
+
   test("feature-service cache is idempotent: second load makes zero fetches (OP-09)") {
     val page = """{"type":"FeatureCollection","features":[
       {"type":"Feature","properties":{"NAME":"A"},
