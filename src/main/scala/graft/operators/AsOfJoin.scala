@@ -81,16 +81,25 @@ object AsOfJoin {
         u.withColumn("__asof_hit", first(col("__asof_s"), ignoreNulls = true).over(wFwd))
       case "nearest" =>
         // both sweeps share the one shuffle (same partitioning); pick
-        // the closer match, backward on ties
-        val ts: Column = col(tsCol).cast("double")
+        // the closer match, backward on ties. Time distance needs a
+        // numeric image of the ts type: TIMESTAMP/TIMESTAMP_NTZ do not
+        // cast to DOUBLE (AnalysisException) — go through unix_micros.
+        import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+        def num(c: Column): Column = left.schema(tsCol).dataType match {
+          case TimestampType => unix_micros(c)
+          case TimestampNTZType => unix_micros(c.cast(TimestampType))
+          case DateType => unix_date(c).cast("long")
+          case _ => c.cast("double")
+        }
+        val ts: Column = num(col(tsCol))
         val back = col("__b"); val fwd = col("__f")
         u.withColumn("__b", last(col("__asof_s"), ignoreNulls = true).over(wBack))
           .withColumn("__f", first(col("__asof_s"), ignoreNulls = true).over(wFwd))
           .withColumn("__asof_hit",
             when(back.isNull, fwd)
               .when(fwd.isNull, back)
-              .when(ts - back.getField("__rts").cast("double") <=
-                fwd.getField("__rts").cast("double") - ts, back)
+              .when(ts - num(back.getField("__rts")) <=
+                num(fwd.getField("__rts")) - ts, back)
               .otherwise(fwd))
           .drop("__b", "__f")
     }

@@ -173,6 +173,10 @@ object Dedup {
     // referenced three times below (two id projections + the join
     // spine), and it is typically the output of the LSH candidate
     // pipeline — small (candidate pairs), expensive to recompute.
+    // Lifecycle: these persists live until LRU eviction (the returned
+    // plan references them lazily, so this function cannot unpersist);
+    // a session running many sweeps can reclaim everything between
+    // sweeps with spark.catalog.clearCache().
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = p.select(col("a").as("__gid"))
       .unionByName(p.select(col("b").as("__gid"))).distinct()

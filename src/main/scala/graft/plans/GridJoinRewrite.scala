@@ -40,7 +40,14 @@ object GridOps {
     val x1 = math.floor(env.getMaxX / cellSize).toInt
     val y0 = math.floor(env.getMinY / cellSize).toInt
     val y1 = math.floor(env.getMaxY / cellSize).toInt
-    val nCells = (x1.toLong - x0 + 1) * (y1.toLong - y0 + 1)
+    // guard each axis BEFORE multiplying: two ~2^32 spans (a saturated
+    // world-extent envelope) would overflow the Long product right past
+    // the cap this check exists to enforce
+    val spanX = x1.toLong - x0 + 1
+    val spanY = y1.toLong - y0 + 1
+    val nCells =
+      if (spanX > MaxCellsPerRow || spanY > MaxCellsPerRow) Long.MaxValue
+      else spanX * spanY
     if (nCells > MaxCellsPerRow) throw new IllegalArgumentException(
       s"geometry envelope [${env.getMinX},${env.getMinY} .. ${env.getMaxX},${env.getMaxY}] " +
         s"spans $nCells grid cells at cellSize=$cellSize (limit $MaxCellsPerRow) — " +
@@ -159,10 +166,7 @@ object GridJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(GridModeKey, "rewrite") != "rewrite") return plan
-    val cellSize =
-      try Some(conf.getConfString(SpatialJoinStrategy.GridCellKey, "").toDouble).filter(_ > 0)
-      catch { case _: NumberFormatException => None }
-    cellSize match {
+    SpatialJoinStrategy.gridCellSize match {
       case None => plan
       case Some(cs) => plan.transform {
         case j @ Join(left, right, Inner, Some(cond), hint) =>

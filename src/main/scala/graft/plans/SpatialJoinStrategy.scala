@@ -102,6 +102,15 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
     try SQLConf.get.getConfString(ThresholdKey, DefaultThreshold.toString).toLong
     catch { case _: NumberFormatException => DefaultThreshold }
 
+  /** The caller-declared grid cell size, if valid. Malformed conf →
+    * None: huge-huge spatial joins fall back to Spark's planner
+    * instead of failing at planning time. Shared with
+    * [[GridJoinRewrite]] so both paths accept exactly the same conf.
+    */
+  private[plans] def gridCellSize: Option[Double] =
+    try Some(SQLConf.get.getConfString(GridCellKey, "").toDouble).filter(_ > 0)
+    catch { case _: NumberFormatException => None }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case Join(left, right, Inner, Some(cond), _) =>
       val conjuncts = splitConjunctivePredicates(cond)
@@ -117,11 +126,7 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
           if (lSize.min(rSize) > threshold) {
             // both sides too big to broadcast: grid-partitioned join if
             // the caller declared a cell size, else leave it to Spark
-            // malformed conf falls back to Spark's planner instead of
-            // failing every huge-huge spatial join at planning time
-            val cell = SQLConf.get.getConfString(GridCellKey, "")
-            val cellSize = try Some(cell.toDouble).filter(_ > 0)
-              catch { case _: NumberFormatException => None }
+            val cellSize = gridCellSize
             val saltCount =
               try math.max(1, SQLConf.get.getConfString(GridSaltsKey, "1").toInt)
               catch { case _: NumberFormatException => 1 }

@@ -735,13 +735,15 @@ object ExtQueries {
   val x31_quantize: QuerySpec = duck("x31_quantize",
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |s AS (SELECT vec_id, e,
-      |    127.0 / list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+      |    CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 0.0
+      |         ELSE 127.0 / list_max(list_transform(e, x -> abs(x))) END AS scale FROM v),
       |q AS (SELECT vec_id, e, scale,
       |    list_transform(e, x -> CAST(round(x * scale) AS INTEGER)) AS qv FROM s)
       |SELECT vec_id, round(scale, 6) AS scale,
       |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
-      |  round(list_max([abs(qv[i] / scale - e[i])
-      |                  FOR i IN range(1, len(e) + 1)]), 6) AS max_err
+      |  round(CASE WHEN scale = 0 THEN 0.0
+      |             ELSE list_max([abs(qv[i] / scale - e[i])
+      |                            FOR i IN range(1, len(e) + 1)]) END, 6) AS max_err
       |FROM q ORDER BY vec_id LIMIT 10""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
       .withColumn("__quant", Similarity.scalarQuantize(col("embedding")))

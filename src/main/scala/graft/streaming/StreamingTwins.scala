@@ -73,22 +73,24 @@ object StreamingTwins {
     * inline into each micro-batch's codegen).
     *
     * `evalGrams` is the benchmark gram set — benchmark-sized by
-    * definition, so it ships as a literal/broadcast to every executor
-    * (a production variant broadcasts a bloom filter of it; the
-    * semantics here are the exact-membership upper bound).
+    * definition, so it broadcasts as a hash set probed per gram
+    * (`arrays_overlap` against a literal would rebuild the set per
+    * ROW; a bloom filter of the set is the further-compressed variant,
+    * `Decontaminate.contaminatedIdsBloom`).
     */
   def ingestCorpus(
       docs: DataFrame, evalGrams: Seq[String],
-      n: Int = 8, minQuality: Double = 0.3): DataFrame =
+      n: Int = 8, minQuality: Double = 0.3): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(evalGrams.toSet)
+    val hitsEval = udf((gs: Seq[String]) => gs != null && gs.exists(bc.value.contains))
     docs
       .withColumn("__k", graft.operators.Dedup.contentKey(col("text")))
       .dropDuplicates("__k")
-      .filter(!arrays_overlap(
-        graft.operators.TextAnalysis.tokenNgrams(col("text"), n),
-        typedLit(evalGrams)))
+      .filter(!hitsEval(graft.operators.TextAnalysis.tokenNgrams(col("text"), n)))
       .withColumn("quality", graft.operators.TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
       .drop("__k")
+  }
 
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class UserSessions(user_id: Long, sessions: Long)

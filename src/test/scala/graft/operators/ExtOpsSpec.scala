@@ -334,6 +334,14 @@ class ExtOpsSpec extends SparkTestBase {
     assert(run("forward") == Map(1L -> "b", 2L -> "c", 3L -> null))
     // ts=25 is 5 from b(20) and 5 from c(30): tie -> backward -> b
     assert(run("nearest") == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // nearest must work on real timestamp types too (TIMESTAMP_NTZ has
+    // no cast to DOUBLE — the distance math goes through unix_micros)
+    val lTs = l.withColumn("ts", timestamp_micros($"ts" * 1000000L).cast("timestamp_ntz"))
+    val rTs = r.withColumn("ts", timestamp_micros($"ts" * 1000000L).cast("timestamp_ntz"))
+    val nearTs = AsOfJoin.asOfJoin(lTs, rTs, Seq("k"), "ts", Seq("v"), "nearest")
+      .collect().map(row => row.getAs[Long]("id") -> row.getAs[String]("asof_v")).toMap
+    assert(nearTs == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+
     // inclusive on equal ts in both directions
     val lEq = Seq((1L, "k", 20L)).toDF("id", "k", "ts")
     assert(AsOfJoin.asOfJoin(lEq, r, Seq("k"), "ts", Seq("v"), "forward")
