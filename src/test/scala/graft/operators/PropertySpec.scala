@@ -106,4 +106,52 @@ class PropertySpec extends SparkTestBase {
     val identical = cands.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
     assert(identical.exists(_.getAs[Double]("est_jaccard") == 1.0))
   }
+
+  /** Random word-soup docs with a tiny vocabulary (forces repeats). */
+  private def sampleDocs(n: Int, seed: Long): Seq[String] = {
+    val gen = Gen.nonEmptyListOf(Gen.oneOf("ax", "bx", "cx", "dx", "ex"))
+      .map(_.mkString(" "))
+    val params = Gen.Parameters.default
+    (0 until n).map(i => gen.pureApply(params, rng.Seed(seed + i)))
+  }
+
+  test("chunking round-trips the token stream; all chunks full except the tail") {
+    val docs = sampleDocs(24, seed = 31)
+    val rows = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", $"text",
+        TextAnalysis.chunkTokens($"text", 4).as("chunks"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getAs[String]("text")
+      val chunks = r.getSeq[String](2)
+      assert(chunks.mkString(" ") == text, s"round-trip lost tokens for '$text'")
+      val sizes = chunks.map(_.split(" ").length)
+      assert(sizes.dropRight(1).forall(_ == 4), s"non-tail chunk not full: $sizes")
+      assert(sizes.last >= 1 && sizes.last <= 4)
+    }
+  }
+
+  test("ngram count and repetition ratio invariants hold on random docs") {
+    val docs = sampleDocs(24, seed = 57)
+    val rows = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"text",
+        size(split($"text", " ")).as("len"),
+        TextAnalysis.tokenNgrams($"text", 3).as("grams"),
+        TextAnalysis.repetitionRatio($"text", 3).as("rep"))
+      .collect()
+    rows.foreach { r =>
+      val len = r.getAs[Int]("len")
+      val grams = r.getSeq[String](2)
+      val rep = r.getAs[Double]("rep")
+      // distinct grams bounded by total positional grams
+      assert(grams.size <= math.max(len - 2, 1))
+      assert(grams.distinct.size == grams.size)  // tokenNgrams is distinct
+      assert(rep >= 0.0 && rep < 1.0, s"rep=$rep")
+      // a doc of one repeated token is maximally repetitive for its length
+      if (len >= 3 && r.getSeq[String](2).size == 1)
+        assert(rep == 1.0 - 1.0 / (len - 2))
+    }
+  }
 }
