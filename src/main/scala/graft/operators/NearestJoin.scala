@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.locationtech.jts.geom.Geometry
+import org.locationtech.jts.index.strtree.{GeometryItemDistance, STRtree}
+
+import graft.geom.GeomCodec
+
+/** Broadcast k-nearest-neighbour spatial join: for every left row, the
+  * `k` nearest right rows by geometric distance — "which jurisdiction
+  * is this address closest to", the lookup the reference's users run
+  * against its published layers.
+  *
+  * Scale shape: the right side is a reference layer (jurisdictions,
+  * fences — broadcast-sized by nature, same contract as
+  * [[JoinField]]); it broadcasts once and each partition builds one
+  * STRtree, probed per left row with JTS's branch-and-bound
+  * `nearestNeighbour` (no distance bound needed, no cross join). The
+  * 100 TB side streams partition-parallel and never shuffles.
+  * `mapPartitions` rather than a Catalyst operator because kNN's
+  * ordered-result semantics don't decompose into relational built-ins
+  * (SURVEY §7.3 preference order, tier d).
+  */
+object NearestJoin {
+
+  /** Left kNN join. Right columns surface as `near_<name>`, plus
+    * `near_distance` (geometry units). Rows with NULL left geometry
+    * are dropped (inner semantics); fewer than `k` right rows yield
+    * that many neighbours.
+    */
+  def nearestJoin(
+      left: DataFrame, leftGeom: String,
+      right: DataFrame, rightGeom: String,
+      k: Int = 1): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = left.sparkSession
+    val rightSchema = right.schema
+    val rightGeomIdx = rightSchema.fieldIndex(rightGeom)
+    val rightRows = right.collect()   // broadcast-sized by contract
+    val bc = spark.sparkContext.broadcast(rightRows)
+    val leftGeomIdx = left.schema.fieldIndex(leftGeom)
+    val kk = k
+
+    val outSchema = StructType(
+      left.schema.fields ++
+        rightSchema.fields.map(f => f.copy(name = s"near_${f.name}")) :+
+        StructField("near_distance", DoubleType, nullable = false))
+
+    val rdd = left.rdd.mapPartitions { iter =>
+      val tree = new STRtree()
+      var n = 0
+      bc.value.foreach { row =>
+        val wkb = row.getAs[Array[Byte]](rightGeomIdx)
+        if (wkb != null) {
+          val g = GeomCodec.read(wkb)
+          tree.insert(g.getEnvelopeInternal, (g, row))
+          n += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else {
+        val dist = new GeometryItemDistance {
+          override def distance(
+              a: org.locationtech.jts.index.strtree.ItemBoundable,
+              b: org.locationtech.jts.index.strtree.ItemBoundable): Double = {
+            def geomOf(x: org.locationtech.jts.index.strtree.ItemBoundable): Geometry =
+              x.getItem match {
+                case (g: Geometry, _) => g
+                case g: Geometry => g
+              }
+            geomOf(a).distance(geomOf(b))
+          }
+        }
+        iter.flatMap { lrow =>
+          val wkb = lrow.getAs[Array[Byte]](leftGeomIdx)
+          if (wkb == null) Iterator.empty
+          else {
+            val g = GeomCodec.read(wkb)
+            val nbrs = tree.nearestNeighbour(
+              g.getEnvelopeInternal, (g, null), dist, math.min(kk, n))
+            nbrs.iterator.map { item =>
+              val (ng, nrow) = item.asInstanceOf[(Geometry, Row)]
+              Row.fromSeq(lrow.toSeq ++ nrow.toSeq :+ g.distance(ng))
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

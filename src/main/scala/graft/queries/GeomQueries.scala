@@ -272,8 +272,38 @@ object GeomQueries {
       .orderBy("name")
   }
 
+  /** G11: broadcast kNN join — each query point matched to its nearest
+    * site. Oracle recomputes the argmin over the cross join in plain
+    * SQL (fixture coordinates chosen with no distance ties); round(6)
+    * absorbs hypot-vs-sqrt last-ulp differences.
+    */
+  val g11_nearest: QuerySpec = q("g11_nearest",
+    """WITH pts(id, x, y) AS (VALUES (1, 0.3, 0.2), (2, 4.1, 1.3), (3, 2.2, 6.1),
+      |                              (4, 8.7, 8.2), (5, 5.5, 5.5), (6, 0.1, 7.9)),
+      |sites(sid, sx, sy) AS (VALUES (10, 0.0, 0.0), (20, 5.0, 1.0),
+      |                              (30, 2.0, 7.0), (40, 9.0, 9.0)),
+      |d AS (SELECT p.id, s.sid,
+      |        sqrt((p.x-s.sx)*(p.x-s.sx) + (p.y-s.sy)*(p.y-s.sy)) AS dist
+      |      FROM pts p CROSS JOIN sites s),
+      |best AS (SELECT id, sid, dist,
+      |           row_number() OVER (PARTITION BY id ORDER BY dist, sid) AS rn FROM d)
+      |SELECT id, sid AS near_sid, round(dist, 6) AS near_distance
+      |FROM best WHERE rn = 1 ORDER BY id""".stripMargin) { (s, _) =>
+    import s.implicits._
+    val pts = Seq((1, 0.3, 0.2), (2, 4.1, 1.3), (3, 2.2, 6.1),
+        (4, 8.7, 8.2), (5, 5.5, 5.5), (6, 0.1, 7.9))
+      .toDF("id", "x", "y")
+      .withColumn("geom", G.st_point($"x", $"y")).drop("x", "y")
+    val sites = Seq((10, 0.0, 0.0), (20, 5.0, 1.0), (30, 2.0, 7.0), (40, 9.0, 9.0))
+      .toDF("sid", "sx", "sy")
+      .withColumn("sgeom", G.st_point($"sx", $"sy")).drop("sx", "sy")
+    graft.operators.NearestJoin.nearestJoin(pts, "geom", sites, "sgeom", k = 1)
+      .select($"id", $"near_sid", round($"near_distance", 6).as("near_distance"))
+      .orderBy("id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     g1_makevalid, g2_dissolve, g3_overlay, g4_erase,
     g5_reproject, g6_parts, g7_sliver_fix, g8_keeplist_roundtrip,
-    g9_crs_forward, g10_shapefile_io)
+    g9_crs_forward, g10_shapefile_io, g11_nearest)
 }

@@ -275,6 +275,35 @@ class ExtOpsSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("kNN join matches brute-force nearest for k=1 and k=2 on mixed geometries") {
+    import graft.geom.GeomCodec
+    val rnd = new scala.util.Random(13)
+    val pts = (1 to 60).map { i =>
+      (i.toLong, GeomCodec.wktToWkb(
+        s"POINT(${rnd.nextDouble() * 100} ${rnd.nextDouble() * 100})"))
+    }.toDF("id", "geom")
+    val sites = (1 to 12).map { j =>
+      val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 100
+      (j.toLong, GeomCodec.wktToWkb(
+        s"POLYGON(($x $y, ${x + 3} $y, ${x + 3} ${y + 3}, $x ${y + 3}, $x $y))"))
+    }.toDF("sid", "sgeom")
+
+    def brute(k: Int): Set[(Long, Long)] = {
+      val ss = sites.collect().map(r => (r.getLong(0), GeomCodec.read(r.getAs[Array[Byte]](1))))
+      pts.collect().flatMap { r =>
+        val g = GeomCodec.read(r.getAs[Array[Byte]](1))
+        ss.map { case (sid, sg) => (r.getLong(0), sid, g.distance(sg)) }
+          .sortBy { case (_, sid, d) => (d, sid) }.take(k)
+          .map { case (id, sid, _) => (id, sid) }
+      }.toSet
+    }
+    for (k <- Seq(1, 2)) {
+      val got = NearestJoin.nearestJoin(pts, "geom", sites, "sgeom", k)
+        .select("id", "near_sid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(k), s"k=$k")
+    }
+  }
+
   test("decontamination drops exactly the docs sharing an n-gram with the eval set") {
     val eval = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
