@@ -36,9 +36,32 @@ object NearestJoin {
     require(k >= 1, "k must be >= 1")
     val spark = left.sparkSession
     val rightSchema = right.schema
+
+    val outNames = left.schema.fieldNames ++
+      rightSchema.fieldNames.map(n => s"near_$n") :+ "near_distance"
+    val dups = outNames.groupBy(identity).collect { case (n, vs) if vs.length > 1 => n }
+    require(dups.isEmpty,
+      s"output column collision: ${dups.mkString(", ")} — rename the offending " +
+        "left column or right column (right columns surface as near_<name>, " +
+        "plus the synthetic near_distance)")
+
     val rightGeomIdx = rightSchema.fieldIndex(rightGeom)
-    val rightRows = right.collect()   // broadcast-sized by contract
-    val bc = spark.sparkContext.broadcast(rightRows)
+    // build the STRtree ONCE on the driver (right is broadcast-sized
+    // by contract) and broadcast it BUILT — tasks pay only the probe,
+    // not a per-task O(n) WKB decode + O(n log n) tree build
+    val tree = new STRtree()
+    var n = 0
+    right.collect().foreach { row =>
+      val wkb = row.getAs[Array[Byte]](rightGeomIdx)
+      if (wkb != null) {
+        val g = GeomCodec.read(wkb)
+        tree.insert(g.getEnvelopeInternal, (g, row))
+        n += 1
+      }
+    }
+    if (n > 0) tree.build()
+    val bcTree = spark.sparkContext.broadcast(tree)
+    val nRight = n
     val leftGeomIdx = left.schema.fieldIndex(leftGeom)
     val kk = k
 
@@ -48,18 +71,9 @@ object NearestJoin {
         StructField("near_distance", DoubleType, nullable = false))
 
     val rdd = left.rdd.mapPartitions { iter =>
-      val tree = new STRtree()
-      var n = 0
-      bc.value.foreach { row =>
-        val wkb = row.getAs[Array[Byte]](rightGeomIdx)
-        if (wkb != null) {
-          val g = GeomCodec.read(wkb)
-          tree.insert(g.getEnvelopeInternal, (g, row))
-          n += 1
-        }
-      }
-      if (n == 0) Iterator.empty
+      if (nRight == 0) Iterator.empty
       else {
+        val tree = bcTree.value
         val dist = new GeometryItemDistance {
           override def distance(
               a: org.locationtech.jts.index.strtree.ItemBoundable,
@@ -78,7 +92,7 @@ object NearestJoin {
           else {
             val g = GeomCodec.read(wkb)
             val nbrs = tree.nearestNeighbour(
-              g.getEnvelopeInternal, (g, null), dist, math.min(kk, n))
+              g.getEnvelopeInternal, (g, null), dist, math.min(kk, nRight))
             nbrs.iterator.map { item =>
               val (ng, nrow) = item.asInstanceOf[(Geometry, Row)]
               Row.fromSeq(lrow.toSeq ++ nrow.toSeq :+ g.distance(ng))

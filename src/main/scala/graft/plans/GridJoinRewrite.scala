@@ -45,13 +45,12 @@ object GridOps {
     // the cap this check exists to enforce
     val spanX = x1.toLong - x0 + 1
     val spanY = y1.toLong - y0 + 1
-    val nCells =
-      if (spanX > MaxCellsPerRow || spanY > MaxCellsPerRow) Long.MaxValue
-      else spanX * spanY
-    if (nCells > MaxCellsPerRow) throw new IllegalArgumentException(
+    if (spanX > MaxCellsPerRow || spanY > MaxCellsPerRow ||
+        spanX * spanY > MaxCellsPerRow) throw new IllegalArgumentException(
       s"geometry envelope [${env.getMinX},${env.getMinY} .. ${env.getMaxX},${env.getMaxY}] " +
-        s"spans $nCells grid cells at cellSize=$cellSize (limit $MaxCellsPerRow) — " +
-        s"raise ${SpatialJoinStrategy.GridCellKey} (is it in the layer's CRS units?)")
+        s"spans $spanX x $spanY grid cells at cellSize=$cellSize (limit $MaxCellsPerRow " +
+        s"total) — raise ${SpatialJoinStrategy.GridCellKey} (is it in the layer's CRS units?)")
+    val nCells = spanX * spanY
     val out = new Array[Long](nCells.toInt)
     var i = 0
     var cx = x0

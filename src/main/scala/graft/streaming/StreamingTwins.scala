@@ -77,19 +77,38 @@ object StreamingTwins {
     * (`arrays_overlap` against a literal would rebuild the set per
     * ROW; a bloom filter of the set is the further-compressed variant,
     * `Decontaminate.contaminatedIdsBloom`).
+    *
+    * Gate ORDER matters for determinism: quality and decontamination
+    * are row-local, so they run BEFORE dedup — then the surviving
+    * content-key set is independent of which duplicate arrives first
+    * (raw-text quality can differ within a dup group, e.g. trailing
+    * whitespace; gating after dedup would make the outcome
+    * arrival-order-dependent). Filtering first is also the cheap
+    * order: junk never reaches the dedup state store.
+    *
+    * `eventTimeCol` bounds the dedup state: when set, the stream is
+    * watermarked on it and `dropDuplicatesWithinWatermark` ages keys
+    * out; unset (the default, for sources with no event time) keeps
+    * one state entry per distinct content key for the stream's life.
     */
   def ingestCorpus(
       docs: DataFrame, evalGrams: Seq[String],
-      n: Int = 8, minQuality: Double = 0.3): DataFrame = {
+      n: Int = 8, minQuality: Double = 0.3,
+      eventTimeCol: Option[String] = None,
+      watermark: String = "10 minutes"): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(evalGrams.toSet)
     val hitsEval = udf((gs: Seq[String]) => gs != null && gs.exists(bc.value.contains))
-    docs
-      .withColumn("__k", graft.operators.Dedup.contentKey(col("text")))
-      .dropDuplicates("__k")
-      .filter(!hitsEval(graft.operators.TextAnalysis.tokenNgrams(col("text"), n)))
+    val gated = docs
       .withColumn("quality", graft.operators.TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
-      .drop("__k")
+      .filter(!hitsEval(graft.operators.TextAnalysis.tokenNgrams(col("text"), n)))
+      .withColumn("__k", graft.operators.Dedup.contentKey(col("text")))
+    val deduped = eventTimeCol match {
+      case Some(ts) => gated.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(Seq("__k"))
+      case None => gated.dropDuplicates("__k")
+    }
+    deduped.drop("__k")
   }
 
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

@@ -110,15 +110,18 @@ class StreamingTwinsSpec extends SparkTestBase {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
 
-    // batch twin: exact dedup -> decontaminate -> quality gate.
-    // Compare CONTENT-KEY sets: streaming dedup keeps the first
-    // ARRIVED row per key, batch keeps the min id — same survivors
-    // content-wise, possibly different representative ids.
+    // batch twin, SAME gate order (row-local gates before dedup):
+    // quality -> decontaminate -> exact dedup. Compare CONTENT-KEY
+    // sets: streaming dedup keeps the first ARRIVED row per key, batch
+    // keeps the min id — same surviving keys either way because the
+    // gates ran per row, before the representative was chosen.
     val train = static.filter(col("doc_id") % 97 =!= 0)
-    val batch = Decontaminate.removeContaminated(
-        Dedup.exact(train, "text", "doc_id"), evalDocs, "doc_id", "text", n = 8)
+    val gatedTrain = train
       .withColumn("quality", TA.qualityScore(col("text")))
       .filter(col("quality") >= 0.3)
+    val batch = Dedup.exact(
+      Decontaminate.removeContaminated(gatedTrain, evalDocs, "doc_id", "text", n = 8),
+      "text", "doc_id")
     val batchKeys = batch.select(Dedup.contentKey(col("text"))).collect().map(_.getString(0)).toSet
     val streamKeys = spark.table("ingested")
       .select(Dedup.contentKey(col("text"))).collect().map(_.getString(0)).toSet
