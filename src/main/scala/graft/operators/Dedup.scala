@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -30,12 +29,26 @@ object Dedup {
   /** Normalized content key (lower ∘ trim → md5). */
   def contentKey(text: Column): Column = md5(lower(trim(text)))
 
-  /** Keep the first row (min id) per normalized content key. */
+  /** Keep the first row (min id) per normalized content key. `idCol`
+    * must be unique per row (every corpus id is).
+    *
+    * Shape: `groupBy(key).agg(min(id))` + semi-join back, NOT a
+    * `row_number` window. The two-phase aggregate collapses duplicate
+    * mass MAP-SIDE (partial min before the exchange, pinned by
+    * `PlanQualitySpec`), so the one key distribution guaranteed to be
+    * skewed — duplicates; think a boilerplate page repeated billions of
+    * times at 100 TB — never funnels whole rows into one task the way a
+    * window partition does (windows get no partial agg and no AQE skew
+    * split). The semi-join then shuffles on the UNIQUE id, which cannot
+    * skew, and AQE broadcasts the collapsed keeper set when it is small.
+    */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(contentKey(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val keep = df
+      .select(contentKey(col(textCol)).as("__ck"), col(idCol).as("__cid"))
+      .groupBy(col("__ck"))
+      .agg(min(col("__cid")).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
   }
 
   // --- MinHash --------------------------------------------------------
@@ -430,42 +443,82 @@ object Dedup {
     }
   })
 
-  /** Embedding near-dup pairs (cosine ≥ threshold) via random-hyperplane
-    * sign-LSH: rows landing in the same signBits-bit bucket are compared
-    * exactly. Deterministic Rademacher hyperplanes (seed 42). At scale
-    * the bucket join replaces the O(n²) cross join; recall is tuned by
-    * signBits. Vectors are normalized once per row so each candidate
-    * pair costs one dot product, not three.
+  /** Embedding near-dup pairs (cosine ≥ threshold) via banded
+    * random-hyperplane sign-LSH: `numTables` independent signBits-bit
+    * signatures per row (table t uses hyperplanes
+    * [t·signBits, (t+1)·signBits) of one deterministic seed-42
+    * Rademacher sequence); rows sharing ANY table's bucket are compared
+    * exactly. The multi-table banding mirrors the minhash band
+    * structure and breaks the single-table recall-vs-bucket-size bind:
+    *
+    *  - signBits sizes the buckets: within-bucket pairing costs
+    *    Σ bucket² ≈ n²/2^signBits per table, so pick
+    *    signBits ≈ log₂(n / B) for a target mean bucket B (≈64-256
+    *    rows) and total candidate work stays near-linear in n. The old
+    *    single-table default of 8 bits (256 buckets TOTAL) was
+    *    quadratic at any real corpus size.
+    *  - numTables buys back the recall longer signatures cost: a pair
+    *    at angle θ collides in one table with p = (1 − θ/π)^signBits
+    *    and in ≥1 of T tables with 1 − (1−p)^T. 4-8 tables at corpus
+    *    scale; more tables = more recall, linearly more candidate work.
+    *
+    * Execution shape (the minhash lessons applied): the signature scan
+    * is persisted because it feeds both sides of the self-join
+    * (Catalyst does not dedupe self-join subtrees — without it the
+    * normalize + signature UDFs run twice over the corpus); the bucket
+    * self-join carries ONLY (table, bucket, id) — a near-dup pair
+    * co-occurs in many tables, so bare id pairs are deduped FIRST,
+    * then the normalized vectors attach once per distinct pair (AQE
+    * picks broadcast vs shuffle from runtime stats). Vectors are
+    * normalized once per row so each candidate pair costs one native
+    * dot product.
     */
   def embeddingNearDup(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, signBits: Int = 8): DataFrame = {
-    val planes = rademacherPlanes(signBits, dim)
+      threshold: Double, dim: Int,
+      signBits: Int = 16, numTables: Int = 4): DataFrame = {
+    require(signBits >= 1 && signBits <= 63, "signBits must be in [1, 63]")
+    require(numTables >= 1, "numTables must be >= 1")
+    val planes = rademacherPlanes(numTables * signBits, dim)
     val sigUdf = udf((v: Seq[Float]) => {
-      if (v == null) 0L
-      else {
-        var sig = 0L
-        var b = 0
-        while (b < signBits) {
-          var s = 0.0; var i = 0
-          val p = planes(b)
-          while (i < math.min(dim, v.length)) { s += p(i) * v(i); i += 1 }
-          if (s > 0) sig |= (1L << b)
-          b += 1
+      val out = new Array[Long](numTables)
+      if (v != null) {
+        var t = 0
+        while (t < numTables) {
+          var sig = 0L
+          var b = 0
+          while (b < signBits) {
+            val p = planes(t * signBits + b)
+            var s = 0.0; var i = 0
+            while (i < math.min(dim, v.length)) { s += p(i) * v(i); i += 1 }
+            if (s > 0) sig |= (1L << b)
+            b += 1
+          }
+          out(t) = sig
+          t += 1
         }
-        sig
       }
+      out
     })
-    val bucketed = df.select(col(idCol).as("id"),
-      normalizeUdf(col(vecCol)).as("vec"),
-      sigUdf(col(vecCol)).as("bucket"))
-    val l = bucketed.select(col("bucket"), col("id").as("a"), col("vec").as("va"))
-    val r = bucketed.select(col("bucket"), col("id").as("b"), col("vec").as("vb"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+    val sigs = df.select(col(idCol).as("id"),
+        normalizeUdf(col(vecCol)).as("vec"),
+        sigUdf(col(vecCol)).as("sigs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val buckets = sigs.select(col("id"), posexplode(col("sigs")))
+      .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
+    val l = buckets.select(col("table"), col("bucket"), col("id").as("a"))
+    val r = buckets.select(col("table"), col("bucket"), col("id").as("b"))
+    val pairKeys = l.join(r, Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+
+    pairKeys
+      .join(sigs.select(col("id").as("a"), col("vec").as("va")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("vec").as("vb")), Seq("b"))
       // vectors are pre-normalized: one native dot product per pair
       .withColumn("cosine", graft.functions.VectorFunctions.vec_dot(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
-      .distinct()
   }
 }

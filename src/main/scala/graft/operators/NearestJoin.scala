@@ -28,12 +28,30 @@ object NearestJoin {
     * `near_distance` (geometry units). Rows with NULL left geometry
     * are dropped (inner semantics); fewer than `k` right rows yield
     * that many neighbours.
+    *
+    * `maxRightRows` enforces the broadcast-sized contract BEFORE the
+    * driver collect: misuse fails with an actionable error instead of
+    * a driver OOM. Raise it explicitly for a bigger reference layer
+    * (and a bigger driver), or pre-aggregate/simplify the right side.
     */
   def nearestJoin(
       left: DataFrame, leftGeom: String,
       right: DataFrame, rightGeom: String,
-      k: Int = 1): DataFrame = {
+      k: Int = 1,
+      maxRightRows: Long = 4_000_000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(maxRightRows >= 1, "maxRightRows must be >= 1")
+    // limit(max+1) bounds the probe itself: it never scans or collects
+    // more than maxRightRows+1 rows even when the right side is huge
+    val overLimit = right.limit(
+      (maxRightRows + 1).min(Int.MaxValue.toLong).toInt).count()
+    require(overLimit <= maxRightRows,
+      s"nearestJoin right side exceeds maxRightRows=$maxRightRows: it is " +
+        "collected to the driver and broadcast as a built STRtree, so it must " +
+        "be a broadcast-sized reference layer (same contract as JoinField). " +
+        "Swap the sides if the other input is the small one, pre-aggregate " +
+        "(e.g. dissolve) the reference layer, or raise maxRightRows if the " +
+        "driver really has the memory.")
     val spark = left.sparkSession
     val rightSchema = right.schema
 

@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   *    cost is one full scan.
   *  - sign-LSH bucketed: deterministic random-hyperplane signature
   *    restricts the scan to buckets within `probeHamming` of the query
-  *    signature. At 100 TB with the table written bucket-partitioned,
-  *    bucket pruning turns the full scan into a few partition reads.
+  *    signature. [[lshTopK]] computes buckets on the fly (one full
+  *    scan, pruned compare); the 100 TB path is [[lshWrite]] +
+  *    [[lshProbe]], where the Hamming-ball bucket IN-list becomes a
+  *    partition filter and the scan reads only the matching
+  *    directories (pinned by `PlanQualitySpec`'s numPartitions
+  *    metric, exactly like IVF's).
   */
 object Similarity {
 
@@ -161,27 +165,86 @@ object Similarity {
         (q, v) => abs(q.cast("double") / scale - v))))
   }
 
+  /** Sign-LSH signature of a driver-side query vector — the same
+    * deterministic Rademacher planes the column-side
+    * [[signSignature]] uses.
+    */
+  def signatureOf(query: Array[Float], dim: Int, signBits: Int): Long = {
+    val planes = Dedup.rademacherPlanes(signBits, dim)
+    var sig = 0L; var b = 0
+    while (b < signBits) {
+      var s = 0.0; var i = 0
+      while (i < math.min(dim, query.length)) { s += planes(b)(i) * query(i); i += 1 }
+      if (s > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** All signatures within Hamming distance `radius` of `sig` over the
+    * low `signBits` bits — the explicit bucket IN-list an LSH probe
+    * pushes down as a partition filter. Size is Σ C(signBits, r),
+    * driver-side only; the radius guard keeps it enumerable.
+    */
+  def hammingBall(sig: Long, signBits: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= 4,
+      s"probe radius $radius too large to enumerate as a partition " +
+        "IN-list; raise signBits instead of the radius, or fall back to " +
+        "lshTopK's scan-side Hamming compare")
+    (0 to radius).flatMap(r => (0 until signBits).combinations(r)
+      .map(_.foldLeft(sig)((s, b) => s ^ (1L << b))))
+  }
+
   /** ANN top-k: scan only rows whose LSH bucket is within
     * `probeHamming` bits of the query's bucket, then exact cosine.
+    * Computes buckets on the fly — one full scan with a cheap pruned
+    * compare. For the 100 TB repeated-probe path, write the layout
+    * once with [[lshWrite]] and probe with [[lshProbe]] instead.
     */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, dim: Int,
       signBits: Int = 8, probeHamming: Int = 1): DataFrame = {
-    val qSig = {
-      val planes = Dedup.rademacherPlanes(signBits, dim)
-      var sig = 0L; var b = 0
-      while (b < signBits) {
-        var s = 0.0; var i = 0
-        while (i < math.min(dim, query.length)) { s += planes(b)(i) * query(i); i += 1 }
-        if (s > 0) sig |= (1L << b)
-        b += 1
-      }
-      sig
-    }
+    val qSig = signatureOf(query, dim, signBits)
     df.withColumn("__bucket", signSignature(col(vecCol), dim, signBits))
       .filter(bit_count(col("__bucket").bitwiseXOR(lit(qSig))) <= probeHamming)
       .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Persist the table hive-partitioned by the sign-LSH bucket: the
+    * 100 TB layout for repeated ANN probes. A probe's Hamming-ball
+    * `bucket IN (...)` filter then becomes a partition filter — the
+    * scan lists and reads only the matching directories instead of the
+    * whole table (pinned by `PlanQualitySpec`'s numPartitions metric,
+    * the same proof IVF's cell layout has).
+    */
+  def lshWrite(
+      df: DataFrame, vecCol: String, path: String,
+      dim: Int, signBits: Int = 8): Unit =
+    graft.sources.Layout.writePartitioned(
+      df.withColumn("bucket", signSignature(col(vecCol), dim, signBits)),
+      path, Seq("bucket"))
+
+  /** Probe an [[lshWrite]] layout (read back, or any table with a
+    * `bucket` column) for the top-k by exact cosine within the
+    * Hamming-`probeHamming` ball of the query's signature. Identical
+    * result to [[lshTopK]] at the same parameters — `bucket ∈ ball(h)`
+    * ≡ `hamming(bucket, qSig) ≤ h` — but the IN-list prunes
+    * partitions instead of scanning every row.
+    */
+  def lshProbe(
+      bucketed: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, dim: Int,
+      signBits: Int = 8, probeHamming: Int = 1,
+      scoreRound: Option[Int] = None): DataFrame = {
+    val ball = hammingBall(signatureOf(query, dim, signBits), signBits, probeHamming)
+    val raw = cosine(col(vecCol), typedLit(query))
+    val score = scoreRound.fold(raw)(n => round(raw, n))
+    bucketed
+      .filter(col("bucket").isin(ball: _*))   // partition filter on the lshWrite layout
+      .select(col(idCol), score.as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

@@ -85,6 +85,9 @@ object ExtQueries {
   private val candCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  private val lshLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   private def minhashCands(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s, d),
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
@@ -146,13 +149,31 @@ object ExtQueries {
     * synthetic embeddings are random (max pairwise cosine ≈ 0.51), so
     * the threshold is set data-relative to exercise the operator; a
     * production near-dup filter would use ≥0.95 on real embeddings.
+    * Single-table, short-signature parameters — high recall at test
+    * scale; x35 exercises the banded corpus-scale configuration.
     */
   val x06_embedding_neardup: QuerySpec = duck("x06_embedding_neardup",
     s"""SELECT a, b, cosine FROM ${Goldens.valuesTable("x06_embedding_neardup.tsv",
          Seq("a" -> "BIGINT", "b" -> "BIGINT", "cosine" -> "DOUBLE"))}
        |ORDER BY a, b""".stripMargin) { (s, d) =>
     Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-      threshold = 0.3, dim = 64, signBits = 2)
+      threshold = 0.3, dim = 64, signBits = 2, numTables = 1)
+      .orderBy("a", "b")
+  }
+
+  /** Banded multi-table sign-LSH embedding near-dup — the corpus-scale
+    * configuration of x06: longer signatures keep Σ bucket² near-linear
+    * (signBits ≈ log₂(n/B) for target bucket B), multiple tables buy
+    * the recall back. Oracle: VALUES golden from the from-spec Python
+    * reimplementation of the banded plane layout + exact normalized
+    * cosine (tools/golden_ext.py).
+    */
+  val x35_embedding_neardup_banded: QuerySpec = duck("x35_embedding_neardup_banded",
+    s"""SELECT a, b, cosine FROM ${Goldens.valuesTable("x35_embedding_neardup_banded.tsv",
+         Seq("a" -> "BIGINT", "b" -> "BIGINT", "cosine" -> "DOUBLE"))}
+       |ORDER BY a, b""".stripMargin) { (s, d) =>
+    Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.3, dim = 64, signBits = 6, numTables = 4)
       .orderBy("a", "b")
   }
 
@@ -190,6 +211,30 @@ object ExtQueries {
        |ORDER BY cosine DESC, vec_id""".stripMargin) { (s, d) =>
     val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", query,
+      k = 10, dim = 64)
+  }
+
+  /** ANN top-k via the lshWrite bucket-partitioned LAYOUT (the 100 TB
+    * repeated-probe path of x08): signatures are materialized once as
+    * hive partitions, and the probe's Hamming-ball IN-list prunes to a
+    * few directory reads (partition-count proof in PlanQualitySpec).
+    * Same parameters as x08 ⇒ identical result ⇒ same golden: bucket ∈
+    * ball(h) on the layout ≡ hamming(bucket, qSig) ≤ h on the fly.
+    */
+  val x36_ann_lsh_layout: QuerySpec = duck("x36_ann_lsh_layout",
+    s"""SELECT vec_id, cosine FROM ${Goldens.valuesTable("x08_ann_lsh.tsv",
+         Seq("vec_id" -> "BIGINT", "cosine" -> "DOUBLE"))}
+       |ORDER BY cosine DESC, vec_id""".stripMargin) { (s, d) =>
+    val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    // write-once, probe-many is the layout's contract: memoize the
+    // written path per (session, sfDir) so repeated runs (bench
+    // iterations, verify) time the PROBE, not a fresh full write
+    val dir = lshLayoutCache.getOrElseUpdate((s, d), {
+      val p = java.nio.file.Files.createTempDirectory("lsh").toString + "/emb_by_bucket"
+      Similarity.lshWrite(Tables.embeddings(s, d), "embedding", p, dim = 64)
+      p
+    })
+    Similarity.lshProbe(s.read.parquet(dir), "vec_id", "embedding", query,
       k = 10, dim = 64)
   }
 
@@ -408,9 +453,13 @@ object ExtQueries {
     // stop-fingerprint removal: a fingerprint present in many documents
     // is a common phrase, not a similarity signal, and it is also the
     // hot key that makes the inverted self-join quadratic. Standard
-    // winnowing practice and the scale guard at 100 TB.
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 20)
-    val kept = fps.join(broadcast(rare.select("fp")), Seq("fp"), "left_semi")
+    // winnowing practice and the scale guard at 100 TB. Broadcast the
+    // FREQUENT set (df > 20): it is bounded by corpus_fps/20 regardless
+    // of corpus size, whereas the rare complement is nearly ALL distinct
+    // fingerprints — O(corpus) rows that must never reach a driver
+    // collect. left_anti(frequent) ≡ left_semi(rare), bounded broadcast.
+    val frequent = fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") > 20)
+    val kept = fps.join(broadcast(frequent.select("fp")), Seq("fp"), "left_anti")
     val l = kept.select(col("fp"), col("doc_id").as("a"))
     val r = kept.select(col("fp"), col("doc_id").as("b"))
     l.join(r, Seq("fp")).filter(col("a") < col("b"))
@@ -859,5 +908,6 @@ object ExtQueries {
     x18_region_rollup, x19_multimodal_frames, x20_cube, x21_percentile,
     x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters, x26_json,
     x27_interval_overlap, x28_decontaminate, x29_repetition, x30_token_budget,
-    x31_quantize, x32_chunking, x33_mix_weights, x34_asof_forward)
+    x31_quantize, x32_chunking, x33_mix_weights, x34_asof_forward,
+    x35_embedding_neardup_banded, x36_ann_lsh_layout)
 }

@@ -304,6 +304,21 @@ class ExtOpsSpec extends SparkTestBase {
     }
   }
 
+  test("kNN join refuses an over-sized right side with an actionable error") {
+    import graft.geom.GeomCodec
+    val pts = Seq((1L, GeomCodec.wktToWkb("POINT(0 0)"))).toDF("id", "geom")
+    val sites = (1 to 11).map(j =>
+      (j.toLong, GeomCodec.wktToWkb(s"POINT($j 0)"))).toDF("sid", "sgeom")
+    val e = intercept[IllegalArgumentException] {
+      NearestJoin.nearestJoin(pts, "geom", sites, "sgeom", k = 1, maxRightRows = 10L)
+    }
+    assert(e.getMessage.contains("maxRightRows"), e.getMessage)
+    assert(e.getMessage.contains("broadcast-sized"), e.getMessage)
+    // at exactly the bound it proceeds
+    assert(NearestJoin.nearestJoin(pts, "geom", sites, "sgeom",
+      k = 1, maxRightRows = 11L).count() == 1)
+  }
+
   test("decontamination drops exactly the docs sharing an n-gram with the eval set") {
     val eval = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(

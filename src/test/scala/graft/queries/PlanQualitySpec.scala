@@ -55,6 +55,32 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("Exchange"), plan)
   }
 
+  test("exact dedup aggregates partially map-side; no window funnels the hot key") {
+    // the keeper-set aggregate must be two-phase (partial min(id) before
+    // the exchange) so duplicate mass collapses map-side — a row_number
+    // window here would shuffle EVERY row to its key's partition with no
+    // partial agg and no AQE skew split, stalling one task on the hot
+    // key exact-dedup exists to remove
+    val plan = ExtQueries.x01_dedup_exact.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val first = plan.indexOf("HashAggregate")
+    assert(first >= 0, plan)
+    assert(plan.indexOf("HashAggregate", first + 1) >= 0,
+      s"expected partial+final HashAggregate pair:\n$plan")
+  }
+
+  test("winnowing stop-fingerprint filter broadcasts the bounded frequent side") {
+    // the broadcast must carry the frequent set (bounded by n_fps/20 at
+    // any corpus size) as a LEFT ANTI probe — never the rare complement,
+    // which is nearly all distinct fingerprints (O(corpus) rows through
+    // the driver)
+    val plan = ExtQueries.x17_winnowing.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("LeftSemi"), plan)
+  }
+
   test("q30 top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = CorpusQueries.q30.run(spark, sfDir)
       .queryExecution.executedPlan.toString
@@ -121,6 +147,42 @@ class PlanQualitySpec extends SparkTestBase {
     val partitionsRead = scans.map(_.metrics("numPartitions").value).sum
     assert(partitionsRead == nprobe,
       s"expected $nprobe partitions read, got $partitionsRead:\n$plan")
+  }
+
+  test("LSH probe on the bucket-partitioned layout reads only Hamming-ball partitions") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("lsh").toString + "/emb_by_bucket"
+    val signBits = 8
+    Similarity.lshWrite(emb, "embedding", dir, dim = 64, signBits = signBits)
+
+    val query = emb.select("embedding").head().getSeq[Float](0).toArray
+    val layout = spark.read.parquet(dir)
+    val probed = Similarity.lshProbe(layout, "vec_id", "embedding", query,
+      k = 5, dim = 64, signBits = signBits, probeHamming = 1)
+
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    // the query vector is a table row: its own bucket is non-empty
+    assert(probed.collect().nonEmpty)
+
+    // directories actually read == ball buckets that exist in the data,
+    // strictly fewer than the table's bucket count (real pruning)
+    val ball = Similarity.hammingBall(
+      Similarity.signatureOf(query, 64, signBits), signBits, radius = 1).toSet
+    // hive partition values are re-inferred on read (int if they fit)
+    val present = layout.select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = ball.intersect(present).size
+    assert(expected < present.size, s"ball covers all $expected buckets — no pruning to prove")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = probed.queryExecution.executedPlan.collectLeaves().collect {
+      case sc: FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty, plan)
+    val partitionsRead = scans.map(_.metrics("numPartitions").value).sum
+    assert(partitionsRead == expected,
+      s"expected $expected partitions read, got $partitionsRead:\n$plan")
   }
 
   test("decontamination probes the eval grams via broadcast — the corpus side never shuffles") {

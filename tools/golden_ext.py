@@ -287,25 +287,30 @@ def rademacher_planes(sign_bits, dim):
             for _ in range(sign_bits)]
 
 
-def embedding_neardup(vecs, threshold, dim, sign_bits):
+def embedding_neardup(vecs, threshold, dim, sign_bits, num_tables=1):
     """vecs: list of (id, list-of-float32-as-python-floats). Float
     arithmetic reproduced exactly: f32*f32 products are exact in f64;
-    additions follow the engine's sequential order."""
+    additions follow the engine's sequential order. num_tables > 1 is
+    the banded variant: table t uses planes [t*sign_bits, (t+1)*sign_bits)
+    of one seed-42 sequence; candidates share ANY table's bucket."""
     import numpy as np
-    planes = rademacher_planes(sign_bits, dim)
+    planes = rademacher_planes(num_tables * sign_bits, dim)
     ids = [i for i, _ in vecs]
     V = np.array([v for _, v in vecs], dtype=np.float32)
-    # bucket: sign of sequential double dot with +-1 planes
-    sigs = []
+    # bucket per table: sign of sequential double dot with +-1 planes
+    sigs = []  # sigs[r] = list of num_tables bucket ids
     for r in range(len(ids)):
-        sig = 0
-        for b in range(sign_bits):
-            s = 0.0
-            for i in range(min(dim, V.shape[1])):
-                s += planes[b][i] * float(V[r, i])
-            if s > 0:
-                sig |= 1 << b
-        sigs.append(sig)
+        row = []
+        for t in range(num_tables):
+            sig = 0
+            for b in range(sign_bits):
+                s = 0.0
+                for i in range(min(dim, V.shape[1])):
+                    s += planes[t * sign_bits + b][i] * float(V[r, i])
+                if s > 0:
+                    sig |= 1 << b
+            row.append(sig)
+        sigs.append(row)
     # normalize: double sum of squares -> sqrt -> f32(v/norm)
     N = np.empty_like(V)
     for r in range(len(ids)):
@@ -317,22 +322,24 @@ def embedding_neardup(vecs, threshold, dim, sign_bits):
             N[r] = V[r]
         else:
             N[r] = (V[r].astype(np.float64) / norm).astype(np.float32)
+    cand = set()
+    for t in range(num_tables):
+        by_bucket = {}
+        for r, row in enumerate(sigs):
+            by_bucket.setdefault(row[t], []).append(r)
+        for rows in by_bucket.values():
+            for x in range(len(rows)):
+                for y in range(len(rows)):
+                    ra, rb = rows[x], rows[y]
+                    if ids[ra] < ids[rb]:
+                        cand.add((ra, rb))
     out = []
-    by_bucket = {}
-    for r, sig in enumerate(sigs):
-        by_bucket.setdefault(sig, []).append(r)
-    for rows in by_bucket.values():
-        for x in range(len(rows)):
-            for y in range(len(rows)):
-                ra, rb = rows[x], rows[y]
-                a, b = ids[ra], ids[rb]
-                if a >= b:
-                    continue
-                s = 0.0
-                for i in range(V.shape[1]):
-                    s += float(N[ra, i]) * float(N[rb, i])
-                if s >= threshold:
-                    out.append((a, b, s))
+    for ra, rb in cand:
+        s = 0.0
+        for i in range(V.shape[1]):
+            s += float(N[ra, i]) * float(N[rb, i])
+        if s >= threshold:
+            out.append((ids[ra], ids[rb], s))
     return sorted(set(out))
 
 
@@ -368,6 +375,12 @@ def main():
           lambda r: f"{r[0]}\t{r[1]}\t{r[2]}")
     write('x06_embedding_neardup.tsv',
           embedding_neardup(embs, threshold=0.3, dim=64, sign_bits=2),
+          lambda r: f"{r[0]}\t{r[1]}\t{r[2]!r}")
+    # banded variant (x35): longer signatures for near-linear Σ bucket²,
+    # multiple tables to buy the recall back
+    write('x35_embedding_neardup_banded.tsv',
+          embedding_neardup(embs, threshold=0.3, dim=64, sign_bits=6,
+                            num_tables=4),
           lambda r: f"{r[0]}\t{r[1]}\t{r[2]!r}")
     import math
     import numpy as np
