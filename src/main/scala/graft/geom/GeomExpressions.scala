@@ -25,6 +25,29 @@ object GeomOps {
     GeomCodec.read(a).within(GeomCodec.read(b))
   def dwithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean =
     GeomCodec.read(a).isWithinDistance(GeomCodec.read(b), d)
+  // constructive kernels — the overlay/erase inner loop (SpatialOps)
+  // evaluates these once per candidate pair, so they live here with the
+  // predicates rather than behind a UDF boundary
+  def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    GeomCodec.write(GeomCodec.read(a).intersection(GeomCodec.read(b)))
+  def difference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    GeomCodec.write(GeomCodec.read(a).difference(GeomCodec.read(b)))
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    GeomCodec.write(GeomCodec.read(a).union(GeomCodec.read(b)))
+  /** Polygonal component of a mixed-dimension overlay result (touching
+    * inputs intersect in lines/points; planar overlay wants areas only).
+    * All-polygonal inputs pass through byte-identical.
+    */
+  def polygonal(wkb: Array[Byte]): Array[Byte] = {
+    val g = GeomCodec.read(wkb)
+    val polys = (0 until g.getNumGeometries).map(g.getGeometryN)
+      .filter(_.getDimension == 2)
+    if (polys.isEmpty) GeomCodec.write(GeomCodec.factory.createPolygon())
+    else if (polys.size == g.getNumGeometries) wkb
+    else GeomCodec.write(
+      org.locationtech.jts.operation.union.UnaryUnionOp.union(
+        java.util.Arrays.asList(polys: _*)))
+  }
 }
 
 /** `st_area(geom)` as a native Catalyst expression with codegen. */
@@ -125,6 +148,89 @@ case class StDWithinExpr(first: Expression, second: Expression, third: Expressio
     copy(first = f, second = s, third = t)
 }
 
+/** `st_intersection(a, b)` — native constructive op. The overlay inner
+  * loop (`SpatialOps.overlayUnion`) computes it for every candidate
+  * pair, so it stays inside whole-stage codegen with the predicates
+  * instead of crossing a UDF boundary per row.
+  */
+case class StIntersectionExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_intersection"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomOps.intersection(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomOps.intersection($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersectionExpr =
+    copy(left = l, right = r)
+}
+
+/** `st_difference(a, b)` — native constructive twin for the erase
+  * kernel (`SpatialOps.erase`).
+  */
+case class StDifferenceExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_difference"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomOps.difference(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomOps.difference($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StDifferenceExpr =
+    copy(left = l, right = r)
+}
+
+/** `st_union(a, b)` — native binary union (the n-ary/aggregate form is
+  * [[StUnionAgg]]).
+  */
+case class StUnionExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_union"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomOps.union(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomOps.union($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StUnionExpr =
+    copy(left = l, right = r)
+}
+
+/** `st_polygonal(g)` — keep only the areal component; composed directly
+  * over st_intersection/st_difference in overlay and erase, so making it
+  * native keeps the whole constructive chain in one codegen span.
+  */
+case class StPolygonalExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_polygonal"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GeomOps.polygonal(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.geom.GeomOps.polygonal($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StPolygonalExpr =
+    copy(child = newChild)
+}
+
 /** `st_transform(geom, fromSrid, toSrid)` as a native Catalyst
   * expression with codegen — the reprojection kernel runs on every row
   * of every published layer, so it stays inside whole-stage codegen.
@@ -177,6 +283,21 @@ object GeomExpressions {
       GraftColumnBridge.expression(b),
       GraftColumnBridge.expression(d)))
 
+  def st_intersection_native(a: Column, b: Column): Column =
+    GraftColumnBridge.column(StIntersectionExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def st_difference_native(a: Column, b: Column): Column =
+    GraftColumnBridge.column(StDifferenceExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def st_union_native(a: Column, b: Column): Column =
+    GraftColumnBridge.column(StUnionExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def st_polygonal_native(c: Column): Column =
+    GraftColumnBridge.column(StPolygonalExpr(GraftColumnBridge.expression(c)))
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("st_area"),
       new ExpressionInfo(classOf[StAreaExpr].getName, "st_area"),
@@ -196,6 +317,18 @@ object GeomExpressions {
     (FunctionIdentifier("st_transform"),
       new ExpressionInfo(classOf[StTransformExpr].getName, "st_transform"),
       (exprs: Seq[Expression]) => StTransformExpr(exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier("st_intersection"),
+      new ExpressionInfo(classOf[StIntersectionExpr].getName, "st_intersection"),
+      (exprs: Seq[Expression]) => StIntersectionExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_difference"),
+      new ExpressionInfo(classOf[StDifferenceExpr].getName, "st_difference"),
+      (exprs: Seq[Expression]) => StDifferenceExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_union"),
+      new ExpressionInfo(classOf[StUnionExpr].getName, "st_union"),
+      (exprs: Seq[Expression]) => StUnionExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_polygonal"),
+      new ExpressionInfo(classOf[StPolygonalExpr].getName, "st_polygonal"),
+      (exprs: Seq[Expression]) => StPolygonalExpr(exprs.head)),
     // grid decomposition primitives (the PBSM building blocks the
     // GridJoinRewrite emits) — exposed so SQL users can hand-build a
     // cell-partitioned spatial join or a cell-keyed layout

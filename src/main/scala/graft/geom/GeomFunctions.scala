@@ -2,19 +2,20 @@ package graft.geom
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
-import org.locationtech.jts.geom.{Geometry, Polygon}
+import org.locationtech.jts.geom.Geometry
 import org.locationtech.jts.geom.util.GeometryFixer
-import org.locationtech.jts.operation.union.UnaryUnionOp
 
 /** ST_* column functions over WKB (OP-44..49, SURVEY §2.8).
   *
-  * Phase-1 implementation: Scala UDFs over `BinaryType` WKB — simple,
-  * null-safe, and correctness-equivalent to codegen'd Catalyst
-  * expressions. Geometry work is CPU-bound on JTS either way; the UDF
-  * boundary costs one WKB decode per argument, which profiling at
-  * sf0.1 shows is dwarfed by the JTS overlay/union work itself. The
-  * phase-2 upgrade path (custom `Expression` with `doGenCode` for the
-  * hot predicates, SURVEY §4) is correctness-neutral.
+  * The hot-path vocabulary — predicates planned by the spatial join
+  * strategy (st_intersects/st_contains/st_within/st_dwithin), the
+  * per-row kernels (st_area, st_transform), and the constructive chain
+  * in overlay/erase (st_intersection/st_difference/st_union/
+  * st_polygonal) — is native codegen'd Catalyst expressions
+  * ([[GeomExpressions]], SURVEY §4 phase 2). The long tail of cold
+  * accessors stays as Scala UDFs: correctness-identical, and their
+  * call sites are driver-side config or QA paths where the UDF
+  * boundary is noise.
   */
 object GeomFunctions {
   import GeomCodec.{read, write}
@@ -89,32 +90,21 @@ object GeomFunctions {
 
   // --- binary constructive ops (OP-42/43/49) --------------------------
 
-  private def binop(f: (Geometry, Geometry) => Geometry) =
-    udf((a: Array[Byte], b: Array[Byte]) => {
-      val (ga, gb) = (read(a), read(b))
-      if (ga == null || gb == null) null else write(f(ga, gb))
-    })
-
-  val st_intersection: (Column, Column) => Column = binop(_ intersection _).apply(_, _)
-  val st_difference:   (Column, Column) => Column = binop(_ difference _).apply(_, _)
-  val st_union:        (Column, Column) => Column = binop(_ union _).apply(_, _)
+  /** Native codegen'd expressions (see [[GeomExpressions]]): the
+    * overlay/erase inner loops compose st_polygonal over
+    * st_intersection/st_difference per candidate pair, so the whole
+    * constructive chain evaluates inside one codegen span with no UDF
+    * boxing.
+    */
+  val st_intersection: (Column, Column) => Column = GeomExpressions.st_intersection_native(_, _)
+  val st_difference:   (Column, Column) => Column = GeomExpressions.st_difference_native(_, _)
+  val st_union:        (Column, Column) => Column = GeomExpressions.st_union_native(_, _)
 
   /** Keep only the polygonal component of a mixed-dimension overlay
     * result (touching inputs intersect in lines/points; planar overlay
-    * semantics want areas only).
+    * semantics want areas only). Native codegen'd expression.
     */
-  val st_polygonal: Column => Column =
-    udf((wkb: Array[Byte]) => {
-      val g = read(wkb)
-      if (g == null) null
-      else {
-        val polys = (0 until g.getNumGeometries).map(g.getGeometryN)
-          .filter(_.getDimension == 2)
-        if (polys.isEmpty) write(GeomCodec.factory.createPolygon())
-        else if (polys.size == g.getNumGeometries) wkb
-        else write(UnaryUnionOp.union(java.util.Arrays.asList(polys: _*)))
-      }
-    }).apply(_)
+  val st_polygonal: Column => Column = GeomExpressions.st_polygonal_native(_)
 
   /** OP-48 multipart decomposition: WKB → array of per-part WKBs
     * (explode for st_dump semantics, coastline.py:121-127).
@@ -201,10 +191,11 @@ object GeomFunctions {
 
   /** Register the ST vocabulary for `spark.sql` users as named UDFs.
     * Functions with native codegen'd twins (st_area, st_intersects,
-    * st_contains, st_within, st_dwithin, st_transform) are NOT
-    * registered here — they come via [[GraftExtensions]], and a UDF
-    * registration would shadow the native (hiding it from both codegen
-    * and the spatial-join planner strategy).
+    * st_contains, st_within, st_dwithin, st_transform, st_intersection,
+    * st_difference, st_union, st_polygonal) are NOT registered here —
+    * they come via [[GraftExtensions]], and a UDF registration would
+    * shadow the native (hiding it from both codegen and the
+    * spatial-join planner strategy).
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val u = spark.udf
@@ -258,14 +249,6 @@ object GeomFunctions {
     reg2("st_covers", _ covers _)
     reg2("st_crosses", _ crosses _)
     reg2("st_overlaps", _ overlaps _)
-    def geo2(name: String, f: (Geometry, Geometry) => Geometry): Unit =
-      u.register(name, (a: Array[Byte], b: Array[Byte]) => {
-        val (ga, gb) = (read(a), read(b))
-        if (ga == null || gb == null) null else write(f(ga, gb))
-      })
-    geo2("st_intersection", _ intersection _)
-    geo2("st_difference", _ difference _)
-    geo2("st_union", _ union _)
     spark.udf.register("st_union_agg", StUnionAgg.asUdaf)
   }
 }

@@ -38,6 +38,66 @@ class GeomExpressionsSpec extends SparkTestBase {
     assert(out.getDouble(0) == 4.0 && out.getBoolean(1))
   }
 
+  test("native constructive ops match JTS semantics incl. nulls and pass-through") {
+    val rows = Seq(
+      // overlapping squares: intersection 1x1, difference L-shape area 3
+      ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))"),
+      // touching squares: intersection is a LINE -> polygonal() empties it
+      ("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON((1 0, 2 0, 2 1, 1 1, 1 0))"),
+      (null, "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))")
+    ).toDF("wa", "wb")
+      .withColumn("ga", G.st_geomfromwkt($"wa"))
+      .withColumn("gb", G.st_geomfromwkt($"wb"))
+      .select(
+        GeomExpressions.st_area_native(GeomExpressions.st_polygonal_native(
+          GeomExpressions.st_intersection_native($"ga", $"gb"))).as("xarea"),
+        GeomExpressions.st_area_native(
+          GeomExpressions.st_difference_native($"ga", $"gb")).as("darea"),
+        GeomExpressions.st_area_native(
+          GeomExpressions.st_union_native($"ga", $"gb")).as("uarea"))
+      .collect()
+    assert(rows(0).getDouble(0) == 1.0 && rows(0).getDouble(1) == 3.0
+      && rows(0).getDouble(2) == 7.0)
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 1.0
+      && rows(1).getDouble(2) == 2.0)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
+  test("st_polygonal passes all-polygonal input through byte-identical") {
+    val wkb = GeomCodec.wktToWkb("MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)))")
+    val out = Seq(Tuple1(wkb)).toDF("g")
+      .select(GeomExpressions.st_polygonal_native($"g").as("p"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(out, wkb))
+  }
+
+  test("constructive ops registered in SQL via GraftExtensions") {
+    GeomFunctions.registerAll(spark) // for st_geomfromwkt; must NOT shadow the natives
+    val out = spark.sql(
+      """SELECT st_area(st_polygonal(st_intersection(
+        |         st_geomfromwkt('POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))'),
+        |         st_geomfromwkt('POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))')))) AS x,
+        |       st_area(st_difference(
+        |         st_geomfromwkt('POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))'),
+        |         st_geomfromwkt('POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))'))) AS d,
+        |       st_area(st_union(
+        |         st_geomfromwkt('POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))'),
+        |         st_geomfromwkt('POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))'))) AS u
+        |""".stripMargin).collect()(0)
+    assert(out.getDouble(0) == 1.0 && out.getDouble(1) == 3.0 && out.getDouble(2) == 7.0)
+  }
+
+  test("constructive chain stays inside whole-stage codegen") {
+    val df = spark.range(4)
+      .withColumn("a", G.st_geomfromwkt(lit("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))")))
+      .withColumn("b", G.st_geomfromwkt(lit("POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))")))
+      .select(GeomExpressions.st_area_native(GeomExpressions.st_polygonal_native(
+        GeomExpressions.st_intersection_native($"a", $"b"))).as("x"))
+      .filter($"x" > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"), plan)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // range source: a LocalRelation would be eagerly collapsed by the
     // optimizer before any codegen happens
