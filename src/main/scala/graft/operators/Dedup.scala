@@ -51,6 +51,58 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Paragraph-level exact dedup: split each document on `sep`, keep
+    * only the globally FIRST occurrence of every distinct paragraph
+    * (first = lowest (id, position)), and reassemble each document from
+    * its surviving paragraphs in original order. The standard
+    * boilerplate-removal pass of web-corpus pipelines: a nav header or
+    * cookie banner repeated across millions of pages survives exactly
+    * once, whole-document near-dup signals stop being dominated by it,
+    * and per-site template mass disappears from the training mix.
+    *
+    * Scale shape mirrors [[exact]]: the keeper set is a two-phase
+    * `groupBy(paragraphHash).agg(min(rank))` — duplicate mass (the hot
+    * boilerplate hash IS the skewed key) collapses map-side before the
+    * exchange — followed by a semi-join on (hash, rank) and a
+    * `groupBy(id)` reassembly that shuffles on the unique doc id. The
+    * exploded paragraph scan deliberately feeds both the aggregate and
+    * the semi-join probe uncached: recomputing a codegen'd
+    * split+posexplode from the column-pruned source scan is cheaper at
+    * corpus scale than persisting the exploded corpus.
+    *
+    * Rank = `id * 1e6 + position`: ids must be non-negative and
+    * documents must have < 1,000,000 paragraphs (any real corpus does;
+    * ids up to ~9.2e12 stay overflow-free).
+    *
+    * Documents whose every paragraph is a later duplicate come back
+    * with empty text (the row is kept — dropping is the caller's
+    * policy, usually a min-length quality gate downstream). NULL text
+    * also comes back empty.
+    */
+  def paragraphDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val sepRegex = java.util.regex.Pattern.quote(sep)
+    val paras = df
+      .select(col(idCol).as("__pid"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__para")))
+      .withColumn("__h", md5(col("__para")))
+      .withColumn("__rank", col("__pid") * lit(1000000L) + col("__pos"))
+    val keep = paras
+      .groupBy(col("__h"))
+      .agg(min(col("__rank")).as("__rank"))
+    val rebuilt = paras
+      .join(keep, Seq("__h", "__rank"), "left_semi")
+      .groupBy(col("__pid"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          s => s.getField("__para")), sep).as(textCol))
+      .withColumnRenamed("__pid", idCol)
+    df.drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+
   // --- MinHash --------------------------------------------------------
 
   /** Deterministic seeded hash family: h_i(x) = splitmix64(x ^ seed_i).

@@ -105,6 +105,33 @@ object TextAnalysis {
     lit(1.0) - size(array_distinct(all)).cast("double") / size(all)
   }
 
+  // --- PII scrubbing ---------------------------------------------------
+
+  /** Email/phone patterns kept to the regex subset where Java
+    * (`java.util.regex`, Spark) and RE2 (DuckDB, Go tooling) agree —
+    * character classes, bounded repetition, no lookaround, no word
+    * boundaries — so the scrub is reproducible across engines.
+    * Production pipelines extend the pattern table; the operator shape
+    * (codegen'd `regexp_replace` chain + `regexp_extract_all` counts,
+    * zero UDFs) is the point.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\d{3}-\\d{4}-\\d{4}"
+
+  /** Redact emails then phones. Single pass per pattern, inside
+    * whole-stage codegen — the 100 TB cost is the scan itself.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Redaction audit counts (what a compliance report aggregates). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
   /** Fixed-size token windows (training-sequence chunking): the text's
     * whitespace tokens packed into consecutive `chunkSize`-token
     * chunks, each rejoined with single spaces — the

@@ -839,6 +839,90 @@ object ExtQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Paragraph-level exact dedup (the boilerplate-removal pass of
+    * web-corpus pipelines): documents are given paragraph structure
+    * (32-token chunks — split parity proven by x32 — prefixed with one
+    * shared boilerplate paragraph, the repeated-banner scenario), then
+    * every distinct paragraph survives only at its globally first
+    * (id, position) occurrence and documents are reassembled. The
+    * boilerplate stays in exactly one document; the oracle rebuilds the
+    * whole pipeline in DuckDB list SQL and compares reassembled-text
+    * hashes, not just counts.
+    */
+  val x37_paragraph_dedup: QuerySpec = duck("x37_paragraph_dedup",
+    """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents WHERE doc_id < 300),
+      |par AS (SELECT doc_id,
+      |    ['subscribe to our newsletter today'] ||
+      |    [array_to_string(t[(i-1)*32+1 : i*32], ' ')
+      |     FOR i IN range(1, greatest(CAST(ceil(len(t)/32.0) AS INT), 1) + 1)] AS paras
+      |  FROM tok),
+      |ex AS (SELECT doc_id, u['i'] - 1 AS pos, u['p'] AS para
+      |  FROM (SELECT doc_id,
+      |          unnest([{'i': i, 'p': paras[i]} FOR i IN range(1, len(paras) + 1)]) AS u
+      |        FROM par)),
+      |keep AS (SELECT md5(para) AS h, min(doc_id * 1000000 + pos) AS rank
+      |  FROM ex GROUP BY 1),
+      |built AS (SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS txt
+      |  FROM ex JOIN keep
+      |    ON md5(ex.para) = keep.h AND ex.doc_id * 1000000 + ex.pos = keep.rank
+      |  GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN length(x) = 0 THEN 0
+      |       ELSE len(string_split(x, chr(10)||chr(10))) END AS BIGINT) AS kept_paras,
+      |  md5(x) AS text_md5
+      |FROM (SELECT t.doc_id, coalesce(b.txt, '') AS x
+      |      FROM tok t LEFT JOIN built b USING (doc_id))
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sep = "\n\n"
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        concat(lit("subscribe to our newsletter today" + sep),
+          array_join(TA.chunkTokens(col("text"), 32), sep)).as("text"))
+    Dedup.paragraphDedup(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        when(length(col("text")) === 0, lit(0L))
+          .otherwise(size(split(col("text"), java.util.regex.Pattern.quote(sep)))
+            .cast("bigint")).as("kept_paras"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing: email/phone redaction plus audit counts, all
+    * codegen'd regex built-ins. Contact strings are derived
+    * deterministically from doc_id (the raw corpus is letters-only) so
+    * the replacement path is actually exercised; patterns are confined
+    * to the Java∩RE2 regex subset so Spark and the DuckDB oracle agree
+    * byte-for-byte.
+    */
+  val x38_pii_scrub: QuerySpec = duck("x38_pii_scrub",
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(x,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\d{3}-\d{4}-\d{4}', '<PHONE>', 'g')) AS scrubbed_md5,
+      |  CAST(len(regexp_extract_all(x,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
+      |  CAST(len(regexp_extract_all(x, '\d{3}-\d{4}-\d{4}')) AS BIGINT) AS phones
+      |FROM (SELECT doc_id,
+      |        text || ' contact user' || doc_id || '@example.com or 555-' ||
+      |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-9876 now' AS x
+      |      FROM documents WHERE doc_id < 500)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit("-9876 now")).as("text"))
+    docs.select(col("doc_id"),
+        md5(TA.scrubPii(col("text"))).as("scrubbed_md5"),
+        TA.emailCount(col("text")).cast("bigint").as("emails"),
+        TA.phoneCount(col("text")).cast("bigint").as("phones"))
+      .orderBy("doc_id")
+  }
+
   /** Data-mixture construction: per-SOURCE token budgets scaled by a
     * domain weight (the "2x books, 0.5x web" reweighting every
     * pretraining mix does), filled deterministically in (md5, id)
@@ -909,5 +993,6 @@ object ExtQueries {
     x22_asof, x23_rangejoin, x24_sample, x25_neardup_clusters, x26_json,
     x27_interval_overlap, x28_decontaminate, x29_repetition, x30_token_budget,
     x31_quantize, x32_chunking, x33_mix_weights, x34_asof_forward,
-    x35_embedding_neardup_banded, x36_ann_lsh_layout)
+    x35_embedding_neardup_banded, x36_ann_lsh_layout, x37_paragraph_dedup,
+    x38_pii_scrub)
 }

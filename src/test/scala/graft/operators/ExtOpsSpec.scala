@@ -25,6 +25,42 @@ class ExtOpsSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("paragraph dedup keeps first occurrence across and within docs") {
+    val pdocs = Seq(
+      (1L, "banner text\n\nunique one\n\nunique one"),   // within-doc dup
+      (2L, "banner text\n\nunique two"),                 // cross-doc dup of banner
+      (3L, "banner text"),                               // all-dup doc -> empty
+      (4L, null.asInstanceOf[String])                    // null -> empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(pdocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "banner text\n\nunique one")
+    assert(out(2L) == "unique two")
+    assert(out(3L) == "")
+    assert(out(4L) == "")
+    // non-text columns survive
+    val extra = Dedup.paragraphDedup(
+      pdocs.withColumn("lang", lit("en")), "doc_id", "text")
+    assert(extra.columns.toSet == Set("doc_id", "lang", "text"))
+    assert(extra.filter($"lang" =!= "en").count() == 0)
+  }
+
+  test("pii scrub redacts emails and phones and counts them") {
+    val rows = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or 555-0123-4567 thanks"),
+      (2L, "no contact info here at all"),
+      (3L, "two mails a@b.io c@d.co one phone 111-2222-3333")
+    ).toDF("id", "text")
+      .select($"id", TA.scrubPii($"text").as("s"),
+        TA.emailCount($"text").as("e"), TA.phoneCount($"text").as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toList
+    assert(rows(0)._2 == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(rows(0)._3 == 1 && rows(0)._4 == 1)
+    assert(rows(1)._2 == "no contact info here at all" && rows(1)._3 == 0 && rows(1)._4 == 0)
+    assert(rows(2)._2 == "two mails <EMAIL> <EMAIL> one phone <PHONE>")
+    assert(rows(2)._3 == 2 && rows(2)._4 == 1)
+  }
+
   test("minhash LSH finds the exact and near dup, not the unrelated docs") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
       .filter($"est_jaccard" >= 0.5)

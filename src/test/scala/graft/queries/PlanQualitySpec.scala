@@ -70,6 +70,19 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected partial+final HashAggregate pair:\n$plan")
   }
 
+  test("paragraph dedup keeper set aggregates partially map-side, like exact dedup") {
+    // same guarantee as x01: the hot boilerplate-paragraph hash is the
+    // skewed key, so its mass must collapse in a partial min before any
+    // exchange — and no window operator may appear anywhere in the plan
+    val plan = ExtQueries.x37_paragraph_dedup.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val first = plan.indexOf("HashAggregate")
+    assert(first >= 0, plan)
+    assert(plan.indexOf("HashAggregate", first + 1) >= 0,
+      s"expected partial+final HashAggregate pair:\n$plan")
+  }
+
   test("winnowing stop-fingerprint filter broadcasts the bounded frequent side") {
     // the broadcast must carry the frequent set (bounded by n_fps/20 at
     // any corpus size) as a LEFT ANTI probe — never the rare complement,
