@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import scala.collection.mutable.ArrayBuffer
+
+/** Bounded top-k-per-group aggregate: the k largest (score, id) pairs,
+  * score descending with id ascending as the deterministic tiebreak.
+  *
+  * This is the skew-safe replacement for the `row_number() OVER
+  * (PARTITION BY g ORDER BY s DESC) <= k` idiom: a window shuffles
+  * EVERY row of a group to one task before ranking (no partial
+  * aggregation, no AQE skew split — the same funnel `Dedup.exact`
+  * eliminated), whereas a typed aggregate plans as two-phase
+  * `ObjectHashAggregate`, so each map task pre-truncates every group
+  * to k rows and the exchange carries at most k·tasks rows per group
+  * no matter how hot the group key is. At 100 TB "top products per
+  * category" shapes, that is the difference between a bounded shuffle
+  * and a stalled task.
+  *
+  * The buffer appends and defers sorting until it reaches `trimAt`·k,
+  * then sort-truncates to k — amortized O(n log k)-ish without a heap
+  * allocation per row, and the shuffled partial state is never larger
+  * than k pairs.
+  */
+final class TopKAgg(k: Int, trimAt: Int = 8)
+    extends Aggregator[(Double, Long), ArrayBuffer[(Double, Long)], Seq[(Double, Long)]] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  // best-first: highest score, then smallest id
+  private def ord: Ordering[(Double, Long)] =
+    Ordering.by((p: (Double, Long)) => (-p._1, p._2))
+
+  private def trim(b: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+    if (b.length > k) { b.sortInPlace()(ord); b.takeInPlace(k) }
+    b
+  }
+
+  override def zero: ArrayBuffer[(Double, Long)] = ArrayBuffer.empty
+
+  override def reduce(
+      b: ArrayBuffer[(Double, Long)], a: (Double, Long)): ArrayBuffer[(Double, Long)] = {
+    b += a
+    if (b.length >= trimAt * k) trim(b) else b
+  }
+
+  override def merge(
+      a: ArrayBuffer[(Double, Long)], b: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] =
+    trim(a ++= b)
+
+  override def finish(b: ArrayBuffer[(Double, Long)]): Seq[(Double, Long)] =
+    trim(b).toSeq.sorted(ord)
+
+  override def bufferEncoder: Encoder[ArrayBuffer[(Double, Long)]] =
+    Encoders.kryo[ArrayBuffer[(Double, Long)]]
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+}
+
+object TopKAgg {
+  /** Column form: `df.groupBy(g).agg(top_k(3)($"score", $"id"))` →
+    * `array<struct<_1: double, _2: bigint>>`, best-first. Explode with
+    * `posexplode` for (rank, score, id) rows.
+    */
+  def top_k(k: Int): (Column, Column) => Column = {
+    val f = udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
+    (score, id) => f(score, id)
+  }
+}
