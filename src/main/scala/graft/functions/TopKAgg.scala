@@ -22,8 +22,10 @@ import scala.collection.mutable.ArrayBuffer
   *
   * The buffer appends and defers sorting until it reaches `trimAt`·k,
   * then sort-truncates to k — amortized O(n log k)-ish without a heap
-  * allocation per row, and the shuffled partial state is never larger
-  * than k pairs.
+  * allocation per row. A partial buffer serialized to the shuffle can
+  * therefore hold up to `trimAt`·k − 1 pairs (the trim fires on the
+  * reduce path, not at serialization time); lower `trimAt` to tighten
+  * the shuffle-size bound at the cost of more frequent sorts.
   */
 final class TopKAgg(k: Int, trimAt: Int = 8)
     extends Aggregator[(Double, Long), ArrayBuffer[(Double, Long)], Seq[(Double, Long)]] {

@@ -47,21 +47,29 @@ object Bm25 {
     val dfCols = queryTerms.zipWithIndex.map { case (term, i) =>
       sum(when(array_contains(t, term), 1L).otherwise(0L)).as(s"__df_$i")
     }
-    val stats = df.agg(
-      count(lit(1)).as("__n"),
-      avg(size(t)).as("__avgdl"),
-      dfCols: _*)
+    val aggs = count(lit(1)).as("__n") +: avg(size(t)).as("__avgdl") +: dfCols
+    val stats = df.agg(aggs.head, aggs.tail: _*)
 
-    val dl = size(t).cast("double")
+    // ONE scan of the token array keeps only query terms; per-term tf
+    // then counts over the tiny filtered array, so scoring cost is
+    // O(|d| + q·|matches|) not O(q·|d|). Materialized as a column so
+    // CollapseProject keeps the filter single-evaluation.
+    val qtArr = array(queryTerms.map(lit): _*)
+    val withToks = df.crossJoin(broadcast(stats))
+      .withColumn("__qtoks", filter(t, x => array_contains(qtArr, x)))
+      .withColumn("__dl", size(t).cast("double"))
+
     val contributions = queryTerms.zipWithIndex.map { case (term, i) =>
       val dft = col(s"__df_$i").cast("double")
-      val idf = log((col("__n").cast("double") - dft + 0.5) / (dft + 0.5) + 1.0)
-      val tf = size(filter(t, x => x === lit(term))).cast("double")
-      idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / col("__avgdl")))
+      val idf = log((col("__n").cast("double") - dft + lit(0.5)) / (dft + lit(0.5)) + lit(1.0))
+      val tf = size(filter(col("__qtoks"), x => x === lit(term))).cast("double")
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
     }
-    df.crossJoin(broadcast(stats))
+    withToks
       .withColumn(scoreCol, contributions.reduce(_ + _))
-      .drop(("__n" +: "__avgdl" +: queryTerms.indices.map(i => s"__df_$i")): _*)
+      .drop((Seq("__n", "__avgdl", "__qtoks", "__dl") ++
+        queryTerms.indices.map(i => s"__df_$i")): _*)
   }
 
   /** Top-k retrieval: ids and rounded scores, best first (rounded

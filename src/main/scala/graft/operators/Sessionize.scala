@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: sessionization is inherently order-dependent per user
   * (a prefix scan over each user's timeline), so the minimum possible
   * plan is ONE shuffle on the user key plus a per-partition sort —
-  * which is exactly what the single window spec below plans to: `lag`
-  * and the running `sum` share one `WindowExec` (one exchange, one
-  * sort; pinned by `PlanQualitySpec`). No partial aggregation exists
+  * which is what the window specs below plan to: Spark extracts the
+  * nested `lag` into its own Window node, so the plan has TWO
+  * `WindowExec` operators, but they share the single exchange and
+  * sort (pinned by `PlanQualitySpec`). No partial aggregation exists
   * for prefix scans, and windows get no AQE skew split, so a
   * pathological single user with billions of events funnels to one
   * task — per-user volume is the operator's documented scale bound

@@ -58,6 +58,8 @@ object DialectShim {
     s = s.replaceAll("""AS DOUBLE\[\]\)""", "AS ARRAY<DOUBLE>)")
     s = s.replaceAll("""\bregexp_split_to_array\(""", "split(")
     s = s.replaceAll("""\blist_intersect\(""", "array_intersect(")
+    s = s.replaceAll("""\blist_contains\(""", "array_contains(")
+    s = s.replaceAll("""\blist_filter\(""", "filter(")
     // DuckDB list literal ['a','b'] / [CAST(...), ...] → Spark
     // array(...). Only when the content starts with a quote or CAST —
     // regex character classes like [A-Za-z0-9] must pass through.

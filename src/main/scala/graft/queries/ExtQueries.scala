@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis => TA}
+import graft.operators.{AsOfJoin, Bm25, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis => TA}
+import graft.functions.TopKAgg
 
 /** Extension-operator queries (SURVEY §2.12) over the `documents` and
   * `embeddings` tables: dedup family, similarity search, text analysis,
@@ -984,6 +985,88 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** BM25 lexical retrieval top-20 — the keyword side of the retrieval
+    * stack (x07/x15/x36 are the dense side). The oracle recomputes the
+    * full Okapi formula in SQL (same literal forms so constant folding
+    * yields bit-identical doubles); both sides round the sort key to 4
+    * decimals so independent implementations agree at ties.
+    */
+  val x39_bm25_topk: QuerySpec = q("x39_bm25_topk",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(t)) AS avgdl,
+      |    CAST(count(*) FILTER (WHERE list_contains(t, 'spark')) AS DOUBLE) AS df0,
+      |    CAST(count(*) FILTER (WHERE list_contains(t, 'join')) AS DOUBLE) AS df1,
+      |    CAST(count(*) FILTER (WHERE list_contains(t, 'vector')) AS DOUBLE) AS df2
+      |  FROM toks),
+      |scored AS (
+      |  SELECT doc_id,
+      |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+      |      * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+      |      * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+      |      * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+      |  FROM (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+      |          CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf0,
+      |          CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf1,
+      |          CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf2
+      |        FROM toks), stats)
+      |SELECT doc_id, round(score, 4) AS score
+      |FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    Bm25.topK(Tables.documents(s, d), "doc_id", "text",
+      Seq("spark", "join", "vector"), k = 20)
+  }
+
+  /** Bounded top-k-per-group via the typed `TopKAgg` aggregate — the
+    * skew-safe replacement for the row_number window idiom (the oracle
+    * IS that idiom, in DuckDB, proving the two agree; at scale only the
+    * aggregate form bounds the shuffle).
+    */
+  val x40_topk_per_group: QuerySpec = q("x40_topk_per_group",
+    """SELECT event_type, CAST(rn AS BIGINT) AS rank, round(value, 2) AS value, event_id
+      |FROM (SELECT event_type, event_id, value,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      |      FROM events) t
+      |WHERE rn <= 3
+      |ORDER BY event_type, rank""".stripMargin) { (s, d) =>
+    val topk = TopKAgg.top_k(3)
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("bigint").as("rank"),
+        round(col("col._1"), 2).as("value"), col("col._2").as("event_id"))
+      .orderBy("event_type", "rank")
+  }
+
+  /** Gap-based sessionization (15-min gap) + per-session rollup — the
+    * batch face of StreamingTwins.sessionize, one user-key exchange for
+    * both the window and the rollup. Tie-broken on event_id so the
+    * session split is deterministic under shuffle.
+    */
+  val x41_sessions: QuerySpec = q("x41_sessions",
+    """SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 900000000
+      |        THEN 1 ELSE 0 END AS new_s
+      |    FROM events) a) b
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+    Sessionize.sessions(Tables.events(s, d), "user_id", "ts",
+        gapSeconds = 900, tieBreakCols = Seq("event_id"))
+      .orderBy("user_id", "session_seq")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -994,5 +1077,5 @@ object ExtQueries {
     x27_interval_overlap, x28_decontaminate, x29_repetition, x30_token_budget,
     x31_quantize, x32_chunking, x33_mix_weights, x34_asof_forward,
     x35_embedding_neardup_banded, x36_ann_lsh_layout, x37_paragraph_dedup,
-    x38_pii_scrub)
+    x38_pii_scrub, x39_bm25_topk, x40_topk_per_group, x41_sessions)
 }

@@ -211,6 +211,47 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("top-k-per-group aggregates partially map-side (two-phase ObjectHashAggregate), no window") {
+    // the whole point of TopKAgg vs the row_number window: each map task
+    // pre-truncates its groups to k pairs before the exchange, so a hot
+    // group never funnels its full mass through one task
+    val plan = ExtQueries.x40_topk_per_group.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val first = plan.indexOf("ObjectHashAggregate")
+    assert(first >= 0, plan)
+    assert(plan.indexOf("ObjectHashAggregate", first + 1) >= 0,
+      s"expected partial+final ObjectHashAggregate pair:\n$plan")
+  }
+
+  test("sessionize assign+rollup share ONE user-key exchange (two Windows, one Sort)") {
+    // prefix scans can't partially aggregate, so one shuffle on the user
+    // key is the floor — and the rollup's groupBy(user, session) must
+    // reuse that partitioning (hash(user) clusters it), not re-exchange
+    import graft.operators.Sessionize
+    val plan = Sessionize.sessions(Tables.events(spark, sfDir), "user_id", "ts",
+        gapSeconds = 900, tieBreakCols = Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    def occurrences(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    // Spark extracts the nested lag into its own Window node: exactly 2
+    assert(occurrences("Window") == 2, plan)
+    assert(occurrences("Exchange hashpartitioning") == 1,
+      s"rollup re-exchanged instead of reusing the window partitioning:\n$plan")
+    assert(occurrences("Sort ") == 1, plan)
+  }
+
+  test("bm25 broadcasts the one-row stats and plans top-k as TakeOrderedAndProject") {
+    // stats ride a broadcast nested-loop (one row x corpus); the corpus
+    // itself is scanned twice (stats pass + scoring pass) but never
+    // shuffled on a row key, and retrieval never global-sorts
+    val plan = ExtQueries.x39_bm25_topk.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/events_p"
     val events = Tables.events(spark, sfDir)
