@@ -111,6 +111,93 @@ object StreamingTwins {
     deduped.drop("__k")
   }
 
+  final case class Para(pid: Long, pos: Int, para: String, h: String, rank: Long,
+      ts: java.sql.Timestamp)
+  final case class ParaKept(pid: Long, pos: Int, para: String)
+
+  /** Streaming paragraph/boilerplate dedup — the streaming face of
+    * `Dedup.paragraphDedup` (§2.12, x37): each distinct paragraph
+    * survives only at its first occurrence; documents are reassembled
+    * from their surviving paragraphs (empty string if every paragraph
+    * was boilerplate, same as the batch twin).
+    *
+    * State is one boolean per distinct paragraph hash, keyed by
+    * `flatMapGroupsWithState` in Append mode (which permits the
+    * downstream per-document reassembly aggregation). "First" means
+    * min-(id, pos) within a micro-batch and first-arrival across
+    * batches — identical to the batch twin when the corpus is one
+    * batch (`StreamingTwinsSpec` pins that equality).
+    *
+    * Losing occurrences emit a (pid, -1) marker so all-boilerplate
+    * documents still materialize with empty text instead of vanishing.
+    *
+    * Unbounded streams: pass `eventTimeCol` to watermark the stream
+    * and age paragraph state out after `stateTtl` past the watermark
+    * (EventTimeTimeout) — a paragraph unseen for the TTL horizon is
+    * re-admitted, the same bounded-state trade `ingestCorpus` makes
+    * with `dropDuplicatesWithinWatermark`. Per-batch memory is bounded
+    * by the duplicate mass of one paragraph hash within one batch
+    * (the group iterator is buffered to pick the min-rank winner).
+    */
+  def paragraphDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n",
+      eventTimeCol: Option[String] = None,
+      watermark: String = "10 minutes",
+      stateTtl: java.time.Duration = java.time.Duration.ofHours(1)): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sepRegex = java.util.regex.Pattern.quote(sep)
+    val tsCol = eventTimeCol.map(col).getOrElse(lit(null).cast("timestamp"))
+    val parasDf = docs
+      .select(col(idCol).cast("long").as("pid"), tsCol.as("ts"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "para")))
+      .withColumn("h", md5(col("para")))
+      .withColumn("rank", col("pid") * lit(1000000L) + col("pos"))
+    val paras = (eventTimeCol match {
+      case Some(_) => parasDf.withWatermark("ts", watermark)
+      case None    => parasDf
+    }).as[Para]
+
+    val timed = eventTimeCol.isDefined
+    // The timed path trips Spark's conservative global-watermark check:
+    // fMGWS may emit rows "older than the watermark" into a downstream
+    // stateful agg. Our reassembly agg is deliberately UNwatermarked
+    // (update mode, no late-row discard — ts is not even in its input),
+    // so nothing can be dropped; the flagged hazard does not apply.
+    if (timed) docs.sparkSession.conf
+      .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val ttlMs = stateTtl.toMillis
+    def keepFirst(
+        h: String, rows: Iterator[Para],
+        state: GroupState[java.lang.Boolean]): Iterator[ParaKept] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val all = rows.toVector
+      val out =
+        if (state.exists) all.map(r => ParaKept(r.pid, -1, ""))
+        else {
+          state.update(java.lang.Boolean.TRUE)
+          val best = all.minBy(_.rank)
+          ParaKept(best.pid, best.pos, best.para) +:
+            all.filter(_.rank != best.rank).map(r => ParaKept(r.pid, -1, ""))
+        }
+      if (timed) state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+      out.iterator
+    }
+    val timeout =
+      if (timed) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    val kept = paras.groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(keepFirst)
+
+    kept.toDF()
+      .groupBy(col("pid"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(when(col("pos") >= 0,
+            struct(col("pos"), col("para"))))),
+          s => s.getField("para")), sep).as(textCol))
+      .withColumnRenamed("pid", idCol)
+  }
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class UserSessions(user_id: Long, sessions: Long)
   final case class SessionState(lastTsMicros: Long, sessions: Long)

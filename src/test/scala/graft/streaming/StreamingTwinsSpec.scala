@@ -129,6 +129,71 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(streamKeys.nonEmpty)
   }
 
+  test("streaming paragraph dedup matches the batch twin on one micro-batch") {
+    import graft.operators.Dedup
+    // shared boilerplate paragraph + per-doc content (the x37 shape)
+    val static = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        concat(lit("subscribe to our newsletter\n\n"), col("text")).as("text"))
+    val dir = Files.createTempDirectory("paradedup").toString
+    static.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(static.schema).parquet(dir)
+    val q = StreamingTwins.paragraphDedup(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("paradedup")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("paradedup").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batch = Dedup.paragraphDedup(static, "doc_id", "text")
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming paragraph dedup: state persists across batches, ages out past the TTL") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingTwins.paragraphDedup(docs, "doc_id", "text",
+        eventTimeCol = Some("ts"), watermark = "0 seconds",
+        stateTtl = java.time.Duration.ofSeconds(1))
+      .writeStream.format("memory").queryName("paradedup2")
+      .outputMode("update").start()
+    // batch 1 admits A and B; batch 2 (unrelated) advances the watermark
+    // past A/B's 1s TTL so their state ages out; batch 3 re-admits A
+    input.addData((1L, ts(10), "A\n\nB")); q.processAllAvailable()
+    input.addData((2L, ts(12), "Z"));      q.processAllAvailable()
+    input.addData((3L, ts(13), "A\n\nC")); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("paradedup2").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "A\n\nB", 2L -> "Z", 3L -> "A\n\nC"), got)
+  }
+
+  test("streaming paragraph dedup without event time keeps state for the stream's life") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingTwins.paragraphDedup(docs, "doc_id", "text")
+      .writeStream.format("memory").queryName("paradedup3")
+      .outputMode("update").start()
+    input.addData((1L, "A\n\nB")); q.processAllAvailable()
+    input.addData((2L, "A\n\nC")); q.processAllAvailable() // A already seen -> dropped
+    input.addData((3L, "A"));      q.processAllAvailable() // all boilerplate -> empty doc
+    q.stop()
+
+    val got = spark.table("paradedup3").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "A\n\nB", 2L -> "C", 3L -> ""), got)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val q = StreamingTwins.dedupEvents(StreamingTwins.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("deduped")
