@@ -70,9 +70,15 @@ object Dedup {
     * split+posexplode from the column-pruned source scan is cheaper at
     * corpus scale than persisting the exploded corpus.
     *
-    * Rank = `id * 1e6 + position`: ids must be non-negative and
-    * documents must have < 1,000,000 paragraphs (any real corpus does;
-    * ids up to ~9.2e12 stay overflow-free).
+    * Rank = `id * 1e6 + position` in DECIMAL: overflow-free and
+    * order-correct for the FULL 64-bit id range (a 100 TB corpus using
+    * 64-bit fingerprints as ids stays safe); the only bound left is
+    * < 1,000,000 paragraphs per document (any real corpus holds).
+    * Decimal, not struct, because `min(decimal)` stays a two-phase
+    * HashAggregate — `min(struct(id, pos))` is order-equivalent but
+    * demotes the plan to SortAggregate (struct buffers aren't
+    * mutable), adding a sort per side of the exchange on the hottest
+    * scan (pinned by PlanQualitySpec's x37 test).
     *
     * Documents whose every paragraph is a later duplicate come back
     * with empty text (the row is kept — dropping is the caller's
@@ -87,7 +93,8 @@ object Dedup {
       .select(col(idCol).as("__pid"),
         posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__para")))
       .withColumn("__h", md5(col("__para")))
-      .withColumn("__rank", col("__pid") * lit(1000000L) + col("__pos"))
+      .withColumn("__rank",
+        col("__pid").cast("decimal(26,0)") * lit(1000000L) + col("__pos"))
     val keep = paras
       .groupBy(col("__h"))
       .agg(min(col("__rank")).as("__rank"))

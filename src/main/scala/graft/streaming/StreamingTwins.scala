@@ -111,7 +111,7 @@ object StreamingTwins {
     deduped.drop("__k")
   }
 
-  final case class Para(pid: Long, pos: Int, para: String, h: String, rank: Long,
+  final case class Para(pid: Long, pos: Int, para: String, h: String,
       ts: java.sql.Timestamp)
   final case class ParaKept(pid: Long, pos: Int, para: String)
 
@@ -152,7 +152,6 @@ object StreamingTwins {
       .select(col(idCol).cast("long").as("pid"), tsCol.as("ts"),
         posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "para")))
       .withColumn("h", md5(col("para")))
-      .withColumn("rank", col("pid") * lit(1000000L) + col("pos"))
     val paras = (eventTimeCol match {
       case Some(_) => parasDf.withWatermark("ts", watermark)
       case None    => parasDf
@@ -176,9 +175,10 @@ object StreamingTwins {
         if (state.exists) all.map(r => ParaKept(r.pid, -1, ""))
         else {
           state.update(java.lang.Boolean.TRUE)
-          val best = all.minBy(_.rank)
+          val best = all.minBy(r => (r.pid, r.pos))
           ParaKept(best.pid, best.pos, best.para) +:
-            all.filter(_.rank != best.rank).map(r => ParaKept(r.pid, -1, ""))
+            all.filter(r => (r.pid, r.pos) != ((best.pid, best.pos)))
+              .map(r => ParaKept(r.pid, -1, ""))
         }
       if (timed) state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
       out.iterator
