@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based dataset splitting (train/val/test) — the
+  * standard stable-split of training pipelines: each row's split is a
+  * pure function of its id, so growing the corpus never reshuffles
+  * existing assignments (the property random `sample()` lacks), and
+  * re-runs are reproducible with no seed plumbing.
+  *
+  * Mechanism: compare `md5(id)` against fixed 32-hex-digit threshold
+  * strings — md5 is uniform over the 128-bit space, so the hex-string
+  * order statistics give each split its fraction to within 2⁻¹²⁸.
+  * String comparison (not hex-parse-then-mod) keeps the predicate in
+  * the portable Spark∩DuckDB SQL intersection AND in whole-stage
+  * codegen: the whole assignment is one codegen'd CASE over a scan,
+  * row-local, shuffle-free at any corpus size.
+  */
+object HashSplit {
+
+  /** 32-hex-digit lower-bound string for cumulative fraction `f`:
+    * `floor(f · 16³²)` zero-padded — `md5(id) < hexThreshold(f)`
+    * selects the first `f` of the id space.
+    */
+  def hexThreshold(f: Double): String = {
+    require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1], got $f")
+    val scale = BigInt(1) << 128
+    // java.math.BigDecimal: unlimited precision (scala.math.BigDecimal
+    // defaults to DECIMAL128 and silently rounds the 39-digit product)
+    val t = BigInt(new java.math.BigDecimal(f)
+      .multiply(new java.math.BigDecimal(scale.bigInteger)).toBigInteger)
+    val clamped = if (t >= scale) scale - 1 else t
+    val h = clamped.toString(16)
+    ("0" * (32 - h.length)) + h
+  }
+
+  /** Append `splitCol` assigning each row to a named split with the
+    * given weights (normalized; e.g. train 0.9 / val 0.05 / test 0.05).
+    * Assignment is a pure function of `idCol` — stable under corpus
+    * growth, identical across runs and engines.
+    */
+  def assign(
+      df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 > 0), s"split weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val key = md5(col(idCol).cast("string"))
+    // chained when: thresholds ascend, so first match wins
+    val arms = splits.init.zip(cums)
+    val chain = arms.foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        val cond = key < lit(hexThreshold(cum / total))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }
+    df.withColumn(splitCol,
+      chain.fold(lit(splits.last._1))(_.otherwise(splits.last._1)))
+  }
+}

@@ -60,6 +60,8 @@ object DialectShim {
     s = s.replaceAll("""\blist_intersect\(""", "array_intersect(")
     s = s.replaceAll("""\blist_contains\(""", "array_contains(")
     s = s.replaceAll("""\blist_filter\(""", "filter(")
+    s = s.replaceAll("""\blist_distinct\(""", "array_distinct(")
+    s = s.replaceAll("""\bunnest\(""", "explode(")
     // DuckDB list literal ['a','b'] / [CAST(...), ...] → Spark
     // array(...). Only when the content starts with a quote or CAST —
     // regex character classes like [A-Za-z0-9] must pass through.

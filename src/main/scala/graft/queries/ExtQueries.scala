@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Bm25, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis => TA}
+import graft.operators.{AsOfJoin, Bm25, Dedup, HashSplit, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis => TA}
 import graft.functions.TopKAgg
 
 /** Extension-operator queries (SURVEY §2.12) over the `documents` and
@@ -1067,6 +1067,47 @@ object ExtQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Deterministic hash-split (train/val/test) — assignment is a pure
+    * function of doc_id via md5-threshold string comparison, so the
+    * same literal thresholds evaluate identically in Spark and DuckDB
+    * (no dialect shim, no hex parsing) and the split is stable as the
+    * corpus grows. Row-local: one codegen'd CASE over the scan.
+    */
+  val x42_hash_split: QuerySpec = {
+    val t1 = HashSplit.hexThreshold(0.9)
+    val t2 = HashSplit.hexThreshold(0.95)
+    q("x42_hash_split",
+      s"""SELECT split, lang, CAST(count(*) AS BIGINT) AS docs FROM
+         |  (SELECT lang,
+         |     CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '$t1' THEN 'train'
+         |          WHEN md5(CAST(doc_id AS VARCHAR)) < '$t2' THEN 'val'
+         |          ELSE 'test' END AS split
+         |   FROM documents) t
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin) { (s, d) =>
+      HashSplit.assign(Tables.documents(s, d), "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("docs"))
+        .orderBy("split", "lang")
+    }
+  }
+
+  /** Corpus vocabulary by document frequency — the canonical wordcount
+    * at 100 TB: explode → two-phase hash aggregate (map-side partials
+    * bound the shuffle by distinct-terms-per-task, not token count) →
+    * TakeOrderedAndProject top-30.
+    */
+  val x43_vocab_topdf: QuerySpec = q("x43_vocab_topdf",
+    """SELECT token, CAST(count(*) AS BIGINT) AS df
+      |FROM (SELECT doc_id,
+      |        unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS token
+      |      FROM documents) t
+      |GROUP BY token ORDER BY df DESC, token LIMIT 30""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(30)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1077,5 +1118,6 @@ object ExtQueries {
     x27_interval_overlap, x28_decontaminate, x29_repetition, x30_token_budget,
     x31_quantize, x32_chunking, x33_mix_weights, x34_asof_forward,
     x35_embedding_neardup_banded, x36_ann_lsh_layout, x37_paragraph_dedup,
-    x38_pii_scrub, x39_bm25_topk, x40_topk_per_group, x41_sessions)
+    x38_pii_scrub, x39_bm25_topk, x40_topk_per_group, x41_sessions,
+    x42_hash_split, x43_vocab_topdf)
 }
