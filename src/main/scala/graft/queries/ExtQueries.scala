@@ -1108,6 +1108,44 @@ object ExtQueries {
       .orderBy(col("df").desc, col("token")).limit(30)
   }
 
+  /** Per-document TF-IDF keyword extraction (top-2 terms) — the
+    * classic corpus-statistics join. Scale shape: tf aggregates on
+    * (doc, token) WITH map-side partials (a hot token like "the" is
+    * spread across docs, so the exchange never funnels it — the reason
+    * NOT to pre-partition by token alone), df partial-aggregates on
+    * token (count-only, tiny), their join rides SMJ + AQE skew split,
+    * and N broadcasts as one row. Ranking windows per doc: groups are
+    * document-sized, no skew.
+    */
+  val x44_tfidf_keywords: QuerySpec = q("x44_tfidf_keywords",
+    """WITH tok AS (SELECT doc_id,
+      |        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |      FROM documents WHERE doc_id < 200),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, token),
+      |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE doc_id < 200),
+      |scored AS (SELECT tf.doc_id, tf.token, round(tf.tf * ln(n.n / df.df), 4) AS tfidf
+      |           FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+      |SELECT doc_id, token, tfidf FROM (
+      |  SELECT doc_id, token, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 2 ORDER BY doc_id, token""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 4))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("doc_id", "token", "tfidf").orderBy("doc_id", "token")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1119,5 +1157,5 @@ object ExtQueries {
     x31_quantize, x32_chunking, x33_mix_weights, x34_asof_forward,
     x35_embedding_neardup_banded, x36_ann_lsh_layout, x37_paragraph_dedup,
     x38_pii_scrub, x39_bm25_topk, x40_topk_per_group, x41_sessions,
-    x42_hash_split, x43_vocab_topdf)
+    x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords)
 }
