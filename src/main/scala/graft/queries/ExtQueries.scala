@@ -1146,6 +1146,72 @@ object ExtQueries {
       .select("doc_id", "token", "tfidf").orderBy("doc_id", "token")
   }
 
+  /** Unigram log-probability document scoring — the statistical
+    * quality filter (CCNet-style): score each document by the mean log
+    * corpus frequency of its tokens; gibberish and boilerplate-free
+    * junk sit far below natural text. Complements the rule-based
+    * `TextAnalysis.qualityScore`. Scale shape: one corpus stats pass
+    * (token frequency table, partial-aggregated), one-row total
+    * broadcast, score join rides SMJ + AQE skew split on the token
+    * key, per-doc avg partial-aggregates on doc_id.
+    */
+  val x45_unigram_logprob: QuerySpec = q("x45_unigram_logprob",
+    """WITH tok AS (SELECT doc_id,
+      |        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |      FROM documents),
+      |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok)
+      |SELECT doc_id, round(avg(ln(freq.c / tot.t)), 4) AS logprob
+      |FROM tok JOIN freq USING (token) CROSS JOIN tot
+      |WHERE doc_id < 300
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("t"))
+    toks.filter(col("doc_id") < 300)
+      .join(freq, "token").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("c") / col("t"))), 4).as("logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic sequence packing: documents fill fixed 512-token
+    * training sequences greedily in (md5, id) order per source stratum
+    * (same deterministic order as x24/x30/x33); a document is never
+    * split, so a sequence may overflow by its tail document —
+    * truncation is downstream's concern. seq_id = floor(cumulative
+    * tokens before / budget) is a pure window function, so packing is
+    * reproducible under any parallelism; per-stratum prefix scans
+    * carry the same per-source volume bound as x30 (documented there).
+    */
+  val x46_seq_packing: QuerySpec = q("x46_seq_packing",
+    """WITH d AS (SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS toks
+      |  FROM documents),
+      |c AS (SELECT *, coalesce(sum(toks) OVER (PARTITION BY source
+      |    ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM d),
+      |b AS (SELECT source, CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id, toks FROM c)
+      |SELECT source, seq_id, CAST(count(*) AS BIGINT) AS docs, CAST(sum(toks) AS BIGINT) AS fill
+      |FROM b WHERE seq_id < 3
+      |GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .withColumn("toks",
+        regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")).cast("bigint"))
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("cum_before") / 512.0).cast("bigint"))
+      .filter(col("seq_id") < 3)
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).cast("bigint").as("docs"),
+        sum(col("toks")).cast("bigint").as("fill"))
+      .orderBy("source", "seq_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1157,5 +1223,6 @@ object ExtQueries {
     x31_quantize, x32_chunking, x33_mix_weights, x34_asof_forward,
     x35_embedding_neardup_banded, x36_ann_lsh_layout, x37_paragraph_dedup,
     x38_pii_scrub, x39_bm25_topk, x40_topk_per_group, x41_sessions,
-    x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords)
+    x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords, x45_unigram_logprob,
+    x46_seq_packing)
 }
