@@ -252,6 +252,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("vocab top-k partial-aggregates the exploded tokens and never global-sorts") {
+    // the canonical wordcount shape: hot tokens collapse map-side before
+    // the exchange, and top-30 is TakeOrderedAndProject (k rows per
+    // partition), not a full sort of the vocabulary
+    val plan = ExtQueries.x43_vocab_topdf.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val first = plan.indexOf("HashAggregate")
+    assert(first >= 0 && plan.indexOf("HashAggregate", first + 1) >= 0, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("unigram logprob broadcasts the one-row total; the token join is not a broadcast of the corpus") {
+    val plan = ExtQueries.x45_unigram_logprob.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // one-row total rides a broadcast nested-loop
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/events_p"
     val events = Tables.events(spark, sfDir)
