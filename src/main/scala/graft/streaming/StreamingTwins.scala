@@ -198,6 +198,33 @@ object StreamingTwins {
       .withColumnRenamed("pid", idCol)
   }
 
+  final case class ScoredRow(g: String, score: Double, id: Long)
+  final case class GroupTopK(g: String, top: Seq[(Double, Long)])
+
+  /** Streaming bounded top-k-per-group — the streaming face of
+    * `functions.TopKAgg` (x40): per-group state is the current top-k
+    * (score desc, id asc tiebreak — the same ordering contract), so
+    * state is O(k) per group no matter how long the stream runs, and
+    * each batch emits the updated top-k for groups that changed
+    * (Update mode). A single micro-batch reproduces the batch
+    * aggregate exactly (`StreamingTwinsSpec`). Per-batch memory is
+    * bounded by one group's rows within one batch plus k.
+    */
+  def topKPerGroup(rows: Dataset[ScoredRow], k: Int): Dataset[GroupTopK] = {
+    import rows.sparkSession.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    def upd(
+        g: String, it: Iterator[ScoredRow],
+        state: GroupState[Seq[(Double, Long)]]): Iterator[GroupTopK] = {
+      val merged = (state.getOption.getOrElse(Nil) ++ it.map(r => (r.score, r.id)))
+        .sortBy(p => (-p._1, p._2)).take(k)
+      state.update(merged)
+      Iterator.single(GroupTopK(g, merged))
+    }
+    rows.groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(upd)
+  }
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class UserSessions(user_id: Long, sessions: Long)
   final case class SessionState(lastTsMicros: Long, sessions: Long)

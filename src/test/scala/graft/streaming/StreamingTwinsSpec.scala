@@ -194,6 +194,45 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(got == Map(1L -> "A\n\nB", 2L -> "C", 3L -> ""), got)
   }
 
+  test("streaming top-k-per-group matches the batch aggregate on one micro-batch") {
+    import spark.implicits._
+    import graft.queries.ExtQueries
+    val rows = StreamingTwins.readEvents(spark, eventsDir)
+      .select(col("event_type").as("g"), col("value").as("score"), col("event_id").as("id"))
+      .as[StreamingTwins.ScoredRow]
+    val q = StreamingTwins.topKPerGroup(rows, k = 3)
+      .writeStream.format("memory").queryName("topk")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("topk")
+      .as[StreamingTwins.GroupTopK].collect()
+      .flatMap(r => r.top.zipWithIndex.map { case ((s, id), i) =>
+        (r.g, (i + 1).toLong, math.round(s * 100) / 100.0, id) })
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = ExtQueries.x40_topk_per_group.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming top-k-per-group: state merges across batches, bounded at k") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, Double, Long)](spark)
+    val rows = input.toDF().toDF("g", "score", "id").as[StreamingTwins.ScoredRow]
+    val q = StreamingTwins.topKPerGroup(rows, k = 2)
+      .writeStream.format("memory").queryName("topk2")
+      .outputMode("update").start()
+    input.addData(("a", 1.0, 1L), ("a", 3.0, 2L)); q.processAllAvailable()
+    input.addData(("a", 2.0, 3L), ("a", 5.0, 4L)); q.processAllAvailable()
+    q.stop()
+
+    // last update for group "a" reflects all four rows, truncated to k=2
+    val last = spark.table("topk2").as[StreamingTwins.GroupTopK]
+      .collect().last.top
+    assert(last == Seq((5.0, 4L), (3.0, 2L)), last)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val q = StreamingTwins.dedupEvents(StreamingTwins.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("deduped")
