@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  private def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  // the shared canonical tokenizer — corpus statistics must agree
+  // with TextAnalysis/vocab/TF-IDF operators
+  private def tokens(text: Column): Column = TextAnalysis.tokens(text)
 
   /** Append a `score` column (BM25 of `queryTerms` against `textCol`).
     * Terms must be lowercase (the tokenizer lowercases the corpus side).

@@ -35,6 +35,24 @@ object HashSplit {
     ("0" * (32 - h.length)) + h
   }
 
+  val defaultSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  /** The exact upper-bound hex strings `assign` compares against, one
+    * per split except the last (which takes the remainder). Exposed so
+    * an external twin (the DuckDB oracle) can embed the IDENTICAL
+    * constants — cumulative weights are summed in floating point, so
+    * recomputing "the same" boundary from a literal (0.9 + 0.05 vs
+    * 0.95) can differ in the last hex digits.
+    */
+  def armThresholds(splits: Seq[(String, Double)] = defaultSplits): Seq[String] = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 > 0), s"split weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => hexThreshold(c / total))
+  }
+
   /** Append `splitCol` assigning each row to a named split with the
     * given weights (normalized; e.g. train 0.9 / val 0.05 / test 0.05).
     * Assignment is a pure function of `idCol` — stable under corpus
@@ -42,19 +60,14 @@ object HashSplit {
     */
   def assign(
       df: DataFrame, idCol: String,
-      splits: Seq[(String, Double)] =
-        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      splits: Seq[(String, Double)] = defaultSplits,
       splitCol: String = "split"): DataFrame = {
-    require(splits.nonEmpty, "splits must be non-empty")
-    require(splits.forall(_._2 > 0), s"split weights must be positive: $splits")
-    val total = splits.map(_._2).sum
-    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     val key = md5(col(idCol).cast("string"))
     // chained when: thresholds ascend, so first match wins
-    val arms = splits.init.zip(cums)
+    val arms = splits.init.map(_._1).zip(armThresholds(splits))
     val chain = arms.foldLeft(Option.empty[Column]) {
-      case (acc, ((name, _), cum)) =>
-        val cond = key < lit(hexThreshold(cum / total))
+      case (acc, (name, thresh)) =>
+        val cond = key < lit(thresh)
         Some(acc.fold(when(cond, name))(_.when(cond, name)))
     }
     df.withColumn(splitCol,

@@ -21,7 +21,12 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "ein"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "人"))
 
-  private def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** THE canonical whitespace tokenizer — public so every corpus-
+    * statistics operator (BM25, vocab, TF-IDF, unigram LM) shares one
+    * definition instead of a copy; desynchronized tokenization would
+    * silently skew df/tf against vocabulary statistics.
+    */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** Per-language marker-hit count. */
   def langHits(text: Column, lang: String): Column =

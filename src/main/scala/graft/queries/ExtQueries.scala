@@ -1074,8 +1074,9 @@ object ExtQueries {
     * corpus grows. Row-local: one codegen'd CASE over the scan.
     */
   val x42_hash_split: QuerySpec = {
-    val t1 = HashSplit.hexThreshold(0.9)
-    val t2 = HashSplit.hexThreshold(0.95)
+    // the EXACT strings assign() compares against — recomputing from
+    // literals (0.95 vs 0.9+0.05) would differ in the low hex digits
+    val Seq(t1, t2) = HashSplit.armThresholds()
     q("x42_hash_split",
       s"""SELECT split, lang, CAST(count(*) AS BIGINT) AS docs FROM
          |  (SELECT lang,
@@ -1103,7 +1104,7 @@ object ExtQueries {
       |      FROM documents) t
       |GROUP BY token ORDER BY df DESC, token LIMIT 30""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .select(explode(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("token"))
+      .select(explode(array_distinct(TA.tokens(col("text")))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("token")).limit(30)
   }
@@ -1135,7 +1136,7 @@ object ExtQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
     val toks = docs.select(col("doc_id"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      explode(TA.tokens(col("text"))).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
@@ -1160,15 +1161,17 @@ object ExtQueries {
       |        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
       |      FROM documents),
       |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
-      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok)
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq)
       |SELECT doc_id, round(avg(ln(freq.c / tot.t)), 4) AS logprob
       |FROM tok JOIN freq USING (token) CROSS JOIN tot
       |WHERE doc_id < 300
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d).select(col("doc_id"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      explode(TA.tokens(col("text"))).as("token"))
     val freq = toks.groupBy("token").agg(count(lit(1)).as("c"))
-    val tot = toks.agg(count(lit(1)).cast("double").as("t"))
+    // total tokens = sum over the (tiny) frequency table — NOT a third
+    // tokenize+explode scan of the corpus
+    val tot = freq.agg(sum(col("c")).cast("double").as("t"))
     toks.filter(col("doc_id") < 300)
       .join(freq, "token").crossJoin(broadcast(tot))
       .groupBy("doc_id")

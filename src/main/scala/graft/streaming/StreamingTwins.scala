@@ -113,7 +113,8 @@ object StreamingTwins {
 
   final case class Para(pid: Long, pos: Int, para: String, h: String,
       ts: java.sql.Timestamp)
-  final case class ParaKept(pid: Long, pos: Int, para: String)
+  final case class ParaKept(pid: Long, pos: Int, para: String,
+      ts: java.sql.Timestamp)
 
   /** Streaming paragraph/boilerplate dedup — the streaming face of
     * `Dedup.paragraphDedup` (§2.12, x37): each distinct paragraph
@@ -131,13 +132,31 @@ object StreamingTwins {
     * Losing occurrences emit a (pid, -1) marker so all-boilerplate
     * documents still materialize with empty text instead of vanishing.
     *
-    * Unbounded streams: pass `eventTimeCol` to watermark the stream
-    * and age paragraph state out after `stateTtl` past the watermark
-    * (EventTimeTimeout) — a paragraph unseen for the TTL horizon is
-    * re-admitted, the same bounded-state trade `ingestCorpus` makes
-    * with `dropDuplicatesWithinWatermark`. Per-batch memory is bounded
-    * by the duplicate mass of one paragraph hash within one batch
-    * (the group iterator is buffered to pick the min-rank winner).
+    * Unbounded streams: pass `eventTimeCol` to bound BOTH state
+    * stores. (1) Paragraph-hash state ages out `stateTtl` past the
+    * paragraph's last-seen EVENT time (EventTimeTimeout keyed to the
+    * group's max event time, never the bare watermark — basing the
+    * deadline on the watermark would stamp first-batch state with an
+    * epoch-1970 deadline and expire everything at the next batch); a
+    * paragraph unseen that long is re-admitted, the bounded-state
+    * trade `ingestCorpus` makes with `dropDuplicatesWithinWatermark`.
+    * (2) Reassembly groups by (event-time window, doc) under the
+    * watermark, so document state is evicted once the watermark passes
+    * the window; documents arriving later than the watermark are
+    * dropped (standard late-data semantics).
+    *
+    * The timed path requires the session conf
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
+    * Spark's conservative checker rejects ANY fMGWS feeding a
+    * watermarked stateful aggregation. Here fMGWS only re-emits rows
+    * of the current batch with their own event times (never older
+    * buffered state), so the flagged late-row hazard cannot occur —
+    * but the conf is session-global, so flipping it is the CALLER's
+    * decision, not a hidden side effect of building this plan.
+    *
+    * Per-batch memory is bounded by the duplicate mass of one
+    * paragraph hash within one batch (the group iterator is buffered
+    * to pick the min-rank winner).
     */
   def paragraphDedup(
       docs: DataFrame, idCol: String, textCol: String,
@@ -158,13 +177,6 @@ object StreamingTwins {
     }).as[Para]
 
     val timed = eventTimeCol.isDefined
-    // The timed path trips Spark's conservative global-watermark check:
-    // fMGWS may emit rows "older than the watermark" into a downstream
-    // stateful agg. Our reassembly agg is deliberately UNwatermarked
-    // (update mode, no late-row discard — ts is not even in its input),
-    // so nothing can be dropped; the flagged hazard does not apply.
-    if (timed) docs.sparkSession.conf
-      .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val ttlMs = stateTtl.toMillis
     def keepFirst(
         h: String, rows: Iterator[Para],
@@ -172,15 +184,22 @@ object StreamingTwins {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val all = rows.toVector
       val out =
-        if (state.exists) all.map(r => ParaKept(r.pid, -1, ""))
+        if (state.exists) all.map(r => ParaKept(r.pid, -1, "", r.ts))
         else {
           state.update(java.lang.Boolean.TRUE)
           val best = all.minBy(r => (r.pid, r.pos))
-          ParaKept(best.pid, best.pos, best.para) +:
+          ParaKept(best.pid, best.pos, best.para, best.ts) +:
             all.filter(r => (r.pid, r.pos) != ((best.pid, best.pos)))
-              .map(r => ParaKept(r.pid, -1, ""))
+              .map(r => ParaKept(r.pid, -1, "", r.ts))
         }
-      if (timed) state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+      if (timed) {
+        // deadline = last-seen EVENT time + TTL, clamped above the
+        // current watermark (setTimeoutTimestamp rejects deadlines the
+        // watermark has already passed — possible with very late data)
+        val maxTs = all.map(_.ts.getTime).max
+        state.setTimeoutTimestamp(
+          math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+      }
       out.iterator
     }
     val timeout =
@@ -188,14 +207,22 @@ object StreamingTwins {
     val kept = paras.groupByKey(_.h)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(keepFirst)
 
-    kept.toDF()
-      .groupBy(col("pid"))
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(when(col("pos") >= 0,
-            struct(col("pos"), col("para"))))),
-          s => s.getField("para")), sep).as(textCol))
-      .withColumnRenamed("pid", idCol)
+    val reassemble = array_join(
+      transform(
+        array_sort(collect_list(when(col("pos") >= 0,
+          struct(col("pos"), col("para"))))),
+        s => s.getField("para")), sep).as(textCol)
+    val rebuilt =
+      if (timed)
+        // all paragraphs of a doc share the doc's event time, so each
+        // (window, pid) group is exactly one document; the watermark
+        // evicts the group's state once its window closes
+        kept.toDF().withWatermark("ts", watermark)
+          .groupBy(window(col("ts"), s"$ttlMs milliseconds"), col("pid"))
+          .agg(reassemble)
+          .drop("window")
+      else kept.toDF().groupBy(col("pid")).agg(reassemble)
+    rebuilt.withColumnRenamed("pid", idCol)
   }
 
   final case class ScoredRow(g: String, score: Double, id: Long)

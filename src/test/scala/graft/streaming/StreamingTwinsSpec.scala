@@ -157,24 +157,72 @@ class StreamingTwinsSpec extends SparkTestBase {
   test("streaming paragraph dedup: state persists across batches, ages out past the TTL") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(h: Int, m: Int = 0) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    // the timed path chains fMGWS into a watermarked aggregation, which
+    // Spark's conservative checker rejects; the operator doc explains
+    // why the hazard cannot occur here — opt out for this query only
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+      val docs = input.toDF().toDF("doc_id", "ts", "text")
+      val q = StreamingTwins.paragraphDedup(docs, "doc_id", "text",
+          eventTimeCol = Some("ts"), watermark = "0 seconds",
+          stateTtl = java.time.Duration.ofSeconds(1))
+        .writeStream.format("memory").queryName("paradedup2")
+        .outputMode("update").start()
+      // batch 1 admits A and B with TTL deadline = event time 10:00 + 1s.
+      // batch 2 advances the watermark to 10:00 (not yet past the
+      // deadline — state must SURVIVE). batch 3 runs with watermark
+      // 12:00 > deadline, so A/B age out. batch 4 re-admits A.
+      input.addData((1L, ts(10), "A\n\nB")); q.processAllAvailable()
+      input.addData((2L, ts(12), "Z"));      q.processAllAvailable()
+      input.addData((3L, ts(12, 30), "W"));  q.processAllAvailable()
+      input.addData((4L, ts(13), "A\n\nC")); q.processAllAvailable()
+      q.stop()
+
+      val got = spark.table("paradedup2").as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "A\n\nB", 2L -> "Z", 3L -> "W", 4L -> "A\n\nC"), got)
+    } finally prior match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
+  }
+
+  test("streaming paragraph dedup: a repeat WITHIN the TTL is still deduplicated") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+      val docs = input.toDF().toDF("doc_id", "ts", "text")
+      val q = StreamingTwins.paragraphDedup(docs, "doc_id", "text",
+          eventTimeCol = Some("ts"), watermark = "0 seconds",
+          stateTtl = java.time.Duration.ofHours(6))
+        .writeStream.format("memory").queryName("paradedup4")
+        .outputMode("update").start()
+      // 3 hours between sightings, TTL 6h: A must stay deduplicated
+      // (the epoch-based deadline bug would have re-admitted it)
+      input.addData((1L, ts(10), "A\n\nB")); q.processAllAvailable()
+      input.addData((2L, ts(12), "Z"));      q.processAllAvailable()
+      input.addData((3L, ts(13), "A\n\nC")); q.processAllAvailable()
+      q.stop()
 
-    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
-    val docs = input.toDF().toDF("doc_id", "ts", "text")
-    val q = StreamingTwins.paragraphDedup(docs, "doc_id", "text",
-        eventTimeCol = Some("ts"), watermark = "0 seconds",
-        stateTtl = java.time.Duration.ofSeconds(1))
-      .writeStream.format("memory").queryName("paradedup2")
-      .outputMode("update").start()
-    // batch 1 admits A and B; batch 2 (unrelated) advances the watermark
-    // past A/B's 1s TTL so their state ages out; batch 3 re-admits A
-    input.addData((1L, ts(10), "A\n\nB")); q.processAllAvailable()
-    input.addData((2L, ts(12), "Z"));      q.processAllAvailable()
-    input.addData((3L, ts(13), "A\n\nC")); q.processAllAvailable()
-    q.stop()
-
-    val got = spark.table("paradedup2").as[(Long, String)].collect().toMap
-    assert(got == Map(1L -> "A\n\nB", 2L -> "Z", 3L -> "A\n\nC"), got)
+      val got = spark.table("paradedup4").as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "A\n\nB", 2L -> "Z", 3L -> "C"), got)
+    } finally prior match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
   }
 
   test("streaming paragraph dedup without event time keeps state for the stream's life") {
