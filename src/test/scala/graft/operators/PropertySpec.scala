@@ -132,6 +132,56 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("paragraph dedup is idempotent and never grows a document") {
+    val gen = Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+    val params = Gen.Parameters.default
+    val docs = (1L to 20L).map { i =>
+      (i, gen.pureApply(params, rng.Seed(i)).mkString("\n\n"))
+    }.toDF("doc_id", "text")
+    val once = Dedup.paragraphDedup(docs, "doc_id", "text")
+    val twice = Dedup.paragraphDedup(once, "doc_id", "text")
+    assert(once.count() == 20) // rows preserved, never dropped
+    val o = once.orderBy("doc_id").collect().map(_.getString(1))
+    val t = twice.orderBy("doc_id").collect().map(_.getString(1))
+    assert(o.toSeq == t.toSeq, "not idempotent")
+    val before = docs.orderBy("doc_id").collect().map(_.getString(1))
+    o.zip(before).foreach { case (after, b) =>
+      assert(after.length <= b.length, s"document grew: '$b' -> '$after'")
+    }
+    // every distinct paragraph survives exactly once corpus-wide
+    val survivors = once.select(explode(split(col("text"), "\n\n"))).
+      filter(length(col("col")) > 0).groupBy("col").count().
+      filter(col("count") > 1).count()
+    assert(survivors == 0, "a paragraph survived twice")
+  }
+
+  test("bm25 scores are non-negative and zero exactly when no term matches") {
+    val docs = (1L to 30L).map(i => (i, s"tok${i % 5} tok${i % 3} filler")).toDF("doc_id", "text")
+    val scored = Bm25.score(docs, "text", Seq("tok1", "tok2")).collect()
+    scored.foreach { r =>
+      val s = r.getDouble(2)
+      val text = r.getString(1)
+      assert(s >= 0.0, s"negative score $s")
+      val hits = text.split(" ").count(t => t == "tok1" || t == "tok2")
+      assert((s == 0.0) == (hits == 0), s"score $s with $hits hits in '$text'")
+    }
+  }
+
+  test("sessionize: session count is monotone in shrinking gap, bounded by event count") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 80L).map { i =>
+      (i % 5, new java.sql.Timestamp(1700000000000L + rnd.nextInt(36000) * 1000L), i)
+    }.toDF("user_id", "ts", "event_id")
+    def sessions(gap: Long): Long =
+      Sessionize.sessions(rows, "user_id", "ts", gap, Seq("event_id")).count()
+    val wide = sessions(36000) // gap >= whole span: one session per user
+    val mid = sessions(600)
+    val tight = sessions(1) // almost every event its own session
+    assert(wide == 5, wide)
+    assert(wide <= mid && mid <= tight, s"$wide <= $mid <= $tight violated")
+    assert(tight <= 80)
+  }
+
   test("ngram count and repetition ratio invariants hold on random docs") {
     val docs = sampleDocs(24, seed = 57)
     val rows = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
