@@ -248,4 +248,126 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  // --- product quantization (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011) -------------------------------
+
+  /** PQ codebooks: `codebooks(j)(c)` is codeword c of subspace j
+    * (dsub = dim/m doubles). m·k·dsub doubles total — kilobytes, ships
+    * in the task closure.
+    */
+  final case class PqModel(dim: Int, m: Int, k: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    def dsub: Int = dim / m
+  }
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Train PQ codebooks: split each vector into `m` subvectors of
+    * dim/m dims; per subspace, k-means over the subvectors of the
+    * first `trainN` vectors (in `idCol` order).
+    *
+    * Fully deterministic — every choice is pinned so an independent
+    * reimplementation (the x47 golden, `tools/golden_ext.py`)
+    * reproduces it bit-for-bit: init = subvectors of the first k
+    * sample vectors; `iters` Lloyd rounds; assignment by strict-<
+    * argmin of squared L2 (lowest codeword index wins ties); centroid
+    * = mean accumulated in sample order; an empty cluster keeps its
+    * centroid. Training is a bounded driver-side collect (`trainN`
+    * rows — same contract as IVF's sampled coarse quantizer): codebook
+    * quality saturates on a tiny sample, the 100 TB corpus only ever
+    * streams through [[pqEncode]].
+    */
+  def pqTrain(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 8, k: Int = 16, iters: Int = 3, trainN: Int = 256): PqModel = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val dsub = dim / m
+    val sample = df.orderBy(col(idCol)).limit(trainN)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.length >= k,
+      s"need at least k=$k training vectors, got ${sample.length}")
+    val codebooks = Array.tabulate(m) { j =>
+      val subs = sample.map(v => Array.tabulate(dsub)(d => v(j * dsub + d).toDouble))
+      var cb = Array.tabulate(k)(c => subs(c).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k, dsub)(0.0)
+        val counts = Array.fill(k)(0)
+        subs.foreach { x =>
+          var best = 0; var bestD = dist2(x, cb(0)); var c = 1
+          while (c < k) {
+            val dd = dist2(x, cb(c))
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var d = 0; while (d < dsub) { sums(best)(d) += x(d); d += 1 }
+        }
+        cb = Array.tabulate(k) { c =>
+          if (counts(c) > 0) Array.tabulate(dsub)(d => sums(c)(d) / counts(c))
+          else cb(c)
+        }
+        it += 1
+      }
+      cb
+    }
+    PqModel(dim, m, k, codebooks)
+  }
+
+  /** Encode vectors to m-byte PQ codes (stored as array<int>): per
+    * subspace, the index of the nearest codeword. One distributed scan;
+    * the code column is m ints per row instead of dim floats — at 100 TB
+    * of float32x64 embeddings, a 32× storage cut that turns repeated
+    * ANN scoring into a page-cache-resident scan. Same per-row UDF
+    * trade as [[signSignature]] (the HOF form benchmarked ~10× slower).
+    */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+    val m = model.m; val dsub = model.dsub; val k = model.k
+    val cbs = model.codebooks
+    val enc = udf((v: Seq[Float]) => {
+      if (v == null) null
+      else Array.tabulate(m) { j =>
+        val x = Array.tabulate(dsub)(d => v(j * dsub + d).toDouble)
+        var best = 0; var bestD = dist2(x, cbs(j)(0)); var c = 1
+        while (c < k) {
+          val dd = dist2(x, cbs(j)(c))
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        best
+      }
+    })
+    df.select(col(idCol), enc(col(vecCol)).as("code"))
+  }
+
+  /** ADC (asymmetric distance) top-k over PQ codes: precompute the
+    * m×k table of squared L2 distances from the query's subvectors to
+    * every codeword (driver-side, microseconds), then score each code
+    * with m table lookups — the scan never touches the float vectors.
+    * Ascending ADC ≈ ascending true L2²; ties break on id. Plans to
+    * TakeOrderedAndProject like every other top-k in the engine.
+    */
+  def pqTopK(
+      encoded: DataFrame, idCol: String, model: PqModel,
+      query: Array[Float], k: Int): DataFrame = {
+    val m = model.m; val dsub = model.dsub; val kk = model.k
+    val tab = Array.tabulate(m) { j =>
+      val q = Array.tabulate(dsub)(d => query(j * dsub + d).toDouble)
+      Array.tabulate(kk)(c => dist2(q, model.codebooks(j)(c)))
+    }
+    val score = udf((code: Seq[Int]) => {
+      var s = 0.0; var j = 0
+      while (j < m) { s += tab(j)(code(j)); j += 1 }
+      s
+    })
+    encoded.select(col(idCol), score(col("code")).as("adc"))
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k)
+  }
 }

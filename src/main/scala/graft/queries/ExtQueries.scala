@@ -1215,6 +1215,24 @@ object ExtQueries {
       .orderBy("source", "seq_id")
   }
 
+  /** ANN via product quantization (Jégou et al. 2011): codebooks from
+    * a bounded deterministic training sample, m-byte codes from one
+    * distributed encode scan (32× smaller than the float vectors), ADC
+    * top-k from table lookups over the codes — the float column is
+    * never touched at query time. Golden from the independent Python
+    * reimplementation (`tools/golden_ext.py:pq_topk`), exact doubles.
+    */
+  val x47_ann_pq: QuerySpec = duck("x47_ann_pq",
+    s"""SELECT vec_id, adc FROM ${Goldens.valuesTable("x47_ann_pq.tsv",
+         Seq("vec_id" -> "BIGINT", "adc" -> "DOUBLE"))}
+       |ORDER BY adc, vec_id""".stripMargin) { (s, d) =>
+    val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val emb = Tables.embeddings(s, d)
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+    Similarity.pqTopK(codes, "vec_id", model, query, k = 10)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1227,5 +1245,5 @@ object ExtQueries {
     x35_embedding_neardup_banded, x36_ann_lsh_layout, x37_paragraph_dedup,
     x38_pii_scrub, x39_bm25_topk, x40_topk_per_group, x41_sessions,
     x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords, x45_unigram_logprob,
-    x46_seq_packing)
+    x46_seq_packing, x47_ann_pq)
 }

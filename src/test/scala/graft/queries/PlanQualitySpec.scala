@@ -270,6 +270,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("pq ADC top-k scans only the code column and plans TakeOrderedAndProject") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+    val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val plan = Similarity.pqTopK(codes, "vec_id", model, query, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/events_p"
     val events = Tables.events(spark, sfDir)

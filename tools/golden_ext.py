@@ -344,6 +344,66 @@ def embedding_neardup(vecs, threshold, dim, sign_bits, num_tables=1):
 
 
 # --- main: emit golden TSVs ------------------------------------------
+# --- product quantization (x47) ---------------------------------------
+def pq_topk(vecs, query, k=10, dim=64, m=8, codewords=16, iters=3, train_n=256):
+    """Similarity.pqTrain/pqEncode/pqTopK, op-for-op: codebook j trains
+    on subvectors [j*dsub,(j+1)*dsub) of the first train_n vectors in
+    vec_id order; init = first `codewords` subvectors; Lloyd rounds
+    with strict-< argmin (lowest index wins) and empty clusters keeping
+    their centroid; centroid mean accumulated in sample order. ADC =
+    sum over subspaces of the query-to-codeword squared L2; ascending,
+    vec_id tiebreak. All ops in f64 with identical order, so results
+    repr-round-trip exactly."""
+    dsub = dim // m
+
+    def dist2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            s += d * d
+        return s
+
+    sample = [[float(x) for x in v] for _, v in vecs[:train_n]]
+    codebooks = []
+    for j in range(m):
+        subs = [v[j * dsub:(j + 1) * dsub] for v in sample]
+        cb = [list(subs[c]) for c in range(codewords)]
+        for _ in range(iters):
+            sums = [[0.0] * dsub for _ in range(codewords)]
+            counts = [0] * codewords
+            for x in subs:
+                best, bestd = 0, dist2(x, cb[0])
+                for c in range(1, codewords):
+                    dd = dist2(x, cb[c])
+                    if dd < bestd:
+                        best, bestd = c, dd
+                counts[best] += 1
+                for d in range(dsub):
+                    sums[best][d] += x[d]
+            cb = [[sums[c][d] / counts[c] for d in range(dsub)]
+                  if counts[c] > 0 else cb[c] for c in range(codewords)]
+        codebooks.append(cb)
+
+    q = [float(x) for x in query]
+    tab = [[dist2(q[j * dsub:(j + 1) * dsub], codebooks[j][c])
+            for c in range(codewords)] for j in range(m)]
+    scored = []
+    for vid, v in vecs:
+        vv = [float(x) for x in v]
+        s = 0.0
+        for j in range(m):
+            sub = vv[j * dsub:(j + 1) * dsub]
+            best, bestd = 0, dist2(sub, codebooks[j][0])
+            for c in range(1, codewords):
+                dd = dist2(sub, codebooks[j][c])
+                if dd < bestd:
+                    best, bestd = c, dd
+            s += tab[j][best]
+        scored.append((vid, s))
+    scored.sort(key=lambda t: (t[1], t[0]))
+    return scored[:k]
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     os.makedirs(outdir, exist_ok=True)
@@ -386,6 +446,8 @@ def main():
     import numpy as np
     query = [float(np.float32(math.sin(i + 1))) for i in range(64)]
     write('x08_ann_lsh.tsv', lsh_topk(embs, query, k=10, dim=64),
+          lambda r: f"{r[0]}\t{r[1]!r}")
+    write('x47_ann_pq.tsv', pq_topk(embs, query, k=10, dim=64),
           lambda r: f"{r[0]}\t{r[1]!r}")
 
 
