@@ -267,56 +267,81 @@ object Similarity {
     s
   }
 
-  /** Train PQ codebooks: split each vector into `m` subvectors of
-    * dim/m dims; per subspace, k-means over the subvectors of the
-    * first `trainN` vectors (in `idCol` order).
-    *
-    * Fully deterministic — every choice is pinned so an independent
-    * reimplementation (the x47 golden, `tools/golden_ext.py`)
-    * reproduces it bit-for-bit: init = subvectors of the first k
-    * sample vectors; `iters` Lloyd rounds; assignment by strict-<
-    * argmin of squared L2 (lowest codeword index wins ties); centroid
-    * = mean accumulated in sample order; an empty cluster keeps its
-    * centroid. Training is a bounded driver-side collect (`trainN`
-    * rows — same contract as IVF's sampled coarse quantizer): codebook
+  /** Strict-< argmin of squared L2 over `cands` — lowest index wins
+    * ties, the pinned tie-break every PQ/IVF-PQ stage uses.
+    */
+  private def nearest(x: Array[Double], cands: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = dist2(x, cands(0)); var c = 1
+    while (c < cands.length) {
+      val dd = dist2(x, cands(c))
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic Lloyd k-means over `subs` — every choice pinned so
+    * an independent reimplementation (`tools/golden_ext.py`)
+    * reproduces it bit-for-bit: init = first k samples; assignment by
+    * strict-< argmin (lowest index wins ties); centroid = mean
+    * accumulated in sample order; an empty cluster keeps its centroid.
+    */
+  private def kmeansCodebook(
+      subs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dsub = subs(0).length
+    var cb = Array.tabulate(k)(c => subs(c).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k, dsub)(0.0)
+      val counts = Array.fill(k)(0)
+      subs.foreach { x =>
+        val best = nearest(x, cb)
+        counts(best) += 1
+        var d = 0; while (d < dsub) { sums(best)(d) += x(d); d += 1 }
+      }
+      cb = Array.tabulate(k) { c =>
+        if (counts(c) > 0) Array.tabulate(dsub)(d => sums(c)(d) / counts(c))
+        else cb(c)
+      }
+      it += 1
+    }
+    cb
+  }
+
+  /** The first `trainN` vectors in `idCol` order, upcast to doubles —
+    * the bounded deterministic training sample every quantizer trains
+    * on (same contract as IVF's sampled coarse quantizer): codebook
     * quality saturates on a tiny sample, the 100 TB corpus only ever
-    * streams through [[pqEncode]].
+    * streams through the encode pass.
+    */
+  private def trainSample(
+      df: DataFrame, idCol: String, vecCol: String, trainN: Int): Array[Array[Double]] =
+    df.orderBy(col(idCol)).limit(trainN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+
+  /** Train PQ codebooks: split each vector into `m` subvectors of
+    * dim/m dims; per subspace, deterministic k-means (see
+    * [[kmeansCodebook]] for the pinned choices the x47 golden relies
+    * on) over the subvectors of the first `trainN` vectors.
     */
   def pqTrain(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int = 8, k: Int = 16, iters: Int = 3, trainN: Int = 256): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
-    val dsub = dim / m
-    val sample = df.orderBy(col(idCol)).limit(trainN)
-      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    val sample = trainSample(df, idCol, vecCol, trainN)
     require(sample.length >= k,
       s"need at least k=$k training vectors, got ${sample.length}")
-    val codebooks = Array.tabulate(m) { j =>
-      val subs = sample.map(v => Array.tabulate(dsub)(d => v(j * dsub + d).toDouble))
-      var cb = Array.tabulate(k)(c => subs(c).clone())
-      var it = 0
-      while (it < iters) {
-        val sums = Array.fill(k, dsub)(0.0)
-        val counts = Array.fill(k)(0)
-        subs.foreach { x =>
-          var best = 0; var bestD = dist2(x, cb(0)); var c = 1
-          while (c < k) {
-            val dd = dist2(x, cb(c))
-            if (dd < bestD) { bestD = dd; best = c }
-            c += 1
-          }
-          counts(best) += 1
-          var d = 0; while (d < dsub) { sums(best)(d) += x(d); d += 1 }
-        }
-        cb = Array.tabulate(k) { c =>
-          if (counts(c) > 0) Array.tabulate(dsub)(d => sums(c)(d) / counts(c))
-          else cb(c)
-        }
-        it += 1
-      }
-      cb
+    PqModel(dim, m, k, subspaceCodebooks(sample, dim, m, k, iters))
+  }
+
+  private def subspaceCodebooks(
+      sample: Array[Array[Double]], dim: Int, m: Int, k: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      kmeansCodebook(sample.map(_.slice(j * dsub, (j + 1) * dsub)), k, iters)
     }
-    PqModel(dim, m, k, codebooks)
   }
 
   /** Encode vectors to m-byte PQ codes (stored as array<int>): per
@@ -367,6 +392,108 @@ object Similarity {
       s
     })
     encoded.select(col(idCol), score(col("code")).as("adc"))
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k)
+  }
+
+  // --- IVF-PQ: coarse quantizer + residual PQ (the billion-vector
+  // recipe: Jégou et al. 2011 §V) ----------------------------------------
+
+  /** Coarse centroids (the inverted-file cells) + PQ codebooks trained
+    * on RESIDUALS (vector − its cell centroid) — residual energy is an
+    * order of magnitude smaller than vector energy, so the same k
+    * codewords quantize far more precisely than plain PQ.
+    */
+  final case class IvfPqModel(dim: Int, nCells: Int,
+      coarse: Array[Array[Double]], pq: PqModel)
+
+  /** Train IVF-PQ: deterministic k-means for the coarse cells over the
+    * bounded sample, then per-subspace deterministic k-means over the
+    * sample's residuals. Same pinned tie-breaks as [[pqTrain]] so the
+    * x48 golden reproduces it bit-for-bit.
+    */
+  def ivfPqTrain(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nCells: Int = 8, m: Int = 8, k: Int = 16,
+      iters: Int = 3, trainN: Int = 256): IvfPqModel = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val sample = trainSample(df, idCol, vecCol, trainN)
+    require(sample.length >= math.max(nCells, k),
+      s"need at least max(nCells=$nCells, k=$k) training vectors, got ${sample.length}")
+    val coarse = kmeansCodebook(sample, nCells, iters)
+    val residuals = sample.map { x =>
+      val cell = nearest(x, coarse)
+      Array.tabulate(dim)(d => x(d) - coarse(cell)(d))
+    }
+    IvfPqModel(dim, nCells, coarse,
+      PqModel(dim, m, k, subspaceCodebooks(residuals, dim, m, k, iters)))
+  }
+
+  /** Encode to (cell, residual code): one distributed scan. Write the
+    * result partitioned by `cell` (`Layout.writePartitioned`) for the
+    * 100 TB layout — a probe then reads only nprobe directories of
+    * m-byte codes, the double pruning (cells × code size) that makes
+    * billion-vector ANN page-cache-resident.
+    */
+  def ivfPqEncode(
+      df: DataFrame, idCol: String, vecCol: String, model: IvfPqModel): DataFrame = {
+    val m = model.pq.m; val dsub = model.pq.dsub; val k = model.pq.k
+    val coarse = model.coarse; val cbs = model.pq.codebooks; val dim = model.dim
+    val enc = udf((v: Seq[Float]) => {
+      if (v == null) null
+      else {
+        val x = Array.tabulate(dim)(d => v(d).toDouble)
+        val cell = nearest(x, coarse)
+        val code = Array.tabulate(m) { j =>
+          val r = Array.tabulate(dsub)(d => x(j * dsub + d) - coarse(cell)(j * dsub + d))
+          nearest(r, cbs(j))
+        }
+        (cell, code)
+      }
+    })
+    df.select(col(idCol), enc(col(vecCol)).as("enc"))
+      .select(col(idCol), col("enc._1").as("cell"), col("enc._2").as("code"))
+  }
+
+  /** The `nprobe` cells nearest the query, deterministically ordered
+    * by (distance, cell index).
+    */
+  def ivfPqProbeCells(
+      model: IvfPqModel, query: Array[Float], nprobe: Int): Seq[Int] = {
+    val q = Array.tabulate(model.dim)(d => query(d).toDouble)
+    model.coarse.zipWithIndex
+      .map { case (c, i) => (dist2(q, c), i) }
+      .sortBy(identity).take(nprobe).map(_._2).toSeq
+  }
+
+  /** ADC top-k over an IVF-PQ encoded table: per probed cell, the ADC
+    * table is built against the query's RESIDUAL for that cell
+    * (q − centroid), then rows of the probed cells are scored with m
+    * lookups each. `cell IN (...)` prunes partitions on the
+    * cell-partitioned layout, exactly like [[ivfProbe]].
+    */
+  def ivfPqTopK(
+      encoded: DataFrame, idCol: String, model: IvfPqModel,
+      query: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    val m = model.pq.m; val dsub = model.pq.dsub; val kk = model.pq.k
+    val q = Array.tabulate(model.dim)(d => query(d).toDouble)
+    val probed = ivfPqProbeCells(model, query, nprobe)
+    val tabs: Map[Int, Array[Array[Double]]] = probed.map { cell =>
+      val qr = Array.tabulate(model.dim)(d => q(d) - model.coarse(cell)(d))
+      cell -> Array.tabulate(m) { j =>
+        val qsub = qr.slice(j * dsub, (j + 1) * dsub)
+        Array.tabulate(kk)(c => dist2(qsub, model.pq.codebooks(j)(c)))
+      }
+    }.toMap
+    val score = udf((cell: Int, code: Seq[Int]) => {
+      val tab = tabs(cell)
+      var s = 0.0; var j = 0
+      while (j < m) { s += tab(j)(code(j)); j += 1 }
+      s
+    })
+    encoded
+      .filter(col("cell").isin(probed: _*))  // partition filter on the cell layout
+      .select(col(idCol), score(col("cell"), col("code")).as("adc"))
       .orderBy(col("adc").asc, col(idCol))
       .limit(k)
   }

@@ -1233,6 +1233,25 @@ object ExtQueries {
     Similarity.pqTopK(codes, "vec_id", model, query, k = 10)
   }
 
+  /** IVF-PQ (Jégou et al. 2011 §V): coarse cells + residual PQ codes —
+    * the billion-vector recipe. The probe prunes to nprobe cells AND
+    * scores m-byte codes, the double pruning that keeps 100 TB of
+    * vectors page-cache-resident; with the encoded table written
+    * cell-partitioned, the cell filter is a partition filter exactly
+    * like x15/x36. Golden from the independent Python reimplementation
+    * (`tools/golden_ext.py:ivfpq_topk`), exact doubles.
+    */
+  val x48_ann_ivfpq: QuerySpec = duck("x48_ann_ivfpq",
+    s"""SELECT vec_id, adc FROM ${Goldens.valuesTable("x48_ann_ivfpq.tsv",
+         Seq("vec_id" -> "BIGINT", "adc" -> "DOUBLE"))}
+       |ORDER BY adc, vec_id""".stripMargin) { (s, d) =>
+    val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val emb = Tables.embeddings(s, d)
+    val model = Similarity.ivfPqTrain(emb, "vec_id", "embedding", dim = 64)
+    val codes = Similarity.ivfPqEncode(emb, "vec_id", "embedding", model)
+    Similarity.ivfPqTopK(codes, "vec_id", model, query, k = 10)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1245,5 +1264,5 @@ object ExtQueries {
     x35_embedding_neardup_banded, x36_ann_lsh_layout, x37_paragraph_dedup,
     x38_pii_scrub, x39_bm25_topk, x40_topk_per_group, x41_sessions,
     x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords, x45_unigram_logprob,
-    x46_seq_packing, x47_ann_pq)
+    x46_seq_packing, x47_ann_pq, x48_ann_ivfpq)
 }

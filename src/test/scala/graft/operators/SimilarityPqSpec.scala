@@ -50,6 +50,38 @@ class SimilarityPqSpec extends SparkTestBase {
     assert(top.forall(_ % 2 == 0), s"odd (far-cluster) id in top-10: ${top.toSeq}")
   }
 
+  test("ivfpq: cells partition the data, probe filters rows, ranking respects clusters") {
+    val model = Similarity.ivfPqTrain(clustered, "vec_id", "embedding", dim,
+      nCells = 4, m = 4, k = 8, trainN = 64)
+    val codes = Similarity.ivfPqEncode(clustered, "vec_id", "embedding", model)
+    val cells = codes.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.forall(c => c >= 0 && c < 4), cells)
+    assert(codes.count() == 64)
+
+    val query = Array.fill(dim)(5.0f)
+    val probed = Similarity.ivfPqProbeCells(model, query, nprobe = 1)
+    assert(probed.length == 1)
+    // probing 1 cell scans strictly fewer rows than the table
+    val scanned = codes.filter(col("cell").isin(probed: _*)).count()
+    assert(scanned < 64 && scanned > 0, scanned)
+
+    val top = Similarity.ivfPqTopK(codes, "vec_id", model, query, k = 5, nprobe = 1)
+      .collect().map(_.getLong(0))
+    assert(top.length == 5)
+    assert(top.forall(_ % 2 == 0), s"far-cluster id in top-5: ${top.toSeq}")
+  }
+
+  test("ivfpq training and encoding are deterministic across runs") {
+    def run() = {
+      val m = Similarity.ivfPqTrain(clustered, "vec_id", "embedding", dim,
+        nCells = 4, m = 4, k = 8, trainN = 64)
+      Similarity.ivfPqEncode(clustered, "vec_id", "embedding", m)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getInt(1), r.getSeq[Int](2))).toSeq
+    }
+    assert(run() == run())
+  }
+
   test("pqTrain validates dimensions and sample size") {
     intercept[IllegalArgumentException](
       Similarity.pqTrain(clustered, "vec_id", "embedding", dim, m = 5))

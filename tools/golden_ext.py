@@ -404,6 +404,99 @@ def pq_topk(vecs, query, k=10, dim=64, m=8, codewords=16, iters=3, train_n=256):
     return scored[:k]
 
 
+def _kmeans_codebook(subs, k, iters):
+    """Similarity.kmeansCodebook, op-for-op: init = first k samples,
+    strict-< argmin (lowest index wins), means accumulated in sample
+    order, empty clusters keep their centroid."""
+    def dist2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            s += d * d
+        return s
+    dsub = len(subs[0])
+    cb = [list(subs[c]) for c in range(k)]
+    for _ in range(iters):
+        sums = [[0.0] * dsub for _ in range(k)]
+        counts = [0] * k
+        for x in subs:
+            best, bestd = 0, dist2(x, cb[0])
+            for c in range(1, k):
+                dd = dist2(x, cb[c])
+                if dd < bestd:
+                    best, bestd = c, dd
+            counts[best] += 1
+            for d in range(dsub):
+                sums[best][d] += x[d]
+        cb = [[sums[c][d] / counts[c] for d in range(dsub)]
+              if counts[c] > 0 else cb[c] for c in range(k)]
+    return cb
+
+
+def _nearest(x, cands):
+    def dist2(a, b):
+        s = 0.0
+        for u, w in zip(a, b):
+            d = u - w
+            s += d * d
+        return s
+    best, bestd = 0, dist2(x, cands[0])
+    for c in range(1, len(cands)):
+        dd = dist2(x, cands[c])
+        if dd < bestd:
+            best, bestd = c, dd
+    return best
+
+
+def ivfpq_topk(vecs, query, k=10, dim=64, n_cells=8, m=8, codewords=16,
+               iters=3, train_n=256, nprobe=2):
+    """Similarity.ivfPqTrain/ivfPqEncode/ivfPqTopK, op-for-op: coarse
+    deterministic k-means over the first train_n vectors, residual PQ
+    codebooks, probe the nprobe cells nearest the query (ordered by
+    (distance, cell)), ADC against the per-cell query residual."""
+    dsub = dim // m
+
+    def dist2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            s += d * d
+        return s
+
+    sample = [[float(x) for x in v] for _, v in vecs[:train_n]]
+    coarse = _kmeans_codebook(sample, n_cells, iters)
+    residuals = []
+    for x in sample:
+        cell = _nearest(x, coarse)
+        residuals.append([x[d] - coarse[cell][d] for d in range(dim)])
+    codebooks = [
+        _kmeans_codebook([r[j * dsub:(j + 1) * dsub] for r in residuals],
+                         codewords, iters)
+        for j in range(m)]
+
+    q = [float(x) for x in query]
+    probed = sorted(((dist2(q, coarse[c]), c) for c in range(n_cells)))[:nprobe]
+    probed = [c for _, c in probed]
+    tabs = {}
+    for cell in probed:
+        qr = [q[d] - coarse[cell][d] for d in range(dim)]
+        tabs[cell] = [[dist2(qr[j * dsub:(j + 1) * dsub], codebooks[j][c])
+                       for c in range(codewords)] for j in range(m)]
+    scored = []
+    for vid, v in vecs:
+        x = [float(t) for t in v]
+        cell = _nearest(x, coarse)
+        if cell not in tabs:
+            continue
+        s = 0.0
+        for j in range(m):
+            r = [x[j * dsub + d] - coarse[cell][j * dsub + d] for d in range(dsub)]
+            s += tabs[cell][j][_nearest(r, codebooks[j])]
+        scored.append((vid, s))
+    scored.sort(key=lambda t: (t[1], t[0]))
+    return scored[:k]
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     os.makedirs(outdir, exist_ok=True)
@@ -448,6 +541,8 @@ def main():
     write('x08_ann_lsh.tsv', lsh_topk(embs, query, k=10, dim=64),
           lambda r: f"{r[0]}\t{r[1]!r}")
     write('x47_ann_pq.tsv', pq_topk(embs, query, k=10, dim=64),
+          lambda r: f"{r[0]}\t{r[1]!r}")
+    write('x48_ann_ivfpq.tsv', ivfpq_topk(embs, query, k=10, dim=64),
           lambda r: f"{r[0]}\t{r[1]!r}")
 
 
