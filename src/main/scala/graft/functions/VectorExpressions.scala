@@ -46,6 +46,25 @@ object VecOps {
     while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
     c
   }
+
+  /** PQ ADC score: Σⱼ table(j)(code(j)) — m array lookups per row,
+    * identical double-addition order to the scalar spec (the x47
+    * golden is bit-exact against it).
+    */
+  def adc(code: ArrayData, table: ArrayData): Double = {
+    val m = code.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += table.getArray(j).getDouble(code.getInt(j)); j += 1 }
+    s
+  }
+
+  /** IVF-PQ ADC: per-cell table select then [[adc]] — `tables` is
+    * dense over cell ids (unprobed cells hold empty arrays; the cell
+    * IN-list filter guarantees they are never reached).
+    */
+  def adcCell(cell: Int, code: ArrayData, tables: ArrayData): Double =
+    adc(code, tables.getArray(cell))
 }
 
 /** `sig_eqcount(a, b)`: number of positions where two long-array
@@ -105,7 +124,65 @@ case class VecCosineExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** `adc_score(code, table)`: PQ asymmetric-distance score — the scan
+  * side of quantized ANN touches only m-int codes, so the kernel must
+  * not box them; table is a broadcast-literal m×k double array.
+  */
+case class AdcScoreExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "adc_score"
+
+  override protected def nullSafeEval(code: Any, table: Any): Any =
+    VecOps.adc(code.asInstanceOf[ArrayData], table.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) => s"graft.functions.VecOps.adc($c, $t)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcScoreExpr =
+    copy(left = l, right = r)
+}
+
+/** `adc_score_cells(cell, code, tables)`: IVF-PQ ADC — selects the
+  * probed cell's residual table, then scores like [[AdcScoreExpr]].
+  */
+case class AdcCellScoreExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(
+    org.apache.spark.sql.types.IntegerType,
+    ArrayType(org.apache.spark.sql.types.IntegerType),
+    ArrayType(ArrayType(ArrayType(DoubleType))))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "adc_score_cells"
+
+  override protected def nullSafeEval(cell: Any, code: Any, tables: Any): Any =
+    VecOps.adcCell(cell.asInstanceOf[Int],
+      code.asInstanceOf[ArrayData], tables.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (cell, code, tabs) => s"graft.functions.VecOps.adcCell($cell, $code, $tabs)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): AdcCellScoreExpr =
+    copy(first = f, second = s, third = t)
+}
+
 object VectorFunctions {
+  def adc_score(code: Column, table: Column): Column =
+    GraftColumnBridge.column(AdcScoreExpr(
+      GraftColumnBridge.expression(code), GraftColumnBridge.expression(table)))
+
+  def adc_score_cells(cell: Column, code: Column, tables: Column): Column =
+    GraftColumnBridge.column(AdcCellScoreExpr(
+      GraftColumnBridge.expression(cell), GraftColumnBridge.expression(code),
+      GraftColumnBridge.expression(tables)))
+
   def vec_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(VecDotExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

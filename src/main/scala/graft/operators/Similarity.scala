@@ -375,23 +375,22 @@ object Similarity {
     * m×k table of squared L2 distances from the query's subvectors to
     * every codeword (driver-side, microseconds), then score each code
     * with m table lookups — the scan never touches the float vectors.
-    * Ascending ADC ≈ ascending true L2²; ties break on id. Plans to
+    * Scoring is the native codegen'd `adc_score` expression (table as
+    * an array literal) — no per-row boxing, same double-addition order
+    * as the scalar spec so the x47 golden stays bit-exact. Ascending
+    * ADC ≈ ascending true L2²; ties break on id. Plans to
     * TakeOrderedAndProject like every other top-k in the engine.
     */
   def pqTopK(
       encoded: DataFrame, idCol: String, model: PqModel,
       query: Array[Float], k: Int): DataFrame = {
     val m = model.m; val dsub = model.dsub; val kk = model.k
-    val tab = Array.tabulate(m) { j =>
+    val tab: Seq[Seq[Double]] = Seq.tabulate(m) { j =>
       val q = Array.tabulate(dsub)(d => query(j * dsub + d).toDouble)
-      Array.tabulate(kk)(c => dist2(q, model.codebooks(j)(c)))
+      Seq.tabulate(kk)(c => dist2(q, model.codebooks(j)(c)))
     }
-    val score = udf((code: Seq[Int]) => {
-      var s = 0.0; var j = 0
-      while (j < m) { s += tab(j)(code(j)); j += 1 }
-      s
-    })
-    encoded.select(col(idCol), score(col("code")).as("adc"))
+    encoded.select(col(idCol),
+        graft.functions.VectorFunctions.adc_score(col("code"), typedLit(tab)).as("adc"))
       .orderBy(col("adc").asc, col(idCol))
       .limit(k)
   }
@@ -478,22 +477,24 @@ object Similarity {
     val m = model.pq.m; val dsub = model.pq.dsub; val kk = model.pq.k
     val q = Array.tabulate(model.dim)(d => query(d).toDouble)
     val probed = ivfPqProbeCells(model, query, nprobe)
-    val tabs: Map[Int, Array[Array[Double]]] = probed.map { cell =>
-      val qr = Array.tabulate(model.dim)(d => q(d) - model.coarse(cell)(d))
-      cell -> Array.tabulate(m) { j =>
-        val qsub = qr.slice(j * dsub, (j + 1) * dsub)
-        Array.tabulate(kk)(c => dist2(qsub, model.pq.codebooks(j)(c)))
+    val probedSet = probed.toSet
+    // dense over cell ids so the native adc_score_cells expression can
+    // index directly; unprobed cells hold empty tables (the cell
+    // IN-list filter guarantees they are never evaluated)
+    val tables: Seq[Seq[Seq[Double]]] = Seq.tabulate(model.nCells) { cell =>
+      if (!probedSet(cell)) Seq.empty
+      else {
+        val qr = Array.tabulate(model.dim)(d => q(d) - model.coarse(cell)(d))
+        Seq.tabulate(m) { j =>
+          val qsub = qr.slice(j * dsub, (j + 1) * dsub)
+          Seq.tabulate(kk)(c => dist2(qsub, model.pq.codebooks(j)(c)))
+        }
       }
-    }.toMap
-    val score = udf((cell: Int, code: Seq[Int]) => {
-      val tab = tabs(cell)
-      var s = 0.0; var j = 0
-      while (j < m) { s += tab(j)(code(j)); j += 1 }
-      s
-    })
+    }
     encoded
       .filter(col("cell").isin(probed: _*))  // partition filter on the cell layout
-      .select(col(idCol), score(col("cell"), col("code")).as("adc"))
+      .select(col(idCol), graft.functions.VectorFunctions
+        .adc_score_cells(col("cell"), col("code"), typedLit(tables)).as("adc"))
       .orderBy(col("adc").asc, col(idCol))
       .limit(k)
   }
