@@ -208,5 +208,11 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => VecCosineExpr(exprs(0), exprs(1))),
     (FunctionIdentifier("sig_eqcount"),
       new ExpressionInfo(classOf[SigEqCountExpr].getName, "sig_eqcount"),
-      (exprs: Seq[Expression]) => SigEqCountExpr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => SigEqCountExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("adc_score"),
+      new ExpressionInfo(classOf[AdcScoreExpr].getName, "adc_score"),
+      (exprs: Seq[Expression]) => AdcScoreExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("adc_score_cells"),
+      new ExpressionInfo(classOf[AdcCellScoreExpr].getName, "adc_score_cells"),
+      (exprs: Seq[Expression]) => AdcCellScoreExpr(exprs(0), exprs(1), exprs(2))))
 }
