@@ -353,19 +353,17 @@ object Similarity {
     */
   def pqEncode(
       df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
-    val m = model.m; val dsub = model.dsub; val k = model.k
+    val m = model.m; val dsub = model.dsub
     val cbs = model.codebooks
+    val dim = model.dim
     val enc = udf((v: Seq[Float]) => {
       if (v == null) null
-      else Array.tabulate(m) { j =>
-        val x = Array.tabulate(dsub)(d => v(j * dsub + d).toDouble)
-        var best = 0; var bestD = dist2(x, cbs(j)(0)); var c = 1
-        while (c < k) {
-          val dd = dist2(x, cbs(j)(c))
-          if (dd < bestD) { bestD = dd; best = c }
-          c += 1
+      else {
+        // ragged (short) vectors zero-pad missing dims — total, never throws
+        val x = Array.tabulate(dim)(d => if (d < v.length) v(d).toDouble else 0.0)
+        Array.tabulate(m) { j =>
+          nearest(x.slice(j * dsub, (j + 1) * dsub), cbs(j))
         }
-        best
       }
     })
     df.select(col(idCol), enc(col(vecCol)).as("code"))
@@ -384,14 +382,18 @@ object Similarity {
   def pqTopK(
       encoded: DataFrame, idCol: String, model: PqModel,
       query: Array[Float], k: Int): DataFrame = {
+    require(query.length == model.dim,
+      s"query has ${query.length} dims, model expects ${model.dim}")
     val m = model.m; val dsub = model.dsub; val kk = model.k
     val tab: Seq[Seq[Double]] = Seq.tabulate(m) { j =>
       val q = Array.tabulate(dsub)(d => query(j * dsub + d).toDouble)
       Seq.tabulate(kk)(c => dist2(q, model.codebooks(j)(c)))
     }
+    // asc_nulls_last: a null code (null embedding) must not outrank
+    // real neighbors — Spark's plain asc is NULLS FIRST
     encoded.select(col(idCol),
         graft.functions.VectorFunctions.adc_score(col("code"), typedLit(tab)).as("adc"))
-      .orderBy(col("adc").asc, col(idCol))
+      .orderBy(col("adc").asc_nulls_last, col(idCol))
       .limit(k)
   }
 
@@ -438,10 +440,15 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, model: IvfPqModel): DataFrame = {
     val m = model.pq.m; val dsub = model.pq.dsub; val k = model.pq.k
     val coarse = model.coarse; val cbs = model.pq.codebooks; val dim = model.dim
+    // asNondeterministic is a deliberate white lie: it stops the
+    // optimizer substituting the udf into a pushed-down cell filter,
+    // which would evaluate the full encode TWICE per row (once in the
+    // pushed predicate, once in the surviving projection)
     val enc = udf((v: Seq[Float]) => {
       if (v == null) null
       else {
-        val x = Array.tabulate(dim)(d => v(d).toDouble)
+        // ragged (short) vectors zero-pad missing dims — total, never throws
+        val x = Array.tabulate(dim)(d => if (d < v.length) v(d).toDouble else 0.0)
         val cell = nearest(x, coarse)
         val code = Array.tabulate(m) { j =>
           val r = Array.tabulate(dsub)(d => x(j * dsub + d) - coarse(cell)(j * dsub + d))
@@ -449,21 +456,19 @@ object Similarity {
         }
         (cell, code)
       }
-    })
+    }).asNondeterministic()
     df.select(col(idCol), enc(col(vecCol)).as("enc"))
       .select(col(idCol), col("enc._1").as("cell"), col("enc._2").as("code"))
   }
 
   /** The `nprobe` cells nearest the query, deterministically ordered
-    * by (distance, cell index).
+    * by (distance, cell index) — delegates to [[ivfProbeCells]], whose
+    * stable sortBy yields exactly that ordering (the tie-break the x48
+    * golden pins).
     */
   def ivfPqProbeCells(
-      model: IvfPqModel, query: Array[Float], nprobe: Int): Seq[Int] = {
-    val q = Array.tabulate(model.dim)(d => query(d).toDouble)
-    model.coarse.zipWithIndex
-      .map { case (c, i) => (dist2(q, c), i) }
-      .sortBy(identity).take(nprobe).map(_._2).toSeq
-  }
+      model: IvfPqModel, query: Array[Float], nprobe: Int): Seq[Int] =
+    ivfProbeCells(model.coarse, query, nprobe)
 
   /** ADC top-k over an IVF-PQ encoded table: per probed cell, the ADC
     * table is built against the query's RESIDUAL for that cell
@@ -474,6 +479,8 @@ object Similarity {
   def ivfPqTopK(
       encoded: DataFrame, idCol: String, model: IvfPqModel,
       query: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    require(query.length == model.dim,
+      s"query has ${query.length} dims, model expects ${model.dim}")
     val m = model.pq.m; val dsub = model.pq.dsub; val kk = model.pq.k
     val q = Array.tabulate(model.dim)(d => query(d).toDouble)
     val probed = ivfPqProbeCells(model, query, nprobe)
@@ -495,7 +502,7 @@ object Similarity {
       .filter(col("cell").isin(probed: _*))  // partition filter on the cell layout
       .select(col(idCol), graft.functions.VectorFunctions
         .adc_score_cells(col("cell"), col("code"), typedLit(tables)).as("adc"))
-      .orderBy(col("adc").asc, col(idCol))
+      .orderBy(col("adc").asc_nulls_last, col(idCol))
       .limit(k)
   }
 }

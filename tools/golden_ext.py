@@ -344,61 +344,38 @@ def embedding_neardup(vecs, threshold, dim, sign_bits, num_tables=1):
 
 
 # --- main: emit golden TSVs ------------------------------------------
-# --- product quantization (x47) ---------------------------------------
+# --- product quantization (x47/x48) -----------------------------------
+def _dist2(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        s += d * d
+    return s
+
+
 def pq_topk(vecs, query, k=10, dim=64, m=8, codewords=16, iters=3, train_n=256):
     """Similarity.pqTrain/pqEncode/pqTopK, op-for-op: codebook j trains
     on subvectors [j*dsub,(j+1)*dsub) of the first train_n vectors in
-    vec_id order; init = first `codewords` subvectors; Lloyd rounds
-    with strict-< argmin (lowest index wins) and empty clusters keeping
-    their centroid; centroid mean accumulated in sample order. ADC =
-    sum over subspaces of the query-to-codeword squared L2; ascending,
+    vec_id order (deterministic k-means: _kmeans_codebook). ADC = sum
+    over subspaces of the query-to-codeword squared L2; ascending,
     vec_id tiebreak. All ops in f64 with identical order, so results
-    repr-round-trip exactly."""
+    repr-round-trip exactly. (The engine zero-pads ragged vectors; the
+    test corpus has none.)"""
     dsub = dim // m
-
-    def dist2(a, b):
-        s = 0.0
-        for x, y in zip(a, b):
-            d = x - y
-            s += d * d
-        return s
-
     sample = [[float(x) for x in v] for _, v in vecs[:train_n]]
-    codebooks = []
-    for j in range(m):
-        subs = [v[j * dsub:(j + 1) * dsub] for v in sample]
-        cb = [list(subs[c]) for c in range(codewords)]
-        for _ in range(iters):
-            sums = [[0.0] * dsub for _ in range(codewords)]
-            counts = [0] * codewords
-            for x in subs:
-                best, bestd = 0, dist2(x, cb[0])
-                for c in range(1, codewords):
-                    dd = dist2(x, cb[c])
-                    if dd < bestd:
-                        best, bestd = c, dd
-                counts[best] += 1
-                for d in range(dsub):
-                    sums[best][d] += x[d]
-            cb = [[sums[c][d] / counts[c] for d in range(dsub)]
-                  if counts[c] > 0 else cb[c] for c in range(codewords)]
-        codebooks.append(cb)
-
+    codebooks = [
+        _kmeans_codebook([v[j * dsub:(j + 1) * dsub] for v in sample],
+                         codewords, iters)
+        for j in range(m)]
     q = [float(x) for x in query]
-    tab = [[dist2(q[j * dsub:(j + 1) * dsub], codebooks[j][c])
+    tab = [[_dist2(q[j * dsub:(j + 1) * dsub], codebooks[j][c])
             for c in range(codewords)] for j in range(m)]
     scored = []
     for vid, v in vecs:
-        vv = [float(x) for x in v]
+        vv = [float(t) for t in v]
         s = 0.0
         for j in range(m):
-            sub = vv[j * dsub:(j + 1) * dsub]
-            best, bestd = 0, dist2(sub, codebooks[j][0])
-            for c in range(1, codewords):
-                dd = dist2(sub, codebooks[j][c])
-                if dd < bestd:
-                    best, bestd = c, dd
-            s += tab[j][best]
+            s += tab[j][_nearest(vv[j * dsub:(j + 1) * dsub], codebooks[j])]
         scored.append((vid, s))
     scored.sort(key=lambda t: (t[1], t[0]))
     return scored[:k]
@@ -408,21 +385,15 @@ def _kmeans_codebook(subs, k, iters):
     """Similarity.kmeansCodebook, op-for-op: init = first k samples,
     strict-< argmin (lowest index wins), means accumulated in sample
     order, empty clusters keep their centroid."""
-    def dist2(a, b):
-        s = 0.0
-        for x, y in zip(a, b):
-            d = x - y
-            s += d * d
-        return s
     dsub = len(subs[0])
     cb = [list(subs[c]) for c in range(k)]
     for _ in range(iters):
         sums = [[0.0] * dsub for _ in range(k)]
         counts = [0] * k
         for x in subs:
-            best, bestd = 0, dist2(x, cb[0])
+            best, bestd = 0, _dist2(x, cb[0])
             for c in range(1, k):
-                dd = dist2(x, cb[c])
+                dd = _dist2(x, cb[c])
                 if dd < bestd:
                     best, bestd = c, dd
             counts[best] += 1
@@ -434,15 +405,9 @@ def _kmeans_codebook(subs, k, iters):
 
 
 def _nearest(x, cands):
-    def dist2(a, b):
-        s = 0.0
-        for u, w in zip(a, b):
-            d = u - w
-            s += d * d
-        return s
-    best, bestd = 0, dist2(x, cands[0])
+    best, bestd = 0, _dist2(x, cands[0])
     for c in range(1, len(cands)):
-        dd = dist2(x, cands[c])
+        dd = _dist2(x, cands[c])
         if dd < bestd:
             best, bestd = c, dd
     return best
@@ -455,14 +420,6 @@ def ivfpq_topk(vecs, query, k=10, dim=64, n_cells=8, m=8, codewords=16,
     codebooks, probe the nprobe cells nearest the query (ordered by
     (distance, cell)), ADC against the per-cell query residual."""
     dsub = dim // m
-
-    def dist2(a, b):
-        s = 0.0
-        for x, y in zip(a, b):
-            d = x - y
-            s += d * d
-        return s
-
     sample = [[float(x) for x in v] for _, v in vecs[:train_n]]
     coarse = _kmeans_codebook(sample, n_cells, iters)
     residuals = []
@@ -475,12 +432,12 @@ def ivfpq_topk(vecs, query, k=10, dim=64, n_cells=8, m=8, codewords=16,
         for j in range(m)]
 
     q = [float(x) for x in query]
-    probed = sorted(((dist2(q, coarse[c]), c) for c in range(n_cells)))[:nprobe]
+    probed = sorted(((_dist2(q, coarse[c]), c) for c in range(n_cells)))[:nprobe]
     probed = [c for _, c in probed]
     tabs = {}
     for cell in probed:
         qr = [q[d] - coarse[cell][d] for d in range(dim)]
-        tabs[cell] = [[dist2(qr[j * dsub:(j + 1) * dsub], codebooks[j][c])
+        tabs[cell] = [[_dist2(qr[j * dsub:(j + 1) * dsub], codebooks[j][c])
                        for c in range(codewords)] for j in range(m)]
     scored = []
     for vid, v in vecs:
