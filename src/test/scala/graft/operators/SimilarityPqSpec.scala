@@ -82,6 +82,17 @@ class SimilarityPqSpec extends SparkTestBase {
     assert(run() == run())
   }
 
+  test("adc_score functions are registered on the SQL surface") {
+    val r = spark.sql(
+      "SELECT adc_score(array(1, 0), array(array(9.0D, 2.0D), array(3.0D, 7.0D)))")
+      .collect()(0).getDouble(0)
+    assert(r == 2.0 + 3.0, r) // code(0)=1 -> 2.0 from row 0; code(1)=0 -> 3.0 from row 1
+    val rc = spark.sql(
+      "SELECT adc_score_cells(1, array(0), array(array(), array(array(5.0D))))")
+      .collect()(0).getDouble(0)
+    assert(rc == 5.0, rc)
+  }
+
   test("pqTrain validates dimensions and sample size") {
     intercept[IllegalArgumentException](
       Similarity.pqTrain(clustered, "vec_id", "embedding", dim, m = 5))
