@@ -270,6 +270,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sequence packing: window and bin rollup share one source-key exchange") {
+    // groupBy(source, seq_id) must reuse the window's hash(source)
+    // partitioning (hash(source) clusters every (source, seq_id) pair)
+    val plan = ExtQueries.x46_seq_packing.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    def occurrences(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    assert(occurrences("Exchange hashpartitioning") == 1,
+      s"bin rollup re-exchanged instead of reusing the window partitioning:\n$plan")
+  }
+
   test("pq ADC top-k scans only the code column and plans TakeOrderedAndProject") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sfDir)
