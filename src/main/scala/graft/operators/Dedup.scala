@@ -51,6 +51,30 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup — the production nightly shape: dedup a
+    * NEW batch against itself AND against the already-ingested corpus,
+    * without ever rescanning the corpus rows. Survivors = within-batch
+    * keepers ([[exact]]'s skew-safe two-phase aggregate) whose content
+    * key does not appear in `base`.
+    *
+    * Scale shape: the base side reduces to its distinct content keys
+    * (one partial-aggregated scan of one column — or, in a real
+    * deployment, a pre-materialized keys table so the nightly run
+    * reads keys only), and the increment anti-joins on the key. The
+    * anti-join shuffles the already-deduped increment, bounded by the
+    * batch size, not corpus size; AQE broadcasts the increment's key
+    * side when small.
+    */
+  def exactIncremental(
+      increment: DataFrame, base: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val baseKeys = base
+      .select(contentKey(col(textCol)).as("__bk"))
+      .distinct()
+    exact(increment, textCol, idCol)
+      .join(baseKeys, contentKey(col(textCol)) === col("__bk"), "left_anti")
+  }
+
   /** Paragraph-level exact dedup: split each document on `sep`, keep
     * only the globally FIRST occurrence of every distinct paragraph
     * (first = lowest (id, position)), and reassemble each document from

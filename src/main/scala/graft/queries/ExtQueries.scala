@@ -1252,6 +1252,30 @@ object ExtQueries {
     Similarity.ivfPqTopK(codes, "vec_id", model, query, k = 10)
   }
 
+  /** Incremental exact dedup — the nightly-ingest shape: the odd-id
+    * half of the corpus arrives as a new batch and dedups against
+    * itself plus the even-id half already ingested. NOT EXISTS (not
+    * NOT IN) in the oracle so null-key semantics match Spark's
+    * anti-join.
+    */
+  val x49_dedup_incremental: QuerySpec = q("x49_dedup_incremental",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, md5(lower(trim(text))) AS k,
+      |    row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+      |  FROM documents WHERE doc_id % 2 = 1) t
+      |WHERE rn = 1 AND NOT EXISTS (
+      |  SELECT 1 FROM documents b
+      |  WHERE b.doc_id % 2 = 0 AND md5(lower(trim(b.text))) = t.k)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.exactIncremental(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1264,5 +1288,5 @@ object ExtQueries {
     x35_embedding_neardup_banded, x36_ann_lsh_layout, x37_paragraph_dedup,
     x38_pii_scrub, x39_bm25_topk, x40_topk_per_group, x41_sessions,
     x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords, x45_unigram_logprob,
-    x46_seq_packing, x47_ann_pq, x48_ann_ivfpq)
+    x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental)
 }

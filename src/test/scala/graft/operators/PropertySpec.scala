@@ -95,6 +95,19 @@ class PropertySpec extends SparkTestBase {
     assert(once.select(min("doc_id")).collect()(0).getLong(0) == 1L)
   }
 
+  test("incremental exact dedup: batch-internal first wins, base-seen content dropped") {
+    val base = Seq((1L, "seen"), (2L, "other")).toDF("doc_id", "text")
+    val inc = Seq((10L, "seen"), (11L, "new"), (12L, "new"), (13L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactIncremental(inc, base, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 drops (content in base), 12 drops (11 is the within-batch first)
+    assert(got == Set(11L, 13L), got)
+    // empty increment and disjoint base are both safe
+    assert(Dedup.exactIncremental(inc.limit(0), base, "text", "doc_id").count() == 0)
+    assert(Dedup.exactIncremental(inc, base.limit(0), "text", "doc_id").count() == 3)
+  }
+
   test("minhash estimated jaccard stays in [0,1] and is 1 for identical docs") {
     val docs = Seq((1L, "aaaa bbbb cccc dddd eeee"), (2L, "aaaa bbbb cccc dddd eeee"),
       (3L, "zzzz yyyy xxxx wwww vvvv")).toDF("doc_id", "text")
