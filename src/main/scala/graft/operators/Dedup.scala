@@ -75,6 +75,28 @@ object Dedup {
       .join(baseKeys, contentKey(col(textCol)) === col("__bk"), "left_anti")
   }
 
+  /** CDC-style keep-latest compaction: one row per key, the row with
+    * the greatest `versionCol` (ties broken by smallest `idCol`) — the
+    * log-structured ingest pattern (recrawls, upsert streams) where
+    * the newest version of a document wins.
+    *
+    * Shape mirrors [[exact]], twice: `max(version)` per key collapses
+    * map-side (two-phase HashAggregate — a hot key's billions of stale
+    * versions never funnel one task the way a row_number window
+    * would), a semi-join keeps current-version rows, and a `min(id)`
+    * pass resolves same-version ties deterministically.
+    */
+  def keepLatest(
+      df: DataFrame, keyCol: String, versionCol: String, idCol: String): DataFrame = {
+    val latest = df
+      .groupBy(col(keyCol)).agg(max(col(versionCol)).as(versionCol))
+    val current = df.join(latest, Seq(keyCol, versionCol), "left_semi")
+    val tieBreak = current
+      .groupBy(col(keyCol)).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    current.join(tieBreak, Seq(idCol), "left_semi")
+  }
+
   /** Paragraph-level exact dedup: split each document on `sep`, keep
     * only the globally FIRST occurrence of every distinct paragraph
     * (first = lowest (id, position)), and reassemble each document from

@@ -1276,6 +1276,23 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** CDC keep-latest compaction: newest event per user (ties on the
+    * timestamp broken by smallest event_id) — the upsert/recrawl
+    * compaction every log-structured ingest runs. The oracle is the
+    * row_number idiom; at scale only the two-phase aggregate form
+    * bounds the shuffle (see Dedup.keepLatest).
+    */
+  val x50_keep_latest: QuerySpec = q("x50_keep_latest",
+    """SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    Dedup.keepLatest(Tables.events(s, d), "user_id", "ts", "event_id")
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1288,5 +1305,6 @@ object ExtQueries {
     x35_embedding_neardup_banded, x36_ann_lsh_layout, x37_paragraph_dedup,
     x38_pii_scrub, x39_bm25_topk, x40_topk_per_group, x41_sessions,
     x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords, x45_unigram_logprob,
-    x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental)
+    x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental,
+    x50_keep_latest)
 }

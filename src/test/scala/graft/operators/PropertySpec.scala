@@ -108,6 +108,21 @@ class PropertySpec extends SparkTestBase {
     assert(Dedup.exactIncremental(inc, base.limit(0), "text", "doc_id").count() == 3)
   }
 
+  test("keep-latest compaction: newest version wins, version ties break on min id") {
+    val df = Seq(
+      ("k1", 1L, 10L), ("k1", 3L, 11L), ("k1", 2L, 12L), // k1: v3 wins
+      ("k2", 5L, 20L), ("k2", 5L, 21L),                  // k2: tie -> id 20
+      ("k3", 7L, 30L)
+    ).toDF("key", "version", "id")
+    val got = Dedup.keepLatest(df, "key", "version", "id")
+      .select("key", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("k1" -> 11L, "k2" -> 20L, "k3" -> 30L), got)
+    // no window anywhere in the plan — the whole point vs row_number
+    val plan = Dedup.keepLatest(df, "key", "version", "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("minhash estimated jaccard stays in [0,1] and is 1 for identical docs") {
     val docs = Seq((1L, "aaaa bbbb cccc dddd eeee"), (2L, "aaaa bbbb cccc dddd eeee"),
       (3L, "zzzz yyyy xxxx wwww vvvv")).toDF("doc_id", "text")
