@@ -23,4 +23,23 @@ class SparkEntrySpec extends SparkTestBase {
     val dupes = specs.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: $dupes")
   }
+
+  test("every declared QuerySpec val is registered in its group's all list") {
+    // the `all` lists are maintained by hand; a declared-but-unlisted
+    // spec would silently vanish from the driver sweep
+    def declared(obj: AnyRef): Set[String] =
+      obj.getClass.getMethods
+        .filter(m => m.getReturnType == classOf[queries.QuerySpec] &&
+          m.getParameterCount == 0)
+        .map(_.invoke(obj).asInstanceOf[queries.QuerySpec].name).toSet
+    val groups: Seq[(String, AnyRef, Seq[queries.QuerySpec])] = Seq(
+      ("CorpusQueries", queries.CorpusQueries, queries.CorpusQueries.all),
+      ("GeomQueries", queries.GeomQueries, queries.GeomQueries.all),
+      ("ExtQueries", queries.ExtQueries, queries.ExtQueries.all),
+      ("PipelineQueries", queries.PipelineQueries, queries.PipelineQueries.all))
+    groups.foreach { case (name, obj, all) =>
+      val missing = declared(obj) -- all.map(_.name).toSet
+      assert(missing.isEmpty, s"$name: declared but not in `all`: $missing")
+    }
+  }
 }
