@@ -85,6 +85,11 @@ object Dedup {
     * versions never funnel one task the way a row_number window
     * would), a semi-join keeps current-version rows, and a `min(id)`
     * pass resolves same-version ties deterministically.
+    *
+    * Contract: `versionCol` must be non-null (like [[exact]]'s unique
+    * `idCol`) — `max` skips nulls and the equi-semi-join cannot match
+    * them, so a null-version row always loses and a key with ONLY
+    * null versions is dropped entirely.
     */
   def keepLatest(
       df: DataFrame, keyCol: String, versionCol: String, idCol: String): DataFrame = {
