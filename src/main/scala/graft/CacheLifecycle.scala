@@ -1,0 +1,67 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic lifecycle for operator-internal persists.
+  *
+  * Several operators persist an intermediate that feeds multiple
+  * consumers in the returned plan (LSH signatures, candidate pairs,
+  * overlay pair tables). The function itself cannot unpersist — the
+  * returned plan references the cached subtree lazily — so without a
+  * registry those entries live until LRU eviction. In one long session
+  * (a 98-entry × 4-execution bench sweep, or a service) storage
+  * accumulates and later queries pay eviction/recompute.
+  *
+  * Operators persist through [[persist]] instead of
+  * `DataFrame.persist` directly; a caller that knows a batch of work
+  * is finished (the bench between query groups, a service between
+  * sweeps) calls [[release]] to drop every tracked entry at once.
+  * Releasing never breaks correctness: a plan executed later simply
+  * recomputes the subtree instead of reading cache.
+  */
+object CacheLifecycle {
+
+  private val tracked = new ConcurrentLinkedQueue[DataFrame]()
+  private val releaseHooks = new ConcurrentLinkedQueue[SparkSession => Unit]()
+
+  /** Persist `df` at `level` and track it for the next [[release]]. */
+  def persist(
+      df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    df.persist(level)
+    tracked.add(df)
+    df
+  }
+
+  /** Register a callback run on every [[release]] — memo caches that
+    * hand out references to tracked DataFrames (e.g. ExtQueries'
+    * candidate memo) must evict alongside, or they would keep serving
+    * plans whose persist is gone and silently recompute per use.
+    */
+  def onRelease(hook: SparkSession => Unit): Unit = releaseHooks.add(hook)
+
+  /** Unpersist every tracked DataFrame belonging to `spark` and run
+    * the release hooks. Entries from other sessions are untouched.
+    */
+  def release(spark: SparkSession): Unit = {
+    releaseHooks.forEach(h => h(spark))
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val df = it.next()
+      if (df.sparkSession eq spark) {
+        df.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
+
+  /** Tracked-entry count for `spark` — spec hook. */
+  def trackedCount(spark: SparkSession): Int = {
+    var n = 0
+    tracked.forEach(df => if (df.sparkSession eq spark) n += 1)
+    n
+  }
+}

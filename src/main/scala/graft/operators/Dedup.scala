@@ -251,7 +251,7 @@ object Dedup {
     // expensive signature pass runs twice
     val sigs = df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.persist(_))
 
     // Bucket join carries ONLY (band, bucket, id): a near-dup pair
     // co-occurs in many bands, so dedupe the bare id pairs FIRST (a
@@ -296,18 +296,18 @@ object Dedup {
     // referenced three times below (two id projections + the join
     // spine), and it is typically the output of the LSH candidate
     // pipeline — small (candidate pairs), expensive to recompute.
-    // Lifecycle: these persists live until LRU eviction (the returned
-    // plan references them lazily, so this function cannot unpersist);
-    // a session running many sweeps can reclaim everything between
-    // sweeps with spark.catalog.clearCache().
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Lifecycle: the returned plan references these caches lazily, so
+    // this function cannot unpersist them itself; they are tracked by
+    // CacheLifecycle, and a session running many sweeps reclaims
+    // everything between sweeps with CacheLifecycle.release(spark).
+    val p = pairs.transform(graft.CacheLifecycle.persist(_))
     val ids = p.select(col("a").as("__gid"))
       .unionByName(p.select(col("b").as("__gid"))).distinct()
     val grams = df.select(col(idCol).as("__gid"), col(textCol).as("__text"))
       .join(ids, Seq("__gid"), "left_semi")
       .select(col("__gid"),
         array_distinct(shingleHashes(col("__text"), shingleK)).as("__grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.persist(_))
     p
       .join(grams.withColumnRenamed("__gid", "a").withColumnRenamed("__grams", "ga"), Seq("a"))
       .join(grams.withColumnRenamed("__gid", "b").withColumnRenamed("__grams", "gb"), Seq("b"))
@@ -400,7 +400,7 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.persist(_))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -495,7 +495,7 @@ object Dedup {
     // without it the tokenize+fold signature UDF runs twice over the
     // whole corpus (Catalyst does not dedupe self-join subtrees)
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.persist(_))
     val blockCols = (0 until 4).map(b =>
       shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
     val blocks = sigs.select(col("id"), col("sig"),
@@ -613,7 +613,7 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"),
         normalizeUdf(col(vecCol)).as("vec"),
         sigUdf(col(vecCol)).as("sigs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.persist(_))
 
     val buckets = sigs.select(col("id"), posexplode(col("sigs")))
       .select(col("id"), col("pos").as("table"), col("col").as("bucket"))

@@ -62,22 +62,39 @@ object Similarity {
       assigned: org.apache.spark.sql.DataFrame,   // idCol, vecCol, cell
       centroids: Array[Array[Double]])
 
+  /** The bounded deterministic KMeans training input: the first
+    * `trainN` non-null vectors in `idCol` order. Factored out so the
+    * spec can count the rows that actually reach the fit — the 100 TB
+    * guarantee is that this count is ≤ trainN regardless of table size.
+    */
+  private[operators] def ivfTrainInput(
+      df: DataFrame, idCol: String, vecCol: String, trainN: Int): DataFrame =
+    df.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(trainN)
+
   def ivfBuild(
       df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int = 16, seed: Long = 42L): IvfIndex = {
+      nCells: Int = 16, seed: Long = 42L, trainN: Int = 4096): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
 
-    val feat = df.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
-    // a coarse quantizer only needs rough cells — 8 Lloyd iterations is
-    // the standard IVF training budget (vs mllib's default 20); recall
-    // is governed by nprobe, not centroid polish
+    def featurize(d: DataFrame): DataFrame =
+      d.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
+
+    // Train on a bounded sample (same contract as pqTrain's
+    // trainSample): coarse-quantizer quality saturates on a few
+    // thousand vectors, and Lloyd iterations over the full corpus are
+    // a scale-killer — 8 iterations × 100 TB passes before a single
+    // vector is indexed. With the cap, only the single `transform`
+    // assign pass below ever streams the whole table.
+    // 8 Lloyd iterations is the standard IVF training budget (vs
+    // mllib's default 20); recall is governed by nprobe, not centroid
+    // polish.
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("__features").setPredictionCol("cell")
-      .fit(feat)
-    val assigned = model.transform(feat).drop("__features")
+      .fit(featurize(ivfTrainInput(df, idCol, vecCol, trainN)))
+    val assigned = model.transform(featurize(df)).drop("__features")
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
@@ -316,7 +333,11 @@ object Similarity {
     */
   private def trainSample(
       df: DataFrame, idCol: String, vecCol: String, trainN: Int): Array[Array[Double]] =
-    df.orderBy(col(idCol)).limit(trainN)
+    // null vectors are skipped (not encoded to a codeword) by
+    // pqEncode/ivfPqEncode, so they must not reach training either —
+    // without the filter, getSeq returns null and .toArray throws.
+    // tools/golden_ext.py mirrors the filter in its corpus query.
+    df.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(trainN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
 

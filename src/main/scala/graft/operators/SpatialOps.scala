@@ -85,7 +85,7 @@ object SpatialOps {
     // pairs feeds three consumers (intersection pieces + both leftover
     // branches): persist so the spatial join runs once, not three times
     val pairs = SpatialJoin.broadcastIntersects(aId, bId, "__ageom", "__bgeom")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.persist(_))
 
     // (1) intersection pieces, polygonal component only
     val inter = pairs

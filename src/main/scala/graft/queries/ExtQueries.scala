@@ -82,9 +82,17 @@ object ExtQueries {
   }
 
   // MinHash candidates are expensive and shared by x03/x04: memoize the
-  // persisted candidate DataFrame per (session, dir).
+  // persisted candidate DataFrame per (session, dir). Evicted by
+  // CacheLifecycle.release (hook below) together with the persists it
+  // hands out — a memo surviving its persist would silently recompute
+  // the candidate pipeline on every later use. The layout memo is NOT
+  // evicted: it caches an on-disk path, not executor storage.
   private val candCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  graft.CacheLifecycle.onRelease { s =>
+    candCache.filterInPlace { case ((sess, _), _) => sess ne s }
+  }
 
   private val lshLayoutCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
@@ -92,7 +100,7 @@ object ExtQueries {
   private def minhashCands(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s, d),
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .transform(graft.CacheLifecycle.persist(_)))
 
   /** MinHash+LSH near-dup candidate pairs. Oracle: VALUES golden from
     * the from-spec Python reimplementation (tools/golden_ext.py —
@@ -450,7 +458,7 @@ object ExtQueries {
        |ORDER BY a, b""".stripMargin) { (s, d) =>
     val fps = Tables.documents(s, d)
       .select(col("doc_id"), explode(TA.winnowingFingerprints(col("text"))).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.persist(_))
     // stop-fingerprint removal: a fingerprint present in many documents
     // is a common phrase, not a similarity signal, and it is also the
     // hot key that makes the inverted self-join quadratic. Standard

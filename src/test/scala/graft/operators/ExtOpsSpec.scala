@@ -154,6 +154,25 @@ class ExtOpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet))
   }
 
+  test("ivf KMeans training input is capped at trainN and null-free") {
+    val rnd = new scala.util.Random(7)
+    val emb = (1L to 500L).map { i =>
+      val v = if (i % 50 == 0) null else Array.fill(8)(rnd.nextGaussian().toFloat).toSeq
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    // the rows reaching the KMeans fit — bounded regardless of table size
+    assert(Similarity.ivfTrainInput(emb, "vec_id", "embedding", 100).count() == 100L)
+    assert(Similarity.ivfTrainInput(emb, "vec_id", "embedding", 100)
+      .filter(col("embedding").isNull).count() == 0L)
+    // a table smaller than trainN trains on all its non-null rows
+    assert(Similarity.ivfTrainInput(emb, "vec_id", "embedding", 4096).count() == 490L)
+    // the index itself still assigns EVERY non-null row a cell
+    val index = Similarity.ivfBuild(emb.filter(col("embedding").isNotNull),
+      "vec_id", "embedding", nCells = 4, trainN = 100)
+    assert(index.assigned.count() == 490L)
+    assert(index.assigned.select("cell").distinct().count() <= 4L)
+  }
+
   test("winnowing guarantees a shared fingerprint for long shared substrings") {
     import graft.operators.{TextAnalysis => T}
     val shared = "this exact long passage appears verbatim in both documents of the pair"

@@ -463,7 +463,8 @@ def main():
         f"SELECT doc_id, text FROM '{sfdir}/documents.parquet' ORDER BY doc_id"
     ).fetchall()
     embs = con.execute(
-        f"SELECT vec_id, embedding FROM '{sfdir}/embeddings.parquet' ORDER BY vec_id"
+        f"SELECT vec_id, embedding FROM '{sfdir}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id"
     ).fetchall()
 
     def write(name, rows, fmt):
