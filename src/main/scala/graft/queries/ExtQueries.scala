@@ -1301,6 +1301,39 @@ object ExtQueries {
       .orderBy("user_id")
   }
 
+  /** The stateful streaming twin as a driver-visible row: sessionize
+    * (§2.11) runs as a REAL StreamQuery — file-source stream over the
+    * events directory, `flatMapGroupsWithState` state per user, memory
+    * sink — and must reproduce the batch q32 answer bit-for-bit (the
+    * same oracle SQL). Update-mode sinks append a row per (batch,
+    * user), so the final count per user is max(sessions) — sessions is
+    * monotone — which also keeps the entry correct if the file source
+    * ever splits the input into multiple micro-batches.
+    */
+  val x51_streaming_sessionize: QuerySpec = q("x51_streaming_sessionize",
+    """SELECT user_id, count(*) AS sessions FROM
+      |  (SELECT user_id,
+      |     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |          THEN 1 ELSE 0 END AS new_s
+      |   FROM events) t
+      |WHERE new_s = 1 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.StreamingTwins
+    val sink = "x51_sessions_sink"
+    s.catalog.dropTempView(sink)   // reps re-run the stream; stale sink view must go
+    val events = StreamingTwins.readEvents(s, s"$d/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[StreamingTwins.EventRow]
+    val query = StreamingTwins.sessionize(events).toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    s.table(sink)
+      .groupBy("user_id").agg(max(col("sessions")).as("sessions"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1314,5 +1347,5 @@ object ExtQueries {
     x38_pii_scrub, x39_bm25_topk, x40_topk_per_group, x41_sessions,
     x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords, x45_unigram_logprob,
     x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental,
-    x50_keep_latest)
+    x50_keep_latest, x51_streaming_sessionize)
 }

@@ -109,5 +109,58 @@ object PipelineQueries {
          |ORDER BY CDTFA_COUNTY""".stripMargin),
       sparkParity = false)
 
-  val all: Seq[QuerySpec] = Seq(p01_bunnyhop_merged, p02_bunnyhop_unincorporated)
+  /** OP-52 quality gate (`quality_check.py:1-6`) as a driver-visible
+    * entry: diff the fixture publication against a perturbed "previous"
+    * publication — one key dropped (surfaces as `added`) and one
+    * synthetic key inserted (surfaces as `removed`). The key triple
+    * (COUNTY, CITY, OFFSHORE) is unique over the publication and
+    * carries NULLs in both CITY (county rows) and OFFSHORE, so the
+    * null-safe key equality is exercised for real. Oracle: the same
+    * perturbation + full-outer diff in DuckDB over the p01 golden.
+    */
+  val p03_quality_gate: QuerySpec = {
+    val keys = Seq(C.County, C.City, C.Coastal)
+    QuerySpec("p03_quality_gate", (s, _) => {
+      import s.implicits._
+      val cur = publish(runFlow(s).merged)
+      // <=> (null-safe), not ===: a plain === filter would also drop
+      // the NULL-city county rows (NOT(NULL) is NULL, which filters)
+      val prev = cur
+        .filter(!(col(C.County) <=> "Beta County" && col(C.City) <=> "Shore"))
+        .select(keys.map(col): _*)
+        .unionByName(Seq(("Zeta County", "Ghost Town", Option.empty[String]))
+          .toDF(C.County, C.City, C.Coastal))
+      BunnyHopFlow.qualityDiff(cur, prev, keys)
+        .orderBy(keys.map(col): _*)
+    },
+      Some(s"""WITH pub AS (SELECT ${C.County}, ${C.City}, ${C.Coastal}
+         |  FROM ${Goldens.valuesTable("p01_bunnyhop_merged.tsv", Seq(
+          "CDTFA_CITY" -> "VARCHAR", "CDTFA_COPRI" -> "VARCHAR",
+          "CDTFA_COUNTY" -> "VARCHAR", "CENSUS_PLACE_NAME" -> "VARCHAR",
+          "CENSUS_GEOID" -> "VARCHAR", "CENSUS_PLACE_TYPE" -> "VARCHAR",
+          "GNIS_PLACE_NAME" -> "VARCHAR", "GNIS_ID" -> "BIGINT",
+          "CDT_COUNTY_ABBR" -> "VARCHAR", "CDT_NAME_SHORT" -> "VARCHAR",
+          "OFFSHORE" -> "VARCHAR", "area_sqmi" -> "DOUBLE"))}),
+         |cur AS (SELECT *, 1 AS in_cur FROM pub),
+         |prev AS (
+         |  SELECT *, 1 AS in_prev FROM pub
+         |  WHERE NOT (${C.County} IS NOT DISTINCT FROM 'Beta County'
+         |         AND ${C.City} IS NOT DISTINCT FROM 'Shore')
+         |  UNION ALL SELECT 'Zeta County', 'Ghost Town', NULL, 1)
+         |SELECT coalesce(c.${C.County}, p.${C.County}) AS ${C.County},
+         |       coalesce(c.${C.City}, p.${C.City}) AS ${C.City},
+         |       coalesce(c.${C.Coastal}, p.${C.Coastal}) AS ${C.Coastal},
+         |       CASE WHEN c.in_cur IS NULL THEN 'removed'
+         |            WHEN p.in_prev IS NULL THEN 'added' END AS change
+         |FROM cur c FULL OUTER JOIN prev p
+         |  ON  c.${C.County} IS NOT DISTINCT FROM p.${C.County}
+         |  AND c.${C.City} IS NOT DISTINCT FROM p.${C.City}
+         |  AND c.${C.Coastal} IS NOT DISTINCT FROM p.${C.Coastal}
+         |WHERE c.in_cur IS NULL OR p.in_prev IS NULL
+         |ORDER BY ${C.County}, ${C.City}, ${C.Coastal}""".stripMargin),
+      sparkParity = false)
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(p01_bunnyhop_merged, p02_bunnyhop_unincorporated, p03_quality_gate)
 }

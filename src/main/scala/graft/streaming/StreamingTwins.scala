@@ -25,12 +25,36 @@ object StreamingTwins {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open the events directory as a stream; ns-long → µs timestamp. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  // single-file inputs staged into their own directory, memoized per
+  // source path so bench reps don't re-copy
+  private val staged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The file stream source reads DIRECTORIES; a single-file path is
+    * staged (copied once) into a temp directory. Only a local-harness
+    * adapter — a production stream tails a landing directory anyway.
+    */
+  private def streamableDir(path: String): String = {
+    val f = new java.io.File(path)
+    if (!f.isFile) path
+    else staged.getOrElseUpdate(path, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+      dir.toFile.deleteOnExit()
+      val dst = dir.resolve(f.getName)
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.deleteOnExit()
+      dir.toString
+    })
+  }
+
+  /** Open the events table as a stream; ns-long → µs timestamp.
+    * `path` may be a directory or a single parquet file.
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
-      .parquet(dir)
+      .parquet(streamableDir(path))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -263,15 +287,22 @@ object StreamingTwins {
   def sessionize(events: Dataset[EventRow], gapSeconds: Long = 1800): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
 
+    // exact µs, not getTime*1000: getTime is ms-truncated, and the
+    // events corpus carries sub-ms µs components — a gap within 1 ms of
+    // exactly `gapSeconds` (or a same-ms ordering tie) would otherwise
+    // classify differently from the batch twin's unix_micros comparison
+    def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
     def update(
         userId: Long,
         rows: Iterator[EventRow],
         state: GroupState[SessionState]): Iterator[UserSessions] = {
-      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+      val sorted = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id))
       if (sorted.isEmpty) return Iterator.empty
       var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
       sorted.foreach { r =>
-        val us = r.ts.getTime * 1000L
+        val us = micros(r.ts)
         val isNew = st.lastTsMicros == Long.MinValue ||
           (us - st.lastTsMicros) > gapSeconds * 1000000L
         st = SessionState(us, if (isNew) st.sessions + 1 else st.sessions)

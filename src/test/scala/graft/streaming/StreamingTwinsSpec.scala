@@ -281,6 +281,14 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(last == Seq((5.0, 4L), (3.0, 2L)), last)
   }
 
+  test("x51 driver entry: file-path stream reproduces the batch q32 rows") {
+    // the driver hands the sf dir, and events.parquet is a single FILE —
+    // the entry must stream it anyway (readEvents passes basePath)
+    val x51 = graft.queries.ExtQueries.x51_streaming_sessionize.run(spark, sfDir)
+    val q32 = CorpusQueries.q32.run(spark, sfDir)
+    assert(x51.collect().toSeq == q32.collect().toSeq)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val q = StreamingTwins.dedupEvents(StreamingTwins.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("deduped")
