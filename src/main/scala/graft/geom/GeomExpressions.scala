@@ -34,6 +34,17 @@ object GeomOps {
     GeomCodec.write(GeomCodec.read(a).difference(GeomCodec.read(b)))
   def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     GeomCodec.write(GeomCodec.read(a).union(GeomCodec.read(b)))
+  /** OP-44 RepairGeometry kernel: already-valid geometries pass
+    * through byte-identical (the overwhelmingly common case — the
+    * validity check is cheap relative to a fix), invalid ones are
+    * repaired with JTS GeometryFixer.
+    */
+  def makeValid(wkb: Array[Byte]): Array[Byte] = {
+    val g = GeomCodec.read(wkb)
+    if (g.isValid) wkb
+    else GeomCodec.write(org.locationtech.jts.geom.util.GeometryFixer.fix(g))
+  }
+
   /** Polygonal component of a mixed-dimension overlay result (touching
     * inputs intersect in lines/points; planar overlay wants areas only).
     * All-polygonal inputs pass through byte-identical.
@@ -231,6 +242,29 @@ case class StPolygonalExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** `st_makevalid(geom)` as a native Catalyst expression with codegen —
+  * SURVEY §4's repair-up-front rule passes EVERY source row through it
+  * (p01/p02 hot path), so it belongs inside whole-stage codegen, not
+  * behind a UDF boundary. NULL in → NULL out (delete_null=False
+  * semantics, via nullIntolerant).
+  */
+case class StMakeValidExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_makevalid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GeomOps.makeValid(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.geom.GeomOps.makeValid($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StMakeValidExpr =
+    copy(child = newChild)
+}
+
 /** `st_transform(geom, fromSrid, toSrid)` as a native Catalyst
   * expression with codegen — the reprojection kernel runs on every row
   * of every published layer, so it stays inside whole-stage codegen.
@@ -298,6 +332,9 @@ object GeomExpressions {
   def st_polygonal_native(c: Column): Column =
     GraftColumnBridge.column(StPolygonalExpr(GraftColumnBridge.expression(c)))
 
+  def st_makevalid_native(c: Column): Column =
+    GraftColumnBridge.column(StMakeValidExpr(GraftColumnBridge.expression(c)))
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("st_area"),
       new ExpressionInfo(classOf[StAreaExpr].getName, "st_area"),
@@ -329,6 +366,9 @@ object GeomExpressions {
     (FunctionIdentifier("st_polygonal"),
       new ExpressionInfo(classOf[StPolygonalExpr].getName, "st_polygonal"),
       (exprs: Seq[Expression]) => StPolygonalExpr(exprs.head)),
+    (FunctionIdentifier("st_makevalid"),
+      new ExpressionInfo(classOf[StMakeValidExpr].getName, "st_makevalid"),
+      (exprs: Seq[Expression]) => StMakeValidExpr(exprs.head)),
     // grid decomposition primitives (the PBSM building blocks the
     // GridJoinRewrite emits) — exposed so SQL users can hand-build a
     // cell-partitioned spatial join or a cell-keyed layout

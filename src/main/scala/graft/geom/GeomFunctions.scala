@@ -28,15 +28,12 @@ object GeomFunctions {
     udf((wkb: Array[Byte]) => if (wkb == null) null else GeomCodec.wkbToWkt(wkb)).apply(_)
 
   /** OP-44 RepairGeometry (`bunny.py:221-226`): fix invalid rings,
-    * preserve nulls (delete_null=False semantics).
+    * preserve nulls (delete_null=False semantics) — native codegen'd
+    * expression ([[GeomExpressions.st_makevalid_native]]): every source
+    * row passes through it (repair-up-front), so it stays inside
+    * whole-stage codegen.
     */
-  val st_makevalid: Column => Column =
-    udf((wkb: Array[Byte]) => {
-      val g = read(wkb)
-      if (g == null) null
-      else if (g.isValid) wkb
-      else write(GeometryFixer.fix(g))
-    }).apply(_)
+  val st_makevalid: Column => Column = GeomExpressions.st_makevalid_native(_)
 
   /** Planar area in the geometry's own CRS units — native codegen'd
     * expression ([[GeomExpressions.st_area_native]]), not a UDF.
@@ -201,9 +198,9 @@ object GeomFunctions {
     val u = spark.udf
     u.register("st_geomfromwkt", (w: String) => if (w == null) null else GeomCodec.wktToWkb(w))
     u.register("st_aswkt", (b: Array[Byte]) => if (b == null) null else GeomCodec.wkbToWkt(b))
-    u.register("st_makevalid", (b: Array[Byte]) => {
-      val g = read(b); if (g == null) null else if (g.isValid) b else write(GeometryFixer.fix(g))
-    })
+    // st_makevalid is NOT registered here: it is a native injected
+    // expression (GraftExtensions), and a UDF of the same name would
+    // shadow it out of whole-stage codegen
     u.register("st_isempty", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Boolean.valueOf(g.isEmpty) })
     u.register("st_isvalid", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Boolean.valueOf(g.isValid) })
     u.register("st_numgeometries", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Integer.valueOf(g.getNumGeometries) })

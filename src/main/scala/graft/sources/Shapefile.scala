@@ -17,30 +17,65 @@ import graft.geom.GeomCodec
   * exchanges data in exactly this format, so the "complete engine"
   * reads it natively — no GDAL/GeoTools in the jars.
   *
-  * Driver-side parse + parallelize, sized for source-ingest layers
-  * (boundary files are ≤ tens of MB); a shapefile *lake* at scale
-  * would list files and parse inside mapPartitions with this same
-  * record parser.
+  * Two scan paths share one record parser: [[read]] parses a single
+  * base driver-side (sized for source-ingest boundary layers, ≤ tens
+  * of MB), and [[readDir]] scans a directory of shapefiles
+  * distributed — one executor task per file, the driver touching only
+  * the file listing and one .dbf header.
   */
 object Shapefile {
+
+  /** One file's live rows, parsed with the shared record parser —
+    * the per-task unit of both [[read]] and [[readDir]].
+    */
+  private def fileRows(base: String): Seq[Row] = {
+    val geoms = readShp(s"$base.shp")
+    val (_, allAttrs, live) = readDbfRaw(s"$base.dbf")
+    require(geoms.length == allAttrs.length,
+      s"$base.shp has ${geoms.length} records but .dbf has ${allAttrs.length}")
+    // records flagged deleted in the .dbf drop together with their
+    // positional .shp twin — dBASE deletion is logical, the .shp record
+    // is still physically present
+    allAttrs.zip(geoms).zip(live).collect { case ((a, g), true) =>
+      Row.fromSeq(a :+ (if (g == null) null else GeomCodec.write(g)))
+    }
+  }
 
   /** Read `base.shp` + `base.dbf` into a DataFrame: one column per
     * dbf field (C→string, N/F→double, L→boolean, else string) plus
     * `geom` WKB.
     */
   def read(spark: SparkSession, base: String): DataFrame = {
-    val geoms = readShp(s"$base.shp")
-    val (fields, allAttrs, live) = readDbfRaw(s"$base.dbf")
-    require(geoms.length == allAttrs.length,
-      s".shp has ${geoms.length} records but .dbf has ${allAttrs.length}")
-    val schema = StructType(fields :+ StructField("geom", BinaryType, nullable = true))
-    // records flagged deleted in the .dbf drop together with their
-    // positional .shp twin — dBASE deletion is logical, the .shp record
-    // is still physically present
-    val rows = allAttrs.zip(geoms).zip(live).collect { case ((a, g), true) =>
-      Row.fromSeq(a :+ (if (g == null) null else GeomCodec.write(g)))
+    val schema = StructType(
+      readDbfSchema(s"$base.dbf") :+ StructField("geom", BinaryType, nullable = true))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(fileRows(base), 1), schema)
+  }
+
+  /** Distributed scan of a DIRECTORY of shapefiles (a shapefile lake):
+    * the driver only LISTS the `.shp` bases and reads one .dbf HEADER
+    * for the schema; each executor task then parses whole files with
+    * the same record parser `read` uses — bytes never pass through the
+    * driver, and parallelism is one task per file (a shapefile caps at
+    * 2 GB, so a file is a bounded work unit). Every member must share
+    * the schema (verified per task, not just on the probe file).
+    */
+  def readDir(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val bases = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".shp"))
+      .map(_.stripSuffix(".shp")).toSeq.sorted
+    require(bases.nonEmpty, s"no .shp files under $dir")
+    val probe = readDbfSchema(s"${bases.head}.dbf")
+    val schema = StructType(probe :+ StructField("geom", BinaryType, nullable = true))
+    val names = probe.map(f => f.name -> f.dataType)
+    val rdd = spark.sparkContext.parallelize(bases, bases.length).flatMap { base =>
+      val fs = readDbfSchema(s"$base.dbf").map(f => f.name -> f.dataType)
+      require(fs == names,
+        s"$base.dbf schema $fs differs from ${bases.head}: $names")
+      fileRows(base)
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    spark.createDataFrame(rdd, schema)
   }
 
   /** .shp: 100-byte header then length-prefixed records. Supports
@@ -353,6 +388,46 @@ object Shapefile {
     (schema, rows.zip(live).collect { case (r, true) => r })
   }
 
+  private final case class DbfField(name: String, typ: Char, len: Int)
+
+  private def parseFieldDescriptors(bytes: Array[Byte], headerSize: Int): Seq[DbfField] = {
+    val fields = new ArrayBuffer[DbfField]
+    var fp = 32
+    while (fp < headerSize - 1 && bytes(fp) != 0x0d) {
+      val name = new String(bytes, fp, 11, "ASCII").takeWhile(_ != 0).trim
+      val typ = bytes(fp + 11).toChar
+      val len = bytes(fp + 16) & 0xff
+      fields += DbfField(name, typ, len)
+      fp += 32
+    }
+    fields.toSeq
+  }
+
+  private def sparkType(t: Char): DataType = t match {
+    case 'N' | 'F' => DoubleType
+    case 'L'       => BooleanType
+    case _         => StringType
+  }
+
+  /** Schema from the .dbf HEADER alone (32-byte prologue + field
+    * descriptors) — the driver-side cost of [[readDir]] stays a few
+    * hundred bytes per probe regardless of file size.
+    */
+  def readDbfSchema(path: String): Seq[StructField] = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val pro = new Array[Byte](32)
+      raf.readFully(pro)
+      val headerSize =
+        (pro(8) & 0xff) | ((pro(9) & 0xff) << 8)   // LE unsigned short
+      val header = new Array[Byte](headerSize)
+      System.arraycopy(pro, 0, header, 0, 32)
+      raf.readFully(header, 32, headerSize - 32)
+      parseFieldDescriptors(header, headerSize)
+        .map(f => StructField(f.name, sparkType(f.typ), nullable = true))
+    } finally raf.close()
+  }
+
   /** All records plus a liveness mask, so [[read]] can drop the .shp
     * twin of a deleted .dbf record by position.
     */
@@ -363,22 +438,9 @@ object Shapefile {
     val headerSize = buf.getShort(8) & 0xffff
     val recordSize = buf.getShort(10) & 0xffff
 
-    final case class DbfField(name: String, typ: Char, len: Int)
     val fields = new ArrayBuffer[DbfField]
-    var fp = 32
-    while (fp < headerSize - 1 && bytes(fp) != 0x0d) {
-      val name = new String(bytes, fp, 11, "ASCII").takeWhile(_ != 0).trim
-      val typ = bytes(fp + 11).toChar
-      val len = bytes(fp + 16) & 0xff
-      fields += DbfField(name, typ, len)
-      fp += 32
-    }
+    fields ++= parseFieldDescriptors(bytes, headerSize)
 
-    def sparkType(t: Char): DataType = t match {
-      case 'N' | 'F' => DoubleType
-      case 'L'       => BooleanType
-      case _         => StringType
-    }
     val schema = fields.map(f => StructField(f.name, sparkType(f.typ), nullable = true)).toSeq
 
     val live = (0 until numRecords).map(r => bytes(headerSize + r * recordSize) != 0x2a)

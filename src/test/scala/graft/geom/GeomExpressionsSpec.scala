@@ -87,6 +87,43 @@ class GeomExpressionsSpec extends SparkTestBase {
     assert(out.getDouble(0) == 1.0 && out.getDouble(1) == 3.0 && out.getDouble(2) == 7.0)
   }
 
+  test("native st_makevalid repairs bowties, passes valid/null through, codegens") {
+    // bowtie (self-intersecting) square: invalid; fixer splits it at
+    // the crossing point (1,1) into two unit-area triangles
+    val rows = Seq(
+      "POLYGON((0 0, 2 2, 2 0, 0 2, 0 0))",       // bowtie -> repaired
+      "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))",       // valid -> untouched
+      null
+    ).toDF("w")
+      .withColumn("g", G.st_geomfromwkt($"w"))
+      .select(
+        GeomExpressions.st_makevalid_native($"g").as("fixed"),
+        $"g")
+      .collect()
+    val fixed0 = GeomCodec.read(rows(0).getAs[Array[Byte]]("fixed"))
+    assert(fixed0.isValid && math.abs(fixed0.getArea - 2.0) < 1e-9)
+    // valid input passes through byte-identical (no re-encode)
+    assert(java.util.Arrays.equals(
+      rows(1).getAs[Array[Byte]]("fixed"), rows(1).getAs[Array[Byte]]("g")))
+    assert(rows(2).isNullAt(0))
+
+    // SQL registration
+    GeomFunctions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT st_area(st_makevalid(st_geomfromwkt('POLYGON((0 0, 2 2, 2 0, 0 2, 0 0))'))) AS a")
+      .collect()(0).getDouble(0)
+    assert(math.abs(viaSql - 2.0) < 1e-9)
+
+    // hot path demand: stays inside whole-stage codegen
+    val plan = spark.range(4)
+      .withColumn("g", G.st_geomfromwkt(lit("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))")))
+      .select(GeomExpressions.st_area_native(
+        GeomExpressions.st_makevalid_native($"g")).as("a"))
+      .filter($"a" > 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"), plan)
+  }
+
   test("constructive chain stays inside whole-stage codegen") {
     val df = spark.range(4)
       .withColumn("a", G.st_geomfromwkt(lit("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))")))

@@ -78,6 +78,35 @@ class ShapefileSpec extends SparkTestBase {
     assert(nBack(1).getAs[Array[Byte]]("geom") == null)
   }
 
+  test("readDir: distributed scan of a 2-file directory equals the per-file reads") {
+    val dir = java.nio.file.Files.createTempDirectory("shp_lake").toString
+    val df = Shapefile.read(spark, base)
+    // two members with the same schema but disjoint rows
+    Shapefile.write(df.filter(col("NAME") === "Alpha"), s"$dir/part_a")
+    Shapefile.write(df.filter(col("NAME") === "Beta"), s"$dir/part_b")
+
+    val lake = Shapefile.readDir(spark, dir)
+    assert(lake.rdd.getNumPartitions == 2)          // one task per file
+    val got = lake.withColumn("area", G.st_area(col("geom")))
+      .orderBy("NAME").collect()
+    val want = Shapefile.read(spark, s"$dir/part_a")
+      .unionByName(Shapefile.read(spark, s"$dir/part_b"))
+      .withColumn("area", G.st_area(col("geom")))
+      .orderBy("NAME").collect()
+    assert(got.length == 2)
+    assert(got.toSeq == want.toSeq)
+
+    // schema drift across members fails loudly, not silently
+    import spark.implicits._
+    Shapefile.write(Seq(("x", 1.0, graft.geom.GeomCodec.wktToWkb("POINT(0 0)")))
+      .toDF("OTHER", "EXTRA", "geom"), s"$dir/part_c")
+    val err = intercept[org.apache.spark.SparkException] {
+      Shapefile.readDir(spark, dir).count()
+    }
+    assert(err.getMessage.contains("differs from") ||
+      Option(err.getCause).exists(_.getMessage.contains("differs from")))
+  }
+
   test("shx index matches the shp records") {
     val tmp = java.nio.file.Files.createTempDirectory("shp_shx").toString + "/x"
     Shapefile.write(Shapefile.read(spark, base), tmp)
