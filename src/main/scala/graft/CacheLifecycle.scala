@@ -56,12 +56,35 @@ object CacheLifecycle {
         it.remove()
       }
     }
+    val rit = trackedRdds.iterator()
+    while (rit.hasNext) {
+      val rdd = rit.next()
+      if (rdd.sparkContext eq spark.sparkContext) {
+        rdd.unpersist(blocking = false)
+        rit.remove()
+      }
+    }
+  }
+
+  private val trackedRdds =
+    new ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Persist and track a raw RDD (operators below the DataFrame layer,
+    * e.g. the grid kNN join's result) for the next [[release]].
+    */
+  def persistRdd[T](
+      rdd: org.apache.spark.rdd.RDD[T],
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): org.apache.spark.rdd.RDD[T] = {
+    rdd.persist(level)
+    trackedRdds.add(rdd)
+    rdd
   }
 
   /** Tracked-entry count for `spark` — spec hook. */
   def trackedCount(spark: SparkSession): Int = {
     var n = 0
     tracked.forEach(df => if (df.sparkSession eq spark) n += 1)
+    trackedRdds.forEach(r => if (r.sparkContext eq spark.sparkContext) n += 1)
     n
   }
 }

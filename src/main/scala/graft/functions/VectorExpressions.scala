@@ -49,22 +49,50 @@ object VecOps {
 
   /** PQ ADC score: Σⱼ table(j)(code(j)) — m array lookups per row,
     * identical double-addition order to the scalar spec (the x47
-    * golden is bit-exact against it).
+    * golden is bit-exact against it). `adc_score` is on the public SQL
+    * surface, so out-of-range codes fail with a descriptive message
+    * instead of a raw ArrayIndexOutOfBoundsException; the checks are
+    * integer compares against values already in registers — noise next
+    * to the array loads.
     */
   def adc(code: ArrayData, table: ArrayData): Double = {
     val m = code.numElements()
+    if (m > table.numElements())
+      throw new IllegalArgumentException(
+        s"adc_score: code has $m subspaces but the distance table has only " +
+          s"${table.numElements()} — the code and table must come from the same PqModel")
     var s = 0.0
     var j = 0
-    while (j < m) { s += table.getArray(j).getDouble(code.getInt(j)); j += 1 }
+    while (j < m) {
+      val sub = table.getArray(j)
+      val c = code.getInt(j)
+      if (c < 0 || c >= sub.numElements())
+        throw new IllegalArgumentException(
+          s"adc_score: code($j) = $c is outside [0, ${sub.numElements()}) — " +
+            "codes must be produced by pqEncode with the matching PqModel")
+      s += sub.getDouble(c)
+      j += 1
+    }
     s
   }
 
   /** IVF-PQ ADC: per-cell table select then [[adc]] — `tables` is
-    * dense over cell ids (unprobed cells hold empty arrays; the cell
-    * IN-list filter guarantees they are never reached).
+    * dense over cell ids (unprobed cells hold empty arrays; the
+    * curated ivfPqTopK path's cell IN-list filter guarantees they are
+    * never reached, but arbitrary SQL callers get a descriptive error
+    * rather than a wrong score or a raw index exception).
     */
-  def adcCell(cell: Int, code: ArrayData, tables: ArrayData): Double =
-    adc(code, tables.getArray(cell))
+  def adcCell(cell: Int, code: ArrayData, tables: ArrayData): Double = {
+    if (cell < 0 || cell >= tables.numElements())
+      throw new IllegalArgumentException(
+        s"adc_score_cells: cell $cell is outside [0, ${tables.numElements()})")
+    val t = tables.getArray(cell)
+    if (t.numElements() == 0)
+      throw new IllegalArgumentException(
+        s"adc_score_cells: cell $cell was not probed (empty distance table) — " +
+          "rows must be filtered to the probed cells before scoring")
+    adc(code, t)
+  }
 }
 
 /** `sig_eqcount(a, b)`: number of positions where two long-array

@@ -90,6 +90,16 @@ object Dedup {
     * `idCol`) — `max` skips nulls and the equi-semi-join cannot match
     * them, so a null-version row always loses and a key with ONLY
     * null versions is dropped entirely.
+    *
+    * Plan cost note: `current` appears on both sides of the final
+    * semi-join (directly and under `tieBreak`), and Catalyst does not
+    * dedupe self-referenced subtrees, so the source scan and the
+    * max(version) aggregate each evaluate twice (~4 scans of a
+    * columnar source). Deliberate: both passes are map-side-combining
+    * two-phase aggregates over a pruned scan, which at 100 TB beats
+    * both a persist of `current` (corpus-sized cache) and the
+    * row_number window (hot-key funnel). For a very expensive source,
+    * persist upstream and pass the cached frame in.
     */
   def keepLatest(
       df: DataFrame, keyCol: String, versionCol: String, idCol: String): DataFrame = {

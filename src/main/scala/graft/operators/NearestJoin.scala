@@ -34,6 +34,25 @@ object NearestJoin {
     * a driver OOM. Raise it explicitly for a bigger reference layer
     * (and a bigger driver), or pre-aggregate/simplify the right side.
     */
+  /** Shared output contract of both kNN paths: left columns, right
+    * columns as `near_<name>`, plus `near_distance`; collisions fail
+    * loudly.
+    */
+  private def outputSchema(
+      leftSchema: StructType, rightSchema: StructType): StructType = {
+    val outNames = leftSchema.fieldNames ++
+      rightSchema.fieldNames.map(n => s"near_$n") :+ "near_distance"
+    val dups = outNames.groupBy(identity).collect { case (n, vs) if vs.length > 1 => n }
+    require(dups.isEmpty,
+      s"output column collision: ${dups.mkString(", ")} — rename the offending " +
+        "left column or right column (right columns surface as near_<name>, " +
+        "plus the synthetic near_distance)")
+    StructType(
+      leftSchema.fields ++
+        rightSchema.fields.map(f => f.copy(name = s"near_${f.name}")) :+
+        StructField("near_distance", DoubleType, nullable = false))
+  }
+
   def nearestJoin(
       left: DataFrame, leftGeom: String,
       right: DataFrame, rightGeom: String,
@@ -54,14 +73,7 @@ object NearestJoin {
         "driver really has the memory.")
     val spark = left.sparkSession
     val rightSchema = right.schema
-
-    val outNames = left.schema.fieldNames ++
-      rightSchema.fieldNames.map(n => s"near_$n") :+ "near_distance"
-    val dups = outNames.groupBy(identity).collect { case (n, vs) if vs.length > 1 => n }
-    require(dups.isEmpty,
-      s"output column collision: ${dups.mkString(", ")} — rename the offending " +
-        "left column or right column (right columns surface as near_<name>, " +
-        "plus the synthetic near_distance)")
+    val outSchema = outputSchema(left.schema, rightSchema)
 
     val rightGeomIdx = rightSchema.fieldIndex(rightGeom)
     // build the STRtree ONCE on the driver (right is broadcast-sized
@@ -82,11 +94,6 @@ object NearestJoin {
     val nRight = n
     val leftGeomIdx = left.schema.fieldIndex(leftGeom)
     val kk = k
-
-    val outSchema = StructType(
-      left.schema.fields ++
-        rightSchema.fields.map(f => f.copy(name = s"near_${f.name}")) :+
-        StructField("near_distance", DoubleType, nullable = false))
 
     val rdd = left.rdd.mapPartitions { iter =>
       if (nRight == 0) Iterator.empty
@@ -120,5 +127,202 @@ object NearestJoin {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Both-sides-huge kNN join — the grid-partitioned fallback for when
+    * the right side is NOT a broadcast-sized reference layer (the case
+    * [[nearestJoin]] refuses). Same output contract and same
+    * deterministic semantics (ties at equal distance break on a stable
+    * right-row id).
+    *
+    * Algorithm (the PBSM shape of [[graft.plans.GridSpatialJoinExec]]
+    * turned into a bounded kNN search):
+    *
+    *  1. Right rows are tagged to every fixed grid cell their envelope
+    *     overlaps — ONCE, reused by every round.
+    *  2. Round `i` tags the still-unresolved left rows to the cells of
+    *     their envelope expanded by radius r (cellSize·2ⁱ), cogroups by
+    *     cell, and per cell probes an STRtree of the cell's right rows.
+    *     The reference-point rule (the cell owning the top-left corner
+    *     of the envelope intersection emits the pair) makes every
+    *     candidate pair unique with no global distinct, exactly as in
+    *     the predicate grid join. Candidates are kept only at geometric
+    *     distance ≤ r: any unexamined right row is provably farther
+    *     than r, so a left row with ≥ k candidates has its TRUE top-k
+    *     and resolves. The rest carry to the next round with r doubled.
+    *  3. Rows still unresolved when r reaches cellSize·2⁴ (their
+    *     r-ball would span >~1000 cells — isolated outliers in sparse
+    *     space) take the residual path: they are collected (bounded by
+    *     `maxResidualRows`) and broadcast against one partition-parallel
+    *     scan of the right side with a per-partition k-heap — the
+    *     classic tiny-side broadcast, now with the SMALL side being the
+    *     stragglers.
+    *
+    * Scale properties: shuffle volume per round is
+    * O(unresolved-rows × cells-per-envelope + right-rows ×
+    * cells-per-envelope); parallelism is #occupied cells; memory per
+    * task is one cell's rows. Left rows resolve (and leave the shuffle)
+    * as soon as their neighborhood is dense enough, so round volume
+    * decays geometrically for any non-adversarial distribution. Pick
+    * `cellSize` so an average cell holds ≳k right rows — then almost
+    * everything resolves in round 1–2.
+    *
+    * The rounds run eagerly (the loop needs per-round resolution
+    * counts); the returned DataFrame wraps the materialized result,
+    * persisted via [[graft.CacheLifecycle]].
+    */
+  def nearestJoinGrid(
+      left: DataFrame, leftGeom: String,
+      right: DataFrame, rightGeom: String,
+      k: Int = 1,
+      cellSize: Double = 1.0,
+      numPartitions: Int = 32,
+      maxResidualRows: Long = 4_000_000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(cellSize > 0, "cellSize must be positive")
+    require(numPartitions >= 1, "numPartitions must be >= 1")
+    val spark = left.sparkSession
+    val outSchema = outputSchema(left.schema, right.schema)
+    val lgIdx = left.schema.fieldIndex(leftGeom)
+    val rgIdx = right.schema.fieldIndex(rightGeom)
+    val cs = cellSize
+    val kk = k
+
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    import org.locationtech.jts.geom.Envelope
+    import scala.jdk.CollectionConverters._
+
+    def cellsOf(env: Envelope): Iterator[(Long, Long)] = {
+      val x0 = math.floor(env.getMinX / cs).toLong
+      val x1 = math.floor(env.getMaxX / cs).toLong
+      val y0 = math.floor(env.getMinY / cs).toLong
+      val y1 = math.floor(env.getMaxY / cs).toLong
+      for { cx <- (x0 to x1).iterator; cy <- (y0 to y1).iterator } yield (cx, cy)
+    }
+    def mergeTopK(
+        a: List[(Double, Long, Row)], b: List[(Double, Long, Row)]) =
+      (a ++ b).sortBy(t => (t._1, t._2)).take(kk)
+
+    // stable row ids: the left id keys the per-row search state across
+    // rounds; the right id is the deterministic distance tiebreak
+    val leftById: RDD[(Long, (Array[Byte], Row))] =
+      left.rdd.zipWithUniqueId().flatMap { case (row, lid) =>
+        Option(row.getAs[Array[Byte]](lgIdx)).map(wkb => (lid, (wkb, row)))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    val rightById: RDD[(Long, (Array[Byte], Row))] =
+      right.rdd.zipWithUniqueId().flatMap { case (row, rid) =>
+        Option(row.getAs[Array[Byte]](rgIdx)).map(wkb => (rid, (wkb, row)))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    val rightTagged: RDD[((Long, Long), (Long, Array[Byte], Row))] =
+      rightById.flatMap { case (rid, (wkb, row)) =>
+        cellsOf(GeomCodec.read(wkb).getEnvelopeInternal).map(c => (c, (rid, wkb, row)))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+
+    val resolvedParts = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
+    val roundPersists = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+    var remaining = leftById
+    var r = cs
+    val maxGridR = cs * 16    // past this an r-ball spans >~1000 cells
+    var exhausted = remaining.isEmpty()
+
+    while (!exhausted && r <= maxGridR) {
+      val rr = r
+      val leftTagged = remaining.flatMap { case (lid, (wkb, row)) =>
+        val env = new Envelope(GeomCodec.read(wkb).getEnvelopeInternal)
+        env.expandBy(rr)
+        cellsOf(env).map(c => (c, (lid, wkb, row)))
+      }
+      val cand: RDD[(Long, List[(Double, Long, Row)])] =
+        leftTagged.cogroup(rightTagged, numPartitions).flatMap {
+          case ((cx, cy), (ls, rs)) =>
+            if (ls.isEmpty || rs.isEmpty) Iterator.empty
+            else {
+              val cellMinX = cx * cs; val cellMaxX = cellMinX + cs
+              val cellMinY = cy * cs; val cellMaxY = cellMinY + cs
+              val tree = new STRtree()
+              rs.foreach { case (rid, wkb, row) =>
+                val g = GeomCodec.read(wkb)
+                tree.insert(g.getEnvelopeInternal, (rid, g, row))
+              }
+              tree.build()
+              ls.iterator.flatMap { case (lid, wkb, lrow) =>
+                val lg = GeomCodec.read(wkb)
+                val lEnv = new Envelope(lg.getEnvelopeInternal)
+                lEnv.expandBy(rr)
+                val cands = tree.query(lEnv).asScala.iterator
+                  .map(_.asInstanceOf[(Long, Geometry, Row)])
+                  .filter { case (_, rg, _) =>
+                    // reference-point pair ownership (see class doc)
+                    val rEnv = rg.getEnvelopeInternal
+                    val refX = math.max(lEnv.getMinX, rEnv.getMinX)
+                    val refY = math.max(lEnv.getMinY, rEnv.getMinY)
+                    refX >= cellMinX && refX < cellMaxX &&
+                      refY >= cellMinY && refY < cellMaxY
+                  }
+                  .map { case (rid, rg, rrow) => (lg.distance(rg), rid, rrow) }
+                  .filter(_._1 <= rr)
+                  .toList.sortBy(t => (t._1, t._2)).take(kk)
+                if (cands.isEmpty) Iterator.empty else Iterator.single((lid, cands))
+              }
+            }
+        }.reduceByKey(mergeTopK(_, _), numPartitions)
+
+      val joined = remaining.leftOuterJoin(cand, numPartitions)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      roundPersists += joined
+      resolvedParts += joined.flatMap {
+        case (_, ((_, lrow), Some(cands))) if cands.size >= kk =>
+          cands.map { case (d, _, rrow) => Row.fromSeq(lrow.toSeq ++ rrow.toSeq :+ d) }
+        case _ => Nil
+      }
+      remaining = joined.collect {
+        case (lid, (lv, copt)) if !copt.exists(_.size >= kk) => (lid, lv)
+      }
+      exhausted = remaining.isEmpty()
+      r *= 2
+    }
+
+    if (!exhausted) {
+      // residual path: the handful of isolated rows left after the grid
+      // rounds broadcast against one scan of the right side
+      val lefts = remaining.collect()
+      require(lefts.length <= maxResidualRows,
+        s"nearestJoinGrid residual has ${lefts.length} unresolved rows " +
+          s"(> maxResidualRows=$maxResidualRows): the grid rounds resolved " +
+          "almost nothing, which means cellSize is far too small for the " +
+          "data's extent — raise cellSize so an average cell holds at " +
+          "least k right rows, or raise maxResidualRows.")
+      val bc = spark.sparkContext.broadcast(
+        lefts.map { case (lid, (wkb, row)) => (lid, wkb, row) })
+      val partial = rightById.mapPartitions { iter =>
+        val ls = bc.value.map { case (lid, wkb, row) =>
+          (lid, GeomCodec.read(wkb), row)
+        }
+        val best = scala.collection.mutable.Map.empty[Long, List[(Double, Long, Row)]]
+        iter.foreach { case (rid, (rwkb, rrow)) =>
+          val rg = GeomCodec.read(rwkb)
+          ls.foreach { case (lid, lg, _) =>
+            best.updateWith(lid)(cur =>
+              Some(mergeTopK(cur.getOrElse(Nil), List((lg.distance(rg), rid, rrow)))))
+          }
+        }
+        best.iterator
+      }.reduceByKey(mergeTopK(_, _), numPartitions)
+      resolvedParts += remaining.join(partial, numPartitions).flatMap {
+        case (_, ((_, lrow), cands)) =>
+          cands.map { case (d, _, rrow) => Row.fromSeq(lrow.toSeq ++ rrow.toSeq :+ d) }
+      }
+    }
+
+    // materialize the result, then drop the loop's internal persists —
+    // the returned plan must not depend on them
+    val out = graft.CacheLifecycle.persistRdd(
+      if (resolvedParts.isEmpty) spark.sparkContext.emptyRDD[Row]
+      else spark.sparkContext.union(resolvedParts.toSeq))
+    out.count()
+    (Seq(leftById, rightById, rightTagged) ++ roundPersists)
+      .foreach(_.unpersist(blocking = false))
+    spark.createDataFrame(out, outSchema)
   }
 }

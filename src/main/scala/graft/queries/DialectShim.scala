@@ -61,6 +61,11 @@ object DialectShim {
     s = s.replaceAll("""\blist_contains\(""", "array_contains(")
     s = s.replaceAll("""\blist_filter\(""", "filter(")
     s = s.replaceAll("""\blist_distinct\(""", "array_distinct(")
+    // SCOPE: valid only for SELECT-position, single-generator unnest —
+    // every current oracle qualifies. A future FROM-clause / LATERAL
+    // unnest, or two unnests in one SELECT (Spark allows one generator
+    // per SELECT), would rewrite into a Spark analysis error; extend to
+    // a LATERAL VIEW rewrite then, don't widen this regex.
     s = s.replaceAll("""\bunnest\(""", "explode(")
     // DuckDB list literal ['a','b'] / [CAST(...), ...] → Spark
     // array(...). Only when the content starts with a quote or CAST —

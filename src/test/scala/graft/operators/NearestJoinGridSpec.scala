@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.geom.GeomCodec
+
+/** The grid-partitioned kNN fallback must return EXACTLY the broadcast
+  * path's answer — same rows, same distances — under every dispatch:
+  * dense data resolving in the first grid rounds, sparse outliers
+  * falling through to the residual broadcast pass, and k larger than
+  * the right side.
+  */
+class NearestJoinGridSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pts(n: Int, seed: Long, extent: Double) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      (i.toLong, GeomCodec.wktToWkb(
+        s"POINT(${rnd.nextDouble() * extent} ${rnd.nextDouble() * extent})"))
+    }
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id"), col("near_rid"), round(col("near_distance"), 9).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+
+  test("grid kNN equals broadcast kNN on dense points (grid rounds resolve)") {
+    val left = pts(120, seed = 1, extent = 10).toDF("id", "geom")
+    val right = pts(200, seed = 2, extent = 10)
+      .map { case (i, g) => (i, g, s"r$i") }.toDF("rid", "geom", "tag")
+    val brute = NearestJoin.nearestJoin(left, "geom", right, "geom", k = 3)
+    val grid = NearestJoin.nearestJoinGrid(left, "geom", right, "geom", k = 3,
+      cellSize = 2.0, numPartitions = 4)
+    assert(canon(grid) == canon(brute))
+    // and the payload columns ride along identically
+    assert(grid.columns.toSeq == brute.columns.toSeq)
+    assert(grid.filter(col("near_tag").isNull).count() == 0)
+  }
+
+  test("grid kNN equals broadcast kNN when outliers need the residual pass") {
+    // a tight cluster plus far-flung outliers; cellSize so small that
+    // the outliers' neighbors sit hundreds of cells away -> they cannot
+    // resolve within the 5 grid rounds and take the residual path
+    val cluster = pts(40, seed = 3, extent = 1.0)
+    val outliers = Seq(
+      (900L, GeomCodec.wktToWkb("POINT(500 500)")),
+      (901L, GeomCodec.wktToWkb("POINT(-400 300)")))
+    val left = (cluster ++ outliers).toDF("id", "geom")
+    val right = pts(60, seed = 4, extent = 1.0)
+      .map { case (i, g) => (i, g) }.toDF("rid", "geom")
+    val brute = NearestJoin.nearestJoin(left, "geom", right, "geom", k = 2)
+    val grid = NearestJoin.nearestJoinGrid(left, "geom", right, "geom", k = 2,
+      cellSize = 0.25, numPartitions = 4)
+    assert(canon(grid) == canon(brute))
+  }
+
+  test("grid kNN: k exceeding the right side yields all right rows per left") {
+    val left = pts(5, seed = 5, extent = 2.0).toDF("id", "geom")
+    val right = pts(3, seed = 6, extent = 2.0).toDF("rid", "geom")
+    val grid = NearestJoin.nearestJoinGrid(left, "geom", right, "geom", k = 10,
+      cellSize = 1.0, numPartitions = 2)
+    assert(grid.count() == 5 * 3)
+    val brute = NearestJoin.nearestJoin(left, "geom", right, "geom", k = 10)
+    assert(canon(grid) == canon(brute))
+  }
+
+  test("grid kNN: null left geometries drop, polygons on the right work") {
+    val left = (pts(10, seed = 7, extent = 4.0) :+ (99L, null: Array[Byte]))
+      .toDF("id", "geom")
+    val right = Seq(
+      (1L, GeomCodec.wktToWkb("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))")),
+      (2L, GeomCodec.wktToWkb("POLYGON((3 3, 4 3, 4 4, 3 4, 3 3))"))
+    ).toDF("rid", "geom")
+    val brute = NearestJoin.nearestJoin(left, "geom", right, "geom", k = 1)
+    val grid = NearestJoin.nearestJoinGrid(left, "geom", right, "geom", k = 1,
+      cellSize = 1.0, numPartitions = 2)
+    assert(grid.filter(col("id") === 99L).count() == 0)
+    assert(canon(grid) == canon(brute))
+  }
+}

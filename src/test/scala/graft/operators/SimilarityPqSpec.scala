@@ -93,6 +93,30 @@ class SimilarityPqSpec extends SparkTestBase {
     assert(rc == 5.0, rc)
   }
 
+  test("adc_score / adc_score_cells reject out-of-range SQL inputs with clear errors") {
+    def messageOf(sql: String): String = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+    }
+    // code value beyond the codeword table
+    assert(messageOf(
+      "SELECT adc_score(array(7), array(array(1.0D, 2.0D)))")
+      .contains("outside [0, 2)"))
+    // more subspaces than tables
+    assert(messageOf(
+      "SELECT adc_score(array(0, 0), array(array(1.0D)))")
+      .contains("same PqModel"))
+    // cell id beyond the table list
+    assert(messageOf(
+      "SELECT adc_score_cells(9, array(0), array(array(array(1.0D))))")
+      .contains("outside [0, 1)"))
+    // unprobed (empty) cell
+    assert(messageOf(
+      "SELECT adc_score_cells(0, array(0), array(array()))")
+      .contains("not probed"))
+  }
+
   test("pqTrain validates dimensions and sample size") {
     intercept[IllegalArgumentException](
       Similarity.pqTrain(clustered, "vec_id", "embedding", dim, m = 5))
