@@ -45,6 +45,13 @@ object GeomOps {
     else GeomCodec.write(org.locationtech.jts.geom.util.GeometryFixer.fix(g))
   }
 
+  /** OP-46 kernel: planar area in mi² computed in equal-area EPSG:3310
+    * regardless of the layer's CRS (`config.py:48-51` semantics).
+    */
+  def areaSqmi(wkb: Array[Byte], fromSrid: Int): Double =
+    CrsMath.transformGeometry(GeomCodec.read(wkb), fromSrid, 3310).getArea /
+      CrsMath.SquareMetersPerSquareMile
+
   /** Polygonal component of a mixed-dimension overlay result (touching
     * inputs intersect in lines/points; planar overlay wants areas only).
     * All-polygonal inputs pass through byte-identical.
@@ -265,6 +272,28 @@ case class StMakeValidExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** `st_area_sqmi(geom, srid)` as a native Catalyst expression with
+  * codegen — `finalizeLayer` stamps it on every published row (p01/p02
+  * hot path), the same repair-up-front argument as st_makevalid.
+  */
+case class StAreaSqmiExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_area_sqmi"
+
+  override protected def nullSafeEval(g: Any, srid: Any): Any =
+    GeomOps.areaSqmi(g.asInstanceOf[Array[Byte]], srid.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, s) => s"graft.geom.GeomOps.areaSqmi($g, $s)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): StAreaSqmiExpr =
+    copy(left = l, right = r)
+}
+
 /** `st_transform(geom, fromSrid, toSrid)` as a native Catalyst
   * expression with codegen — the reprojection kernel runs on every row
   * of every published layer, so it stays inside whole-stage codegen.
@@ -335,6 +364,10 @@ object GeomExpressions {
   def st_makevalid_native(c: Column): Column =
     GraftColumnBridge.column(StMakeValidExpr(GraftColumnBridge.expression(c)))
 
+  def st_area_sqmi_native(g: Column, srid: Column): Column =
+    GraftColumnBridge.column(StAreaSqmiExpr(
+      GraftColumnBridge.expression(g), GraftColumnBridge.expression(srid)))
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("st_area"),
       new ExpressionInfo(classOf[StAreaExpr].getName, "st_area"),
@@ -369,6 +402,9 @@ object GeomExpressions {
     (FunctionIdentifier("st_makevalid"),
       new ExpressionInfo(classOf[StMakeValidExpr].getName, "st_makevalid"),
       (exprs: Seq[Expression]) => StMakeValidExpr(exprs.head)),
+    (FunctionIdentifier("st_area_sqmi"),
+      new ExpressionInfo(classOf[StAreaSqmiExpr].getName, "st_area_sqmi"),
+      (exprs: Seq[Expression]) => StAreaSqmiExpr(exprs(0), exprs(1))),
     // grid decomposition primitives (the PBSM building blocks the
     // GridJoinRewrite emits) — exposed so SQL users can hand-build a
     // cell-partitioned spatial join or a cell-keyed layout

@@ -56,15 +56,12 @@ object GeomFunctions {
     GeomExpressions.st_transform_native(geom, fromSrid, toSrid)
 
   /** OP-46 area in mi², computed in equal-area EPSG:3310 regardless of
-    * layer CRS (`bunny.py:500-506`, `config.py:48-51`).
+    * layer CRS (`bunny.py:500-506`, `config.py:48-51`) — native
+    * codegen'd expression ([[GeomExpressions.st_area_sqmi_native]]):
+    * `finalizeLayer` stamps it on every published row.
     */
   def st_area_sqmi(geom: Column, srid: Column): Column =
-    udf((wkb: Array[Byte], from: Int) => {
-      val g = read(wkb)
-      if (g == null) null
-      else java.lang.Double.valueOf(
-        CrsMath.transformGeometry(g, from, 3310).getArea / CrsMath.SquareMetersPerSquareMile)
-    }).apply(geom, srid)
+    GeomExpressions.st_area_sqmi_native(geom, srid)
 
   // --- binary predicates (OP-49, coastline.py:129-147) ----------------
 
@@ -204,12 +201,8 @@ object GeomFunctions {
     u.register("st_isempty", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Boolean.valueOf(g.isEmpty) })
     u.register("st_isvalid", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Boolean.valueOf(g.isValid) })
     u.register("st_numgeometries", (b: Array[Byte]) => { val g = read(b); if (g == null) null else java.lang.Integer.valueOf(g.getNumGeometries) })
-    u.register("st_area_sqmi", (b: Array[Byte], from: Int) => {
-      val g = read(b)
-      if (g == null) null
-      else java.lang.Double.valueOf(
-        CrsMath.transformGeometry(g, from, 3310).getArea / CrsMath.SquareMetersPerSquareMile)
-    })
+    // st_area_sqmi is NOT registered here: native injected expression
+    // (GraftExtensions), same shadowing rule as st_makevalid
     u.register("st_centroid", (b: Array[Byte]) => { val g = read(b); if (g == null) null else write(g.getCentroid) })
     u.register("st_envelope", (b: Array[Byte]) => { val g = read(b); if (g == null) null else write(g.getEnvelope) })
     u.register("st_convexhull", (b: Array[Byte]) => { val g = read(b); if (g == null) null else write(g.convexHull()) })

@@ -124,6 +124,31 @@ class GeomExpressionsSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"), plan)
   }
 
+  test("native st_area_sqmi matches the 3310 equal-area contract and codegens") {
+    // 0.1° square at the equator in 4326; value pinned by CrsMathSpec's
+    // forward transforms — here we pin native == previous UDF semantics
+    val wkt = "POLYGON((-120 38, -119.9 38, -119.9 38.1, -120 38.1, -120 38))"
+    val rows = Seq(Some(wkt), None).toDF("w")
+      .withColumn("g", G.st_geomfromwkt($"w"))
+      .select(GeomExpressions.st_area_sqmi_native($"g", lit(4326)).as("sqmi"))
+      .collect()
+    val viaKernel = GeomOps.areaSqmi(GeomCodec.wktToWkb(wkt), 4326)
+    assert(math.abs(rows(0).getDouble(0) - viaKernel) < 1e-12)
+    assert(rows(0).getDouble(0) > 20 && rows(0).getDouble(0) < 60) // ~38 mi² sanity
+    assert(rows(1).isNullAt(0))
+
+    val viaSql = spark.sql(
+      s"SELECT st_area_sqmi(st_geomfromwkt('$wkt'), 4326) AS a").collect()(0).getDouble(0)
+    assert(math.abs(viaSql - viaKernel) < 1e-12)
+
+    val plan = spark.range(4)
+      .withColumn("g", G.st_geomfromwkt(lit(wkt)))
+      .select(GeomExpressions.st_area_sqmi_native($"g", lit(4326)).as("a"))
+      .filter($"a" > 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"), plan)
+  }
+
   test("constructive chain stays inside whole-stage codegen") {
     val df = spark.range(4)
       .withColumn("a", G.st_geomfromwkt(lit("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))")))
