@@ -389,7 +389,11 @@ object ExtQueries {
        |FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }) { (s, d) =>
     val query = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
-    val index = Similarity.ivfBuild(Tables.embeddings(s, d), "vec_id", "embedding")
+    // trainN=512: a REAL subsample at every test scale (sf0.1 has 2000
+    // vectors; the 4096 default would train on the whole table). The
+    // oracle probes all cells, so it is independent of centroid drift.
+    val index = Similarity.ivfBuild(Tables.embeddings(s, d), "vec_id", "embedding",
+      trainN = 512)
     Similarity.ivfTopK(index, "vec_id", "embedding", query, k = 10,
       nprobe = 16, scoreRound = Some(4))
   }

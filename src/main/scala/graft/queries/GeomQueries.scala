@@ -302,8 +302,40 @@ object GeomQueries {
       .orderBy("id")
   }
 
+  /** G12: the grid-partitioned kNN fallback on g11's exact fixture and
+    * oracle — the driver hash proves the both-sides-huge path returns
+    * the identical answer the broadcast path does (the equivalence the
+    * NearestJoinGridSpec pins at scale, made driver-visible). cellSize
+    * forces multi-cell search; k=2 exercises the per-cell top-k merge.
+    */
+  val g12_nearest_grid: QuerySpec = q("g12_nearest_grid",
+    """WITH pts(id, x, y) AS (VALUES (1, 0.3, 0.2), (2, 4.1, 1.3), (3, 2.2, 6.1),
+      |                              (4, 8.7, 8.2), (5, 5.5, 5.5), (6, 0.1, 7.9)),
+      |sites(sid, sx, sy) AS (VALUES (10, 0.0, 0.0), (20, 5.0, 1.0),
+      |                              (30, 2.0, 7.0), (40, 9.0, 9.0)),
+      |d AS (SELECT p.id, s.sid,
+      |        sqrt((p.x-s.sx)*(p.x-s.sx) + (p.y-s.sy)*(p.y-s.sy)) AS dist
+      |      FROM pts p CROSS JOIN sites s),
+      |best AS (SELECT id, sid, dist,
+      |           row_number() OVER (PARTITION BY id ORDER BY dist, sid) AS rn FROM d)
+      |SELECT id, sid AS near_sid, round(dist, 6) AS near_distance
+      |FROM best WHERE rn <= 2 ORDER BY id, near_distance, near_sid""".stripMargin) { (s, _) =>
+    import s.implicits._
+    val pts = Seq((1, 0.3, 0.2), (2, 4.1, 1.3), (3, 2.2, 6.1),
+        (4, 8.7, 8.2), (5, 5.5, 5.5), (6, 0.1, 7.9))
+      .toDF("id", "x", "y")
+      .withColumn("geom", G.st_point($"x", $"y")).drop("x", "y")
+    val sites = Seq((10, 0.0, 0.0), (20, 5.0, 1.0), (30, 2.0, 7.0), (40, 9.0, 9.0))
+      .toDF("sid", "sx", "sy")
+      .withColumn("sgeom", G.st_point($"sx", $"sy")).drop("sx", "sy")
+    graft.operators.NearestJoin.nearestJoinGrid(pts, "geom", sites, "sgeom", k = 2,
+        cellSize = 2.0, numPartitions = 4)
+      .select($"id", $"near_sid", round($"near_distance", 6).as("near_distance"))
+      .orderBy($"id", $"near_distance", $"near_sid")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     g1_makevalid, g2_dissolve, g3_overlay, g4_erase,
     g5_reproject, g6_parts, g7_sliver_fix, g8_keeplist_roundtrip,
-    g9_crs_forward, g10_shapefile_io, g11_nearest)
+    g9_crs_forward, g10_shapefile_io, g11_nearest, g12_nearest_grid)
 }
