@@ -46,6 +46,56 @@ object Bench {
 
   final case class Sample(wall: Double, cpu: Double, gcMs: Long)
 
+  private def f(v: Double, dec: Int): String =
+    s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** The full per-entry detail JSON written to `bench_detail.json`. */
+  private[graft] def renderDetail(
+      results: Seq[(String, Option[Sample])], sfDir: String, reps: Int): String = {
+    val detail = results.map { case (k, s) =>
+      s""""$k":${s.map(x => s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs}]").getOrElse("null")}"""
+    }.mkString("{", ",", "}")
+    s"""{"fmt":"[wall_s,cpu_s,gc_ms]","sf":"$sfDir","reps":$reps,""" +
+      s""""total":${totalTriple(results)},"entries":$detail}"""
+  }
+
+  private def totalTriple(results: Seq[(String, Option[Sample])]): String = {
+    val ok = results.flatMap(_._2)
+    s"[${f(ok.map(_.wall).sum, 4)},${f(ok.map(_.cpu).sum, 2)},${ok.map(_.gcMs).sum}]"
+  }
+
+  /** The ONE stdout line the driver captures. SIZE CONTRACT: the driver
+    * keeps only the last ~2000 chars of stdout, so this line must stay
+    * comfortably inside that window even with WARN-noise overhead —
+    * BenchFormatSpec pins < 1900 chars for a worst-case entry set
+    * (round 7's plain 98-entry map overflowed and truncated mid-JSON,
+    * destroying the round's perf signal). Headline + per-group
+    * [wall_s,cpu_s,gc_ms] triples + the 18 slowest entries; everything
+    * else lives in the detail file.
+    */
+  private[graft] def renderSummaryLine(
+      results: Seq[(String, Option[Sample])], sfDir: String, detailPath: String): String = {
+    val failed = results.collect { case (k, None) => s""""$k"""" }.mkString("[", ",", "]")
+    def groupTriple(prefix: String): String = {
+      val ss = results.collect { case (k, Some(s)) if k.startsWith(prefix) => s }
+      s"[${f(ss.map(_.wall).sum, 4)},${f(ss.map(_.cpu).sum, 2)},${ss.map(_.gcMs).sum}]"
+    }
+    val corpus = results.collect { case (k, Some(s)) if k.startsWith("q") => s.wall }.sum
+    // slowest entries only (wall + cpu, 10 ms resolution) — they are
+    // the ones a perf judgment needs; the rest is bounded by the group
+    // triples and spelled out in the detail file
+    val slow = results.collect { case (k, Some(s)) => (k, s) }
+      .sortBy(-_._2.wall).take(18).sortBy(_._1)
+    val qs = slow.map { case (k, s) => s""""$k":[${f(s.wall, 2)},${f(s.cpu, 2)}]""" }
+      .mkString("{", ",", "}")
+    val groups =
+      s"""{"corpus_q01_q34":${groupTriple("q")},"geometry":${groupTriple("g")},"extension":${groupTriple("x")},"pipeline":${groupTriple("p")}}"""
+    s"""{"metric":"corpus_sweep","value":${f(corpus, 4)},"unit":"sec",""" +
+      s""""fmt":"[wall_s,cpu_s,gc_ms]","total":${totalTriple(results)},""" +
+      s""""groups":$groups,"failed":$failed,"queries":$qs,""" +
+      s""""detail":"$detailPath","sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -104,38 +154,10 @@ object Bench {
       spark.catalog.clearCache()
       rs
     }
-    val failed = results.collect { case (k, None) => s""""$k"""" }.mkString("[", ",", "]")
-
-    def f(v: Double, dec: Int): String = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
-    def groupTriple(prefix: String): String = {
-      val ss = results.collect { case (k, Some(s)) if k.startsWith(prefix) => s }
-      s"[${f(ss.map(_.wall).sum, 4)},${f(ss.map(_.cpu).sum, 2)},${ss.map(_.gcMs).sum}]"
-    }
-    val corpus = results.collect { case (k, Some(s)) if k.startsWith("q") => s.wall }.sum
-
-    // full per-entry detail — every group, wall/cpu/gc per entry — goes
-    // to a file; the stdout line must stay inside the driver's tail
-    val detail = results.map { case (k, s) =>
-      s""""$k":${s.map(x => s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs}]").getOrElse("null")}"""
-    }.mkString("{", ",", "}")
-    val ok = results.collect { case (k, Some(s)) => (k, s) }
-    val totalTriple =
-      s"""[${f(ok.map(_._2.wall).sum, 4)},${f(ok.map(_._2.cpu).sum, 2)},${ok.map(_._2.gcMs).sum}]"""
-    val detailJson =
-      s"""{"fmt":"[wall_s,cpu_s,gc_ms]","sf":"$sfDir","reps":$reps,"total":$totalTriple,"entries":$detail}"""
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
-    java.nio.file.Files.write(detailPath, detailJson.getBytes("UTF-8"))
-
-    // slowest entries only on stdout (wall + cpu, 10 ms resolution) —
-    // they are the ones a perf judgment needs; everything else is in
-    // the detail file and bounded by the group triples anyway
-    val slow = ok.sortBy(-_._2.wall).take(18).sortBy(_._1)
-    val qs = slow.map { case (k, s) => s""""$k":[${f(s.wall, 2)},${f(s.cpu, 2)}]""" }
-      .mkString("{", ",", "}")
-    val groups =
-      s"""{"corpus_q01_q34":${groupTriple("q")},"geometry":${groupTriple("g")},"extension":${groupTriple("x")},"pipeline":${groupTriple("p")}}"""
-    println(
-      s"""{"metric":"corpus_sweep","value":${f(corpus, 4)},"unit":"sec","fmt":"[wall_s,cpu_s,gc_ms]","total":$totalTriple,"groups":$groups,"failed":$failed,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
+    java.nio.file.Files.write(detailPath,
+      renderDetail(results, sfDir, reps).getBytes("UTF-8"))
+    println(renderSummaryLine(results, sfDir, detailPath.toString))
     spark.stop()
   }
 }
