@@ -3,6 +3,9 @@ package graft.sources
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.conf.{Configuration => HadoopConf}
+import org.apache.hadoop.fs.{Path => HPath}
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import org.locationtech.jts.geom.{Coordinate, Geometry, LinearRing, Polygon}
@@ -28,9 +31,9 @@ object Shapefile {
   /** One file's live rows, parsed with the shared record parser —
     * the per-task unit of both [[read]] and [[readDir]].
     */
-  private def fileRows(base: String): Seq[Row] = {
-    val geoms = readShp(s"$base.shp")
-    val (_, allAttrs, live) = readDbfRaw(s"$base.dbf")
+  private def fileRows(base: String, conf: HadoopConf): Seq[Row] = {
+    val geoms = readShp(s"$base.shp", conf)
+    val (_, allAttrs, live) = readDbfRaw(s"$base.dbf", conf)
     require(geoms.length == allAttrs.length,
       s"$base.shp has ${geoms.length} records but .dbf has ${allAttrs.length}")
     // records flagged deleted in the .dbf drop together with their
@@ -46,10 +49,27 @@ object Shapefile {
     * `geom` WKB.
     */
   def read(spark: SparkSession, base: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val schema = StructType(
-      readDbfSchema(s"$base.dbf") :+ StructField("geom", BinaryType, nullable = true))
+      readDbfSchema(s"$base.dbf", conf) :+ StructField("geom", BinaryType, nullable = true))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(fileRows(base), 1), schema)
+      spark.sparkContext.parallelize(fileRows(base, conf), 1), schema)
+  }
+
+  /** Rebuildable Hadoop configuration: `Configuration` itself is not
+    * serializable, so the driver captures the session's entries and
+    * each task rebuilds — the same filesystem credentials/settings
+    * Spark's own sources use, for any scheme (file://, hdfs://, s3a://).
+    */
+  private def confEntries(conf: HadoopConf): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  private def rebuildConf(entries: Map[String, String]): HadoopConf = {
+    val c = new HadoopConf()
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 
   /** Distributed scan of a DIRECTORY of shapefiles (a shapefile lake):
@@ -61,21 +81,39 @@ object Shapefile {
     * the schema (verified per task, not just on the probe file).
     */
   def readDir(spark: SparkSession, dir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val bases = Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".shp"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new HPath(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val bases = fs.listStatus(dirPath).iterator
+      .map(_.getPath.toString).filter(_.endsWith(".shp"))
       .map(_.stripSuffix(".shp")).toSeq.sorted
     require(bases.nonEmpty, s"no .shp files under $dir")
-    val probe = readDbfSchema(s"${bases.head}.dbf")
+    val probe = readDbfSchema(s"${bases.head}.dbf", conf)
     val schema = StructType(probe :+ StructField("geom", BinaryType, nullable = true))
     val names = probe.map(f => f.name -> f.dataType)
+    val entries = confEntries(conf)
     val rdd = spark.sparkContext.parallelize(bases, bases.length).flatMap { base =>
-      val fs = readDbfSchema(s"$base.dbf").map(f => f.name -> f.dataType)
-      require(fs == names,
-        s"$base.dbf schema $fs differs from ${bases.head}: $names")
-      fileRows(base)
+      val taskConf = rebuildConf(entries)
+      val fields = readDbfSchema(s"$base.dbf", taskConf).map(f => f.name -> f.dataType)
+      require(fields == names,
+        s"$base.dbf schema $fields differs from ${bases.head}: $names")
+      fileRows(base, taskConf)
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Whole file through the Hadoop FS API (the format caps at 2 GB, so
+    * a full-file byte array is a bounded task unit by spec).
+    */
+  private def readFully(path: String, conf: HadoopConf): Array[Byte] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue, s"$path exceeds the 2 GB shapefile limit")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    bytes
   }
 
   /** .shp: 100-byte header then length-prefixed records. Supports
@@ -83,8 +121,8 @@ object Shapefile {
     * shape (0) — every 2D type the spec defines. M/Z variants are not
     * emitted by the reference's ecosystem exports and raise.
     */
-  def readShp(path: String): Seq[Geometry] = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+  def readShp(path: String, conf: HadoopConf = new HadoopConf()): Seq[Geometry] = {
+    val bytes = readFully(path, conf)
     val buf = ByteBuffer.wrap(bytes)
     buf.order(ByteOrder.BIG_ENDIAN)
     require(buf.getInt(0) == 9994, s"$path: not a shapefile (bad magic)")
@@ -383,8 +421,8 @@ object Shapefile {
     * records with a deletion-flag byte. Records flagged deleted
     * (0x2A '*') are dropped.
     */
-  def readDbf(path: String): (Seq[StructField], Seq[Seq[Any]]) = {
-    val (schema, rows, live) = readDbfRaw(path)
+  def readDbf(path: String, conf: HadoopConf = new HadoopConf()): (Seq[StructField], Seq[Seq[Any]]) = {
+    val (schema, rows, live) = readDbfRaw(path, conf)
     (schema, rows.zip(live).collect { case (r, true) => r })
   }
 
@@ -413,26 +451,28 @@ object Shapefile {
     * descriptors) — the driver-side cost of [[readDir]] stays a few
     * hundred bytes per probe regardless of file size.
     */
-  def readDbfSchema(path: String): Seq[StructField] = {
-    val raf = new java.io.RandomAccessFile(path, "r")
+  def readDbfSchema(path: String, conf: HadoopConf = new HadoopConf()): Seq[StructField] = {
+    val p = new HPath(path)
+    val in = p.getFileSystem(conf).open(p)
     try {
       val pro = new Array[Byte](32)
-      raf.readFully(pro)
+      in.readFully(0, pro)
       val headerSize =
         (pro(8) & 0xff) | ((pro(9) & 0xff) << 8)   // LE unsigned short
       val header = new Array[Byte](headerSize)
       System.arraycopy(pro, 0, header, 0, 32)
-      raf.readFully(header, 32, headerSize - 32)
+      in.readFully(32, header, 32, headerSize - 32)
       parseFieldDescriptors(header, headerSize)
         .map(f => StructField(f.name, sparkType(f.typ), nullable = true))
-    } finally raf.close()
+    } finally in.close()
   }
 
   /** All records plus a liveness mask, so [[read]] can drop the .shp
     * twin of a deleted .dbf record by position.
     */
-  private def readDbfRaw(path: String): (Seq[StructField], Seq[Seq[Any]], Seq[Boolean]) = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+  private def readDbfRaw(
+      path: String, conf: HadoopConf): (Seq[StructField], Seq[Seq[Any]], Seq[Boolean]) = {
+    val bytes = readFully(path, conf)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val numRecords = buf.getInt(4)
     val headerSize = buf.getShort(8) & 0xffff
