@@ -67,6 +67,30 @@ class NearestJoinGridSpec extends SparkTestBase {
     assert(canon(grid) == canon(brute))
   }
 
+  test("grid kNN: points exactly ON cell boundaries (ownership-rule edge)") {
+    // every coordinate is a multiple of the cell size, so envelopes and
+    // reference points land EXACTLY on cell corners — the floor-based
+    // ownership rule must still emit each pair exactly once. Symmetric
+    // layouts create genuine distance ties, and the two paths break
+    // ties differently (JTS traversal vs stable rid), so compare the
+    // per-left DISTANCE multiset, plus global row counts.
+    val left = (for { x <- 0 to 4; y <- 0 to 4 }
+      yield ((x * 5 + y).toLong, GeomCodec.wktToWkb(s"POINT(${x * 2.0} ${y * 2.0})")))
+      .toDF("id", "geom")
+    val right = (for { x <- 0 to 2; y <- 0 to 2 }
+      yield ((100 + x * 3 + y).toLong, GeomCodec.wktToWkb(s"POINT(${x * 4.0} ${y * 4.0})")))
+      .toDF("rid", "geom")
+    def distsByLeft(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), round(col("near_distance"), 9).as("d"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val brute = NearestJoin.nearestJoin(left, "geom", right, "geom", k = 3)
+    val grid = NearestJoin.nearestJoinGrid(left, "geom", right, "geom", k = 3,
+      cellSize = 2.0, numPartitions = 4)
+    assert(grid.count() == 25 * 3)                 // exactly once per pair rank
+    assert(distsByLeft(grid) == distsByLeft(brute))
+  }
+
   test("grid kNN: null left geometries drop, polygons on the right work") {
     val left = (pts(10, seed = 7, extent = 4.0) :+ (99L, null: Array[Byte]))
       .toDF("id", "geom")
