@@ -862,7 +862,10 @@ object ExtQueries {
     * whole pipeline in DuckDB list SQL and compares reassembled-text
     * hashes, not just counts.
     */
-  val x37_paragraph_dedup: QuerySpec = duck("x37_paragraph_dedup",
+  /** Shared by x37 (batch) and x52 (streaming twin): both must hash
+    * to this one answer.
+    */
+  private val paragraphDedupOracle =
     """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
       |  FROM documents WHERE doc_id < 300),
       |par AS (SELECT doc_id,
@@ -886,7 +889,10 @@ object ExtQueries {
       |  md5(x) AS text_md5
       |FROM (SELECT t.doc_id, coalesce(b.txt, '') AS x
       |      FROM tok t LEFT JOIN built b USING (doc_id))
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |ORDER BY doc_id""".stripMargin
+
+  val x37_paragraph_dedup: QuerySpec = duck("x37_paragraph_dedup",
+    paragraphDedupOracle) { (s, d) =>
     val sep = "\n\n"
     val docs = Tables.documents(s, d)
       .filter(col("doc_id") < 300)
@@ -1338,6 +1344,38 @@ object ExtQueries {
       .orderBy("user_id")
   }
 
+  /** Streaming paragraph dedup as a driver row: the x37 preparation
+    * (banner + 32-token chunks) applied to a documents STREAM, deduped
+    * by the stateful `flatMapGroupsWithState` twin, reassembled by the
+    * streaming aggregation, and hashed against the SAME oracle as the
+    * batch x37. Update-mode sink with the whole corpus in one
+    * micro-batch (single staged file, no maxFilesPerTrigger) — one
+    * final row per document, exactly the batch answer.
+    */
+  val x52_streaming_paragraph_dedup: QuerySpec = duck(
+    "x52_streaming_paragraph_dedup", paragraphDedupOracle) { (s, d) =>
+    import graft.streaming.StreamingTwins
+    val sep = "\n\n"
+    val sink = "x52_paradedup_sink"
+    s.catalog.dropTempView(sink)
+    val prepared = StreamingTwins.readTable(s, s"$d/documents.parquet")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        concat(lit("subscribe to our newsletter today" + sep),
+          array_join(TA.chunkTokens(col("text"), 32), sep)).as("text"))
+    val query = StreamingTwins.paragraphDedup(prepared, "doc_id", "text")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    s.table(sink)
+      .select(col("doc_id"),
+        when(length(col("text")) === 0, lit(0L))
+          .otherwise(size(split(col("text"), java.util.regex.Pattern.quote(sep)))
+            .cast("bigint")).as("kept_paras"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1351,5 +1389,5 @@ object ExtQueries {
     x38_pii_scrub, x39_bm25_topk, x40_topk_per_group, x41_sessions,
     x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords, x45_unigram_logprob,
     x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental,
-    x50_keep_latest, x51_streaming_sessionize)
+    x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup)
 }

@@ -58,6 +58,14 @@ object StreamingTwins {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Open any parquet table as a stream, schema probed from the
+    * footer (single-file paths staged like [[readEvents]]).
+    */
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    val dir = streamableDir(path)
+    spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+  }
+
   /** Q31 twin: watermarked tumbling 1-hour aggregate. Late events
     * beyond 10 minutes are dropped — at scale this bounds state.
     */
