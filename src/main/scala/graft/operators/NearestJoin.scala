@@ -158,14 +158,16 @@ object NearestJoin {
     *     classic tiny-side broadcast, now with the SMALL side being the
     *     stragglers.
     *
-    * Scale properties: shuffle volume per round is
-    * O(unresolved-rows × cells-per-envelope + right-rows ×
-    * cells-per-envelope); parallelism is #occupied cells; memory per
-    * task is one cell's rows. Left rows resolve (and leave the shuffle)
-    * as soon as their neighborhood is dense enough, so round volume
-    * decays geometrically for any non-adversarial distribution. Pick
-    * `cellSize` so an average cell holds ≳k right rows — then almost
-    * everything resolves in round 1–2.
+    * Scale properties: the right side is tagged, hash-partitioned by
+    * cell, and persisted ONCE — every round's cogroup reuses that
+    * partitioning, so the big side crosses the wire a single time for
+    * the whole search and per-round shuffle volume is only
+    * O(unresolved-rows × cells-per-envelope). Parallelism is #occupied
+    * cells; memory per task is one cell's rows. Left rows resolve (and
+    * leave the shuffle) as soon as their neighborhood is dense enough,
+    * so round volume decays geometrically for any non-adversarial
+    * distribution. Pick `cellSize` so an average cell holds ≳k right
+    * rows — then almost everything resolves in round 1–2.
     *
     * The rounds run eagerly (the loop needs per-round resolution
     * counts); the returned DataFrame wraps the materialized result,
@@ -214,10 +216,18 @@ object NearestJoin {
       right.rdd.zipWithUniqueId().flatMap { case (row, rid) =>
         Option(row.getAs[Array[Byte]](rgIdx)).map(wkb => (rid, (wkb, row)))
       }.persist(StorageLevel.MEMORY_AND_DISK)
+    // tag AND hash-partition the right side by cell ONCE: every round's
+    // cogroup reuses this exact partitioning (HashPartitioner equality
+    // is by partition count), so the big side is shuffled a single time
+    // for the whole search — each later round only shuffles the
+    // geometrically shrinking unresolved-left side. The persist holds
+    // the post-shuffle form; without it every round would re-shuffle
+    // 100 TB, which is the real cost, not the tagging scan.
+    val cellPartitioner = new org.apache.spark.HashPartitioner(numPartitions)
     val rightTagged: RDD[((Long, Long), (Long, Array[Byte], Row))] =
       rightById.flatMap { case (rid, (wkb, row)) =>
         cellsOf(GeomCodec.read(wkb).getEnvelopeInternal).map(c => (c, (rid, wkb, row)))
-      }.persist(StorageLevel.MEMORY_AND_DISK)
+      }.partitionBy(cellPartitioner).persist(StorageLevel.MEMORY_AND_DISK)
 
     val resolvedParts = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
     val roundPersists = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
@@ -234,7 +244,7 @@ object NearestJoin {
         cellsOf(env).map(c => (c, (lid, wkb, row)))
       }
       val cand: RDD[(Long, List[(Double, Long, Row)])] =
-        leftTagged.cogroup(rightTagged, numPartitions).flatMap {
+        leftTagged.cogroup(rightTagged, cellPartitioner).flatMap {
           case ((cx, cy), (ls, rs)) =>
             if (ls.isEmpty || rs.isEmpty) Iterator.empty
             else {
