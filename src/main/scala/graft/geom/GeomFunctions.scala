@@ -3,7 +3,6 @@ package graft.geom
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 import org.locationtech.jts.geom.Geometry
-import org.locationtech.jts.geom.util.GeometryFixer
 
 /** ST_* column functions over WKB (OP-44..49, SURVEY §2.8).
   *

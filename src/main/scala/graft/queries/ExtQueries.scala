@@ -1042,13 +1042,16 @@ object ExtQueries {
     * IS that idiom, in DuckDB, proving the two agree; at scale only the
     * aggregate form bounds the shuffle).
     */
-  val x40_topk_per_group: QuerySpec = q("x40_topk_per_group",
+  /** Shared by x40 (batch) and x53 (streaming twin). */
+  private val topKOracle =
     """SELECT event_type, CAST(rn AS BIGINT) AS rank, round(value, 2) AS value, event_id
       |FROM (SELECT event_type, event_id, value,
       |        row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
       |      FROM events) t
       |WHERE rn <= 3
-      |ORDER BY event_type, rank""".stripMargin) { (s, d) =>
+      |ORDER BY event_type, rank""".stripMargin
+
+  val x40_topk_per_group: QuerySpec = q("x40_topk_per_group", topKOracle) { (s, d) =>
     val topk = TopKAgg.top_k(3)
     Tables.events(s, d)
       .groupBy(col("event_type"))
@@ -1376,6 +1379,30 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming bounded top-k-per-group as a driver row — the third
+    * stateful twin made driver-visible (after x51/x52): O(k) state per
+    * group, Update-mode memory sink, whole corpus in one micro-batch
+    * (single staged file), hashed against the SAME oracle as batch x40.
+    */
+  val x53_streaming_topk: QuerySpec = q("x53_streaming_topk", topKOracle) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.StreamingTwins
+    val sink = "x53_topk_sink"
+    s.catalog.dropTempView(sink)
+    val rows = StreamingTwins.readEvents(s, s"$d/events.parquet")
+      .select(col("event_type").as("g"), col("value").as("score"), col("event_id").as("id"))
+      .as[StreamingTwins.ScoredRow]
+    val query = StreamingTwins.topKPerGroup(rows, 3).toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    s.table(sink)
+      .select(col("g").as("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("bigint").as("rank"),
+        round(col("col._1"), 2).as("value"), col("col._2").as("event_id"))
+      .orderBy("event_type", "rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1389,5 +1416,6 @@ object ExtQueries {
     x38_pii_scrub, x39_bm25_topk, x40_topk_per_group, x41_sessions,
     x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords, x45_unigram_logprob,
     x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental,
-    x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup)
+    x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup,
+    x53_streaming_topk)
 }
