@@ -506,10 +506,13 @@ object CorpusQueries {
   }
 
   /** Q31 — EXT tumbling window, batch twin of §2.11 streaming. */
-  val q31: QuerySpec = q("q31",
+  /** Shared by q31 (batch) and the streaming twin x54. */
+  val hourlyOracle: String =
     """SELECT cast(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type,
       |  count(*) AS n, round(sum(value),2) AS v
-      |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin) { (s, d) =>
+      |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin
+
+  val q31: QuerySpec = q("q31", hourlyOracle) { (s, d) =>
     def t(n: String): DataFrame = Tables.load(s, d, n)
     t("events")
       .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("w"),

@@ -1403,6 +1403,29 @@ object ExtQueries {
       .orderBy("event_type", "rank")
   }
 
+  /** Streaming watermarked tumbling-window aggregate as a driver row —
+    * the windowed face of §2.11 hashed against the batch q31 oracle.
+    * Complete output mode: the memory sink is REPLACED with the full
+    * window table every micro-batch, so this entry is multi-batch-safe
+    * (unlike the update-mode twins, which rely on the one-batch staged
+    * file); the watermark still bounds state on an unbounded stream.
+    */
+  val x54_streaming_hourly: QuerySpec = q("x54_streaming_hourly",
+    CorpusQueries.hourlyOracle) { (s, d) =>
+    import graft.streaming.StreamingTwins
+    val sink = "x54_hourly_sink"
+    s.catalog.dropTempView(sink)
+    val query = StreamingTwins.hourlyByType(
+        StreamingTwins.readEvents(s, s"$d/events.parquet"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    s.table(sink)
+      .select(col("w").cast("timestamp_ntz").as("w"), col("event_type"),
+        col("n"), col("v"))
+      .orderBy("w", "event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1417,5 +1440,5 @@ object ExtQueries {
     x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords, x45_unigram_logprob,
     x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental,
     x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup,
-    x53_streaming_topk)
+    x53_streaming_topk, x54_streaming_hourly)
 }
