@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style table profiling: per-column row/null/distinct counts
+  * and min/max — the stats pass every lake ingest runs before anything
+  * else (partition sizing, skew detection, dictionary decisions).
+  *
+  * Shape: ONE distributed aggregation computes every metric for every
+  * requested column in a single scan (the multi-distinct rewrite
+  * EXPANDS rows, it never rescans the source; partial aggregation
+  * still collapses map-side), then the single result row is unpivoted
+  * with `stack` — no per-column jobs, no second scan. min/max surface
+  * as strings so one schema covers heterogeneous column types.
+  *
+  * `n_distinct` is EXACT `count(distinct)` — chosen so the DuckDB
+  * oracle can verify it bit-for-bit. At 100 TB swap in
+  * `approx_count_distinct` (HLL, no extra exchange) via
+  * `exact = false`; the rest of the plan is unchanged.
+  */
+object TableStats {
+
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val nd =
+        if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        nd.as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
+      s"'$c', ${c}__nn, ${c}__nd, ${c}__min, ${c}__max").mkString(", ") +
+      ") AS (column, non_null, n_distinct, min_v, max_v)"
+    one.selectExpr("__n AS n_rows", stackExpr)
+      .select(col("column"), col("n_rows"), col("non_null"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+  }
+}

@@ -1426,6 +1426,34 @@ object ExtQueries {
       .orderBy("w", "event_type")
   }
 
+  /** ANALYZE-style profiling: one scan, every per-column stat — the
+    * stats pass a lake ingest runs first. Exact distinct so DuckDB can
+    * verify bit-for-bit (the 100 TB variant swaps in HLL, same plan).
+    */
+  val x55_profile: QuerySpec = q("x55_profile",
+    """SELECT * FROM (
+      |  SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(doc_id) AS BIGINT) AS non_null,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      |    CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(lang) AS BIGINT),
+      |    CAST(count(DISTINCT lang) AS BIGINT),
+      |    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
+      |    CAST(count(DISTINCT n_chars) AS BIGINT),
+      |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+      |  FROM documents) t
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    graft.operators.TableStats.profile(
+        Tables.documents(s, d), Seq("doc_id", "lang", "n_chars"))
+      .withColumnRenamed("column", "col_name")
+      .orderBy("col_name")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1440,5 +1468,5 @@ object ExtQueries {
     x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords, x45_unigram_logprob,
     x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental,
     x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup,
-    x53_streaming_topk, x54_streaming_hourly)
+    x53_streaming_topk, x54_streaming_hourly, x55_profile)
 }

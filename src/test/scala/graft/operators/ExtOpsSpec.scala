@@ -173,6 +173,26 @@ class ExtOpsSpec extends SparkTestBase {
     assert(index.assigned.select("cell").distinct().count() <= 4L)
   }
 
+  test("table profile: null handling, one scan, string-typed extremes") {
+    val df = Seq(
+      (1L, Some("en"), Some(10L)),
+      (2L, None, Some(5L)),
+      (3L, Some("fr"), None),
+      (4L, Some("en"), Some(25L)))
+      .toDF("id", "lang", "n")
+    val p = TableStats.profile(df, Seq("id", "lang", "n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") == ((4L, 4L, 4L, "1", "4")))
+    assert(p("lang") == ((4L, 3L, 2L, "en", "fr")))   // count/min/max skip nulls
+    assert(p("n") == ((4L, 3L, 3L, "5", "25")))
+    // single scan: the plan reads the source exactly once (the
+    // multi-distinct rewrite expands rows, it does not rescan)
+    val scans = TableStats.profile(df, Seq("id", "lang"))
+      .queryExecution.executedPlan.collectLeaves().size
+    assert(scans == 1, s"expected 1 leaf scan, got $scans")
+  }
+
   test("winnowing guarantees a shared fingerprint for long shared substrings") {
     import graft.operators.{TextAnalysis => T}
     val shared = "this exact long passage appears verbatim in both documents of the pair"
