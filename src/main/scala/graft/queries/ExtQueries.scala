@@ -1454,6 +1454,22 @@ object ExtQueries {
       .orderBy("col_name")
   }
 
+  /** Small-file compaction: 64 micro-batch-debris files rewritten to
+    * target-sized files by `Layout.compact`; the oracle pins that
+    * compaction is content-preserving (the file-count contract is
+    * spec'd in WritersSpec).
+    */
+  val x56_compaction: QuerySpec = q("x56_compaction",
+    """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val small = s"$base/small"
+    val out = s"$base/compacted"
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .repartition(64).write.mode("overwrite").parquet(small)
+    graft.sources.Layout.compact(s, small, out, targetBytes = 4L << 20)
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1468,5 +1484,5 @@ object ExtQueries {
     x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords, x45_unigram_logprob,
     x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental,
     x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup,
-    x53_streaming_topk, x54_streaming_hourly, x55_profile)
+    x53_streaming_topk, x54_streaming_hourly, x55_profile, x56_compaction)
 }

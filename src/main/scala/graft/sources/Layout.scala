@@ -29,4 +29,31 @@ object Layout {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes/targetBytes⌉ files — the maintenance job every streaming or
+    * micro-batch ingest needs, because thousands of KB-sized files turn
+    * scan planning and file listing into the bottleneck long before the
+    * data itself does.
+    *
+    * Content-preserving (same rows, any order), one shuffle
+    * (`repartition(n)` — round-robin, so output files are evenly sized
+    * regardless of input skew). Sizing reads ONLY the file listing; at
+    * 100 TB the job is bounded by one read+write pass of the directory,
+    * which is what compaction is. Returns the output file count.
+    */
+  def compact(
+      spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p).iterator
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
 }

@@ -68,6 +68,29 @@ class WritersSpec extends SparkTestBase {
     assert(fetches > fetchesAfterFirst)
   }
 
+  test("compaction: fewer target-sized files, identical content, even sizes") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact_spec").toString
+    val small = s"$base/small"; val out = s"$base/out"
+    val df = (1L to 5000L).map(i => (i, s"row_$i")).toDF("id", "payload")
+    df.repartition(40).write.parquet(small)
+
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(parts(small).length == 40)
+    val totalBytes = parts(small).map(_.length).sum
+    // target half the data per file -> exactly 2 output files
+    val n = graft.sources.Layout.compact(spark, small, out,
+      targetBytes = (totalBytes + 1) / 2)
+    assert(n == 2 && parts(out).length == 2)
+    // round-robin repartition: the two files are evenly sized (±30%)
+    val sizes = parts(out).map(_.length.toDouble)
+    assert(sizes.max / sizes.min < 1.3, sizes.mkString(","))
+    // content-preserving
+    assert(spark.read.parquet(out).orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
   test("single-file csv sink writes one part with header") {
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val dir = Files.createTempDirectory("csvout").toString + "/out"
