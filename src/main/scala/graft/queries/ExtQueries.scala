@@ -1470,6 +1470,22 @@ object ExtQueries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Z-order (Morton) clustering key — the kernel behind
+    * `Layout.writeZOrdered`'s multi-dimensional data skipping
+    * (`ZOrderSpec` pins the row-group-pruning win; here the interleave
+    * itself is verified bit-for-bit against DuckDB's bit arithmetic).
+    */
+  val x57_zorder_key: QuerySpec = q("x57_zorder_key",
+    """SELECT doc_id, CAST((((a >> 0) & 1) << 0) | (((b >> 0) & 1) << 1) | (((a >> 1) & 1) << 2) | (((b >> 1) & 1) << 3) | (((a >> 2) & 1) << 4) | (((b >> 2) & 1) << 5) | (((a >> 3) & 1) << 6) | (((b >> 3) & 1) << 7) | (((a >> 4) & 1) << 8) | (((b >> 4) & 1) << 9) | (((a >> 5) & 1) << 10) | (((b >> 5) & 1) << 11) | (((a >> 6) & 1) << 12) | (((b >> 6) & 1) << 13) | (((a >> 7) & 1) << 14) | (((b >> 7) & 1) << 15) AS BIGINT) AS zval
+      |FROM (SELECT doc_id, doc_id % 256 AS a, n_chars % 256 AS b FROM documents) t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val z = graft.sources.Layout.zValue(
+      col("doc_id") % 256, col("n_chars") % 256, bits = 8)
+    Tables.documents(s, d)
+      .select(col("doc_id"), z.cast("bigint").as("zval"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1484,5 +1500,6 @@ object ExtQueries {
     x42_hash_split, x43_vocab_topdf, x44_tfidf_keywords, x45_unigram_logprob,
     x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental,
     x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup,
-    x53_streaming_topk, x54_streaming_hourly, x55_profile, x56_compaction)
+    x53_streaming_topk, x54_streaming_hourly, x55_profile, x56_compaction,
+    x57_zorder_key)
 }

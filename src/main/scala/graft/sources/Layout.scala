@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers for the 100 TB path (SURVEY §4): how data
   * should be WRITTEN so downstream plans avoid shuffles and scans
@@ -29,6 +30,39 @@ object Layout {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative integral columns — the clustering key behind
+    * multi-dimensional data skipping. Pure built-in bit arithmetic
+    * (`2·bits` shift/mask terms OR-folded), so it stays inside
+    * whole-stage codegen and is reproducible in any engine.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` clustered by the Z-order of two dimension columns:
+    * range-partitioned and sorted by the interleaved key, so each
+    * output file (and row group) covers a small rectangle in (a, b)
+    * space — a pushed range predicate on EITHER or both dimensions then
+    * prunes most row groups via parquet min/max stats, which a
+    * single-column sort can only offer for its leading column. The
+    * standard lakehouse layout trick for two-dimensional access
+    * patterns (`ZOrderSpec` pins the scan-output-rows win vs an
+    * unclustered write).
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, a: String, b: String,
+      files: Int, bits: Int = 16): Unit = {
+    val z = zValue(col(a), col(b), bits)
+    df.repartitionByRange(files, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Small-file compaction: rewrite a parquet directory into
     * ⌈bytes/targetBytes⌉ files — the maintenance job every streaming or
