@@ -1486,6 +1486,63 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // fixture point stream for x58, staged once per JVM (values are
+  // constants; the file stream source reads directories)
+  private lazy val geofencePointsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_geofence_")
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+  @volatile private var geofenceStaged = false
+
+  /** Streaming geofence as a driver row: a point stream joined
+    * stream-static against a polygon layer on `st_intersects` — the
+    * spatial planner strategy applies INSIDE each micro-batch (the
+    * static side replans per batch). Stateless join in Append mode, so
+    * the entry is multi-batch-safe without any one-batch assumption.
+    * Points are strictly interior to their fences (no boundary-touch
+    * ambiguity); the oracle recomputes containment with coordinate
+    * arithmetic.
+    */
+  val x58_streaming_geofence: QuerySpec = q("x58_streaming_geofence",
+    """WITH pts(id, x, y) AS (VALUES (1, 0.5, 0.5), (2, 2.5, 0.5),
+      |                             (3, 1.5, 1.5), (4, 9.0, 9.0), (5, 0.1, 1.9)),
+      |fences(fid, x0, y0, x1, y1) AS (VALUES (10, 0.0, 0.0, 1.0, 1.0),
+      |                                       (20, 2.0, 0.0, 3.0, 1.0),
+      |                                       (30, 0.0, 0.0, 2.0, 2.0))
+      |SELECT id, fid FROM pts p JOIN fences f
+      |  ON p.x >= f.x0 AND p.x <= f.x1 AND p.y >= f.y0 AND p.y <= f.y1
+      |ORDER BY id, fid""".stripMargin) { (s, _) =>
+    import s.implicits._
+    import graft.geom.{GeomFunctions => G}
+    val sink = "x58_geofence_sink"
+    s.catalog.dropTempView(sink)
+    synchronized {
+      if (!geofenceStaged) {
+        Seq((1, 0.5, 0.5), (2, 2.5, 0.5), (3, 1.5, 1.5), (4, 9.0, 9.0), (5, 0.1, 1.9))
+          .toDF("id", "x", "y").coalesce(1)
+          .write.mode("overwrite").parquet(geofencePointsDir)
+        geofenceStaged = true
+      }
+    }
+    val points = s.readStream
+      .schema("id INT, x DOUBLE, y DOUBLE")
+      .parquet(geofencePointsDir)
+      .select(col("id"), G.st_point(col("x"), col("y")).as("geom"))
+    val fences = Seq(
+        (10, "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        (20, "POLYGON((2 0, 3 0, 3 1, 2 1, 2 0))"),
+        (30, "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"))
+      .toDF("fid", "wkt")
+      .select(col("fid"), G.st_geomfromwkt(col("wkt")).as("fgeom"))
+    val query = graft.streaming.StreamingTwins.geofence(points, "geom", fences, "fgeom")
+      .select("id", "fid")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    s.table(sink).orderBy("id", "fid")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1501,5 +1558,5 @@ object ExtQueries {
     x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental,
     x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup,
     x53_streaming_topk, x54_streaming_hourly, x55_profile, x56_compaction,
-    x57_zorder_key)
+    x57_zorder_key, x58_streaming_geofence)
 }
