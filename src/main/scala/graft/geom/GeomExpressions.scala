@@ -424,6 +424,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GeomExpressions.functions.foreach(e.injectFunction)
     graft.functions.VectorFunctions.functions.foreach(e.injectFunction)
+    graft.functions.StringFunctions.functions.foreach(e.injectFunction)
     // grid rewrite first: a both-huge spatial join becomes a stock
     // exploded equi-join (AQE + codegen); the strategy then only sees
     // joins the rewrite left alone (broadcast-sized, or gridMode=exec)
