@@ -57,6 +57,7 @@ object DialectShim {
     s = s.replaceAll("""\blist_cosine_similarity\(""", "vec_cosine(")
     s = s.replaceAll("""AS DOUBLE\[\]\)""", "AS ARRAY<DOUBLE>)")
     s = s.replaceAll("""\bregexp_split_to_array\(""", "split(")
+    s = s.replaceAll("""\bregexp_matches\(""", "regexp_like(")
     s = s.replaceAll("""\blist_intersect\(""", "array_intersect(")
     s = s.replaceAll("""\blist_contains\(""", "array_contains(")
     s = s.replaceAll("""\blist_filter\(""", "filter(")

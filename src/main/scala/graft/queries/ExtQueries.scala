@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Bm25, Dedup, HashSplit, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis => TA}
+import graft.operators.{AsOfJoin, Bm25, Dedup, FuzzyMatch, HashSplit, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis => TA}
 import graft.functions.TopKAgg
 
 /** Extension-operator queries (SURVEY §2.12) over the `documents` and
@@ -1543,6 +1543,75 @@ object ExtQueries {
     s.table(sink).orderBy("id", "fid")
   }
 
+  /** Fuzzy entity matching (record linkage): candidates blocked on
+    * (brand, first name token) — Σ|block|² cost, not n² — then each
+    * pair verified by the native codegen'd Jaro-Winkler kernel.
+    * [[graft.functions.StrOps.jaroWinkler]] is calibrated bit-identical
+    * to DuckDB's `jaro_winkler_similarity`, so the oracle reruns the
+    * SAME similarity over the SAME candidate set and the >= 0.88
+    * threshold cut agrees bit-for-bit (no rounding needed before the
+    * filter; round(4) on output is display hygiene only).
+    */
+  val x59_fuzzy_match: QuerySpec = q("x59_fuzzy_match",
+    """WITH p AS (SELECT p_partkey, p_name,
+      |    p_brand || '|' || split_part(p_name, ' ', 1) AS blk
+      |  FROM part)
+      |SELECT a.p_partkey AS a, b.p_partkey AS b,
+      |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS score
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88
+      |  AND a.p_name <> b.p_name
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    FuzzyMatch.blockedSelfMatch(
+        Tables.part(s, d), "p_partkey", "p_name",
+        concat_ws("|", col("p_brand"), split_part(col("p_name"), lit(" "), lit(1))),
+        minScore = 0.88)
+      .where(col("a_name") =!= col("b_name"))
+      .select(col("a"), col("b"), round(col("score"), 4).as("score"))
+      .orderBy("a", "b")
+  }
+
+  /** Data-quality expectation suite (the Deequ/dbt-test shape): five
+    * declared constraints over `orders` — completeness, key
+    * uniqueness, a value bound, a regex-pattern ratio, non-emptiness —
+    * ALL computed in one aggregate pass (one scan + one exchange, not
+    * one job per check; see [[graft.operators.Expectations]]). Every
+    * metric is a single division / min / count, so doubles agree
+    * bit-for-bit across engines without rounding.
+    */
+  val x60_expectations: QuerySpec = q("x60_expectations",
+    """WITH m AS (SELECT
+      |    CAST(count(o_custkey) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS completeness_custkey,
+      |    CAST(min(o_totalprice) AS DOUBLE) AS min_totalprice,
+      |    CAST(count(*) AS DOUBLE) AS row_count,
+      |    CAST(sum(CASE WHEN regexp_matches(o_orderstatus, '^[OFP]$') THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST(count(o_orderstatus) AS DOUBLE) AS status_pattern,
+      |    CAST(count(DISTINCT o_orderkey) AS DOUBLE) / CAST(count(o_orderkey) AS DOUBLE) AS uniqueness_orderkey
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'completeness_custkey' AS check_name, completeness_custkey AS metric,
+      |    completeness_custkey >= 1.0 AND completeness_custkey <= 1.0 AS passed FROM m
+      |  UNION ALL SELECT 'min_totalprice', min_totalprice,
+      |    min_totalprice >= 0.0 AND min_totalprice <= 1000000000.0 FROM m
+      |  UNION ALL SELECT 'row_count', row_count,
+      |    row_count >= 1.0 AND row_count <= 1000000000000.0 FROM m
+      |  UNION ALL SELECT 'status_pattern', status_pattern,
+      |    status_pattern >= 1.0 AND status_pattern <= 1.0 FROM m
+      |  UNION ALL SELECT 'uniqueness_orderkey', uniqueness_orderkey,
+      |    uniqueness_orderkey >= 1.0 AND uniqueness_orderkey <= 1.0 FROM m) t
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Expectation
+    Expectations.run(Tables.orders(s, d), Seq(
+        Expectation("completeness_custkey", Expectations.completeness("o_custkey"), 1.0, 1.0),
+        Expectation("min_totalprice", min(col("o_totalprice")), 0.0, 1000000000.0),
+        Expectation("row_count", count(lit(1)), 1.0, 1000000000000.0),
+        Expectation("status_pattern",
+          Expectations.patternRatio("o_orderstatus", "^[OFP]$"), 1.0, 1.0),
+        Expectation("uniqueness_orderkey", Expectations.uniqueness("o_orderkey"), 1.0, 1.0)))
+      .orderBy("check_name")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1558,5 +1627,5 @@ object ExtQueries {
     x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental,
     x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup,
     x53_streaming_topk, x54_streaming_hourly, x55_profile, x56_compaction,
-    x57_zorder_key, x58_streaming_geofence)
+    x57_zorder_key, x58_streaming_geofence, x59_fuzzy_match, x60_expectations)
 }
