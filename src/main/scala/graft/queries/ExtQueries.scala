@@ -1612,6 +1612,35 @@ object ExtQueries {
       .orderBy("check_name")
   }
 
+  /** Stream-STREAM attribution join as a driver row: clicks matched to
+    * same-user purchases within 30 minutes, both sides watermarked so
+    * join state is evicted (see
+    * [[graft.streaming.StreamingTwins.attribution]]). Append mode,
+    * stateless emission per match — multi-batch-safe. The oracle is
+    * the batch self-join in integer µs.
+    */
+  val x61_streaming_attribution: QuerySpec = q("x61_streaming_attribution",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+      |FROM events c JOIN events p ON p.user_id = c.user_id
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000
+      |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingTwins
+    val sink = "x61_attribution_sink"
+    s.catalog.dropTempView(sink)
+    val events1 = StreamingTwins.readEvents(s, s"$d/events.parquet")
+    val events2 = StreamingTwins.readEvents(s, s"$d/events.parquet")
+    val query = StreamingTwins.attribution(
+        events1.where(col("event_type") === "click"),
+        events2.where(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    s.table(sink)
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1627,5 +1656,6 @@ object ExtQueries {
     x46_seq_packing, x47_ann_pq, x48_ann_ivfpq, x49_dedup_incremental,
     x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup,
     x53_streaming_topk, x54_streaming_hourly, x55_profile, x56_compaction,
-    x57_zorder_key, x58_streaming_geofence, x59_fuzzy_match, x60_expectations)
+    x57_zorder_key, x58_streaming_geofence, x59_fuzzy_match, x60_expectations,
+    x61_streaming_attribution)
 }

@@ -97,6 +97,38 @@ object StreamingTwins {
     points.join(fences,
       graft.geom.GeomFunctions.st_intersects(col(pointGeom), col(fenceGeom)))
 
+  /** Stream-stream attribution join: each click matched to every
+    * purchase by the same user within `[click, click + horizon]` —
+    * the canonical funnel/conversion join, and the engine's
+    * stream-STREAM face (geofence/ingest are stream-static). Both
+    * sides carry watermarks and the join condition is an event-time
+    * range, so Spark derives a state-retention bound per side
+    * (watermark + horizon) and evicts — without the range condition
+    * the join state grows forever. At scale: both streams hash-
+    * exchange on `user_id` once; per-key state is bounded by event
+    * rate × (delay + horizon).
+    *
+    * Timestamps are µs-truncated on ingest ([[readEvents]]), so the
+    * `[0, horizon]` window test equals the oracle's integer-µs
+    * `epoch_us` comparison exactly.
+    */
+  def attribution(
+      clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "30 minutes", delay: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    c.join(p,
+        col("p_user") === col("user_id") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+  }
+
   /** Streaming corpus ingestion — the batch cleaning pipeline's
     * streaming face (§2.12 meets §2.11): exact dedup on the content
     * key (STATEFUL `dropDuplicates`; with an event-time column,

@@ -90,6 +90,37 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(explained.contains("SpatialIndexJoin"), explained)
   }
 
+  test("stream-stream attribution: window boundaries, user isolation, state-bound condition") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // epoch-0 timestamps sit at the query's INITIAL watermark and are
+    // dropped as late — anchor the fixture in 2024 like the real table
+    def ts(min: Long, us: Long = 0): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(1704067200000L + min * 60000L)
+      t.setNanos((us * 1000).toInt)
+      t
+    }
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts")
+    clicks.addData((100L, 1L, ts(0)), (101L, 2L, ts(0)))
+    purchases.addData(
+      (200L, 1L, ts(10)), // in window
+      (201L, 1L, ts(30)), // exactly at the 30-min boundary: in
+      (202L, 1L, ts(30, 1)), // 1 µs past the boundary: out
+      (203L, 2L, ts(31)), // out of window for user 2
+      (204L, 3L, ts(5))) // no matching click user
+    val q = StreamingTwins.attribution(shape(clicks.toDF()), shape(purchases.toDF()))
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attribution")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 200L), (100L, 201L)))
+  }
+
   test("streaming corpus ingestion matches the batch cleaning pipeline") {
     import graft.operators.{Dedup, Decontaminate, TextAnalysis => TA}
     val docsDir = {
