@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY §2.12):
@@ -192,4 +192,38 @@ object TextAnalysis {
     })
     f(text)
   }
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram LM — the CCNet perplexity-quality signal (Wenzek 2020
+    * scores against an external KenLM; self-trained unigram stats are
+    * the same shape without shipping a model). Scale: one tokenize
+    * pass feeds BOTH the frequency table (partial-aggregated on token)
+    * and the score join; corpus totals reduce over the tiny freq table
+    * and broadcast as one row; the token-frequency join rides SMJ with
+    * AQE skew split (stopword keys are hot by definition).
+    *
+    * Scores are round(·, `digits`) so cross-engine double drift in the
+    * avg's summation order cannot leak into downstream threshold cuts.
+    */
+  def unigramLogProb(
+      docs: DataFrame, idCol: String, textCol: String, digits: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).cast("double").as("t"))
+    toks.join(freq, "token").crossJoin(broadcast(tot))
+      .groupBy(idCol)
+      .agg(round(avg(log(col("c") / col("t"))), digits).as("logprob"))
+  }
+
+  /** CCNet-style quality banding: assign each scored document to the
+    * FIRST band whose floor its (rounded) score clears; documents
+    * below every floor land in `tailBand`. The canonical
+    * head/middle/tail split that decides which corpus slice trains
+    * and which gets held back.
+    */
+  def perplexityBand(
+      score: Column, floors: Seq[(String, Double)], tailBand: String = "tail"): Column =
+    floors.foldRight(lit(tailBand): Column) { case ((name, floor), rest) =>
+      when(score >= floor, name).otherwise(rest)
+    }
 }

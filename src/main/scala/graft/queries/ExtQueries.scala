@@ -1641,6 +1641,37 @@ object ExtQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Perplexity-bucket quality filtering (the CCNet head/middle/tail
+    * split): x45 scores a sample; this scores EVERY document with
+    * [[TA.unigramLogProb]] and cuts the corpus into training bands at
+    * fixed score floors. Threshold cuts compare the ROUNDED score, so
+    * cross-engine summation-order drift in the per-doc avg cannot flip
+    * a band. Output is the per-band inventory a curriculum mix would
+    * consume.
+    */
+  val x62_perplexity_bands: QuerySpec = q("x62_perplexity_bands",
+    """WITH tok AS (SELECT doc_id,
+      |        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |      FROM documents),
+      |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
+      |score AS (SELECT doc_id, round(avg(ln(freq.c / tot.t)), 4) AS lp
+      |  FROM tok JOIN freq USING (token) CROSS JOIN tot GROUP BY doc_id),
+      |banded AS (SELECT CASE WHEN lp >= -3.4 THEN 'head'
+      |                       WHEN lp >= -3.45 THEN 'middle'
+      |                       ELSE 'tail' END AS band, lp FROM score)
+      |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(lp) AS lo, max(lp) AS hi
+      |FROM banded GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    val scored = TA.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+    scored
+      .groupBy(TA.perplexityBand(col("logprob"),
+        Seq("head" -> -3.4, "middle" -> -3.45)).as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("logprob")).as("lo"), max(col("logprob")).as("hi"))
+      .orderBy("band")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1657,5 +1688,5 @@ object ExtQueries {
     x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup,
     x53_streaming_topk, x54_streaming_hourly, x55_profile, x56_compaction,
     x57_zorder_key, x58_streaming_geofence, x59_fuzzy_match, x60_expectations,
-    x61_streaming_attribution)
+    x61_streaming_attribution, x62_perplexity_bands)
 }
