@@ -1672,6 +1672,45 @@ object ExtQueries {
       .orderBy("band")
   }
 
+  /** PageRank (3 iterations, d=0.85) over the part co-purchase graph —
+    * parts sharing an order are linked both ways, so every vertex has
+    * outdegree ≥ 1 (no dangling mass). The oracle unrolls the three
+    * Pregel cycles as CTEs; per-iteration round(·,10) makes the
+    * iterate bit-reproducible across engines (see
+    * [[graft.operators.PageRank]]), and `(1.0 - 0.85)` is written as
+    * the SUBTRACTION in both engines — the folded constant is
+    * 0.15000000000000002, not 0.15.
+    */
+  val x63_pagerank: QuerySpec = q("x63_pagerank",
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS deg FROM pairs GROUP BY s),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+      |r0 AS (SELECT s AS v, round(1.0 / (SELECT n FROM n), 10) AS r FROM deg),
+      |r1 AS (SELECT p.t AS v,
+      |    round((1.0 - 0.85) / (SELECT n FROM n) + 0.85 * sum(r.r / deg.deg), 10) AS r
+      |  FROM pairs p JOIN r0 r ON r.v = p.s JOIN deg ON deg.s = p.s GROUP BY p.t),
+      |r2 AS (SELECT p.t AS v,
+      |    round((1.0 - 0.85) / (SELECT n FROM n) + 0.85 * sum(r.r / deg.deg), 10) AS r
+      |  FROM pairs p JOIN r1 r ON r.v = p.s JOIN deg ON deg.s = p.s GROUP BY p.t),
+      |r3 AS (SELECT p.t AS v,
+      |    round((1.0 - 0.85) / (SELECT n FROM n) + 0.85 * sum(r.r / deg.deg), 10) AS r
+      |  FROM pairs p JOIN r2 r ON r.v = p.s JOIN deg ON deg.s = p.s GROUP BY p.t)
+      |SELECT v AS part, r AS rank FROM r3 ORDER BY part""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val pairs = a.join(b, "ok")
+      .where(col("pa") =!= col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+      .distinct()
+    graft.operators.PageRank.run(pairs, "src", "dst", iters = 3)
+      .select(col("v").as("part"), col("rank"))
+      .orderBy("part")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1688,5 +1727,5 @@ object ExtQueries {
     x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup,
     x53_streaming_topk, x54_streaming_hourly, x55_profile, x56_compaction,
     x57_zorder_key, x58_streaming_geofence, x59_fuzzy_match, x60_expectations,
-    x61_streaming_attribution, x62_perplexity_bands)
+    x61_streaming_attribution, x62_perplexity_bands, x63_pagerank)
 }
