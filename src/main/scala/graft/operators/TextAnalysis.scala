@@ -215,6 +215,25 @@ object TextAnalysis {
       .agg(round(avg(log(col("c") / col("t"))), digits).as("logprob"))
   }
 
+  /** One BPE merge-selection step (Sennrich 2016): frequency of every
+    * adjacent character pair, counted over the WORD-FREQUENCY table
+    * weighted by word count — the classic trick that makes tokenizer
+    * induction tractable at corpus scale: the pair scan runs over the
+    * vocabulary (≤ millions of types), not the 100 TB token stream;
+    * only the one word-count aggregation touches the corpus. The
+    * top-scoring pair is the next merge a BPE trainer would apply.
+    */
+  def bpePairStep(docs: DataFrame, textCol: String): DataFrame = {
+    val wf = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .where(length(col("w")) >= 2)
+    wf.select(
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"),
+        col("c"))
+      .groupBy("pair").agg(sum(col("c")).as("freq"))
+  }
+
   /** CCNet-style quality banding: assign each scored document to the
     * FIRST band whose floor its (rounded) score clears; documents
     * below every floor land in `tailBand`. The canonical

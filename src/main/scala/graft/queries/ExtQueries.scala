@@ -1711,6 +1711,26 @@ object ExtQueries {
       .orderBy("part")
   }
 
+  /** Tokenizer induction: one BPE merge-selection step — adjacent
+    * character-pair frequencies over the word-frequency table (pair
+    * scan costs |vocab|, not |corpus|; see [[TA.bpePairStep]]). Top-50
+    * pairs with a total tie-break order. DuckDB-dialect oracle (list
+    * comprehension), driver-hash-checked like every duck() entry.
+    */
+  val x64_bpe_pairs: QuerySpec = duck("x64_bpe_pairs",
+    """WITH words AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      |  FROM documents),
+      |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+      |pairs AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, length(w))]) AS pair, c
+      |  FROM wf WHERE length(w) >= 2)
+      |SELECT pair, CAST(sum(c) AS BIGINT) AS freq
+      |FROM pairs GROUP BY pair
+      |ORDER BY freq DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+    TA.bpePairStep(Tables.documents(s, d), "text")
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(50)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1727,5 +1747,6 @@ object ExtQueries {
     x50_keep_latest, x51_streaming_sessionize, x52_streaming_paragraph_dedup,
     x53_streaming_topk, x54_streaming_hourly, x55_profile, x56_compaction,
     x57_zorder_key, x58_streaming_geofence, x59_fuzzy_match, x60_expectations,
-    x61_streaming_attribution, x62_perplexity_bands, x63_pagerank)
+    x61_streaming_attribution, x62_perplexity_bands, x63_pagerank,
+    x64_bpe_pairs)
 }
