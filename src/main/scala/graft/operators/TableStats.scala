@@ -40,4 +40,26 @@ object TableStats {
       .select(col("column"), col("n_rows"), col("non_null"),
         col("n_distinct"), col("min_v"), col("max_v"))
   }
+
+  /** Equi-width histogram of a numeric column: `bins` buckets spanning
+    * [min, max], the max value folded into the last bucket. Two
+    * passes: a one-row min/max aggregate broadcast to every task, then
+    * one binning scan with map-side partial counts — the distribution
+    * profile an ANALYZE pass adds next to [[profile]]'s scalar stats.
+    * Bin arithmetic is the same double expression on both engines
+    * ((v-lo)/((hi-lo)/bins), floored to integer), so bucket edges
+    * agree bit-for-bit.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val stats = df.agg(
+      min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"))
+    df.crossJoin(broadcast(stats))
+      .select(least(
+          floor((col(valueCol).cast("double") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(bins.toDouble))),
+          lit((bins - 1).toLong)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
 }

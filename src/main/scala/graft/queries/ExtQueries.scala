@@ -1731,6 +1731,52 @@ object ExtQueries {
       .limit(50)
   }
 
+  /** Incremental aggregate maintenance: the corpus is split into a
+    * "historical" half and a "tonight's batch" half; each aggregates
+    * to mergeable state independently and the states MERGE
+    * ([[graft.operators.IncrementalAgg]]). The oracle is one full
+    * re-aggregation of everything — the entry passes iff
+    * merge(partial, partial) == total exactly (decimal sums make the
+    * law exact; double partials would drift).
+    */
+  val x65_agg_merge: QuerySpec = q("x65_agg_merge",
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+      |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM orders GROUP BY o_orderpriority, o_orderstatus
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin) { (s, d) =>
+    import graft.operators.IncrementalAgg
+    val orders = Tables.orders(s, d)
+    val keys = Seq("o_orderpriority", "o_orderstatus")
+    val hist = IncrementalAgg.toState(
+      orders.where(col("o_orderkey") % 2 === 0), keys, "o_totalprice")
+    val batch = IncrementalAgg.toState(
+      orders.where(col("o_orderkey") % 2 =!= 0), keys, "o_totalprice")
+    IncrementalAgg.merge(hist, batch, keys)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        col("cnt").cast("bigint").as("cnt"),
+        round(col("total"), 2).cast("double").as("total"),
+        col("lo"), col("hi"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  /** Equi-width histogram profiling (the distribution half of the x55
+    * ANALYZE pass): 10 buckets over o_totalprice, bucket edges
+    * computed with identical double arithmetic on both engines.
+    */
+  val x66_histogram: QuerySpec = q("x66_histogram",
+    """WITH s AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+      |                  CAST(max(o_totalprice) AS DOUBLE) AS hi FROM orders)
+      |SELECT least(CAST(floor((CAST(o_totalprice AS DOUBLE) - s.lo)
+      |    / ((s.hi - s.lo) / 10.0)) AS BIGINT), 9) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders CROSS JOIN s
+      |GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+    graft.operators.TableStats.histogram(Tables.orders(s, d), "o_totalprice", bins = 10)
+      .orderBy("bin")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1748,5 +1794,5 @@ object ExtQueries {
     x53_streaming_topk, x54_streaming_hourly, x55_profile, x56_compaction,
     x57_zorder_key, x58_streaming_geofence, x59_fuzzy_match, x60_expectations,
     x61_streaming_attribution, x62_perplexity_bands, x63_pagerank,
-    x64_bpe_pairs)
+    x64_bpe_pairs, x65_agg_merge, x66_histogram)
 }

@@ -293,6 +293,33 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("fuzzy match scores pairs inside whole-stage codegen, blocked join is equi not NLJ") {
+    val plan = ExtQueries.x59_fuzzy_match.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the JW kernel is a native expression in the generated stage, not
+    // a BatchEvalPython/ScalaUDF island
+    assert(plan.contains("jaro_winkler_similarity"), plan)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"), plan)
+    // candidates come from an equi-join on the block key — a quadratic
+    // NestedLoop/cartesian over the table would be the scale bug
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("pagerank persists the edge prep — iterations reuse one materialization") {
+    import graft.operators.PageRank
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("s", "t")
+    try {
+      val plan = PageRank.run(edges, "s", "t", iters = 3)
+        .queryExecution.optimizedPlan.toString
+      // each of the 3 iterations references the cached prep, so the
+      // edge+degree derivation appears as InMemoryRelation, and the
+      // raw degree aggregation is not re-derived once per iteration
+      assert(plan.contains("InMemoryRelation"), plan)
+    } finally graft.CacheLifecycle.release(spark)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/events_p"
     val events = Tables.events(spark, sfDir)
