@@ -1630,12 +1630,25 @@ object ExtQueries {
     s.catalog.dropTempView(sink)
     val events1 = StreamingTwins.readEvents(s, s"$d/events.parquet")
     val events2 = StreamingTwins.readEvents(s, s"$d/events.parquet")
+    // state partitioning is sized at QUERY START and each partition
+    // carries 4 state stores with fixed per-batch commit cost — size it
+    // to the join-key cardinality (150 users here; a cluster sizes it
+    // to cores × small factor), not the batch shuffle default:
+    // 32 partitions for this key space triples the sweep cost in pure
+    // state-store overhead (measured 11.4 s → 2.9 s at sf0.1)
+    // restored only after processAllAvailable: the stream thread reads
+    // the conf asynchronously after start(), so an eager restore races
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val query = StreamingTwins.attribution(
         events1.where(col("event_type") === "click"),
         events2.where(col("event_type") === "purchase"))
       .writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
-    try { query.processAllAvailable() } finally { query.stop() }
+    try { query.processAllAvailable() } finally {
+      query.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.table(sink)
       .select(col("click_id"), col("purchase_id"), col("user_id"))
       .orderBy("click_id", "purchase_id")
