@@ -73,4 +73,34 @@ object HashSplit {
     df.withColumn(splitCol,
       chain.fold(lit(splits.last._1))(_.otherwise(splits.last._1)))
   }
+
+  /** Efraimidis–Spirakis (2006) weighted-sampling key: the k rows with
+    * the SMALLEST `-ln(u)/w` are a weighted sample without replacement
+    * with inclusion probability proportional to weight. `u ∈ (0,1]` is
+    * a deterministic uniform from the id's md5 (first 8 hex digits →
+    * integer, +1 so u is never 0), so the sample is reproducible
+    * across runs AND engines — the same derandomization contract as
+    * [[assign]]/[[hexThreshold]], extended from uniform to
+    * probability-proportional-to-size sampling (the curriculum-mix
+    * primitive: sample documents ∝ token count).
+    */
+  def esKey(idCol: Column, weightCol: Column): Column = {
+    val h = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("double")
+    -log((h + lit(1.0)) / lit(4294967297.0)) / weightCol.cast("double")
+  }
+
+  /** Top-`k` weighted sample per stratum (smallest ES key, id
+    * tie-break), with the sample rank as `rn`. Per-stratum window sort
+    * — strata are few and bounded (the x24/x30 volume contract);
+    * the bounded-state alternative for huge strata is
+    * [[graft.functions.TopKAgg]] over (esKey, id) pairs.
+    */
+  def weightedSample(
+      df: DataFrame, stratumCol: String, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(esKey(col(idCol), col(weightCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
 }

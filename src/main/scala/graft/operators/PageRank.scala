@@ -39,8 +39,14 @@ object PageRank {
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, damping: Double = 0.85, digits: Int = 10): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val deg = edges.groupBy(col(srcCol).as("s"))
-      .agg(count(lit(1)).cast("double").as("deg"))
+    // deg is persisted too: the caller's edge derivation is typically
+    // the expensive part (a self-join + distinct for co-occurrence
+    // graphs), and deg/nTot/rank0 would otherwise each re-evaluate it —
+    // with both persists the edge pipeline runs exactly twice (deg,
+    // prep), never per-iteration and never per-initialization-leg
+    val deg = graft.CacheLifecycle.persist(
+      edges.groupBy(col(srcCol).as("s"))
+        .agg(count(lit(1)).cast("double").as("deg")))
     val nTot = deg.agg(count(lit(1)).cast("double").as("n"))
     val prep = graft.CacheLifecycle.persist(
       edges.select(col(srcCol).as("s"), col(dstCol).as("t"))

@@ -1790,6 +1790,30 @@ object ExtQueries {
       .orderBy("bin")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis):
+    * 20 documents per source with inclusion probability ∝ n_chars —
+    * the probability-proportional-to-size pick a curriculum mix uses
+    * to favor long documents. Deterministic md5 uniform, so both
+    * engines draw the SAME sample (see [[HashSplit.esKey]]); the rank
+    * key stays internal — only ids and ranks are compared.
+    */
+  val x67_weighted_sample: QuerySpec = duck("x67_weighted_sample",
+    """SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY
+      |      -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) + 1.0)
+      |          / 4294967297.0) / CAST(n_chars AS DOUBLE),
+      |      doc_id) AS rn
+      |  FROM documents WHERE n_chars > 0) t
+      |WHERE rn <= 20 ORDER BY source, rn""".stripMargin) { (s, d) =>
+    HashSplit.weightedSample(
+        Tables.documents(s, d).where(col("n_chars") > 0),
+        "source", "doc_id", "n_chars", k = 20)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        col("rn").cast("bigint").as("rn"))
+      .orderBy("source", "rn")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1807,5 +1831,5 @@ object ExtQueries {
     x53_streaming_topk, x54_streaming_hourly, x55_profile, x56_compaction,
     x57_zorder_key, x58_streaming_geofence, x59_fuzzy_match, x60_expectations,
     x61_streaming_attribution, x62_perplexity_bands, x63_pagerank,
-    x64_bpe_pairs, x65_agg_merge, x66_histogram)
+    x64_bpe_pairs, x65_agg_merge, x66_histogram, x67_weighted_sample)
 }
