@@ -48,8 +48,12 @@ object Expectations {
         e.metric.cast("double").as(s"m${i + 1}")
       }: _*)
     val rows = suite.zipWithIndex.map { case (e, i) =>
+      // NULL metric (empty table, all-null column) must FAIL the check,
+      // not propagate NULL — a gate filtering on !passed would
+      // otherwise sail past an unevaluable expectation
       struct(lit(e.name).as("check_name"), col(s"m$i").as("metric"),
-        (col(s"m$i") >= e.lo && col(s"m$i") <= e.hi).as("passed"))
+        coalesce(col(s"m$i") >= e.lo && col(s"m$i") <= e.hi, lit(false))
+          .as("passed"))
     }
     agged.select(explode(array(rows: _*)).as("r"))
       .select(col("r.check_name").as("check_name"), col("r.metric").as("metric"),

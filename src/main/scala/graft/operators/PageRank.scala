@@ -29,39 +29,47 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** `edges` must list BOTH directions of an undirected graph (or the
-    * true arcs of a directed one). Every vertex that appears as `src`
-    * has outdegree ≥ 1, so no dangling-mass correction is needed;
-    * vertices appearing only as `dst` still receive rank. Output:
-    * `v`, `rank`.
+  /** `edges` may list both directions of an undirected graph or the
+    * true arcs of a directed one. Every vertex (src OR dst) carries
+    * rank; a vertex with no in-edges in an iteration keeps the
+    * teleport floor `(1-d)/N` (coalesced zero message sum). Rank mass
+    * is conserved exactly when every vertex has outdegree ≥ 1 (always
+    * true for both-directions edge lists); directed SINKS absorb and
+    * leak their mass — the classic simplified-PageRank behavior,
+    * matching GraphX's staticPageRank, NOT the renormalizing variant.
+    * Output: `v`, `rank`.
     */
   def run(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, damping: Double = 0.85, digits: Int = 10): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    // deg is persisted too: the caller's edge derivation is typically
-    // the expensive part (a self-join + distinct for co-occurrence
-    // graphs), and deg/nTot/rank0 would otherwise each re-evaluate it —
-    // with both persists the edge pipeline runs exactly twice (deg,
-    // prep), never per-iteration and never per-initialization-leg
-    val deg = graft.CacheLifecycle.persist(
-      edges.groupBy(col(srcCol).as("s"))
-        .agg(count(lit(1)).cast("double").as("deg")))
-    val nTot = deg.agg(count(lit(1)).cast("double").as("n"))
+    // verts and prep are both persisted: the caller's edge derivation
+    // is typically the expensive part (a self-join + distinct for
+    // co-occurrence graphs), and the vertex universe / message plumbing
+    // would otherwise re-evaluate it once per iteration plus once per
+    // initialization leg — with the persists the edge pipeline runs
+    // exactly three times (verts, deg→prep), independent of iters
+    val verts = graft.CacheLifecycle.persist(
+      edges.select(col(srcCol).as("v"))
+        .union(edges.select(col(dstCol).as("v"))).distinct())
+    val deg = edges.groupBy(col(srcCol).as("s"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val nTot = verts.agg(count(lit(1)).cast("double").as("n"))
     val prep = graft.CacheLifecycle.persist(
       edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
         .join(deg, "s"))
 
-    var rank = deg.crossJoin(broadcast(nTot))
-      .select(col("s").as("v"), round(lit(1.0) / col("n"), digits).as("rank"))
+    var rank = verts.crossJoin(broadcast(nTot))
+      .select(col("v"), round(lit(1.0) / col("n"), digits).as("rank"))
     for (_ <- 1 to iters) {
       val msgs = prep.join(rank, col("s") === col("v"))
         .groupBy(col("t"))
         .agg(sum(col("rank") / col("deg")).as("m"))
-      rank = msgs.crossJoin(broadcast(nTot))
-        .select(col("t").as("v"),
-          round(lit(1.0 - damping) / col("n") + lit(damping) * col("m"), digits)
-            .as("rank"))
+      rank = verts.join(msgs, col("v") === col("t"), "left")
+        .crossJoin(broadcast(nTot))
+        .select(col("v"),
+          round(lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("m"), lit(0.0)), digits).as("rank"))
     }
     rank
   }

@@ -196,11 +196,14 @@ object TextAnalysis {
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram LM — the CCNet perplexity-quality signal (Wenzek 2020
     * scores against an external KenLM; self-trained unigram stats are
-    * the same shape without shipping a model). Scale: one tokenize
-    * pass feeds BOTH the frequency table (partial-aggregated on token)
-    * and the score join; corpus totals reduce over the tiny freq table
-    * and broadcast as one row; the token-frequency join rides SMJ with
-    * AQE skew split (stopword keys are hot by definition).
+    * the same shape without shipping a model). Scale: the corpus is
+    * tokenized twice — once for the frequency table (partial-
+    * aggregated on token), once for the score join; deliberately NOT
+    * persisted, because the exploded token stream is strictly larger
+    * than the corpus and re-tokenizing is cheaper than materializing
+    * it. Corpus totals reduce over the tiny freq table and broadcast
+    * as one row; the token-frequency join rides SMJ with AQE skew
+    * split (stopword keys are hot by definition).
     *
     * Scores are round(·, `digits`) so cross-engine double drift in the
     * avg's summation order cannot leak into downstream threshold cuts.

@@ -1187,16 +1187,12 @@ object ExtQueries {
       |FROM tok JOIN freq USING (token) CROSS JOIN tot
       |WHERE doc_id < 300
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val toks = Tables.documents(s, d).select(col("doc_id"),
-      explode(TA.tokens(col("text"))).as("token"))
-    val freq = toks.groupBy("token").agg(count(lit(1)).as("c"))
-    // total tokens = sum over the (tiny) frequency table — NOT a third
-    // tokenize+explode scan of the corpus
-    val tot = freq.agg(sum(col("c")).cast("double").as("t"))
-    toks.filter(col("doc_id") < 300)
-      .join(freq, "token").crossJoin(broadcast(tot))
-      .groupBy("doc_id")
-      .agg(round(avg(log(col("c") / col("t"))), 4).as("logprob"))
+    // delegates to the x62 operator (one implementation backs both);
+    // the doc_id filter is on the grouping key, so Catalyst pushes it
+    // through the aggregate and the join down to the scored-side scan —
+    // the frequency table still trains on the WHOLE corpus
+    TA.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+      .where(col("doc_id") < 300)
       .orderBy("doc_id")
   }
 
@@ -1690,9 +1686,11 @@ object ExtQueries {
     * outdegree ≥ 1 (no dangling mass). The oracle unrolls the three
     * Pregel cycles as CTEs; per-iteration round(·,10) makes the
     * iterate bit-reproducible across engines (see
-    * [[graft.operators.PageRank]]), and `(1.0 - 0.85)` is written as
-    * the SUBTRACTION in both engines — the folded constant is
-    * 0.15000000000000002, not 0.15.
+    * [[graft.operators.PageRank]]). The teleport constant is written
+    * as a DOUBLE subtraction in the oracle — `CAST(1.0 AS DOUBLE) -
+    * CAST(0.85 AS DOUBLE)` = 0.1500000000000000222 matching Scala's
+    * folded `1.0 - damping`; a bare `(1.0 - 0.85)` folds in DECIMAL
+    * on DuckDB to 0.1499999999999999944, one ulp off.
     */
   val x63_pagerank: QuerySpec = q("x63_pagerank",
     """WITH pairs AS (
@@ -1703,13 +1701,13 @@ object ExtQueries {
       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
       |r0 AS (SELECT s AS v, round(1.0 / (SELECT n FROM n), 10) AS r FROM deg),
       |r1 AS (SELECT p.t AS v,
-      |    round((1.0 - 0.85) / (SELECT n FROM n) + 0.85 * sum(r.r / deg.deg), 10) AS r
+      |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n) + 0.85 * sum(r.r / deg.deg), 10) AS r
       |  FROM pairs p JOIN r0 r ON r.v = p.s JOIN deg ON deg.s = p.s GROUP BY p.t),
       |r2 AS (SELECT p.t AS v,
-      |    round((1.0 - 0.85) / (SELECT n FROM n) + 0.85 * sum(r.r / deg.deg), 10) AS r
+      |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n) + 0.85 * sum(r.r / deg.deg), 10) AS r
       |  FROM pairs p JOIN r1 r ON r.v = p.s JOIN deg ON deg.s = p.s GROUP BY p.t),
       |r3 AS (SELECT p.t AS v,
-      |    round((1.0 - 0.85) / (SELECT n FROM n) + 0.85 * sum(r.r / deg.deg), 10) AS r
+      |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n) + 0.85 * sum(r.r / deg.deg), 10) AS r
       |  FROM pairs p JOIN r2 r ON r.v = p.s JOIN deg ON deg.s = p.s GROUP BY p.t)
       |SELECT v AS part, r AS rank FROM r3 ORDER BY part""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")

@@ -33,6 +33,14 @@ class ExpectationsSpec extends SparkTestBase {
     assert(!out.getBoolean(2))
   }
 
+  test("a NULL metric fails the check instead of passing as NULL") {
+    val out = Expectations.run(df.where(col("v") > 1e9), Seq(
+        Expectation("min_v", min(col("v")), 0.0, 1e9)))
+      .collect()(0)
+    assert(out.isNullAt(1)) // metric itself is null (no rows)
+    assert(!out.getBoolean(2)) // but passed is FALSE, not null
+  }
+
   test("the whole suite evaluates in a single pass over the source") {
     val plan = Expectations.run(df, Seq(
         Expectation("complete_tag", Expectations.completeness("tag"), 1.0, 1.0),

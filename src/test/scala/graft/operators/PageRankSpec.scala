@@ -27,6 +27,20 @@ class PageRankSpec extends SparkTestBase {
     assert(math.abs(total - 1.0) < 1e-6)
   }
 
+  test("directed chain keeps every vertex across iterations (no truncation)") {
+    // A -> B -> C: A has no in-edges (teleport floor only), C is a
+    // sink (absorbs mass, documented leak)
+    val chain = Seq(("A", "B"), ("B", "C")).toDF("src", "dst")
+    val r = PageRank.run(chain, "src", "dst", iters = 2)
+      .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(r.keySet == Set("A", "B", "C"))
+    // N=3, r0=1/3 each; iter1: A=0.05, B=0.05+0.85/3, C=0.05+0.85/3
+    // iter2: A=0.05, B=0.05+0.85*0.05, C=0.05+0.85*(0.05+0.85/3)
+    assert(math.abs(r("A") - 0.05) < 1e-9)
+    assert(math.abs(r("B") - 0.0925) < 1e-9)
+    assert(math.abs(r("C") - 0.3333333333) < 1e-9)
+  }
+
   test("vertices with in-edges but asymmetric degree rank by structure") {
     // star: hub H linked both ways to 3 leaves — hub concentrates rank
     val star = Seq(("H", "L1"), ("L1", "H"), ("H", "L2"), ("L2", "H"),
