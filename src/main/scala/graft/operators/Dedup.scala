@@ -171,6 +171,54 @@ object Dedup {
       .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
 
+  /** Cross-document duplicated-span census — the word-granularity
+    * re-expression of suffix-array substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better";
+    * reference has no such operator — this is extension surface).
+    * A k-token span occurring in two or more documents is "duplicated";
+    * per document the deliverable is (total distinct spans, duplicated
+    * spans, duplicated fraction) — the removal signal a pipeline uses
+    * to cut docs dominated by cross-document boilerplate that whole-doc
+    * near-dup (MinHash/SimHash) cannot see because the containing docs
+    * differ elsewhere.
+    *
+    * Scale shape: spans are per-doc distinct ALREADY at generation
+    * ([[TextAnalysis.tokenNgrams]] array_distincts map-side), so the
+    * exploded stream carries one row per (doc, distinct span) and the
+    * sharing census is a plain `count(*)` per span — two-phase, partial
+    * map-side. The shuffle key is `xxhash64(span)` (8 bytes), never the
+    * raw k-token string (~50+ bytes): same 2⁻⁶⁴-collision argument as
+    * the MinHash shingle hashing below. The shared-span set flows back
+    * as a hash semi-join on the same 64-bit key — both sides partition
+    * identically, and the hot boilerplate span (shared by millions of
+    * docs at 100 TB) collapses map-side in the census and is ONE row on
+    * the build side of the semi-join, so no skew funnel exists. The
+    * per-doc rollup shuffles on the unique doc id, which cannot skew.
+    * Nothing is persisted: both passes re-derive the codegen'd
+    * tokenize+hash from the column-pruned source scan, cheaper at
+    * corpus scale than caching an exploded span table.
+    */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val spans = df
+      .select(col(idCol),
+        explode(TextAnalysis.tokenNgrams(col(textCol), k)).as("__span"))
+      .select(col(idCol), xxhash64(col("__span")).as("__g"))
+    val shared = spans
+      .groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") > 1)
+      .select("__g")
+    val dup = spans
+      .join(shared, Seq("__g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("dup_spans"))
+    df.select(col(idCol),
+        size(TextAnalysis.tokenNgrams(col(textCol), k)).cast("bigint").as("n_spans"))
+      .join(dup, Seq(idCol), "inner")
+      .withColumn("dup_frac",
+        round(col("dup_spans").cast("double") / col("n_spans"), 4))
+  }
+
   // --- MinHash --------------------------------------------------------
 
   /** Deterministic seeded hash family: h_i(x) = splitmix64(x ^ seed_i).

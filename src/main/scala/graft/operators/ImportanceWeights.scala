@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weights for data selection (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling" —
+  * extension surface; the reference pipeline has no such operator).
+  *
+  * Feature space: a hashed bag of word uni+bigrams in B buckets. The
+  * target distribution (a small high-quality corpus slice — "make the
+  * web look like Wikipedia") and the raw distribution (the full
+  * corpus) are each a B-bucket count vector with add-one smoothing;
+  * a document's importance weight is the log-likelihood ratio of its
+  * gram stream under the two:
+  *
+  *   w(doc) = Σ_gram [ ln p_target(bucket(gram)) − ln p_raw(bucket(gram)) ]
+  *
+  * High w = the doc's n-gram profile looks like the target. The
+  * selection step ranks by w (the paper adds Gumbel noise for sampled
+  * resampling; the deterministic rank is what a reproducible pipeline
+  * gates on — noise is the caller's one extra column).
+  *
+  * Bucketing is `substr(md5(gram), 1, hexChars)` — bit-identical in
+  * every engine (the same portability contract as [[HashSplit]]'s
+  * md5-order sampling), string-keyed so no hex→int conversion is
+  * needed, B = 16^hexChars.
+  *
+  * Scale shape: the two fits are two-phase `groupBy(bucket).count()`
+  * over codegen'd gram streams — duplicate mass collapses map-side and
+  * the exchange carries at most B rows per partition. The resulting
+  * B-row log-likelihood-ratio table BROADCASTS into the scoring scan,
+  * whose only wide exchange is the per-doc rollup on the unique doc id
+  * (cannot skew). The raw corpus streams twice (fit + score), the
+  * target once; nothing corpus-sized is shuffled or persisted. At
+  * 100 TB the raw fit can run on a hash sample of the corpus (bucket
+  * frequencies saturate long before full coverage) without changing
+  * the scoring contract — the LUT is the only coupling.
+  */
+object ImportanceWeights {
+
+  /** One bucket id per uni/bigram instance (bag semantics — NOT
+    * distinct; frequency is the signal here, unlike the dedup grams).
+    */
+  def gramBuckets(text: Column, hexChars: Int): Column =
+    transform(
+      concat(TextAnalysis.tokens(text), TextAnalysis.rawTokenNgrams(text, 2)),
+      g => substring(md5(g), 1, hexChars))
+
+  /** Hashed-n-gram bucket census of a corpus: (bucket, c) with c the
+    * number of gram INSTANCES hashing there. ≤ 16^hexChars rows.
+    */
+  def fit(df: DataFrame, textCol: String, hexChars: Int = 3): DataFrame =
+    df.select(explode(gramBuckets(col(textCol), hexChars)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("double").as("c"))
+
+  /** Per-document importance weight of every `corpus` doc against the
+    * `target` slice: (idCol, weight). Smoothing-constant arithmetic is
+    * kept in the exact literal shape `(c+1)/(tot+B)` so an independent
+    * reimplementation (the DuckDB oracle) folds the same doubles.
+    */
+  def weights(
+      corpus: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, hexChars: Int = 3): DataFrame = {
+    val b = math.pow(16.0, hexChars)
+    val raw = fit(corpus, textCol, hexChars)
+      .withColumnRenamed("c", "cr")
+    val tgt = fit(target, textCol, hexChars)
+      .withColumnRenamed("c", "ct")
+    // one-row totals, broadcast like Bm25's corpus stats — the cross
+    // joins below are 4096×1, not corpus-sized
+    val tots = raw.agg(sum(col("cr")).as("rt"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("tt")))
+    // target ⊆ corpus vocabulary need not hold (disjoint target
+    // corpora are legal), so the LUT is a full outer over buckets
+    val lut = raw.join(tgt, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0.0)) + lit(1.0)) / (col("tt") + lit(b))) -
+         log((coalesce(col("cr"), lit(0.0)) + lit(1.0)) / (col("rt") + lit(b))))
+          .as("llr"))
+    corpus
+      .select(col(idCol), explode(gramBuckets(col(textCol), hexChars)).as("bucket"))
+      .join(broadcast(lut), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("llr")).as("weight"))
+  }
+}

@@ -91,7 +91,7 @@ object TextAnalysis {
     * builder under [[tokenNgrams]] and [[repetitionRatio]], so x28's
     * oracle-parity proof of the boundary arithmetic covers both.
     */
-  private def rawTokenNgrams(text: Column, n: Int): Column = {
+  private[operators] def rawTokenNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
     transform(
       sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),

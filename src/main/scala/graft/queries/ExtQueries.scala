@@ -1812,6 +1812,69 @@ object ExtQueries {
       .orderBy("source", "rn")
   }
 
+  /** Cross-document duplicated-span census (word-granularity
+    * suffix-array dedup, Lee et al. 2021): every 8-token span shared by
+    * ≥2 documents, rolled up per doc as (n_spans, dup_spans, dup_frac)
+    * — the boilerplate-removal signal whole-doc near-dup can't see.
+    * The oracle recomputes the census from raw spans in DuckDB list
+    * SQL (no hash parity needed: the engine's xxhash64 span keys
+    * collide with probability ~2⁻⁶⁴, same argument as [[gramsCte]]).
+    */
+  val x68_dup_spans: QuerySpec = duck("x68_dup_spans",
+    """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    list_distinct([array_to_string(t[i:i+7], ' ')
+      |                   FOR i IN range(1, greatest(len(t)-6, 2))]) AS grams
+      |  FROM tok),
+      |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |shared AS (SELECT gram FROM e GROUP BY gram HAVING count(*) > 1),
+      |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans
+      |  FROM e JOIN shared USING (gram) GROUP BY doc_id)
+      |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_spans, dup.dup_spans,
+      |  round(CAST(dup.dup_spans AS DOUBLE) / len(g.grams), 4) AS dup_frac
+      |FROM g JOIN dup ON g.doc_id = dup.doc_id
+      |ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+    Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
+  /** DSIR importance weights (Xie et al. 2023): every doc scored by the
+    * hashed-uni+bigram log-likelihood ratio against the English slice
+    * as the target distribution — the "make the web look like the
+    * target" data-selection signal. The oracle recomputes the whole
+    * fit+score from raw grams in DuckDB with the identical md5 bucket
+    * keys and identical `(c+1)/(tot+4096)` smoothing shape; both sides
+    * round the summed weight to 4 decimals (libm-ulp tolerance, the
+    * x39/x45 precedent).
+    */
+  val x69_dsir_weights: QuerySpec = duck("x69_dsir_weights",
+    """WITH tok AS (SELECT doc_id, lang,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |g AS (SELECT doc_id, lang,
+      |    unnest(t || [array_to_string(t[i:i+1], ' ')
+      |                 FOR i IN range(1, greatest(len(t), 2))]) AS gram
+      |  FROM tok),
+      |b AS (SELECT doc_id, lang, substr(md5(gram), 1, 3) AS bucket FROM g),
+      |rawc AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS cr FROM b GROUP BY bucket),
+      |tgtc AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS ct
+      |  FROM b WHERE lang = 'en' GROUP BY bucket),
+      |tots AS (SELECT (SELECT sum(cr) FROM rawc) AS rt, (SELECT sum(ct) FROM tgtc) AS tt),
+      |lut AS (SELECT r.bucket,
+      |    ln((coalesce(t.ct, 0.0) + 1.0) / (tots.tt + 4096.0))
+      |      - ln((r.cr + 1.0) / (tots.rt + 4096.0)) AS llr
+      |  FROM rawc r LEFT JOIN tgtc t USING (bucket) CROSS JOIN tots)
+      |SELECT b.doc_id, round(sum(lut.llr), 4) AS weight
+      |FROM b JOIN lut USING (bucket)
+      |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.ImportanceWeights
+    val docs = Tables.documents(s, d)
+    ImportanceWeights.weights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", hexChars = 3)
+      .select(col("doc_id"), round(col("weight"), 4).as("weight"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1829,5 +1892,6 @@ object ExtQueries {
     x53_streaming_topk, x54_streaming_hourly, x55_profile, x56_compaction,
     x57_zorder_key, x58_streaming_geofence, x59_fuzzy_match, x60_expectations,
     x61_streaming_attribution, x62_perplexity_bands, x63_pagerank,
-    x64_bpe_pairs, x65_agg_merge, x66_histogram, x67_weighted_sample)
+    x64_bpe_pairs, x65_agg_merge, x66_histogram, x67_weighted_sample,
+    x68_dup_spans, x69_dsir_weights)
 }

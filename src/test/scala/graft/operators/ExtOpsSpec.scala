@@ -515,4 +515,43 @@ class ExtOpsSpec extends SparkTestBase {
       Multimodal.attachBlob(df, "payload", "text/plain"))
       .select(element_at($"features", 3)).collect().map(_.getFloat(0)).toSeq)
   }
+
+  test("duplicated-span census finds cross-doc spans and skips unique docs") {
+    // 3-token spans: docs 1 and 2 share "a b c" and "b c d" (the spans of
+    // the common prefix "a b c d"); doc 3 is fully unique; doc 4 repeats
+    // a span WITHIN itself only — within-doc repeats are not duplication
+    val sdocs = Seq(
+      (1L, "a b c d x1 y1 z1"),
+      (2L, "a b c d x2 y2 z2"),
+      (3L, "p q r s t u v"),
+      (4L, "m n o m n o m n o")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(sdocs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // doc1: spans {abc,bcd,cdx1,dx1y1,x1y1z1} -> 2 shared; same for doc2
+    assert(out == List((1L, 5L, 2L), (2L, 5L, 2L)))
+    // dup_frac is the rounded ratio
+    val frac = Dedup.duplicatedSpans(sdocs, "doc_id", "text", k = 3)
+      .filter($"doc_id" === 1).select($"dup_frac").collect()(0).getDouble(0)
+    assert(frac == 0.4)
+  }
+
+  test("DSIR weights rank target-like docs above off-target docs") {
+    // target slice = "spark" docs; a raw doc about spark must out-score
+    // a raw doc about cooking under the target-vs-raw likelihood ratio
+    val corpus = Seq(
+      (1L, "spark shuffle partitions spark executor memory", "t"),
+      (2L, "spark catalyst optimizer spark codegen stages", "t"),
+      (3L, "spark shuffle executor catalyst partitions plan", "r"),
+      (4L, "flour butter sugar eggs oven baking tray", "r"),
+      (5L, "spark oven executor sugar partitions eggs", "r")
+    ).toDF("doc_id", "text", "slice")
+    val w = ImportanceWeights.weights(
+        corpus, corpus.filter($"slice" === "t"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(3) > w(5) && w(5) > w(4))
+    // weights exist for every corpus doc, including the target slice
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }

@@ -331,4 +331,37 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("day"), plan)
     assert(pruned.count() > 0)
   }
+
+  test("duplicated-span census aggregates partially map-side; no window, no cross join") {
+    // the sharing census is count(*) per 64-bit span hash — the hot
+    // boilerplate span must collapse in a partial agg before the
+    // exchange (same skew argument as x01/x37), and nothing in the
+    // plan may degenerate to a cartesian/NLJ pairing of docs
+    val plan = ExtQueries.x68_dup_spans.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val first = plan.indexOf("HashAggregate")
+    assert(first >= 0, plan)
+    assert(plan.indexOf("HashAggregate", first + 1) >= 0,
+      s"expected partial+final HashAggregate pair:\n$plan")
+  }
+
+  test("DSIR scoring probes the bucket LUT via broadcast; per-doc rollup is two-phase") {
+    // the B-row log-likelihood-ratio table must broadcast into the
+    // scoring scan (the corpus-sized gram stream never shuffles to
+    // meet it), and the per-doc weight sum must partial-aggregate
+    // map-side before its exchange on the unique doc id
+    val df = graft.operators.ImportanceWeights.weights(
+      Tables.documents(spark, sfDir),
+      Tables.documents(spark, sfDir).filter(col("lang") === "en"),
+      "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val first = plan.indexOf("HashAggregate")
+    assert(first >= 0, plan)
+    assert(plan.indexOf("HashAggregate", first + 1) >= 0,
+      s"expected partial+final HashAggregate pair:\n$plan")
+  }
 }
