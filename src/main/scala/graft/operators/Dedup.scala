@@ -689,4 +689,57 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space coarsely, then deduplicate WITHIN clusters by
+    * pairwise cosine — catches semantic duplicates (same content,
+    * different words) that every lexical signal above misses, at a
+    * per-cluster quadratic cost instead of the corpus-quadratic one.
+    *
+    * Clustering reuses the pinned deterministic k-means
+    * ([[Similarity.kmeansCodebook]]: init = first k of the bounded
+    * id-ordered sample, strict-< argmin, sample-order means), so an
+    * independent reimplementation reproduces cell assignments exactly.
+    *
+    * Keep rule: a row is DROPPED iff some same-cell row with a lower
+    * id has cosine ≥ `tau` to it. Unlike the paper's sequential
+    * keep-one-per-ball sweep this is a pure self-equi-join — fully
+    * parallel, deterministic, no per-cell state — at the cost of
+    * slightly over-dropping along similarity chains (conservative in
+    * the safe direction for dedup).
+    *
+    * Scale shape: the join key is the cell id, so the pairwise stage
+    * costs Σ_c s_c² — bounded by choosing nCells ∝ corpus/targetCell
+    * (the paper runs ~100k clusters for the same reason); a skewed
+    * cell is an equi-join key, so AQE skew-split applies. The cell
+    * assignment scan runs twice feeding the two join sides; the
+    * production path materializes the assignment once as a
+    * cell-partitioned layout ([[graft.sources.Layout]], the
+    * lshWrite/ivf pattern) and joins against that. NULL embeddings
+    * get a NULL cell: never paired, never dropped.
+    */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nCells: Int = 16,
+      iters: Int = 3, trainN: Int = 256): DataFrame = {
+    val sample = Similarity.trainSample(df, idCol, vecCol, trainN)
+    require(sample.length >= nCells,
+      s"need at least nCells=$nCells training vectors, got ${sample.length}")
+    val coarse = Similarity.kmeansCodebook(sample, nCells, iters)
+    // asNondeterministic: same anti-double-eval guard as ivfPqEncode
+    val assign = udf((v: Seq[Float]) =>
+      if (v == null) null
+      else Integer.valueOf(
+        Similarity.nearest(v.toArray.map(_.toDouble), coarse))
+    ).asNondeterministic()
+    val cells = df.select(col(idCol), col(vecCol), assign(col(vecCol)).as("cell"))
+    val a = cells.select(col("cell"), col(idCol).as("__a"), col(vecCol).as("__va"))
+    val b = cells.select(col("cell"), col(idCol).as("__b"), col(vecCol).as("__vb"))
+    val droppedIds = a.join(b, Seq("cell"))
+      .filter(col("__a") < col("__b") && cosine(col("__va"), col("__vb")) >= tau)
+      .select(col("__b").as(idCol)).distinct()
+    cells.join(droppedIds.withColumn("__d", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__d").isNull.as("kept"))
+  }
 }

@@ -278,7 +278,7 @@ object Similarity {
     def dsub: Int = dim / m
   }
 
-  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+  private[operators] def dist2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
@@ -287,7 +287,7 @@ object Similarity {
   /** Strict-< argmin of squared L2 over `cands` — lowest index wins
     * ties, the pinned tie-break every PQ/IVF-PQ stage uses.
     */
-  private def nearest(x: Array[Double], cands: Array[Array[Double]]): Int = {
+  private[operators] def nearest(x: Array[Double], cands: Array[Array[Double]]): Int = {
     var best = 0; var bestD = dist2(x, cands(0)); var c = 1
     while (c < cands.length) {
       val dd = dist2(x, cands(c))
@@ -303,7 +303,7 @@ object Similarity {
     * strict-< argmin (lowest index wins ties); centroid = mean
     * accumulated in sample order; an empty cluster keeps its centroid.
     */
-  private def kmeansCodebook(
+  private[operators] def kmeansCodebook(
       subs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val dsub = subs(0).length
     var cb = Array.tabulate(k)(c => subs(c).clone())
@@ -331,7 +331,7 @@ object Similarity {
     * quality saturates on a tiny sample, the 100 TB corpus only ever
     * streams through the encode pass.
     */
-  private def trainSample(
+  private[operators] def trainSample(
       df: DataFrame, idCol: String, vecCol: String, trainN: Int): Array[Array[Double]] =
     // null vectors are skipped (not encoded to a codeword) by
     // pqEncode/ivfPqEncode, so they must not reach training either —

@@ -1875,6 +1875,24 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023): deterministic k-means cells over the
+    * embedding space, then within-cell cosine dedup — every vector
+    * labeled (cell, kept). Oracle: VALUES golden from the from-spec
+    * Python mirror of the pinned k-means + cosine kernels
+    * (tools/golden_ext.py `semdedup`, the x47/x48 parity lineage).
+    * tau = 0.3 on the synthetic corpus (x06's threshold choice —
+    * the generator plants no >0.5-cosine pairs).
+    */
+  val x70_semdedup: QuerySpec = duck("x70_semdedup",
+    s"""SELECT vec_id, cell, kept FROM ${Goldens.valuesTable("x70_semdedup.tsv",
+         Seq("vec_id" -> "BIGINT", "cell" -> "INTEGER", "kept" -> "BOOLEAN"))}
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Dedup.semDedup(
+        Tables.embeddings(s, d).filter(col("embedding").isNotNull),
+        "vec_id", "embedding", tau = 0.3)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1893,5 +1911,5 @@ object ExtQueries {
     x57_zorder_key, x58_streaming_geofence, x59_fuzzy_match, x60_expectations,
     x61_streaming_attribution, x62_perplexity_bands, x63_pagerank,
     x64_bpe_pairs, x65_agg_merge, x66_histogram, x67_weighted_sample,
-    x68_dup_spans, x69_dsir_weights)
+    x68_dup_spans, x69_dsir_weights, x70_semdedup)
 }

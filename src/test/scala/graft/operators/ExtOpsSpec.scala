@@ -537,6 +537,27 @@ class ExtOpsSpec extends SparkTestBase {
     assert(frac == 0.4)
   }
 
+  test("semDedup drops later same-cell near-identical vectors, keeps distinct ones") {
+    // two tight groups far apart -> 2 cells; within each group the
+    // lowest id survives and near-copies drop; the lone distinct
+    // vector in each cell is kept
+    def v(xs: Float*): Array[Float] = xs.toArray
+    val rows = Seq(
+      (1L, v(1f, 0f, 0f, 0f)),
+      (2L, v(0.999f, 0.001f, 0f, 0f)),   // near-copy of 1 -> dropped
+      (3L, v(0f, 0f, 1f, 0f)),
+      (4L, v(0f, 0.001f, 0.999f, 0f)),   // near-copy of 3 -> dropped
+      (5L, v(0.7f, 0.7f, 0f, 0f)),       // same half-space as 1, not similar enough
+      (6L, null.asInstanceOf[Array[Float]]) // null vec: never paired, kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(rows, "vec_id", "embedding",
+        tau = 0.95, nCells = 2, trainN = 5)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> true))
+  }
+
   test("DSIR weights rank target-like docs above off-target docs") {
     // target slice = "spark" docs; a raw doc about spark must out-score
     // a raw doc about cooking under the target-vs-raw likelihood ratio

@@ -348,6 +348,16 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected partial+final HashAggregate pair:\n$plan")
   }
 
+  test("semDedup pairs only within cells — equi join on cell, no cartesian") {
+    // the pairwise stage must be an equi join keyed on the cell id
+    // (Σ s_c² cost, AQE-skew-splittable), never a cross/NLJ pairing
+    // of the whole table with itself
+    val plan = ExtQueries.x70_semdedup.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("DSIR scoring probes the bucket LUT via broadcast; per-doc rollup is two-phase") {
     // the B-row log-likelihood-ratio table must broadcast into the
     // scoring scan (the corpus-sized gram stream never shuffles to

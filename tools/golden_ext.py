@@ -381,6 +381,26 @@ def pq_topk(vecs, query, k=10, dim=64, m=8, codewords=16, iters=3, train_n=256):
     return scored[:k]
 
 
+def semdedup(vecs, tau, n_cells=16, iters=3, train_n=256):
+    """Dedup.semDedup, op-for-op: deterministic k-means over the first
+    train_n vectors (full dim), strict-< argmin cell assignment, then
+    drop a row iff some same-cell row with a LOWER id has
+    cosine_f32 >= tau to it. Returns (vec_id, cell, kept) by vec_id."""
+    sample = [[float(x) for x in v] for _, v in vecs[:train_n]]
+    cb = _kmeans_codebook(sample, n_cells, iters)
+    by_cell = {}
+    for vid, v in vecs:
+        c = _nearest([float(x) for x in v], cb)
+        by_cell.setdefault(c, []).append((vid, v))
+    out = []
+    for c, rows in by_cell.items():
+        for i, (b_id, b) in enumerate(rows):
+            dropped = any(cosine_f32(a, b) >= tau for _, a in rows[:i])
+            out.append((b_id, c, not dropped))
+    out.sort()
+    return out
+
+
 def _kmeans_codebook(subs, k, iters):
     """Similarity.kmeansCodebook, op-for-op: init = first k samples,
     strict-< argmin (lowest index wins), means accumulated in sample
@@ -502,6 +522,10 @@ def main():
           lambda r: f"{r[0]}\t{r[1]!r}")
     write('x48_ann_ivfpq.tsv', ivfpq_topk(embs, query, k=10, dim=64),
           lambda r: f"{r[0]}\t{r[1]!r}")
+    # x70: tau pinned at 0.3 for the synthetic corpus (same choice as
+    # x06 — the generator plants no >0.5-cosine pairs)
+    write('x70_semdedup.tsv', semdedup(embs, tau=0.3),
+          lambda r: f"{r[0]}\t{r[1]}\t{str(r[2]).lower()}")
 
 
 if __name__ == '__main__':
