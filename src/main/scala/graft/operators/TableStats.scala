@@ -41,6 +41,30 @@ object TableStats {
         col("n_distinct"), col("min_v"), col("max_v"))
   }
 
+  /** Per-group z-score standardization of a metric column (feature
+    * normalization before mixing heterogeneous sources). Deliberately
+    * a two-phase aggregate + equi-join back, NOT a window function: an
+    * `avg/stddev OVER (PARTITION BY key)` forces a full sort of every
+    * partition, while the agg+join shape is two hash exchanges with
+    * map-side partials and — because the group-stats side is tiny
+    * (one row per group) — the join back broadcasts. Population
+    * stddev (σₙ, not the n−1 sample variant) so singleton groups get
+    * σ=0 → NULL z rather than a division blow-up.
+    * Output: input columns + `z` rounded to `digits`.
+    */
+  def zscore(
+      df: DataFrame, keyCols: Seq[String], valueCol: String,
+      digits: Int = 6): DataFrame = {
+    require(keyCols.nonEmpty, "zscore needs at least one key column")
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(avg(col(valueCol)).as("__mu"), stddev_pop(col(valueCol)).as("__sd"))
+    df.join(broadcast(stats), keyCols)
+      .withColumn("z",
+        round((col(valueCol) - col("__mu")) /
+          when(col("__sd") === 0.0, lit(null)).otherwise(col("__sd")), digits))
+      .drop("__mu", "__sd")
+  }
+
   /** Equi-width histogram of a numeric column: `bins` buckets spanning
     * [min, max], the max value folded into the last bucket. Two
     * passes: a one-row min/max aggregate broadcast to every task, then

@@ -237,6 +237,27 @@ object TextAnalysis {
       .groupBy("pair").agg(sum(col("c")).as("freq"))
   }
 
+  /** Inverted index build: term → document frequency + the sorted
+    * posting list (the retrieval-side artifact next to [[Bm25]]'s
+    * scoring). One explode + distinct (term, doc) + one groupBy:
+    * `sort_array(collect_list(...))` makes the posting order
+    * deterministic regardless of which partition delivered which doc.
+    * `minDf` keeps the output to the head of the vocabulary — at
+    * 100 TB a full index is written SHARDED BY TERM anyway (the
+    * groupBy's hash partitioning IS that sharding; each reducer owns
+    * a term range and writes its shard), and posting lists of
+    * hub terms are the skew case AQE splits.
+    * Output: `term`, `df`, `postings` (sorted ids).
+    */
+  def invertedIndex(
+      docs: DataFrame, textCol: String, idCol: String, minDf: Long): DataFrame =
+    docs.select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).cast("bigint").as("df"),
+        sort_array(collect_list(col("__doc"))).as("postings"))
+      .where(col("df") >= minDf)
+
   /** CCNet-style quality banding: assign each scored document to the
     * FIRST band whose floor its (rounded) score clears; documents
     * below every floor land in `tailBand`. The canonical

@@ -1893,6 +1893,32 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** Streaming exact dedup as a driver row: the events stream UNIONED
+    * WITH ITSELF (every event twice) flows through the watermarked
+    * `dropDuplicates` twin; the deduped sink must reproduce the plain
+    * batch census of the single table — the duplicate half vanishes in
+    * stream state, proving the dedup rather than assuming unique input.
+    * Append-mode sink: dropDuplicates emits first occurrences
+    * immediately (the watermark only bounds state, it never holds
+    * emission), and both copies land in micro-batch 1, so nothing is
+    * late-dropped.
+    */
+  val x71_streaming_dedup: QuerySpec = q("x71_streaming_dedup",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingTwins
+    val sink = "x71_dedup_sink"
+    s.catalog.dropTempView(sink)
+    val ev = StreamingTwins.readEvents(s, s"$d/events.parquet")
+    val query = StreamingTwins.dedupEvents(ev.unionAll(ev))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    s.table(sink)
+      .groupBy("event_type").agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1911,5 +1937,5 @@ object ExtQueries {
     x57_zorder_key, x58_streaming_geofence, x59_fuzzy_match, x60_expectations,
     x61_streaming_attribution, x62_perplexity_bands, x63_pagerank,
     x64_bpe_pairs, x65_agg_merge, x66_histogram, x67_weighted_sample,
-    x68_dup_spans, x69_dsir_weights, x70_semdedup)
+    x68_dup_spans, x69_dsir_weights, x70_semdedup, x71_streaming_dedup)
 }
