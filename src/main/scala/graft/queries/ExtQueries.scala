@@ -1919,6 +1919,63 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
+  /** Market-basket co-occurrence: frequent brand pairs across orders
+    * with support and lift ([[graft.operators.Cooccur.frequentPairs]]).
+    * The oracle recomputes the Apriori-pruned pair mining in plain SQL;
+    * support >= 200 at sf0.01 keeps all 25 brands frequent, so the
+    * pruning step is exercised without becoming vacuous (the HAVING on
+    * pairs still cuts).
+    */
+  val x72_frequent_pairs: QuerySpec = q("x72_frequent_pairs",
+    """WITH items AS (
+      |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |freq AS (SELECT item, CAST(count(*) AS BIGINT) AS n
+      |  FROM items GROUP BY item HAVING count(*) >= 200),
+      |nb AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS nb FROM items),
+      |pruned AS (SELECT * FROM items WHERE item IN (SELECT item FROM freq)),
+      |pairs AS (
+      |  SELECT a.item AS pa, b.item AS pb, CAST(count(*) AS BIGINT) AS support
+      |  FROM pruned a JOIN pruned b ON a.ok = b.ok AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 200)
+      |SELECT p.pa, p.pb, p.support,
+      |  round(CAST(p.support AS DOUBLE) * (SELECT nb FROM nb)
+      |    / (CAST(fa.n AS DOUBLE) * CAST(fb.n AS DOUBLE)), 6) AS lift
+      |FROM pairs p JOIN freq fa ON fa.item = p.pa JOIN freq fb ON fb.item = p.pb
+      |ORDER BY pa, pb""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val part = Tables.part(s, d).select("p_partkey", "p_brand")
+    val baskets = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    graft.operators.Cooccur.frequentPairs(baskets, "l_orderkey", "p_brand",
+      minSupport = 200L)
+      .orderBy("pa", "pb")
+  }
+
+  /** Triangle count over the part co-purchase graph via degree
+    * orientation ([[graft.operators.GraphOps.triangleCount]]). The
+    * oracle counts each triangle once through the canonical u<v<w
+    * 3-way edge join — an independent formulation with no orientation
+    * step, so an orientation bug (double counting, dropped wedges)
+    * cannot cancel out.
+    */
+  val x73_triangles: QuerySpec = q("x73_triangles",
+    """WITH pairs AS (
+      |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+      |    greatest(a.l_partkey, b.l_partkey) AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)
+      |SELECT CAST(count(*) AS BIGINT) AS triangles
+      |FROM pairs e1 JOIN pairs e2 ON e2.u = e1.v
+      |  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "ok").where(col("pa") =!= col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    graft.operators.GraphOps.triangleCount(edges, "src", "dst")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1937,5 +1994,6 @@ object ExtQueries {
     x57_zorder_key, x58_streaming_geofence, x59_fuzzy_match, x60_expectations,
     x61_streaming_attribution, x62_perplexity_bands, x63_pagerank,
     x64_bpe_pairs, x65_agg_merge, x66_histogram, x67_weighted_sample,
-    x68_dup_spans, x69_dsir_weights, x70_semdedup, x71_streaming_dedup)
+    x68_dup_spans, x69_dsir_weights, x70_semdedup, x71_streaming_dedup,
+    x72_frequent_pairs, x73_triangles)
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class GraphCooccurSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // K4 on {1,2,3,4} — complete graph, C(4,3) = 4 triangles — plus a
+  // pendant vertex 5 attached to 1 (closes nothing).
+  private def k4Plus = Seq(
+    (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5))
+    .toDF("s", "t")
+
+  test("triangleCount: K4 + pendant = 4 triangles") {
+    val n = GraphOps.triangleCount(k4Plus, "s", "t")
+      .collect()(0).getLong(0)
+    assert(n == 4L)
+  }
+
+  test("triangleCount: duplicate and reversed edges are canonicalized") {
+    val noisy = k4Plus
+      .unionAll(k4Plus.selectExpr("t as s", "s as t"))
+      .unionAll(k4Plus)
+    val n = GraphOps.triangleCount(noisy, "s", "t").collect()(0).getLong(0)
+    assert(n == 4L)
+  }
+
+  test("triangleCount: triangle-free graph (star) counts zero") {
+    val star = Seq((0, 1), (0, 2), (0, 3), (0, 4)).toDF("s", "t")
+    assert(GraphOps.triangleCount(star, "s", "t").collect()(0).getLong(0) == 0L)
+  }
+
+  test("frequentPairs: support, lift, and Apriori pruning by hand") {
+    // baskets: b1={x,y}, b2={x,y}, b3={x,y,z}, b4={x}  (N=4 baskets)
+    // item counts: x=4, y=3, z=1. minSupport=2 drops z before pairing.
+    // pair (x,y): support 3, lift = 3*4/(4*3) = 1.0
+    val rows = Seq(
+      ("b1", "x"), ("b1", "y"),
+      ("b2", "x"), ("b2", "y"),
+      ("b3", "x"), ("b3", "y"), ("b3", "z"),
+      ("b4", "x")).toDF("basket", "item")
+    val out = Cooccur.frequentPairs(rows, "basket", "item", minSupport = 2L)
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("pa") == "x" && r.getAs[String]("pb") == "y")
+    assert(r.getAs[Long]("support") == 3L)
+    assert(math.abs(r.getAs[Double]("lift") - 1.0) < 1e-9)
+  }
+
+  test("frequentPairs: duplicate items within a basket count once") {
+    val rows = Seq(
+      ("b1", "x"), ("b1", "x"), ("b1", "y"),
+      ("b2", "x"), ("b2", "y")).toDF("basket", "item")
+    val out = Cooccur.frequentPairs(rows, "basket", "item", minSupport = 2L)
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Long]("support") == 2L)
+  }
+}
