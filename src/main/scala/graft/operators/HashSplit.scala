@@ -74,6 +74,28 @@ object HashSplit {
       chain.fold(lit(splits.last._1))(_.otherwise(splits.last._1)))
   }
 
+  /** Leakage-safe split: assign by the row's near-dup CLUSTER, not the
+    * row — if two near-duplicate documents land in train and test, the
+    * eval split is contaminated by construction (the held-out document
+    * was effectively trained on). `components` is an (id, component)
+    * map, e.g. from [[Dedup.connectedComponents]] over verified
+    * near-dup edges; rows absent from it are singletons and split by
+    * their own id. The assignment stays a pure row-local function of
+    * the cluster representative (same md5-threshold CASE as [[assign]],
+    * no window, no global sort), and the components side — a tiny
+    * fraction of the corpus, only docs with a near-dup — broadcasts.
+    */
+  def leakageSafeAssign(
+      df: DataFrame, idCol: String, components: DataFrame,
+      splits: Seq[(String, Double)] = defaultSplits,
+      splitCol: String = "split"): DataFrame = {
+    val comp = components
+      .select(col("id").as(idCol), col("component").as("__comp"))
+    val keyed = df.join(broadcast(comp), Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("__comp"), col(idCol)))
+    assign(keyed, "__rep", splits, splitCol).drop("__comp", "__rep")
+  }
+
   /** Efraimidis–Spirakis (2006) weighted-sampling key: the k rows with
     * the SMALLEST `-ln(u)/w` are a weighted sample without replacement
     * with inclusion probability proportional to weight. `u ∈ (0,1]` is

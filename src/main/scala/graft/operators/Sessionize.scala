@@ -68,4 +68,101 @@ object Sessionize {
       .groupBy(col(userCol), col("session_seq"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Ordered-funnel analysis: how many users reached stage i of a
+    * named event sequence, where stage i counts only if it happens at
+    * or after the user's qualifying stage i−1 time (the classic
+    * view → click → purchase conversion funnel; an early purchase
+    * before any view does NOT count).
+    *
+    * Per user the qualifying times are the greedy prefix minima:
+    * t₀ = min ts of stage 0, tᵢ = min ts of stage i with ts ≥ tᵢ₋₁ —
+    * greedy is optimal here (taking the earliest feasible time for a
+    * stage can only enlarge the feasible set of every later stage), so
+    * the per-user depth is well-defined.
+    *
+    * Scale shape: a typed aggregate, NOT an n-way self-join (n joins
+    * re-shuffle the events table per stage) and NOT a window sort
+    * (no partial aggregation). [[FunnelAgg]] buffers each user's
+    * per-stage timestamps and resolves the greedy scan at finish —
+    * two-phase `ObjectHashAggregate`, one shuffle of stage-relevant
+    * events pre-reduced per map task; partial-buffer size is bounded
+    * by the per-user activity volume, the same documented contract as
+    * sessionization's window (object doc above).
+    *
+    * Output: `stage` (0-based), `stage_name`, `users` — users whose
+    * funnel depth reaches that stage, so counts are non-increasing.
+    */
+  def funnel(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size, s"duplicate stage in $stages")
+    val idx = stages.zipWithIndex.foldLeft(lit(-1)) { case (acc, (name, i)) =>
+      when(col(typeCol) === name, lit(i)).otherwise(acc)
+    }
+    val agg = udaf(new FunnelAgg(stages.size),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Long)]())
+    val depth = df
+      .where(idx >= 0)
+      .groupBy(col(userCol))
+      .agg(agg(idx, unix_micros(col(tsCol).cast("timestamp"))).as("depth"))
+    // one-row conditional aggregate + stack, not a join against a stage
+    // table: every stage row is always present (users = 0 when nobody
+    // reaches it), and the per-user depths never leave the aggregate
+    val aggs = stages.indices.map(i =>
+      count(when(col("depth") > i, 1)).cast("bigint").as(s"__s$i"))
+    val one = depth.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${stages.size}, " + stages.zipWithIndex
+      .map { case (n, i) => s"$i, '$n', __s$i" }.mkString(", ") +
+      ") AS (stage, stage_name, users)"
+    one.selectExpr(stackExpr)
+  }
+}
+
+/** Per-user funnel state: timestamps seen per stage, sorted lazily at
+  * [[finish]], where the greedy prefix-minima scan computes the depth
+  * (number of stages reached, 0..nStages). See [[Sessionize.funnel]].
+  */
+final class FunnelAgg(nStages: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Int, Long),
+      Array[scala.collection.mutable.ArrayBuffer[Long]],
+      Int] {
+  import scala.collection.mutable.ArrayBuffer
+
+  override def zero: Array[ArrayBuffer[Long]] =
+    Array.fill(nStages)(ArrayBuffer.empty[Long])
+
+  override def reduce(
+      b: Array[ArrayBuffer[Long]], a: (Int, Long)): Array[ArrayBuffer[Long]] = {
+    b(a._1) += a._2
+    b
+  }
+
+  override def merge(
+      a: Array[ArrayBuffer[Long]], b: Array[ArrayBuffer[Long]]): Array[ArrayBuffer[Long]] = {
+    var i = 0
+    while (i < nStages) { a(i) ++= b(i); i += 1 }
+    a
+  }
+
+  override def finish(b: Array[ArrayBuffer[Long]]): Int = {
+    var bound = Long.MinValue
+    var stage = 0
+    while (stage < nStages) {
+      // earliest event of this stage at/after the previous stage's time
+      var best = Long.MaxValue
+      for (t <- b(stage)) if (t >= bound && t < best) best = t
+      if (best == Long.MaxValue) return stage
+      bound = best
+      stage += 1
+    }
+    nStages
+  }
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[ArrayBuffer[Long]]] =
+    org.apache.spark.sql.Encoders.kryo[Array[ArrayBuffer[Long]]]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Int] =
+    org.apache.spark.sql.Encoders.scalaInt
 }

@@ -65,6 +65,43 @@ object TableStats {
       .drop("__mu", "__sd")
   }
 
+  /** Per-group robust outlier census via the modified z-score
+    * (Iglewicz & Hoaglin 1993): flag rows with
+    * `0.6745·|x − median| / MAD > cut`. Median/MAD instead of mean/σ
+    * because outliers poison the very statistics [[zscore]] would
+    * flag them with — on heavy-tailed metric columns (bytes fetched,
+    * latency, spend) the mean chases the tail and hides it.
+    *
+    * Scale shape: two group aggregates (median, then MAD of the
+    * deviations) each collapse to one row per group and broadcast back
+    * — two scans of the source, two tiny broadcasts, zero windows.
+    * Exact `percentile` keeps the oracle bit-checkable; at 100 TB swap
+    * `percentile_approx` into the same plan. The score is rounded to
+    * 6dp before the cut comparison so the last double ulp of the two
+    * engines' interpolation arithmetic cannot flip a boundary row.
+    * Output: one row per group — `n_outliers`, `n`.
+    */
+  def madOutliers(
+      df: DataFrame, keyCols: Seq[String], valueCol: String,
+      cut: Double = 3.5): DataFrame = {
+    require(keyCols.nonEmpty, "madOutliers needs at least one key column")
+    val ks = keyCols.map(col)
+    val med = df.groupBy(ks: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), keyCols)
+      .withColumn("__ad", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(ks: _*)
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), keyCols)
+      .withColumn("__score",
+        round(lit(0.6745) * col("__ad") /
+          when(col("__mad") === 0.0, lit(null)).otherwise(col("__mad")), 6))
+      .groupBy(ks: _*)
+      .agg(
+        count(when(col("__score") > cut, 1)).cast("bigint").as("n_outliers"),
+        count(lit(1)).cast("bigint").as("n"))
+  }
+
   /** Equi-width histogram of a numeric column: `bins` buckets spanning
     * [min, max], the max value folded into the last bucket. Two
     * passes: a one-row min/max aggregate broadcast to every task, then

@@ -1976,6 +1976,178 @@ object ExtQueries {
     graft.operators.GraphOps.triangleCount(edges, "src", "dst")
   }
 
+  /** KMV distinct-count sketch ([[graft.functions.SketchAggs.KmvAgg]]):
+    * single-pass mergeable cardinality estimation, both estimator
+    * branches exercised — event_id (10k distinct ≫ k=256, the KMV
+    * formula) and user_id (150 < k, the exact under-full path). The
+    * oracle recomputes the estimate from the k-th smallest md5 in SQL:
+    * md5-hash determinism is what makes a SKETCH hash-checkable at all.
+    */
+  val x74_kmv_distinct: QuerySpec = duck("x74_kmv_distinct",
+    """WITH eh AS (SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+      |uh AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+      |ek AS (SELECT h FROM eh ORDER BY h LIMIT 1 OFFSET 255),
+      |uk AS (SELECT h FROM uh ORDER BY h LIMIT 1 OFFSET 255)
+      |SELECT 'event_id' AS metric,
+      |  round(CASE WHEN (SELECT count(*) FROM eh) < 256
+      |    THEN CAST((SELECT count(*) FROM eh) AS DOUBLE)
+      |    ELSE 255.0 / (CAST(concat('0x', substr((SELECT h FROM ek), 1, 12)) AS BIGINT)
+      |                  / power(16, 12)) END, 4) AS est,
+      |  CAST((SELECT count(DISTINCT event_id) FROM events) AS BIGINT) AS exact_n
+      |UNION ALL
+      |SELECT 'user_id',
+      |  round(CASE WHEN (SELECT count(*) FROM uh) < 256
+      |    THEN CAST((SELECT count(*) FROM uh) AS DOUBLE)
+      |    ELSE 255.0 / (CAST(concat('0x', substr((SELECT h FROM uk), 1, 12)) AS BIGINT)
+      |                  / power(16, 12)) END, 4),
+      |  CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+      |ORDER BY metric""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggs
+    val k = 256
+    val ev = Tables.events(s, d)
+    def one(c: String): DataFrame =
+      ev.select(col(c), md5(col(c).cast("string")).as("h"))
+        .agg(SketchAggs.kmv_min_k(k)(col("h")).as("sk"),
+          countDistinct(col(c)).cast("bigint").as("exact_n"))
+        .select(lit(c).as("metric"),
+          SketchAggs.kmvEstimate(col("sk"), k).as("est"), col("exact_n"))
+    one("event_id").unionAll(one("user_id")).orderBy("metric")
+  }
+
+  /** Robust outlier census: modified z-score (median/MAD) per event
+    * type over the heavy-tailed `value` column
+    * ([[graft.operators.TableStats.madOutliers]]).
+    */
+  val x75_mad_outliers: QuerySpec = q("x75_mad_outliers",
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type, abs(e.value - med.m) AS ad
+      |  FROM events e JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS md FROM d GROUP BY 1)
+      |SELECT d.event_type,
+      |  CAST(count(*) FILTER (WHERE round(0.6745 * d.ad /
+      |    (CASE WHEN mad.md = 0 THEN NULL ELSE mad.md END), 6) > 3.5) AS BIGINT)
+      |    AS n_outliers,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM d JOIN mad USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.operators.TableStats.madOutliers(
+        Tables.events(s, d), Seq("event_type"), "value")
+      .orderBy("event_type")
+  }
+
+  /** Count-min-sketch frequency estimation over the order-line brand
+    * stream ([[graft.functions.SketchAggs.CmsAgg]]): bounded-state
+    * mergeable per-key counting; the probe is a broadcast one-row
+    * sketch + codegen md5 arithmetic, and the oracle rebuilds every
+    * counter cell in SQL. `est >= exact_n` always (CMS never
+    * undercounts); equality wherever no bucket collides.
+    */
+  val x76_cms_heavy: QuerySpec = duck("x76_cms_heavy",
+    """WITH items AS (
+      |  SELECT p.p_brand AS item FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey),
+      |js AS (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+      |counters AS (
+      |  SELECT j, CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', item)), 1, 8))
+      |      AS BIGINT) % 256 AS b,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM items CROSS JOIN js GROUP BY 1, 2),
+      |brands AS (SELECT DISTINCT p_brand AS item FROM part),
+      |probe AS (
+      |  SELECT br.item, js.j,
+      |    CAST(concat('0x', substr(md5(concat(CAST(js.j AS VARCHAR), ':', br.item)), 1, 8))
+      |      AS BIGINT) % 256 AS b
+      |  FROM brands br CROSS JOIN js),
+      |est AS (
+      |  SELECT p.item, min(coalesce(c.c, CAST(0 AS BIGINT))) AS est
+      |  FROM probe p LEFT JOIN counters c ON c.j = p.j AND c.b = p.b
+      |  GROUP BY 1),
+      |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1)
+      |SELECT e.item AS brand, e.est, ex.n AS exact_n
+      |FROM est e JOIN ex USING (item) ORDER BY brand""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggs
+    val (depth, width) = (4, 256)
+    val items = Tables.lineitem(s, d).select("l_partkey")
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("item"))
+    val sketch = items.agg(SketchAggs.cms_sketch(depth, width)(col("item")).as("sk"))
+    val exact = items.groupBy(col("item"))
+      .agg(count(lit(1)).cast("bigint").as("exact_n"))
+    exact.crossJoin(broadcast(sketch))
+      .select(col("item").as("brand"),
+        SketchAggs.cmsEstimate(col("sk"), col("item"), depth, width).as("est"),
+        col("exact_n"))
+      .orderBy("brand")
+  }
+
+  /** Leakage-safe train/val/test split: near-dup CLUSTERS are the
+    * split unit ([[graft.operators.HashSplit.leakageSafeAssign]]), so
+    * a test document can never have a near-duplicate in train. Oracle:
+    * recursive-CTE connected components over all-pairs verified edges
+    * + the IDENTICAL md5-threshold constants
+    * ([[graft.operators.HashSplit.armThresholds]]) on the cluster
+    * representative.
+    */
+  val x77_cluster_split: QuerySpec = {
+    val Seq(t1, t2) = graft.operators.HashSplit.armThresholds(
+      graft.operators.HashSplit.defaultSplits).toList
+    duck("x77_cluster_split",
+      s"""WITH RECURSIVE $verifiedCte,
+         |edges AS (SELECT a AS src, b AS dst FROM verified
+         |          UNION SELECT b, a FROM verified),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, t.r FROM edges e JOIN reach t ON t.id = e.dst),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |rep AS (SELECT d.doc_id, d.lang,
+         |    CAST(coalesce(c.component, d.doc_id) AS VARCHAR) AS rep
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT CASE WHEN md5(rep) < '$t1' THEN 'train'
+         |            WHEN md5(rep) < '$t2' THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  lang, CAST(count(*) AS BIGINT) AS docs
+         |FROM rep GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cands = minhashCands(s, d).filter(col("est_jaccard") >= 0.65)
+      val verified = Dedup.ngramJaccard(docs, "doc_id", "text", cands, 5)
+        .filter(col("jaccard") >= 0.8)
+      val comps = Dedup.connectedComponents(verified, "a", "b")
+      graft.operators.HashSplit.leakageSafeAssign(docs, "doc_id", comps)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).cast("bigint").as("docs"))
+        .orderBy("split", "lang")
+    }
+  }
+
+  /** Ordered conversion funnel view → click → purchase
+    * ([[graft.operators.Sessionize.funnel]]): stage i counts only at
+    * or after the user's qualifying stage i−1 time. The oracle chains
+    * min-after-previous CTEs — the same greedy prefix-minima the typed
+    * aggregate computes in one pass.
+    */
+  val x78_funnel: QuerySpec = q("x78_funnel",
+    """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s0 ON s0.user_id = e.user_id AND e.ts >= s0.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON s1.user_id = e.user_id AND e.ts >= s1.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT 0 AS stage, 'view' AS stage_name,
+      |  CAST((SELECT count(*) FROM s0) AS BIGINT) AS users
+      |UNION ALL SELECT 1, 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+      |UNION ALL SELECT 2, 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    Sessionize.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select(col("stage"), col("stage_name"), col("users"))
+      .orderBy("stage")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -1995,5 +2167,6 @@ object ExtQueries {
     x61_streaming_attribution, x62_perplexity_bands, x63_pagerank,
     x64_bpe_pairs, x65_agg_merge, x66_histogram, x67_weighted_sample,
     x68_dup_spans, x69_dsir_weights, x70_semdedup, x71_streaming_dedup,
-    x72_frequent_pairs, x73_triangles)
+    x72_frequent_pairs, x73_triangles, x74_kmv_distinct, x75_mad_outliers,
+    x76_cms_heavy, x77_cluster_split, x78_funnel)
 }
