@@ -133,6 +133,15 @@ object Bench {
     // lands in `failed` so breakage is visible in the JSON itself.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Sample] = {
+      // one untimed priming execution first: BASELINE.md budgets are
+      // POST-WARMUP steady state, and entries whose contract includes
+      // materialization (the pipeline flow's OP-07 branch caches, the
+      // memoized minhash candidates) pay that one-time build here
+      // rather than inside a timed rep — without priming, the median
+      // sits one cache flake away from reporting the cold build (r8
+      // dev benches recorded p01 at 6.3 s for a 0.5 s steady-state
+      // query exactly that way)
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
       val samples = (1 to reps).flatMap { _ =>
         val w0 = System.nanoTime(); val c0 = processCpuNs; val g0 = gcMillis
         try {

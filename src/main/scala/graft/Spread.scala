@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Adaptive parallelism guard for CPU-multiplying operators.
+  *
+  * File scans parallelize by BYTES (`spark.sql.files.maxPartitionBytes`),
+  * but operators that explode each row into many derived rows (token
+  * n-grams, gram buckets) multiply CPU per input byte by orders of
+  * magnitude — a compact 600 KB parquet becomes ONE scan split and the
+  * entire expansion runs serially on one core while 31 idle. At lake
+  * scale the input spans thousands of splits and no fix is needed, so
+  * an unconditional `repartition` would add a full shuffle of the
+  * source exactly where it is pure cost.
+  *
+  * `ensure` therefore repartitions ONLY when the physical partition
+  * count is below the cluster's parallelism: the bench/verify-scale
+  * serial funnel gets spread across cores, and an already-parallel
+  * 100 TB scan passes through untouched. Keyed spreading is preferred
+  * (deterministic assignment, and a downstream `groupBy` on the same
+  * key reuses the partitioning — Generate/broadcast-join nodes are
+  * row-local, so the clustering survives to the rollup); keyless falls
+  * back to round-robin.
+  */
+object Spread {
+
+  def ensure(df: DataFrame, key: Column*): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val cores = sc.defaultParallelism
+    // physical partition count of the compiled plan; no job is run
+    if (df.rdd.getNumPartitions >= cores) df
+    else if (key.nonEmpty) df.repartition(cores, key: _*)
+    else df.repartition(cores)
+  }
+}

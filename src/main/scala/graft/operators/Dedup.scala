@@ -200,7 +200,11 @@ object Dedup {
     */
   def duplicatedSpans(
       df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val spans = df
+    // the span explosion multiplies CPU per input byte by ~tokens/doc;
+    // a bytes-sized scan split under-parallelizes it (graft.Spread doc)
+    val src = graft.Spread.ensure(
+      df.select(col(idCol), col(textCol)), col(idCol))
+    val spans = src
       .select(col(idCol),
         explode(TextAnalysis.tokenNgrams(col(textCol), k)).as("__span"))
       .select(col(idCol), xxhash64(col("__span")).as("__g"))
@@ -212,7 +216,7 @@ object Dedup {
       .join(shared, Seq("__g"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("bigint").as("dup_spans"))
-    df.select(col(idCol),
+    src.select(col(idCol),
         size(TextAnalysis.tokenNgrams(col(textCol), k)).cast("bigint").as("n_spans"))
       .join(dup, Seq(idCol), "inner")
       .withColumn("dup_frac",

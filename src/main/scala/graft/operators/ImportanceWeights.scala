@@ -51,7 +51,8 @@ object ImportanceWeights {
     * number of gram INSTANCES hashing there. ≤ 16^hexChars rows.
     */
   def fit(df: DataFrame, textCol: String, hexChars: Int = 3): DataFrame =
-    df.select(explode(gramBuckets(col(textCol), hexChars)).as("bucket"))
+    graft.Spread.ensure(df.select(col(textCol)))
+      .select(explode(gramBuckets(col(textCol), hexChars)).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).cast("double").as("c"))
 
@@ -80,7 +81,10 @@ object ImportanceWeights {
         (log((coalesce(col("ct"), lit(0.0)) + lit(1.0)) / (col("tt") + lit(b))) -
          log((coalesce(col("cr"), lit(0.0)) + lit(1.0)) / (col("rt") + lit(b))))
           .as("llr"))
-    corpus
+    // keyed spread: the explode and broadcast join are row-local, so
+    // the id clustering survives to the rollup — when the guard fires,
+    // its exchange REPLACES the rollup's rather than adding one
+    graft.Spread.ensure(corpus.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), explode(gramBuckets(col(textCol), hexChars)).as("bucket"))
       .join(broadcast(lut), Seq("bucket"))
       .groupBy(col(idCol))
