@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{AsOfJoin, Bm25, Dedup, FuzzyMatch, HashSplit, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis => TA}
@@ -1953,18 +1953,24 @@ object ExtQueries {
   }
 
   /** Triangle count over the part co-purchase graph via degree
-    * orientation ([[graft.operators.GraphOps.triangleCount]]). The
-    * oracle counts each triangle once through the canonical u<v<w
-    * 3-way edge join — an independent formulation with no orientation
-    * step, so an orientation bug (double counting, dropped wedges)
-    * cannot cancel out.
+    * orientation ([[graft.operators.GraphOps.triangleCount]]). Edges
+    * are support-pruned — co-purchased in >= 2 DISTINCT orders — the
+    * standard noise cut for co-occurrence graphs, and the scale
+    * governor: single-order pairings grow ~linearly with the fact
+    * table (1.2M edges at sf0.1) while >= 2-support edges track the
+    * real signal (3.6k), so the wedge join's Σd² cost stays bounded
+    * as the corpus grows. The oracle counts each triangle once
+    * through the canonical u<v<w 3-way edge join — an independent
+    * formulation with no orientation step, so an orientation bug
+    * (double counting, dropped wedges) cannot cancel out.
     */
   val x73_triangles: QuerySpec = q("x73_triangles",
     """WITH pairs AS (
-      |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+      |  SELECT least(a.l_partkey, b.l_partkey) AS u,
       |    greatest(a.l_partkey, b.l_partkey) AS v
       |  FROM lineitem a JOIN lineitem b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2)
       |SELECT CAST(count(*) AS BIGINT) AS triangles
       |FROM pairs e1 JOIN pairs e2 ON e2.u = e1.v
       |  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin) { (s, d) =>
@@ -1972,7 +1978,11 @@ object ExtQueries {
     val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
     val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
     val edges = a.join(b, "ok").where(col("pa") =!= col("pb"))
-      .select(col("pa").as("src"), col("pb").as("dst"))
+      .groupBy(least(col("pa"), col("pb")).as("src"),
+        greatest(col("pa"), col("pb")).as("dst"))
+      .agg(countDistinct(col("ok")).as("sup"))
+      .where(col("sup") >= 2)
+      .select("src", "dst")
     graft.operators.GraphOps.triangleCount(edges, "src", "dst")
   }
 
@@ -2148,6 +2158,176 @@ object ExtQueries {
       .orderBy("stage")
   }
 
+  /** Time-range moving average: 7-day trailing mean of daily order
+    * revenue via a RANGE window frame over an integer day key — the
+    * only window-frame kind the corpus didn't yet pin (q29 covers
+    * ROWS). Day numbers are epoch-days integers so the frame
+    * arithmetic is identical in both engines.
+    */
+  val x79_moving_avg: QuerySpec = q("x79_moving_avg",
+    """WITH daily AS (
+      |  SELECT CAST(floor(epoch_us(CAST(o_orderdate AS TIMESTAMP)) / 86400000000.0) AS BIGINT) AS d,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT d, CAST(round(CAST(avg(rev) OVER (ORDER BY d
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)), 2) AS DOUBLE)
+      |  AS ma7
+      |FROM daily ORDER BY d""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // floor, not cast: DuckDB's double→int cast ROUNDS while Spark's
+    // truncates — floor is the one day-key both engines agree on
+    val daily = Tables.orders(s, d)
+      .groupBy(floor(unix_micros(col("o_orderdate").cast("timestamp")) /
+          lit(86400000000.0)).cast("bigint").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    // single global RANGE frame: daily rollup first (≤ one row per
+    // day), so the unpartitioned window sorts days, not orders
+    val w = Window.orderBy(col("d")).rangeBetween(-6, Window.currentRow)
+    daily.select(col("d"),
+        round(avg(col("rev")).over(w).cast("decimal(18,6)"), 2)
+          .cast("double").as("ma7"))
+      .orderBy("d")
+  }
+
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence: P(next | prev) with a deterministic total event order.
+    * One user-key window exchange feeds both the lag and the rollups;
+    * the probability denominator joins back per prev-state (25 rows,
+    * broadcast).
+    */
+  val x80_markov_transitions: QuerySpec = q("x80_markov_transitions",
+    """WITH steps AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev, event_type AS next
+      |  FROM events),
+      |trans AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+      |  FROM steps WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev, sum(n) AS t FROM trans GROUP BY 1)
+      |SELECT trans.prev, trans.next, trans.n,
+      |  round(CAST(trans.n AS DOUBLE) / tot.t, 6) AS p
+      |FROM trans JOIN tot USING (prev)
+      |ORDER BY prev, next""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, d)
+      .select(lag(col("event_type"), 1).over(w).as("prev"),
+        col("event_type").as("next"))
+    val trans = steps.where(col("prev").isNotNull)
+      .groupBy("prev", "next").agg(count(lit(1)).cast("bigint").as("n"))
+    val tot = trans.groupBy("prev").agg(sum(col("n")).as("t"))
+    trans.join(broadcast(tot), "prev")
+      .select(col("prev"), col("next"), col("n"),
+        round(col("n").cast("double") / col("t"), 6).as("p"))
+      .orderBy("prev", "next")
+  }
+
+  /** Cohort retention: users grouped by signup week, counted per week
+    * offset of later activity. All time arithmetic is integer epoch
+    * math (µs → days → weeks), the proven cross-engine parity pair —
+    * no date-function dialect at all.
+    */
+  val x81_cohort_retention: QuerySpec = q("x81_cohort_retention",
+    """WITH cohort AS (
+      |  SELECT user_id,
+      |    CAST(floor(min(epoch_us(ts)) / 604800000000.0) AS BIGINT) AS cw
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |activity AS (
+      |  SELECT DISTINCT e.user_id, c.cw,
+      |    CAST(floor(epoch_us(e.ts) / 604800000000.0) AS BIGINT) - c.cw AS wk
+      |  FROM events e JOIN cohort c ON c.user_id = e.user_id)
+      |SELECT cw AS cohort_week, wk AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS active_users
+      |FROM activity WHERE wk >= 0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    // single floor'd division by week-µs (see x79: cast-vs-floor trap)
+    def weeks(c: Column): Column =
+      floor(unix_micros(c.cast("timestamp")) / lit(604800000000.0)).cast("bigint")
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(weeks(min(col("ts"))).as("cw"))
+    ev.join(broadcast(cohort), "user_id")
+      .select(col("user_id"), col("cw"), (weeks(col("ts")) - col("cw")).as("wk"))
+      .distinct()
+      .where(col("wk") >= 0)
+      .groupBy(col("cw").as("cohort_week"), col("wk").as("week_offset"))
+      .agg(count(lit(1)).cast("bigint").as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** RFM segmentation: per-user recency/frequency/monetary quartiles
+    * via ntile with a user-id tiebreak (without a total order the
+    * quartile boundaries are engine-dependent), then segment counts.
+    */
+  val x82_rfm: QuerySpec = q("x82_rfm",
+    """WITH rfm AS (
+      |  SELECT user_id, max(epoch_us(ts)) AS r,
+      |    CAST(count(*) AS BIGINT) AS f,
+      |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS m
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |scored AS (
+      |  SELECT user_id,
+      |    ntile(4) OVER (ORDER BY r DESC, user_id) AS rq,
+      |    ntile(4) OVER (ORDER BY f DESC, user_id) AS fq,
+      |    ntile(4) OVER (ORDER BY m DESC, user_id) AS mq
+      |  FROM rfm)
+      |SELECT rq, fq, mq, CAST(count(*) AS BIGINT) AS users
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val rfm = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts").cast("timestamp"))).as("r"),
+        count(lit(1)).cast("bigint").as("f"),
+        round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("m"))
+    // three global ntile windows over the per-user rollup (one row per
+    // user) — the windows sort users, never raw events
+    val scored = rfm.select(col("user_id"),
+      ntile(4).over(Window.orderBy(col("r").desc, col("user_id")))
+        .cast("bigint").as("rq"),
+      ntile(4).over(Window.orderBy(col("f").desc, col("user_id")))
+        .cast("bigint").as("fq"),
+      ntile(4).over(Window.orderBy(col("m").desc, col("user_id")))
+        .cast("bigint").as("mq"))
+    scored.groupBy("rq", "fq", "mq")
+      .agg(count(lit(1)).cast("bigint").as("users"))
+      .orderBy("rq", "fq", "mq")
+  }
+
+  /** Streaming KMV distinct-count: the sketch aggregate runs inside a
+    * live StreamingQuery (complete-mode memory sink) over the event
+    * stream DOUBLED — exact streaming `count(distinct)` is unsupported
+    * by design (unbounded state), and this is the bounded-state
+    * replacement. The doubling proves the set-union merge semantics in
+    * motion: duplicate arrivals cannot move any of the k minima, so
+    * the live sketch — and therefore the estimate — hash-matches the
+    * single-pass batch oracle (x74's event_id branch).
+    */
+  val x83_streaming_kmv: QuerySpec = duck("x83_streaming_kmv",
+    """WITH eh AS (SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+      |ek AS (SELECT h FROM eh ORDER BY h LIMIT 1 OFFSET 255)
+      |SELECT 'event_id' AS metric,
+      |  round(CASE WHEN (SELECT count(*) FROM eh) < 256
+      |    THEN CAST((SELECT count(*) FROM eh) AS DOUBLE)
+      |    ELSE 255.0 / (CAST(concat('0x', substr((SELECT h FROM ek), 1, 12)) AS BIGINT)
+      |                  / power(16, 12)) END, 4) AS est""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggs
+    import graft.streaming.StreamingTwins
+    val k = 256
+    val sink = "x83_kmv_sink"
+    s.catalog.dropTempView(sink)
+    val ev = StreamingTwins.readEvents(s, s"$d/events.parquet")
+    val query = ev.unionAll(ev)
+      .select(md5(col("event_id").cast("string")).as("h"))
+      .agg(SketchAggs.kmv_min_k(k)(col("h")).as("sk"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    s.table(sink)
+      .select(lit("event_id").as("metric"),
+        SketchAggs.kmvEstimate(col("sk"), k).as("est"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2168,5 +2348,7 @@ object ExtQueries {
     x64_bpe_pairs, x65_agg_merge, x66_histogram, x67_weighted_sample,
     x68_dup_spans, x69_dsir_weights, x70_semdedup, x71_streaming_dedup,
     x72_frequent_pairs, x73_triangles, x74_kmv_distinct, x75_mad_outliers,
-    x76_cms_heavy, x77_cluster_split, x78_funnel)
+    x76_cms_heavy, x77_cluster_split, x78_funnel, x79_moving_avg,
+    x80_markov_transitions, x81_cohort_retention, x82_rfm,
+    x83_streaming_kmv)
 }

@@ -210,6 +210,58 @@ class PropertySpec extends SparkTestBase {
     assert(tight <= 80)
   }
 
+  test("kmv estimate brackets truth and cms never undercounts on random multisets") {
+    import graft.functions.SketchAggs
+    val gen = Gen.listOfN(400, Gen.choose(0, 3000))
+    val params = Gen.Parameters.default
+    for (i <- 0 until 3) {
+      val vals = gen.pureApply(params, rng.Seed(91 + i))
+      val truth = vals.distinct.size.toLong
+      val df = vals.map(_.toString).toDF("v")
+      // KMV with k > distinct: exact. KMV with small k: within 50%
+      // (loose prop bound; the tight statistical bound is spec-tested)
+      val exact = df.select(md5($"v").as("h"))
+        .agg(SketchAggs.kmvEstimate(SketchAggs.kmv_min_k(4096)($"h"), 4096))
+        .collect()(0).getDouble(0)
+      assert(exact == truth.toDouble, s"under-full KMV must be exact: $exact vs $truth")
+      val est = df.select(md5($"v").as("h"))
+        .agg(SketchAggs.kmvEstimate(SketchAggs.kmv_min_k(64)($"h"), 64))
+        .collect()(0).getDouble(0)
+      assert(est > truth * 0.5 && est < truth * 2.0, s"KMV est $est vs $truth")
+      // CMS point estimates dominate the exact counts
+      val sk = df.agg(SketchAggs.cms_sketch(4, 128)($"v").as("s"))
+      val exactCounts = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val probes = exactCounts.keys.take(20).toSeq
+      val ests = sk.select(probes.map(p =>
+          SketchAggs.cmsEstimate($"s", lit(p.toString), 4, 128).as(s"p$p")): _*)
+        .collect()(0)
+      probes.zipWithIndex.foreach { case (p, j) =>
+        assert(ests.getLong(j) >= exactCounts(p),
+          s"CMS undercounted $p: ${ests.getLong(j)} < ${exactCounts(p)}")
+      }
+    }
+  }
+
+  test("funnel depths are antitone in stage list extension; split fractions stay sane") {
+    // appending a stage can only keep or shrink every earlier count
+    val gen = Gen.listOfN(120,
+      for {
+        u <- Gen.choose(0L, 9L); t <- Gen.choose(0, 10000)
+        e <- Gen.oneOf("view", "click", "purchase")
+      } yield (u, new java.sql.Timestamp(t * 1000L), e))
+    val params = Gen.Parameters.default
+    val rows = gen.pureApply(params, rng.Seed(131))
+    val df = rows.toDF("user_id", "ts", "event_type")
+    def counts(stages: Seq[String]): Map[String, Long] =
+      Sessionize.funnel(df, "user_id", "ts", "event_type", stages)
+        .collect().map(r => r.getAs[String]("stage_name") -> r.getAs[Long]("users")).toMap
+    val two = counts(Seq("view", "click"))
+    val three = counts(Seq("view", "click", "purchase"))
+    assert(two("view") == three("view") && two("click") == three("click"))
+    // counts non-increasing down the funnel
+    assert(three("view") >= three("click") && three("click") >= three("purchase"))
+  }
+
   test("ngram count and repetition ratio invariants hold on random docs") {
     val docs = sampleDocs(24, seed = 57)
     val rows = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -358,6 +358,61 @@ class PlanQualitySpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("kmv/cms sketch aggregates are two-phase ObjectHashAggregate (bounded partials cross the shuffle)") {
+    import graft.functions.SketchAggs
+    val kmvPlan = Tables.events(spark, sfDir)
+      .select(md5(col("event_id").cast("string")).as("h"))
+      .agg(SketchAggs.kmv_min_k(64)(col("h")))
+      .queryExecution.executedPlan.toString
+    val cmsPlan = Tables.events(spark, sfDir)
+      .agg(SketchAggs.cms_sketch(4, 256)(col("event_type")))
+      .queryExecution.executedPlan.toString
+    for (plan <- Seq(kmvPlan, cmsPlan)) {
+      val first = plan.indexOf("ObjectHashAggregate")
+      assert(first >= 0, plan)
+      // partial + final: the exchange carries one k-bounded (resp.
+      // depth·width-long) buffer per map task, never raw rows
+      assert(plan.indexOf("ObjectHashAggregate", first + 1) >= 0,
+        s"expected partial+final ObjectHashAggregate pair:\n$plan")
+    }
+  }
+
+  test("funnel depth is a two-phase typed aggregate; stage counts collapse to one row with no join") {
+    val plan = ExtQueries.x78_funnel.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val first = plan.indexOf("ObjectHashAggregate")
+    assert(first >= 0, plan)
+    assert(plan.indexOf("ObjectHashAggregate", first + 1) >= 0,
+      s"expected partial+final ObjectHashAggregate pair:\n$plan")
+    // stage rows come from stack() over a single-row conditional
+    // aggregate — no join against a stage table anywhere
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("moving average and RFM windows sort rollups, not raw rows") {
+    // both queries aggregate to a per-entity rollup FIRST; the global
+    // window then sorts |days| (resp. |users|) rows. The guard: the
+    // window input must be an aggregate, so exactly two HashAggregate
+    // levels (partial+final) appear BELOW the first Window in the tree.
+    for (spec <- Seq(ExtQueries.x79_moving_avg, ExtQueries.x82_rfm)) {
+      val plan = spec.run(spark, sfDir).queryExecution.executedPlan.toString
+      val win = plan.indexOf("Window")
+      assert(win >= 0, plan)
+      assert(plan.indexOf("HashAggregate", win) >= 0,
+        s"window must consume an aggregated rollup:\n$plan")
+    }
+  }
+
+  test("cluster split probes components via broadcast; assignment is a row-local CASE") {
+    val comps = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), col("doc_id").as("component")).limit(10)
+    val plan = graft.operators.HashSplit.leakageSafeAssign(
+        Tables.documents(spark, sfDir), "doc_id", comps)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("DSIR scoring probes the bucket LUT via broadcast; per-doc rollup is two-phase") {
     // the B-row log-likelihood-ratio table must broadcast into the
     // scoring scan (the corpus-sized gram stream never shuffles to
