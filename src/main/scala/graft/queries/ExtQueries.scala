@@ -2328,6 +2328,93 @@ object ExtQueries {
         SketchAggs.kmvEstimate(col("sk"), k).as("est"))
   }
 
+  /** Matryoshka-style truncated-embedding retrieval (Kusupati et al.
+    * 2022): rank by cosine over the FIRST 16 of 64 dimensions — the
+    * cheap first-stage pass an MRL-trained index runs before full-dim
+    * re-scoring — and carry the full-dim cosine of the survivors
+    * alongside (the re-scoring column). 4× less vector arithmetic and
+    * 4× smaller scan footprint per candidate; same TakeOrderedAndProject
+    * shape as x07. Oracle: DuckDB list slicing + its own cosine.
+    */
+  val x84_matryoshka: QuerySpec = {
+    val qv64 = (1 to 64).map(i => s"CAST(CAST(sin($i) AS REAL) AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    val qv16 = (1 to 16).map(i => s"CAST(CAST(sin($i) AS REAL) AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    duck("x84_matryoshka",
+      s"""SELECT vec_id,
+         |  round(list_cosine_similarity(CAST(embedding[1:16] AS DOUBLE[]), $qv16), 4) AS cos16,
+         |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qv64), 4) AS cos64
+         |FROM embeddings ORDER BY cos16 DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      import graft.functions.VectorFunctions.vec_cosine
+      val q64 = typedLit(Array.tabulate(64)(i => math.sin(i + 1).toFloat))
+      val q16 = typedLit(Array.tabulate(16)(i => math.sin(i + 1).toFloat))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          round(vec_cosine(slice(col("embedding"), 1, 16), q16), 4).as("cos16"),
+          round(vec_cosine(col("embedding"), q64), 4).as("cos64"))
+        .orderBy(col("cos16").desc, col("vec_id"))
+        .limit(10)
+    }
+  }
+
+  /** Deterministic A/B experiment readout: users hash-split 50/50 into
+    * arms ([[graft.operators.HashSplit]] thresholds, so assignment is
+    * reproducible and engine-portable), conversion = any purchase,
+    * pooled two-proportion z-score. The whole readout is one scan +
+    * two tiny aggregates; the z arithmetic is spelled in the same
+    * literal shape on both sides so the doubles fold identically.
+    */
+  val x85_ab_test: QuerySpec = {
+    val Seq(t1) = graft.operators.HashSplit.armThresholds(
+      Seq("A" -> 0.5, "B" -> 0.5)).toList
+    q("x85_ab_test",
+      s"""WITH arms AS (
+         |  SELECT user_id,
+         |    CASE WHEN md5(CAST(user_id AS VARCHAR)) < '$t1' THEN 'A' ELSE 'B' END AS arm,
+         |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END)
+         |      AS converted
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(converted) AS BIGINT) AS conv
+         |  FROM arms GROUP BY 1),
+         |w AS (SELECT
+         |    (SELECT n FROM s WHERE arm = 'A') AS na,
+         |    (SELECT conv FROM s WHERE arm = 'A') AS ca,
+         |    (SELECT n FROM s WHERE arm = 'B') AS nb,
+         |    (SELECT conv FROM s WHERE arm = 'B') AS cb)
+         |SELECT na, ca, nb, cb,
+         |  round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) /
+         |    nullif(sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) *
+         |         (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) *
+         |         (1.0 / na + 1.0 / nb)), 0.0), 4) AS z
+         |FROM w""".stripMargin) { (s, d) =>
+      val arms = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(md5(col("user_id").cast("string")) < lit(t1), "A")
+            .otherwise("B").as("arm"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1)
+          .otherwise(0)).as("converted"))
+      val stats = arms.groupBy("arm")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("converted")).cast("bigint").as("conv"))
+      val a = stats.where(col("arm") === "A")
+        .select(col("n").as("na"), col("conv").as("ca"))
+      val b = stats.where(col("arm") === "B")
+        .select(col("n").as("nb"), col("conv").as("cb"))
+      val pooled = (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))
+      // nullif-guarded like the oracle: an all-convert (or no-convert)
+      // experiment reads as z = NULL, not a division error
+      val se = sqrt(pooled * (lit(1.0) - pooled) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      a.crossJoin(b)
+        .select(col("na"), col("ca"), col("nb"), col("cb"),
+          round((col("ca").cast("double") / col("na") -
+              col("cb").cast("double") / col("nb")) /
+            when(se === 0.0, lit(null)).otherwise(se), 4).as("z"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2350,5 +2437,5 @@ object ExtQueries {
     x72_frequent_pairs, x73_triangles, x74_kmv_distinct, x75_mad_outliers,
     x76_cms_heavy, x77_cluster_split, x78_funnel, x79_moving_avg,
     x80_markov_transitions, x81_cohort_retention, x82_rfm,
-    x83_streaming_kmv)
+    x83_streaming_kmv, x84_matryoshka, x85_ab_test)
 }
