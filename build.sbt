@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A full verify/bench sweep JIT-compiles hundreds of distinct
+  // whole-stage-codegen classes; the JDK 17 default 240 MB code cache
+  // fills, the sweeper starts evicting HOT methods, and random stages
+  // intermittently run interpreted at 15-30x CPU (observed: the same
+  // 32-task stage at 8.6 s then 127 s executor time within one JVM).
+  "-XX:ReservedCodeCacheSize=1g",
 )
