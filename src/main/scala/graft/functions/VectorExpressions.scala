@@ -76,6 +76,23 @@ object VecOps {
     s
   }
 
+  /** 1-bit-per-dimension binary quantization: bit i of the result is
+    * set iff v(i) > 0, first 64 dimensions. 64× compression (a 64-dim
+    * float vector becomes ONE long), and Hamming distance between two
+    * packed words is a single XOR + POPCNT — the cheap shortlist stage
+    * of binary-quantized retrieval; survivors are re-scored against
+    * the float vectors (asymmetric rerank). Strictly sign-of-component
+    * (no hyperplanes) so an independent engine reproduces the exact
+    * bits from the same floats.
+    */
+  def signPack(v: ArrayData): Long = {
+    val n = math.min(v.numElements(), 64)
+    var bits = 0L
+    var i = 0
+    while (i < n) { if (v.getFloat(i) > 0f) bits |= (1L << i); i += 1 }
+    bits
+  }
+
   /** IVF-PQ ADC: per-cell table select then [[adc]] — `tables` is
     * dense over cell ids (unprobed cells hold empty arrays; the
     * curated ivfPqTopK path's cell IN-list filter guarantees they are
@@ -152,6 +169,28 @@ case class VecCosineExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** `sign_pack(v)`: binary quantization of a float vector into one
+  * 64-bit word of sign bits — see [[VecOps.signPack]]. Runs once per
+  * scanned row in the binary-shortlist path, so native codegen.
+  */
+case class SignPackExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_pack"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.signPack(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VecOps.signPack($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignPackExpr =
+    copy(child = newChild)
+}
+
 /** `adc_score(code, table)`: PQ asymmetric-distance score — the scan
   * side of quantized ANN touches only m-int codes, so the kernel must
   * not box them; table is a broadcast-literal m×k double array.
@@ -223,6 +262,9 @@ object VectorFunctions {
     GraftColumnBridge.column(SigEqCountExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  def sign_pack(v: Column): Column =
+    GraftColumnBridge.column(SignPackExpr(GraftColumnBridge.expression(v)))
+
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
@@ -242,5 +284,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => AdcScoreExpr(exprs(0), exprs(1))),
     (FunctionIdentifier("adc_score_cells"),
       new ExpressionInfo(classOf[AdcCellScoreExpr].getName, "adc_score_cells"),
-      (exprs: Seq[Expression]) => AdcCellScoreExpr(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => AdcCellScoreExpr(exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier("sign_pack"),
+      new ExpressionInfo(classOf[SignPackExpr].getName, "sign_pack"),
+      (exprs: Seq[Expression]) => SignPackExpr(exprs.head)))
 }

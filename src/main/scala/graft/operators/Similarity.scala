@@ -34,6 +34,78 @@ object Similarity {
       .limit(k)
   }
 
+  /** Binary-quantized retrieval: 1-bit/dim sign quantization packed
+    * into ONE 64-bit word per vector (`sign_pack`, native codegen),
+    * Hamming shortlist, float rerank.
+    *
+    * Stage 1 scans every row but computes only XOR + POPCNT against
+    * the query's packed word — the planned shape is
+    * TakeOrderedAndProject on (hamming, id), so each partition keeps a
+    * `shortlist·k` heap and only that many rows ever leave a task.
+    * Stage 2 re-scores the ≤ `shortlist·k` survivors with full float
+    * cosine (the asymmetric rerank — quantized on the database side,
+    * exact on the query side). At 100 TB the packed word is
+    * precomputed in the layout (like [[lshWrite]]) and the scan reads
+    * 8 bytes/row instead of 256: binary quantization is the 64×
+    * scan-footprint version of [[bruteForceTopK]], with recall
+    * recovered by the rerank.
+    *
+    * Both stages order on rounded/integer scores with id tiebreaks, so
+    * an independent engine reproduces the exact rows.
+    */
+  def binaryTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, shortlist: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.sign_pack
+    val qbits = {
+      var b = 0L
+      query.take(64).zipWithIndex.foreach { case (x, i) => if (x > 0f) b |= (1L << i) }
+      b
+    }
+    val short = df
+      .select(col(idCol), col(vecCol),
+        bit_count(sign_pack(col(vecCol)).bitwiseXOR(lit(qbits)))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k * shortlist)
+    short
+      .select(col(idCol), col("hamming"),
+        round(cosine(col(vecCol), typedLit(query)), 4).as("cos_rerank"))
+      .orderBy(col("cos_rerank").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Hard-negative mining for embedding-model training: for every
+    * anchor vector, the k most-similar corpus vectors that are NOT
+    * near-duplicates (cosine < `dupCutoff`) — the negatives that sit
+    * closest to the decision boundary and carry the most gradient
+    * signal (Xiong et al. 2021, ANCE).
+    *
+    * The anchor set is small by nature (a training batch), so it
+    * broadcasts and the corpus streams once through a broadcast
+    * nested-loop join; per-anchor top-k goes through the bounded
+    * [[graft.functions.TopKAgg]] two-phase aggregate, not a window —
+    * at 100 TB the exchange carries k·tasks rows per anchor, not the
+    * whole corpus. Scores are rounded BEFORE ranking so the (score
+    * desc, id asc) order is reproducible across engines.
+    */
+  def hardNegatives(
+      corpus: DataFrame, anchors: DataFrame, idCol: String, vecCol: String,
+      k: Int, dupCutoff: Double = 0.95): DataFrame = {
+    val topk = graft.functions.TopKAgg.top_k(k)
+    val a = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("__avec"))
+    corpus
+      .join(broadcast(a), col("anchor_id") =!= col(idCol))
+      .select(col("anchor_id"), col(idCol),
+        round(cosine(col("__avec"), col(vecCol)), 6).as("cos"))
+      .filter(col("cos") < dupCutoff)
+      .groupBy(col("anchor_id"))
+      .agg(topk(col("cos"), col(idCol)).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col._2").as("negative_id"), col("col._1").as("cos"))
+  }
+
   private[operators] def signSignature(vecCol: Column, dim: Int, signBits: Int): Column = {
     val planes = Dedup.rademacherPlanes(signBits, dim)
     udf((v: Seq[Float]) => {

@@ -2415,6 +2415,53 @@ object ExtQueries {
     }
   }
 
+  /** Binary-quantized retrieval (1 bit/dim, 64× compression): Hamming
+    * shortlist over `sign_pack`ed words (native XOR+POPCNT codegen),
+    * float-cosine rerank of the 40 survivors. Oracle recomputes the
+    * sign bits, the Hamming count, and the rerank in DuckDB list SQL —
+    * both stages are ordered on (integer, id) / (rounded, id) keys so
+    * the rows are engine-portable.
+    */
+  val x86_binary_quantize: QuerySpec = {
+    val qv64 = (1 to 64).map(i => s"CAST(CAST(sin($i) AS REAL) AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    duck("x86_binary_quantize",
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |h AS (SELECT vec_id, e,
+         |    CAST(list_sum([CASE WHEN (e[i] > 0) != (sin(i) > 0) THEN 1 ELSE 0 END
+         |                   FOR i IN range(1, 65)]) AS BIGINT) AS hamming
+         |  FROM v),
+         |s AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 40)
+         |SELECT vec_id, hamming,
+         |  round(list_cosine_similarity(e, $qv64), 4) AS cos_rerank
+         |FROM s ORDER BY cos_rerank DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      Similarity.binaryTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        Array.tabulate(64)(i => math.sin(i + 1).toFloat), k = 10)
+    }
+  }
+
+  /** Hard-negative mining (ANCE-style): per anchor, the 3 most-similar
+    * corpus vectors below the near-dup cutoff — broadcast anchors, one
+    * corpus scan, bounded TopKAgg ranking. Oracle is the row_number
+    * window over DuckDB's own cosine.
+    */
+  val x87_hard_negatives: QuerySpec = duck("x87_hard_negatives",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |a AS (SELECT vec_id AS anchor_id, e AS ae FROM v WHERE vec_id < 4),
+      |p AS (SELECT anchor_id, vec_id, round(list_cosine_similarity(ae, e), 6) AS cos
+      |      FROM a JOIN v ON vec_id != anchor_id)
+      |SELECT anchor_id, CAST(rn AS BIGINT) AS rank, vec_id AS negative_id, cos
+      |FROM (SELECT anchor_id, vec_id, cos,
+      |        row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rn
+      |      FROM p WHERE cos < 0.95) t
+      |WHERE rn <= 3
+      |ORDER BY anchor_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 4),
+        "vec_id", "embedding", k = 3)
+      .orderBy("anchor_id", "rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2437,5 +2484,6 @@ object ExtQueries {
     x72_frequent_pairs, x73_triangles, x74_kmv_distinct, x75_mad_outliers,
     x76_cms_heavy, x77_cluster_split, x78_funnel, x79_moving_avg,
     x80_markov_transitions, x81_cohort_retention, x82_rfm,
-    x83_streaming_kmv, x84_matryoshka, x85_ab_test)
+    x83_streaming_kmv, x84_matryoshka, x85_ab_test, x86_binary_quantize,
+    x87_hard_negatives)
 }
