@@ -21,6 +21,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // STATIC conf, must be set before the first session. The default
+      // 100-entry codegen class cache thrashes on a 130+-entry sweep
+      // (each query compiles several whole-stage units): every rep
+      // regenerates + re-JITs fresh classes, so "steady state" never
+      // arrives — x68 measured 98 cpu-s in a full sweep vs 14 cpu-s in
+      // a short one with identical code. Sized to hold every plan of
+      // the sweep simultaneously; pairs with the 1g reserved code
+      // cache in build.sbt.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

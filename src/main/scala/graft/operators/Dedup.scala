@@ -223,6 +223,66 @@ object Dedup {
         round(col("dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** Per-document duplication COVERAGE: the fraction of a document's
+    * token positions lying under at least one cross-document shared
+    * k-token span — the signal that decides whether to drop the doc
+    * (coverage near 1: it is boilerplate) vs cut spans (low coverage:
+    * mostly original text with a shared header/footer). Completes
+    * [[duplicatedSpans]], whose per-SPAN census can't tell ten
+    * scattered shared spans from ten overlapping ones.
+    *
+    * Interval-union without a positions explosion: a covered span is
+    * the token interval [start, start+k−1]; per doc, spans sorted by
+    * start contribute `max(0, end − max(prevMaxEnd, start−1))` fresh
+    * positions (running-max sweep), so the union length needs one
+    * window over (doc, start) — no k× position blow-up, and the
+    * window's doc-id partition key is unique per doc, so groups are
+    * token-count-bounded and skew-free. The shared-span set is derived
+    * exactly as in [[duplicatedSpans]] (map-side-distinct spans,
+    * two-phase census on the 8-byte xxhash64 key, semi-join back).
+    * The final per-doc rollup reuses the window's doc-id exchange.
+    */
+  def dupSpanCoverage(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = graft.Spread.ensure(
+      df.select(col(idCol), col(textCol)), col(idCol))
+    // positional spans: sequence index i (1-based) covers [i, min(i+k-1, n)]
+    // (the min only binds for the single short-doc span, matching
+    // rawTokenNgrams' substr-like edge semantics)
+    val pos = src
+      .select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).as("__n"),
+        posexplode(TextAnalysis.rawTokenNgrams(col(textCol), k))
+          .as(Seq("__p", "__span")))
+      .select(col(idCol), (col("__p") + 1).as("__start"),
+        least(col("__p") + k, col("__n")).as("__end"),
+        xxhash64(col("__span")).as("__g"))
+    val distinctSpans = src
+      .select(col(idCol),
+        explode(TextAnalysis.tokenNgrams(col(textCol), k)).as("__span"))
+      .select(col(idCol), xxhash64(col("__span")).as("__g"))
+    val shared = distinctSpans
+      .groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") > 1)
+      .select("__g")
+    val prevMax = max(col("__end")).over(
+      Window.partitionBy(col(idCol)).orderBy(col("__start"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val covered = pos
+      .join(shared, Seq("__g"), "left_semi")
+      .withColumn("__fresh",
+        greatest(lit(0),
+          col("__end") - greatest(coalesce(prevMax, lit(0)), col("__start") - 1)))
+      .groupBy(col(idCol))
+      .agg(sum(col("__fresh")).cast("bigint").as("covered_tokens"))
+    src.select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("bigint").as("n_tokens"))
+      .join(covered, Seq(idCol), "inner")
+      .withColumn("dup_coverage",
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
   // --- MinHash --------------------------------------------------------
 
   /** Deterministic seeded hash family: h_i(x) = splitmix64(x ^ seed_i).

@@ -2462,6 +2462,41 @@ object ExtQueries {
       .orderBy("anchor_id", "rank")
   }
 
+  /** Per-document duplication coverage: fraction of token positions
+    * under ≥1 cross-doc shared 8-token span (interval union via a
+    * running-max sweep — no positions explosion). The oracle mirrors
+    * the same sweep in DuckDB window SQL over raw span strings, so the
+    * interval arithmetic is verified end-to-end, not just the census.
+    */
+  val x88_dup_coverage: QuerySpec = duck("x88_dup_coverage",
+    """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id, len(t) AS n,
+      |    [array_to_string(t[i:i+7], ' ')
+      |     FOR i IN range(1, greatest(len(t)-6, 2))] AS grams
+      |  FROM tok),
+      |e AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g),
+      |shared AS (SELECT gram FROM e GROUP BY gram HAVING count(*) > 1),
+      |pos0 AS (SELECT doc_id, n,
+      |    unnest([{'i': i, 'gr': grams[i]} FOR i IN range(1, len(grams) + 1)]) AS u
+      |  FROM g),
+      |pos AS (SELECT doc_id, CAST(u['i'] AS BIGINT) AS s,
+      |    least(CAST(u['i'] AS BIGINT) + 7, n) AS e, u['gr'] AS gram
+      |  FROM pos0),
+      |cv AS (SELECT doc_id, s, e,
+      |    coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pm
+      |  FROM pos JOIN shared USING (gram)),
+      |cov AS (SELECT doc_id,
+      |    CAST(sum(greatest(0, e - greatest(pm, s - 1))) AS BIGINT) AS covered_tokens
+      |  FROM cv GROUP BY doc_id)
+      |SELECT g.doc_id, CAST(g.n AS BIGINT) AS n_tokens, cov.covered_tokens,
+      |  round(CAST(cov.covered_tokens AS DOUBLE) / g.n, 4) AS dup_coverage
+      |FROM g JOIN cov USING (doc_id) ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+    Dedup.dupSpanCoverage(Tables.documents(s, d), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2485,5 +2520,5 @@ object ExtQueries {
     x76_cms_heavy, x77_cluster_split, x78_funnel, x79_moving_avg,
     x80_markov_transitions, x81_cohort_retention, x82_rfm,
     x83_streaming_kmv, x84_matryoshka, x85_ab_test, x86_binary_quantize,
-    x87_hard_negatives)
+    x87_hard_negatives, x88_dup_coverage)
 }
