@@ -40,18 +40,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
-    * natively — read it as a nanosecond long (legacy conf) and convert
-    * to a microsecond TIMESTAMP_NTZ (floor), keeping naive-timestamp
-    * semantics aligned with the DuckDB oracle (which reads ns directly).
+  /** `events.ts` normalization to microsecond TIMESTAMP_NTZ — naive
+    * timestamp semantics aligned with the DuckDB oracle. The physical
+    * parquet type has varied across driver testdata generations:
+    * TIMESTAMP(NANOS) (unreadable natively; surfaces as a nanosecond
+    * long under `nanosAsLong`) and plain TIMESTAMP(MICROS) (reads as
+    * timestamp_ntz directly). Dispatch on the inferred type so either
+    * generation loads.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rawLoad(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))
-          .cast("timestamp_ntz"))
+    val raw = rawLoad(s, d, "events")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", expr("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
