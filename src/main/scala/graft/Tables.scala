@@ -52,12 +52,25 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = rawLoad(s, d, "events")
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>          // TIMESTAMP(NANOS) surfaced as ns-long
         raw.withColumn("ts",
           timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      case _ =>
+      case TimestampNTZType =>  // TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        raw
+      case TimestampType =>     // TIMESTAMP(MICROS, UTC-adjusted instants):
+        // wall values in UTC == the naive values the oracle reads; the
+        // ntz cast goes through the session tz, so require UTC rather
+        // than silently shifting every timestamp.
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events: TIMESTAMP (LTZ) column requires spark.sql.session.timeZone=UTC " +
+            "for a lossless cast to timestamp_ntz")
         raw.withColumn("ts", expr("ts").cast("timestamp_ntz"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unexpected parquet-inferred type $other — refusing to " +
+            "cast blindly; extend Tables.events for this testdata generation")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

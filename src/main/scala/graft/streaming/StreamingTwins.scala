@@ -15,7 +15,10 @@ import org.apache.spark.sql.types._
 object StreamingTwins {
 
   /** Parquet-on-disk schema of events with ns-timestamps read as long
-    * (the same legacy-conf path as `Tables.events`).
+    * (the same legacy-conf path as `Tables.events`). Only the shape of
+    * the LEGACY TIMESTAMP(NANOS) testdata generation — [[readEvents]]
+    * probes the actual footer and uses this schema only when the file
+    * really is ns-long.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -47,15 +50,35 @@ object StreamingTwins {
     })
   }
 
-  /** Open the events table as a stream; ns-long → µs timestamp.
-    * `path` may be a directory or a single parquet file.
+  /** Open the events table as a stream, `ts` normalized to a µs
+    * TimestampType column. `path` may be a directory or a single
+    * parquet file. The physical `ts` type has varied across driver
+    * testdata generations (see `Tables.events`): probe the footer via a
+    * batch read and dispatch, instead of pinning the legacy ns-long
+    * shape — pinning LongType against a TIMESTAMP(MICROS) file silently
+    * reads raw µs and the ÷1000 then compresses event time 1000×,
+    * wrecking every watermark/window downstream.
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(streamableDir(path))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = streamableDir(path)
+    val diskSchema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(diskSchema).parquet(dir)
+    diskSchema("ts").dataType match {
+      case LongType =>          // legacy TIMESTAMP(NANOS) as ns-long
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>  // TIMESTAMP(MICROS) naive: wall values
+        // are the oracle's values; UTC session makes the LTZ cast
+        // wall-preserving (same contract as Tables.events)
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "readEvents: timestamp_ntz → timestamp cast requires UTC session tz")
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType =>     // UTC-adjusted instants already
+        stream
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unexpected parquet-inferred type $other")
+    }
   }
 
   /** Open any parquet table as a stream, schema probed from the
