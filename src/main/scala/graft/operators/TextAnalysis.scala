@@ -110,6 +110,51 @@ object TextAnalysis {
     lit(1.0) - size(array_distinct(all)).cast("double") / size(all)
   }
 
+  /** Gopher-style per-rule quality flags (Rae et al. 2021, §A1.1):
+    * each filter rule as an INDEPENDENT boolean plus the conjunction
+    * `keep`, so a census can attribute removals rule-by-rule instead of
+    * reporting one opaque drop count. Rules: word count in
+    * [minWords, maxWords]; mean word length in [3, 10]; ≥ 80% of words
+    * contain an alphabetic character; ≥ `minStopWords` distinct
+    * stop-words present; symbol-to-word ratio (`#` or `...`) ≤ 0.1.
+    * Thresholds are parameters — the published constants (50..100k
+    * words, 2 stop-words) assume web-crawl prose; callers tune to their
+    * corpus.
+    *
+    * All pure per-row built-in expressions (split/filter/
+    * array_intersect inside whole-stage codegen, no UDF, no shuffle) —
+    * the 100 TB cost is the corpus scan itself.
+    */
+  def gopherFlags(
+      text: Column, minWords: Int = 50, maxWords: Int = 100000,
+      minStopWords: Int = 2): Column = {
+    val toks = tokens(text)
+    val nw = size(toks)
+    val mwl = meanWordLen(text)
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]")))
+    val stops = typedLit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+    val nStops = size(array_intersect(toks, stops))
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symRatio = (hashes + ellipses).cast("double") / nw
+    struct(
+      nw.cast("long").as("n_words"),
+      round(mwl, 4).as("mean_wlen"),
+      nw.between(minWords, maxWords).as("wc_ok"),
+      mwl.between(3.0, 10.0).as("mwl_ok"),
+      (alphaWords.cast("double") / nw >= 0.8).as("alpha_ok"),
+      (nStops >= minStopWords).as("stop_ok"),
+      (symRatio <= 0.1).as("sym_ok"))
+  }
+
+  /** The conjunction of every boolean field of a [[gopherFlags]]
+    * struct — the document-level keep decision.
+    */
+  def gopherKeep(flags: Column): Column =
+    flags.getField("wc_ok") && flags.getField("mwl_ok") &&
+      flags.getField("alpha_ok") && flags.getField("stop_ok") &&
+      flags.getField("sym_ok")
+
   // --- PII scrubbing ---------------------------------------------------
 
   /** Email/phone patterns kept to the regex subset where Java

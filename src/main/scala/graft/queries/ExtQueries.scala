@@ -2497,6 +2497,124 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style quality-rule census (Rae et al. 2021): every rule as
+    * an independent per-document boolean plus the conjunctive keep —
+    * the rule-attribution readout a corpus-curation run reports.
+    * Thresholds tuned to this corpus's 10–99-word synthetic documents
+    * (the published web-crawl constants would fire uniformly).
+    */
+  val x89_gopher_rules: QuerySpec = duck("x89_gopher_rules",
+    """WITH w AS (SELECT doc_id, text,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+      |m AS (SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(toks) AS mwl,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      |      / len(toks) AS alpha_frac,
+      |    len(list_intersect(toks,
+      |      ['the','be','to','of','and','that','have','with'])) AS n_stops,
+      |    CAST(len(text) - len(replace(text, '#', ''))
+      |      + (len(text) - len(replace(text, '...', ''))) // 3 AS DOUBLE)
+      |      / len(toks) AS sym_ratio
+      |  FROM w)
+      |SELECT doc_id, n_words, round(mwl, 4) AS mean_wlen,
+      |  n_words BETWEEN 20 AND 80 AS wc_ok,
+      |  mwl BETWEEN 3.0 AND 10.0 AS mwl_ok,
+      |  alpha_frac >= 0.8 AS alpha_ok,
+      |  n_stops >= 1 AS stop_ok,
+      |  sym_ratio <= 0.1 AS sym_ok,
+      |  (n_words BETWEEN 20 AND 80) AND (mwl BETWEEN 3.0 AND 10.0)
+      |    AND alpha_frac >= 0.8 AND n_stops >= 1 AND sym_ratio <= 0.1 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("f",
+        TA.gopherFlags(col("text"), minWords = 20, maxWords = 80, minStopWords = 1))
+      .select(col("doc_id"), col("f.n_words"), col("f.mean_wlen"),
+        col("f.wc_ok"), col("f.mwl_ok"), col("f.alpha_ok"), col("f.stop_ok"),
+        col("f.sym_ok"), TA.gopherKeep(col("f")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** LEFT OUTER stream-stream attribution as a driver row: x61's
+    * matches plus a null-purchase row per click whose match window the
+    * final watermark proved unmatchable. The oracle reproduces the
+    * emission rule exactly: the global watermark is the MIN over both
+    * sides' (max event time − delay), and an unmatched click emits iff
+    * its whole `[c_ts, c_ts + horizon]` window sits strictly before
+    * that watermark — clicks still inside the window when the stream
+    * drains stay in state, unemitted (no retractable false negatives).
+    */
+  val x90_streaming_attribution_outer: QuerySpec = q("x90_streaming_attribution_outer",
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(epoch_us(ts)) FROM c),
+      |                    (SELECT max(epoch_us(ts)) FROM p)) - 3600000000 AS w)
+      |SELECT c.click_id, p.purchase_id, c.user_id
+      |FROM c JOIN p ON p.user_id = c.user_id
+      |  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000
+      |UNION ALL
+      |SELECT c.click_id, NULL AS purchase_id, c.user_id
+      |FROM c, wm
+      |WHERE epoch_us(c.ts) + 1800000000 < wm.w
+      |  AND NOT EXISTS (SELECT 1 FROM p
+      |    WHERE p.user_id = c.user_id
+      |      AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000)
+      |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingTwins
+    val sink = "x90_attribution_outer_sink"
+    s.catalog.dropTempView(sink)
+    val events1 = StreamingTwins.readEvents(s, s"$d/events.parquet")
+    val events2 = StreamingTwins.readEvents(s, s"$d/events.parquet")
+    // same state-partition sizing rationale as x61 (150-user key space)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query = StreamingTwins.attributionOuter(
+        events1.where(col("event_type") === "click"),
+        events2.where(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try { query.processAllAvailable() } finally {
+      query.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    s.table(sink)
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** Population covariance matrix of the embedding corpus (upper
+    * triangle) via the one-pass [[graft.functions.GramAgg]] second-
+    * moment aggregate — the input PCA / ZCA-whitening needs. The SQL
+    * twin explodes to (vec_id, i, x) and self-joins, which multiplies
+    * the data d× before aggregating — exactly the shape the typed
+    * aggregate exists to avoid at scale (its exchange carries one
+    * d(d+3)/2-double buffer per map task instead).
+    */
+  val x91_embedding_covariance: QuerySpec = duck("x91_embedding_covariance",
+    """WITH v AS (SELECT vec_id, CAST(u['i'] AS INTEGER) AS i,
+      |    CAST(u['x'] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id,
+      |      unnest([{'i': i, 'x': embedding[i]}
+      |              FOR i IN range(1, len(embedding) + 1)]) AS u
+      |    FROM embeddings)),
+      |s AS (SELECT i, sum(x) AS sx, count(*) AS n FROM v GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+      |      FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |      GROUP BY a.i, b.i)
+      |SELECT p.i, p.j,
+      |  round(p.sxy / si.n - (si.sx / si.n) * (sj.sx / sj.n), 6) + 0.0 AS cov
+      |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
+      |ORDER BY p.i, p.j""".stripMargin) { (s, d) =>
+    val cov = graft.functions.GramAgg.covariance(64)
+    Tables.embeddings(s, d)
+      .agg(cov(col("embedding")).as("entries"))
+      .select(explode(col("entries")).as("e"))
+      .select(col("e._1").as("i"), col("e._2").as("j"), col("e._3").as("cov"))
+      .orderBy("i", "j")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2520,5 +2638,6 @@ object ExtQueries {
     x76_cms_heavy, x77_cluster_split, x78_funnel, x79_moving_avg,
     x80_markov_transitions, x81_cohort_retention, x82_rfm,
     x83_streaming_kmv, x84_matryoshka, x85_ab_test, x86_binary_quantize,
-    x87_hard_negatives, x88_dup_coverage)
+    x87_hard_negatives, x88_dup_coverage, x89_gopher_rules,
+    x90_streaming_attribution_outer, x91_embedding_covariance)
 }

@@ -121,6 +121,35 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(got == Set((100L, 200L), (100L, 201L)))
   }
 
+  test("outer attribution: null rows only for watermark-proven unmatched clicks") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def ts(min: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts")
+    // max(c_ts)=t300, max(p_ts)=t290 → watermark = t290 − 60 = t230.
+    // click 100: matched (in window). click 101: unmatched, window ends
+    // t31+30=t61 < t230 → null row emits. click 102 (t220): unmatched
+    // but window ends t250 > t230 → still in state, NO row.
+    clicks.addData(
+      (100L, 1L, ts(0)), (101L, 2L, ts(31)), (102L, 3L, ts(220)),
+      (103L, 9L, ts(300)))
+    purchases.addData(
+      (200L, 1L, ts(10)), (201L, 9L, ts(290)))
+    val q = StreamingTwins.attributionOuter(shape(clicks.toDF()), shape(purchases.toDF()))
+      .writeStream.format("memory").queryName("attribution_outer")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attribution_outer")
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == Set((100L, 200L), (101L, -1L)), got)
+  }
+
   test("streaming corpus ingestion matches the batch cleaning pipeline") {
     import graft.operators.{Dedup, Decontaminate, TextAnalysis => TA}
     val docsDir = {
