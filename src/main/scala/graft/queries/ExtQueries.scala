@@ -2615,6 +2615,26 @@ object ExtQueries {
       .orderBy("i", "j")
   }
 
+  /** Deterministic global corpus shuffle + dataloader shard assignment
+    * via [[graft.operators.GlobalOrder]]: md5-keyed total order at
+    * shuffle parallelism (range exchange + bounded per-partition
+    * offsets), where the oracle's `row_number() OVER (ORDER BY …)`
+    * funnels everything through one task — the plan this operator
+    * exists to avoid at 100 TB.
+    */
+  val x92_global_shuffle: QuerySpec = q("x92_global_shuffle",
+    """WITH k AS (SELECT doc_id,
+      |    md5(CAST(doc_id AS VARCHAR) || ':shuffle42') AS k FROM documents)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos,
+      |  CAST((row_number() OVER (ORDER BY k, doc_id) - 1) % 8 AS BIGINT) AS shard
+      |FROM k ORDER BY pos""".stripMargin) { (s, d) =>
+    graft.operators.GlobalOrder.shuffleShards(
+        Tables.documents(s, d), "doc_id", "shuffle42", nShards = 8, parts = 8)
+      .select(col("doc_id"), col("pos"), col("shard"))
+      .orderBy("pos")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2639,5 +2659,6 @@ object ExtQueries {
     x80_markov_transitions, x81_cohort_retention, x82_rfm,
     x83_streaming_kmv, x84_matryoshka, x85_ab_test, x86_binary_quantize,
     x87_hard_negatives, x88_dup_coverage, x89_gopher_rules,
-    x90_streaming_attribution_outer, x91_embedding_covariance)
+    x90_streaming_attribution_outer, x91_embedding_covariance,
+    x92_global_shuffle)
 }
