@@ -29,6 +29,22 @@ object ExtQueries {
       body: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, body, Some(oracle), sparkParity = false)
 
+  /** Stateful streaming entries: state partitioning is fixed at QUERY
+    * START and every partition carries its own state stores with a
+    * per-batch commit cost, so size it to the fixture key cardinality
+    * (150 users / 5 event types here; a cluster sizes it to cores × a
+    * small factor), not the 32-partition batch default — measured on
+    * x61, 32 partitions tripled the sweep cost in pure state-store
+    * overhead (11.4 s → 2.9 s at sf0.1). The conf is restored only
+    * AFTER processAllAvailable: the stream thread reads it
+    * asynchronously after start(), so an eager restore races.
+    */
+  private def withStateParts[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Distinct raw 5-gram sets per document in DuckDB list SQL — the
     * independent twin of `Dedup.shingleHashes` (hash-free: Jaccard over
     * raw n-grams equals Jaccard over 64-bit-hashed n-grams unless FNV
@@ -1334,10 +1350,12 @@ object ExtQueries {
     val events = StreamingTwins.readEvents(s, s"$d/events.parquet")
       .select(col("event_id"), col("ts"), col("user_id"))
       .as[StreamingTwins.EventRow]
-    val query = StreamingTwins.sessionize(events).toDF()
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("update").start()
-    try { query.processAllAvailable() } finally { query.stop() }
+    withStateParts(s, 8) {
+      val query = StreamingTwins.sessionize(events).toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try { query.processAllAvailable() } finally { query.stop() }
+    }
     s.table(sink)
       .groupBy("user_id").agg(max(col("sessions")).as("sessions"))
       .orderBy("user_id")
@@ -1362,10 +1380,12 @@ object ExtQueries {
       .select(col("doc_id"),
         concat(lit("subscribe to our newsletter today" + sep),
           array_join(TA.chunkTokens(col("text"), 32), sep)).as("text"))
-    val query = StreamingTwins.paragraphDedup(prepared, "doc_id", "text")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("update").start()
-    try { query.processAllAvailable() } finally { query.stop() }
+    withStateParts(s, 8) {
+      val query = StreamingTwins.paragraphDedup(prepared, "doc_id", "text")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try { query.processAllAvailable() } finally { query.stop() }
+    }
     s.table(sink)
       .select(col("doc_id"),
         when(length(col("text")) === 0, lit(0L))
@@ -1388,10 +1408,12 @@ object ExtQueries {
     val rows = StreamingTwins.readEvents(s, s"$d/events.parquet")
       .select(col("event_type").as("g"), col("value").as("score"), col("event_id").as("id"))
       .as[StreamingTwins.ScoredRow]
-    val query = StreamingTwins.topKPerGroup(rows, 3).toDF()
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("update").start()
-    try { query.processAllAvailable() } finally { query.stop() }
+    withStateParts(s, 8) {
+      val query = StreamingTwins.topKPerGroup(rows, 3).toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try { query.processAllAvailable() } finally { query.stop() }
+    }
     s.table(sink)
       .select(col("g").as("event_type"), posexplode(col("top")))
       .select(col("event_type"), (col("pos") + 1).cast("bigint").as("rank"),
@@ -1411,11 +1433,13 @@ object ExtQueries {
     import graft.streaming.StreamingTwins
     val sink = "x54_hourly_sink"
     s.catalog.dropTempView(sink)
-    val query = StreamingTwins.hourlyByType(
-        StreamingTwins.readEvents(s, s"$d/events.parquet"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
-    try { query.processAllAvailable() } finally { query.stop() }
+    withStateParts(s, 8) {
+      val query = StreamingTwins.hourlyByType(
+          StreamingTwins.readEvents(s, s"$d/events.parquet"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try { query.processAllAvailable() } finally { query.stop() }
+    }
     s.table(sink)
       .select(col("w").cast("timestamp_ntz").as("w"), col("event_type"),
         col("n"), col("v"))
@@ -1626,24 +1650,13 @@ object ExtQueries {
     s.catalog.dropTempView(sink)
     val events1 = StreamingTwins.readEvents(s, s"$d/events.parquet")
     val events2 = StreamingTwins.readEvents(s, s"$d/events.parquet")
-    // state partitioning is sized at QUERY START and each partition
-    // carries 4 state stores with fixed per-batch commit cost — size it
-    // to the join-key cardinality (150 users here; a cluster sizes it
-    // to cores × small factor), not the batch shuffle default:
-    // 32 partitions for this key space triples the sweep cost in pure
-    // state-store overhead (measured 11.4 s → 2.9 s at sf0.1)
-    // restored only after processAllAvailable: the stream thread reads
-    // the conf asynchronously after start(), so an eager restore races
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query = StreamingTwins.attribution(
-        events1.where(col("event_type") === "click"),
-        events2.where(col("event_type") === "purchase"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try { query.processAllAvailable() } finally {
-      query.stop()
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStateParts(s, 8) {
+      val query = StreamingTwins.attribution(
+          events1.where(col("event_type") === "click"),
+          events2.where(col("event_type") === "purchase"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { query.processAllAvailable() } finally { query.stop() }
     }
     s.table(sink)
       .select(col("click_id"), col("purchase_id"), col("user_id"))
@@ -1910,10 +1923,12 @@ object ExtQueries {
     val sink = "x71_dedup_sink"
     s.catalog.dropTempView(sink)
     val ev = StreamingTwins.readEvents(s, s"$d/events.parquet")
-    val query = StreamingTwins.dedupEvents(ev.unionAll(ev))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try { query.processAllAvailable() } finally { query.stop() }
+    withStateParts(s, 8) {
+      val query = StreamingTwins.dedupEvents(ev.unionAll(ev))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { query.processAllAvailable() } finally { query.stop() }
+    }
     s.table(sink)
       .groupBy("event_type").agg(count(lit(1)).cast("bigint").as("n"))
       .orderBy("event_type")
@@ -2317,12 +2332,14 @@ object ExtQueries {
     val sink = "x83_kmv_sink"
     s.catalog.dropTempView(sink)
     val ev = StreamingTwins.readEvents(s, s"$d/events.parquet")
-    val query = ev.unionAll(ev)
-      .select(md5(col("event_id").cast("string")).as("h"))
-      .agg(SketchAggs.kmv_min_k(k)(col("h")).as("sk"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
-    try { query.processAllAvailable() } finally { query.stop() }
+    withStateParts(s, 8) {
+      val query = ev.unionAll(ev)
+        .select(md5(col("event_id").cast("string")).as("h"))
+        .agg(SketchAggs.kmv_min_k(k)(col("h")).as("sk"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try { query.processAllAvailable() } finally { query.stop() }
+    }
     s.table(sink)
       .select(lit("event_id").as("metric"),
         SketchAggs.kmvEstimate(col("sk"), k).as("est"))
@@ -2567,17 +2584,13 @@ object ExtQueries {
     s.catalog.dropTempView(sink)
     val events1 = StreamingTwins.readEvents(s, s"$d/events.parquet")
     val events2 = StreamingTwins.readEvents(s, s"$d/events.parquet")
-    // same state-partition sizing rationale as x61 (150-user key space)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query = StreamingTwins.attributionOuter(
-        events1.where(col("event_type") === "click"),
-        events2.where(col("event_type") === "purchase"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try { query.processAllAvailable() } finally {
-      query.stop()
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStateParts(s, 8) {
+      val query = StreamingTwins.attributionOuter(
+          events1.where(col("event_type") === "click"),
+          events2.where(col("event_type") === "purchase"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { query.processAllAvailable() } finally { query.stop() }
     }
     s.table(sink)
       .select(col("click_id"), col("purchase_id"), col("user_id"))
