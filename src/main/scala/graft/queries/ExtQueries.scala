@@ -2628,6 +2628,42 @@ object ExtQueries {
       .orderBy("i", "j")
   }
 
+  /** Sessionization AGAIN, but through Spark's built-in
+    * `session_window` — the composition-first variant (§7.3 preference
+    * (a): built-in op over custom state) of x51's
+    * `flatMapGroupsWithState` twin, hashed against the SAME oracle.
+    * The built-in merges overlapping `[t, t+gap)` windows in the
+    * streaming aggregation's state store; the custom twin keeps only
+    * (last-ts, count) per user. Same answer, different state shape —
+    * having both driver-visible pins that the two session definitions
+    * agree on this corpus (they can only diverge on an exact-gap
+    * boundary, which µs-random timestamps never hit).
+    */
+  val x93_session_window: QuerySpec = q("x93_session_window",
+    x51_streaming_sessionize.oracle.get) { (s, d) =>
+    import graft.streaming.StreamingTwins
+    val sink = "x93_session_window_sink"
+    s.catalog.dropTempView(sink)
+    val ev = StreamingTwins.readEvents(s, s"$d/events.parquet")
+    withStateParts(s, 8) {
+      // complete mode: session merging cannot retract an update-mode
+      // emission (Spark rejects update outright), and append would
+      // hold back sessions still inside the watermark when the stream
+      // drains — complete replaces the sink with the full final window
+      // table every batch, so the entry is also multi-batch-safe
+      val query = ev
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try { query.processAllAvailable() } finally { query.stop() }
+    }
+    s.table(sink)
+      .groupBy("user_id").agg(count(lit(1)).as("sessions"))
+      .orderBy("user_id")
+  }
+
   /** Deterministic global corpus shuffle + dataloader shard assignment
     * via [[graft.operators.GlobalOrder]]: md5-keyed total order at
     * shuffle parallelism (range exchange + bounded per-partition
@@ -2673,5 +2709,5 @@ object ExtQueries {
     x83_streaming_kmv, x84_matryoshka, x85_ab_test, x86_binary_quantize,
     x87_hard_negatives, x88_dup_coverage, x89_gopher_rules,
     x90_streaming_attribution_outer, x91_embedding_covariance,
-    x92_global_shuffle)
+    x92_global_shuffle, x93_session_window)
 }
