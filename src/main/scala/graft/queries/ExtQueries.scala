@@ -2684,6 +2684,79 @@ object ExtQueries {
       .orderBy("pos")
   }
 
+  /** Hybrid retrieval: BM25 lexical top-50 and dense cosine top-50
+    * fused by reciprocal-rank fusion (Cormack et al. 2009,
+    * score = Σ 1/(60+rank)) — the standard first-stage fusion of a RAG
+    * retrieval stack. Ranks are assigned INSIDE the k-bounded
+    * shortlists (a window over ≤ 50 rows after `TakeOrderedAndProject`
+    * — bounded by construction, never a corpus-wide window), so at
+    * 100 TB the only full scans are the two scoring passes x39/x07
+    * already make.
+    */
+  val x94_rrf_fusion: QuerySpec = q("x94_rrf_fusion", {
+    val qv = (1 to 64).map(i => s"CAST(CAST(sin($i) AS REAL) AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(t)) AS avgdl,
+       |    CAST(count(*) FILTER (WHERE list_contains(t, 'spark')) AS DOUBLE) AS df0,
+       |    CAST(count(*) FILTER (WHERE list_contains(t, 'join')) AS DOUBLE) AS df1,
+       |    CAST(count(*) FILTER (WHERE list_contains(t, 'vector')) AS DOUBLE) AS df2
+       |  FROM toks),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+       |      * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+       |      * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+       |      * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+       |  FROM (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+       |          CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf0,
+       |          CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf1,
+       |          CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf2
+       |        FROM toks), stats),
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS lrank
+       |  FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 50),
+       |dense AS (
+       |  SELECT vec_id AS doc_id,
+       |    row_number() OVER (
+       |      ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qv), 4) DESC,
+       |        vec_id) AS drank
+       |  FROM embeddings
+       |  ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qv), 4) DESC,
+       |    vec_id LIMIT 50)
+       |SELECT doc_id,
+       |  round(coalesce(CAST(1 AS DOUBLE) / (60 + lrank), 0)
+       |      + coalesce(CAST(1 AS DOUBLE) / (60 + drank), 0), 6) AS rrf
+       |FROM lex FULL OUTER JOIN dense USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val lex = Bm25.topK(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "vector"), k = 50)
+      .withColumn("lrank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "lrank")
+    val query = typedLit(Array.tabulate(64)(i => math.sin(i + 1).toFloat))
+    val dense = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.VectorFunctions.vec_cosine(col("embedding"), query), 4)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+      .withColumn("drank",
+        row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .select("doc_id", "drank")
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        round(coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("drank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .select("doc_id", "rrf")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2709,5 +2782,5 @@ object ExtQueries {
     x83_streaming_kmv, x84_matryoshka, x85_ab_test, x86_binary_quantize,
     x87_hard_negatives, x88_dup_coverage, x89_gopher_rules,
     x90_streaming_attribution_outer, x91_embedding_covariance,
-    x92_global_shuffle, x93_session_window)
+    x92_global_shuffle, x93_session_window, x94_rrf_fusion)
 }
