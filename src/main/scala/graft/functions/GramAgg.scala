@@ -38,6 +38,7 @@ final class GramAgg(dim: Int, roundTo: Int = 6)
   override def zero: Array[Double] = new Array[Double](bufLen)
 
   override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+    if (v == null) return b                 // null vectors don't count
     require(v.length == dim, s"expected dim-$dim vector, got ${v.length}")
     val x = new Array[Double](dim)
     var i = 0

@@ -121,9 +121,10 @@ object TextAnalysis {
     * words, 2 stop-words) assume web-crawl prose; callers tune to their
     * corpus.
     *
-    * All pure per-row built-in expressions (split/filter/
-    * array_intersect inside whole-stage codegen, no UDF, no shuffle) —
-    * the 100 TB cost is the corpus scan itself.
+    * All pure per-row built-in expressions, no UDF, no shuffle — the
+    * 100 TB cost is the corpus scan itself. (The alpha-word rule's
+    * higher-order `filter` lambda is interpreted row-local eval, the
+    * one piece outside whole-stage codegen; everything else codegens.)
     */
   def gopherFlags(
       text: Column, minWords: Int = 50, maxWords: Int = 100000,

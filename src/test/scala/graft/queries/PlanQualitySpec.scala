@@ -429,4 +429,56 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.indexOf("HashAggregate", first + 1) >= 0,
       s"expected partial+final HashAggregate pair:\n$plan")
   }
+
+  test("gopher flags stay inside whole-stage codegen — one scan, no shuffle, no UDF") {
+    import graft.operators.{TextAnalysis => TA}
+    val df = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TA.gopherFlags(col("text")).as("f"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)          // pure per-row
+    // no UDF anywhere — the only non-codegen piece is the higher-order
+    // `filter` lambda (alpha-word rule), which is still row-local
+    // interpreted eval inside the same project, not a black-box UDF
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("global rank moves the data exactly once (one range exchange, no hash re-exchange)") {
+    // the rank itself must not introduce a second full-data movement:
+    // one RangePartitioning exchange, then partition-preserving
+    // mapPartitions — a window-by-pid implementation would add a hash
+    // exchange of the whole table on top
+    val df = graft.operators.GlobalOrder.globalRank(
+      Tables.documents(spark, sfDir).select("doc_id"),
+      Seq(col("doc_id")), parts = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    // the cached AQE subtree prints its initial AND final plan, so the
+    // one real exchange can appear twice in the text — assert on KIND,
+    // not count: every exchange is the range one, none is a hash
+    // re-exchange, and SinglePartition never appears
+    val exchanges = "Exchange \\w+".r.findAllIn(plan).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("rangepartitioning")),
+      s"expected only range exchanges, got $exchanges:\n$plan")
+    graft.CacheLifecycle.release(spark)
+  }
+
+  test("embedding covariance is a two-phase ObjectHashAggregate — no explode before the exchange") {
+    val cov = graft.functions.GramAgg.covariance(64)
+    val df = Tables.embeddings(spark, sfDir).agg(cov(col("embedding")))
+    val plan = df.queryExecution.executedPlan.toString
+    val first = plan.indexOf("ObjectHashAggregate")
+    assert(first >= 0 && plan.indexOf("ObjectHashAggregate", first + 1) >= 0, plan)
+    assert(!plan.contains("Generate"), plan)          // no d× explode of the corpus
+  }
+
+  test("rrf fusion shortlists via TakeOrderedAndProject before any rank window") {
+    val df = ExtQueries.x94_rrf_fusion.run(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // both retrieval arms bound to k rows with TakeOrderedAndProject;
+    // the rank windows run after, over ≤ k rows each
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val firstWindow = plan.indexOf("Window")
+    val firstTop = plan.indexOf("TakeOrderedAndProject")
+    assert(firstTop >= 0 && (firstWindow < 0 || firstTop < firstWindow ||
+      plan.indexOf("TakeOrderedAndProject", firstWindow) >= 0), plan)
+  }
 }
