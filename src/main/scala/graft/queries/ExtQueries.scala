@@ -2757,6 +2757,42 @@ object ExtQueries {
       .select("doc_id", "rrf")
   }
 
+  /** Sessionization a THIRD way: Spark 4's `transformWithState`
+    * arbitrary-state API (typed ValueState in a StatefulProcessor, the
+    * successor to x51's flatMapGroupsWithState), pinned to the same
+    * oracle as x51/x93 — three state APIs, one answer. TWS requires the
+    * RocksDB state-store provider, set (and restored) around the query
+    * the same way the partition sizing is.
+    */
+  val x95_tws_sessionize: QuerySpec = q("x95_tws_sessionize",
+    x51_streaming_sessionize.oracle.get) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.StreamingTwins
+    val sink = "x95_tws_sessions_sink"
+    s.catalog.dropTempView(sink)
+    val events = StreamingTwins.readEvents(s, s"$d/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[StreamingTwins.EventRow]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStateParts(s, 8) {
+      val query = StreamingTwins.sessionizeTws(events).toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try { query.processAllAvailable() } finally { query.stop() }
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+    s.table(sink)
+      .groupBy("user_id").agg(max(col("sessions")).as("sessions"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2782,5 +2818,6 @@ object ExtQueries {
     x83_streaming_kmv, x84_matryoshka, x85_ab_test, x86_binary_quantize,
     x87_hard_negatives, x88_dup_coverage, x89_gopher_rules,
     x90_streaming_attribution_outer, x91_embedding_covariance,
-    x92_global_shuffle, x93_session_window, x94_rrf_fusion)
+    x92_global_shuffle, x93_session_window, x94_rrf_fusion,
+    x95_tws_sessionize)
 }

@@ -411,4 +411,53 @@ object StreamingTwins {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Q32's sessionization AGAIN, on Spark 4's `transformWithState`
+    * arbitrary-state API — the successor to `flatMapGroupsWithState`
+    * that [[sessionize]] uses: typed `ValueState` handles from a
+    * `StatefulProcessor` instead of one opaque `GroupState` blob, with
+    * per-state TTL and timers available (neither needed here). Must
+    * produce the identical answer, so both APIs are pinned to the same
+    * oracle (x51 / x95). Requires the RocksDB state-store provider —
+    * the caller sets `spark.sql.streaming.stateStore.providerClass`.
+    */
+  final class SessionizeProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserSessions] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    // same exact-µs arithmetic as sessionize (getTime is ms-truncated)
+    private def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    override def handleInputRows(userId: Long, rows: Iterator[EventRow],
+        tv: TimerValues): Iterator[UserSessions] = {
+      val sorted = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var s = if (st.exists()) st.get() else SessionState(Long.MinValue, 0L)
+      sorted.foreach { r =>
+        val us = micros(r.ts)
+        val isNew = s.lastTsMicros == Long.MinValue ||
+          (us - s.lastTsMicros) > gapSeconds * 1000000L
+        s = SessionState(us, if (isNew) s.sessions + 1 else s.sessions)
+      }
+      st.update(s)
+      Iterator.single(UserSessions(userId, s.sessions))
+    }
+  }
+
+  def sessionizeTws(events: Dataset[EventRow], gapSeconds: Long = 1800): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapSeconds),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
 }

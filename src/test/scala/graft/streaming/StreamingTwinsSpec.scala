@@ -121,6 +121,32 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(got == Set((100L, 200L), (100L, 201L)))
   }
 
+  test("transformWithState sessionization matches the flatMapGroupsWithState twin") {
+    import spark.implicits._
+    val events = StreamingTwins.readEvents(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[StreamingTwins.EventRow]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingTwins.sessionizeTws(events)
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    val tws = spark.table("tws_sessions")
+      .groupBy("user_id").agg(max("sessions").as("sessions"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batch = CorpusQueries.q32.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(tws.toSeq == batch.toSeq)
+  }
+
   test("outer attribution: null rows only for watermark-proven unmatched clicks") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
