@@ -2793,6 +2793,38 @@ object ExtQueries {
       .orderBy("user_id")
   }
 
+  /** Watermarked SLIDING-window aggregate (1 h window, 15 min slide) —
+    * the overlapping-window face of §2.11 that q31/x54's tumbling
+    * windows don't cover: every event belongs to exactly four windows,
+    * so state is 4× a tumbling window's and the watermark is what keeps
+    * it bounded. Complete-mode sink like x54 (multi-batch-safe). The
+    * oracle expands each event into its four aligned window starts in
+    * integer-µs arithmetic.
+    */
+  val x96_streaming_sliding: QuerySpec = duck("x96_streaming_sliding",
+    """SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) AS w,
+      |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS v
+      |FROM events, unnest([0, 1, 2, 3]) AS t(k)
+      |GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingTwins
+    val sink = "x96_sliding_sink"
+    s.catalog.dropTempView(sink)
+    withStateParts(s, 8) {
+      val query = StreamingTwins.readEvents(s, s"$d/events.parquet")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try { query.processAllAvailable() } finally { query.stop() }
+    }
+    s.table(sink)
+      .select(col("w").cast("timestamp_ntz").as("w"), col("event_type"),
+        col("n"), col("v"))
+      .orderBy("w", "event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2819,5 +2851,5 @@ object ExtQueries {
     x87_hard_negatives, x88_dup_coverage, x89_gopher_rules,
     x90_streaming_attribution_outer, x91_embedding_covariance,
     x92_global_shuffle, x93_session_window, x94_rrf_fusion,
-    x95_tws_sessionize)
+    x95_tws_sessionize, x96_streaming_sliding)
 }
