@@ -283,6 +283,54 @@ object Dedup {
         round(col("covered_tokens").cast("double") / col("n_tokens"), 4))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the rewrite step behind
+    * [[dupSpanCoverage]]'s census (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": drop every token
+    * covered by a k-token span that appears in more than one document,
+    * keep the rest in order). Span discovery is the same map-side-
+    * distinct + two-phase census + semi-join as the census; the rewrite
+    * itself is one per-row higher-order `filter` of the token array
+    * against the document's OWN span list (collected per doc — bounded
+    * by that doc's span count, never corpus-sized), so the only
+    * corpus-wide exchanges are the span census and the per-doc span
+    * rollup. Returns (id, kept_tokens, text_md5) — the md5 stands in
+    * for the rebuilt text so the driver hash stays compact; callers
+    * wanting the text itself use the same `__kept` array pre-join.
+    */
+  def removeDupSpans(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val src = graft.Spread.ensure(
+      df.select(col(idCol), col(textCol)), col(idCol))
+    val pos = src
+      .select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).as("__n"),
+        posexplode(TextAnalysis.rawTokenNgrams(col(textCol), k))
+          .as(Seq("__p", "__span")))
+      .select(col(idCol), (col("__p") + 1).as("s"),
+        least(col("__p") + k, col("__n")).as("e"),
+        xxhash64(col("__span")).as("__g"))
+    val shared = src
+      .select(col(idCol),
+        explode(TextAnalysis.tokenNgrams(col(textCol), k)).as("__span"))
+      .select(col(idCol), xxhash64(col("__span")).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") > 1)
+      .select("__g")
+    val spans = pos
+      .join(shared, Seq("__g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+    src.join(spans, Seq(idCol), "left")
+      .withColumn("__kept",
+        filter(TextAnalysis.tokens(col(textCol)), (t, i) =>
+          col("__spans").isNull ||
+            !exists(col("__spans"), sp =>
+              sp.getField("s") <= i + 1 && i + 1 <= sp.getField("e"))))
+      .select(col(idCol),
+        size(col("__kept")).cast("bigint").as("kept_tokens"),
+        md5(array_join(col("__kept"), " ")).as("text_md5"))
+  }
+
   // --- MinHash --------------------------------------------------------
 
   /** Deterministic seeded hash family: h_i(x) = splitmix64(x ^ seed_i).

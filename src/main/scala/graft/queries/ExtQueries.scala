@@ -2825,6 +2825,41 @@ object ExtQueries {
       .orderBy("w", "event_type")
   }
 
+  /** Duplicated-span REMOVAL (x88's census as a rewrite, Lee et al.
+    * 2022): tokens covered by any cross-document shared 8-gram span are
+    * dropped, the rest keep their order. The oracle rebuilds every
+    * document in DuckDB list SQL and both engines hash the rebuilt
+    * text — rewrite verified byte-for-byte, not just counted.
+    */
+  val x97_dup_span_removal: QuerySpec = duck("x97_dup_span_removal",
+    """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id, len(t) AS n,
+      |    [array_to_string(t[i:i+7], ' ')
+      |     FOR i IN range(1, greatest(len(t)-6, 2))] AS grams
+      |  FROM tok),
+      |e AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g),
+      |shared AS (SELECT gram FROM e GROUP BY gram HAVING count(*) > 1),
+      |pos0 AS (SELECT doc_id, n,
+      |    unnest([{'i': i, 'gr': grams[i]} FOR i IN range(1, len(grams) + 1)]) AS u
+      |  FROM g),
+      |pos AS (SELECT doc_id, CAST(u['i'] AS BIGINT) AS s,
+      |    least(CAST(u['i'] AS BIGINT) + 7, n) AS e, u['gr'] AS gram
+      |  FROM pos0),
+      |sp AS (SELECT doc_id, list({'s': s, 'e': e}) AS sps
+      |  FROM pos JOIN shared USING (gram) GROUP BY doc_id),
+      |kept AS (SELECT tok.doc_id,
+      |    [tok.t[j] FOR j IN range(1, len(tok.t) + 1)
+      |     IF sp.sps IS NULL
+      |        OR len(list_filter(sp.sps, x -> x['s'] <= j AND j <= x['e'])) = 0] AS kt
+      |  FROM tok LEFT JOIN sp USING (doc_id))
+      |SELECT doc_id, CAST(len(kt) AS BIGINT) AS kept_tokens,
+      |  md5(coalesce(array_to_string(kt, ' '), '')) AS text_md5
+      |FROM kept ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2851,5 +2886,5 @@ object ExtQueries {
     x87_hard_negatives, x88_dup_coverage, x89_gopher_rules,
     x90_streaming_attribution_outer, x91_embedding_covariance,
     x92_global_shuffle, x93_session_window, x94_rrf_fusion,
-    x95_tws_sessionize, x96_streaming_sliding)
+    x95_tws_sessionize, x96_streaming_sliding, x97_dup_span_removal)
 }
