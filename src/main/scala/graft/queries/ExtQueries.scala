@@ -2860,6 +2860,30 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** x71's doubled-stream dedup on the newer
+    * `dropDuplicatesWithinWatermark` API — strictly-bounded state
+    * (evicted once the watermark passes first-seen + delay) vs
+    * `dropDuplicates`' grow-with-keys contract; same oracle, proving
+    * the two state disciplines agree on a drained stream.
+    */
+  val x98_streaming_dedup_within_wm: QuerySpec = q("x98_streaming_dedup_within_wm",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingTwins
+    val sink = "x98_dedup_wm_sink"
+    s.catalog.dropTempView(sink)
+    val ev = StreamingTwins.readEvents(s, s"$d/events.parquet")
+    withStateParts(s, 8) {
+      val query = StreamingTwins.dedupEventsWithinWatermark(ev.unionAll(ev))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { query.processAllAvailable() } finally { query.stop() }
+    }
+    s.table(sink)
+      .groupBy("event_type").agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2886,5 +2910,6 @@ object ExtQueries {
     x87_hard_negatives, x88_dup_coverage, x89_gopher_rules,
     x90_streaming_attribution_outer, x91_embedding_covariance,
     x92_global_shuffle, x93_session_window, x94_rrf_fusion,
-    x95_tws_sessionize, x96_streaming_sliding, x97_dup_span_removal)
+    x95_tws_sessionize, x96_streaming_sliding, x97_dup_span_removal,
+    x98_streaming_dedup_within_wm)
 }
