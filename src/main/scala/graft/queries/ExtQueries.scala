@@ -2884,6 +2884,70 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
+  /** Warm-started sessionization: the first half of the corpus is
+    * summarized IN BATCH to per-user (last-ts, sessions) snapshots, the
+    * second half streams through `transformWithState` with that
+    * snapshot as INITIAL STATE, and the merged readout must equal the
+    * full-corpus oracle — bootstrap + continuation ≡ continuous run,
+    * including sessions that span the snapshot boundary. This is the
+    * restart path a long-lived 100 TB sessionizer actually takes: seed
+    * state from the batch summary instead of replaying history.
+    */
+  val x99_tws_bootstrap: QuerySpec = q("x99_tws_bootstrap",
+    x51_streaming_sessionize.oracle.get) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.StreamingTwins
+    val sink = "x99_bootstrap_sink"
+    s.catalog.dropTempView(sink)
+    // the same boundary instant on both sides, tz-independent: the ntz
+    // wall values ARE UTC instants by the testdata contract
+    val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z
+    val prefix = Tables.events(s, d)
+      .filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val snapDf = prefix
+      .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("__new",
+        when(lag(col("__us"), 1).over(w).isNull ||
+          col("__us") - lag(col("__us"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(max(col("__us")).as("lastTsMicros"), sum(col("__new")).as("sessions"))
+    val snapshot = snapDf
+      .select(col("user_id"),
+        struct(col("lastTsMicros"), col("sessions")).as("state"))
+      .as[(Long, StreamingTwins.SessionState)]
+    val stream = StreamingTwins.readEvents(s, s"$d/events.parquet")
+      .filter(col("ts") >= timestamp_micros(lit(cutoffUs)))
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[StreamingTwins.EventRow]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStateParts(s, 8) {
+      val query = StreamingTwins.sessionizeTwsBootstrap(stream, snapshot).toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try { query.processAllAvailable() } finally { query.stop() }
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+    // users quiet after the cutoff keep their snapshot count; streamed
+    // users carry the continued count
+    val streamed = s.table(sink)
+      .groupBy("user_id").agg(max(col("sessions")).as("__live"))
+    snapDf.select(col("user_id"), col("sessions").as("__snap"))
+      .join(streamed, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("__live"), col("__snap")).as("sessions"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2911,5 +2975,5 @@ object ExtQueries {
     x90_streaming_attribution_outer, x91_embedding_covariance,
     x92_global_shuffle, x93_session_window, x94_rrf_fusion,
     x95_tws_sessionize, x96_streaming_sliding, x97_dup_span_removal,
-    x98_streaming_dedup_within_wm)
+    x98_streaming_dedup_within_wm, x99_tws_bootstrap)
 }

@@ -474,4 +474,62 @@ object StreamingTwins {
       .transformWithState(new SessionizeProcessor(gapSeconds),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
+
+  /** [[SessionizeProcessor]] warm-started from a batch snapshot — the
+    * operational bootstrap pattern: a long-lived sessionizer restarts
+    * (or first deploys) against history already summarized in batch,
+    * and the stream continues from that state instead of replaying
+    * 100 TB of history. `handleInitialState` seeds each user's
+    * (last-ts, sessions) before the first micro-batch; a session
+    * spanning the snapshot boundary is then classified exactly as the
+    * continuous run would (the first streamed event compares against
+    * the snapshot's last-ts).
+    */
+  final class SessionizeBootstrapProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, EventRow, UserSessions, SessionState] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInitialState(userId: Long, initial: SessionState,
+        tv: TimerValues): Unit =
+      st.update(initial)
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    override def handleInputRows(userId: Long, rows: Iterator[EventRow],
+        tv: TimerValues): Iterator[UserSessions] = {
+      val sorted = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var s = if (st.exists()) st.get() else SessionState(Long.MinValue, 0L)
+      sorted.foreach { r =>
+        val us = micros(r.ts)
+        val isNew = s.lastTsMicros == Long.MinValue ||
+          (us - s.lastTsMicros) > gapSeconds * 1000000L
+        s = SessionState(us, if (isNew) s.sessions + 1 else s.sessions)
+      }
+      st.update(s)
+      Iterator.single(UserSessions(userId, s.sessions))
+    }
+  }
+
+  def sessionizeTwsBootstrap(
+      events: Dataset[EventRow],
+      snapshot: Dataset[(Long, SessionState)],
+      gapSeconds: Long = 1800): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeBootstrapProcessor(gapSeconds),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update,
+        snapshot.groupByKey(_._1).mapValues(_._2))
+  }
 }

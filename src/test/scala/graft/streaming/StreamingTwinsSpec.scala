@@ -147,6 +147,45 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(tws.toSeq == batch.toSeq)
   }
 
+  test("bootstrap sessionization: a session spanning the snapshot boundary is NOT double-counted") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def ts(min: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(1704067200000L + min * 60000L)
+    def us(min: Long): Long = 1704067200000000L + min * 60000000L
+
+    // snapshot: user 1 last seen at t100 with 2 sessions so far;
+    // user 2 last seen at t0 with 1 session
+    val snapshot = Seq(
+      (1L, StreamingTwins.SessionState(us(100), 2L)),
+      (2L, StreamingTwins.SessionState(us(0), 1L))).toDS()
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    // user 1 returns 10 min after the snapshot (same session — count
+    // stays 2); user 2 returns 5 h later (new session — count becomes 2);
+    // user 3 was never snapshotted (first session ever)
+    input.addData((500L, ts(110), 1L), (501L, ts(300), 2L), (502L, ts(120), 3L))
+    val events = input.toDF().toDF("event_id", "ts", "user_id")
+      .as[StreamingTwins.EventRow]
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingTwins.sessionizeTwsBootstrap(events, snapshot)
+        .writeStream.format("memory").queryName("bootstrap_sessions")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    val got = spark.table("bootstrap_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L), got)
+  }
+
   test("outer attribution: null rows only for watermark-proven unmatched clicks") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
