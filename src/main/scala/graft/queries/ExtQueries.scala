@@ -2948,6 +2948,54 @@ object ExtQueries {
       .orderBy("user_id")
   }
 
+  /** Capstone composite — the curation path a training corpus actually
+    * takes, each stage one of the operators above: exact dedup
+    * (keep-min-id per content key, two-phase aggregate) → Gopher rule
+    * gate (x89 thresholds) → deterministic global shuffle + dataloader
+    * shard assignment (x92). One declarative plan end-to-end; the
+    * oracle recomputes all three stages in SQL.
+    */
+  val x100_curation_pipeline: QuerySpec = duck("x100_curation_pipeline",
+    """WITH survivors AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+      |    FROM documents) t WHERE rn = 1),
+      |m AS (SELECT doc_id,
+      |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS nw,
+      |    CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS mwl,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      |      / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS alpha_frac,
+      |    len(list_intersect(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      ['the','be','to','of','and','that','have','with'])) AS n_stops
+      |  FROM survivors),
+      |kept AS (SELECT doc_id FROM m
+      |  WHERE nw BETWEEN 20 AND 80 AND mwl BETWEEN 3.0 AND 10.0
+      |    AND alpha_frac >= 0.8 AND n_stops >= 1),
+      |ranked AS (SELECT doc_id,
+      |    CAST(row_number() OVER (
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':curate42'), doc_id) - 1
+      |      AS BIGINT) AS pos
+      |  FROM kept)
+      |SELECT doc_id, pos, CAST(pos % 4 AS BIGINT) AS shard
+      |FROM ranked ORDER BY pos""".stripMargin) { (s, d) =>
+    val survivors = Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+    val gated = survivors
+      .withColumn("__f",
+        TA.gopherFlags(col("text"), minWords = 20, maxWords = 80, minStopWords = 1))
+      // sym rule dropped here: the corpus has no symbols, and the SQL
+      // twin stays shorter — x89 pins the full rule set
+      .filter(col("__f.wc_ok") && col("__f.mwl_ok") &&
+        col("__f.alpha_ok") && col("__f.stop_ok"))
+      .select("doc_id")
+    graft.operators.GlobalOrder.shuffleShards(
+        gated, "doc_id", "curate42", nShards = 4, parts = 8)
+      .select(col("doc_id"), col("pos"), col("shard"))
+      .orderBy("pos")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x01_dedup_exact, x02_dedup_groups, x03_minhash_neardup, x04_ngram_jaccard,
     x05_simhash, x06_embedding_neardup, x07_ann_bruteforce, x08_ann_lsh,
@@ -2975,5 +3023,6 @@ object ExtQueries {
     x90_streaming_attribution_outer, x91_embedding_covariance,
     x92_global_shuffle, x93_session_window, x94_rrf_fusion,
     x95_tws_sessionize, x96_streaming_sliding, x97_dup_span_removal,
-    x98_streaming_dedup_within_wm, x99_tws_bootstrap)
+    x98_streaming_dedup_within_wm, x99_tws_bootstrap,
+    x100_curation_pipeline)
 }
