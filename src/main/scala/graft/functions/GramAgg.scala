@@ -65,10 +65,13 @@ final class GramAgg(dim: Int, roundTo: Int = 6)
     val n = b(0)
     if (n == 0) return Seq.empty
     // HALF_UP, matching Spark's and DuckDB's round() (rint's half-even
-    // would disagree with both on exact .5 boundaries); + 0.0 folds
-    // IEEE -0.0 to +0.0 so the hash compare can't split on zero's sign
+    // would disagree with both on exact .5 boundaries); both engines
+    // pass NaN/±Inf through round() unchanged, and BigDecimal would
+    // throw on them instead — guard first. + 0.0 folds IEEE -0.0 to
+    // +0.0 so the hash compare can't split on zero's sign.
     def r(x: Double): Double =
-      BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     val out = Vector.newBuilder[(Int, Int, Double)]
     var i = 0
     while (i < dim) {

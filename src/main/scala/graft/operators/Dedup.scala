@@ -242,14 +242,17 @@ object Dedup {
     * two-phase census on the 8-byte xxhash64 key, semi-join back).
     * The final per-doc rollup reuses the window's doc-id exchange.
     */
-  def dupSpanCoverage(
-      df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val src = graft.Spread.ensure(
-      df.select(col(idCol), col(textCol)), col(idCol))
-    // positional spans: sequence index i (1-based) covers [i, min(i+k-1, n)]
-    // (the min only binds for the single short-doc span, matching
-    // rawTokenNgrams' substr-like edge semantics)
+  /** Shared span-discovery block of [[dupSpanCoverage]] and
+    * [[removeDupSpans]]: positional k-token spans per document
+    * (1-based, `[i, min(i+k-1, n)]` — the min only binds for the single
+    * short-doc span, matching rawTokenNgrams' substr-like edge
+    * semantics) SEMI-JOINED to the census of span hashes appearing in
+    * more than one document. One copy of the boundary arithmetic, so
+    * the census (x88) and the rewrite (x97) cannot disagree about
+    * which spans are shared.
+    */
+  private def sharedSpanPositions(
+      src: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val pos = src
       .select(col(idCol),
         size(TextAnalysis.tokens(col(textCol))).as("__n"),
@@ -258,19 +261,25 @@ object Dedup {
       .select(col(idCol), (col("__p") + 1).as("__start"),
         least(col("__p") + k, col("__n")).as("__end"),
         xxhash64(col("__span")).as("__g"))
-    val distinctSpans = src
+    val shared = src
       .select(col(idCol),
         explode(TextAnalysis.tokenNgrams(col(textCol), k)).as("__span"))
       .select(col(idCol), xxhash64(col("__span")).as("__g"))
-    val shared = distinctSpans
       .groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") > 1)
       .select("__g")
+    pos.join(shared, Seq("__g"), "left_semi")
+  }
+
+  def dupSpanCoverage(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = graft.Spread.ensure(
+      df.select(col(idCol), col(textCol)), col(idCol))
     val prevMax = max(col("__end")).over(
       Window.partitionBy(col(idCol)).orderBy(col("__start"))
         .rowsBetween(Window.unboundedPreceding, -1))
-    val covered = pos
-      .join(shared, Seq("__g"), "left_semi")
+    val covered = sharedSpanPositions(src, idCol, textCol, k)
       .withColumn("__fresh",
         greatest(lit(0),
           col("__end") - greatest(coalesce(prevMax, lit(0)), col("__start") - 1)))
@@ -301,25 +310,10 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val src = graft.Spread.ensure(
       df.select(col(idCol), col(textCol)), col(idCol))
-    val pos = src
-      .select(col(idCol),
-        size(TextAnalysis.tokens(col(textCol))).as("__n"),
-        posexplode(TextAnalysis.rawTokenNgrams(col(textCol), k))
-          .as(Seq("__p", "__span")))
-      .select(col(idCol), (col("__p") + 1).as("s"),
-        least(col("__p") + k, col("__n")).as("e"),
-        xxhash64(col("__span")).as("__g"))
-    val shared = src
-      .select(col(idCol),
-        explode(TextAnalysis.tokenNgrams(col(textCol), k)).as("__span"))
-      .select(col(idCol), xxhash64(col("__span")).as("__g"))
-      .groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
-      .filter(col("__docs") > 1)
-      .select("__g")
-    val spans = pos
-      .join(shared, Seq("__g"), "left_semi")
+    val spans = sharedSpanPositions(src, idCol, textCol, k)
       .groupBy(col(idCol))
-      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+      .agg(collect_list(
+        struct(col("__start").as("s"), col("__end").as("e"))).as("__spans"))
     src.join(spans, Seq(idCol), "left")
       .withColumn("__kept",
         filter(TextAnalysis.tokens(col(textCol)), (t, i) =>

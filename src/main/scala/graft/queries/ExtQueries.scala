@@ -2773,19 +2773,12 @@ object ExtQueries {
     val events = StreamingTwins.readEvents(s, s"$d/events.parquet")
       .select(col("event_id"), col("ts"), col("user_id"))
       .as[StreamingTwins.EventRow]
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStateParts(s, 8) {
-      val query = StreamingTwins.sessionizeTws(events).toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update").start()
-      try { query.processAllAvailable() } finally { query.stop() }
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None => s.conf.unset(providerKey)
+    StreamingTwins.withRocksDbProvider(s) {
+      withStateParts(s, 8) {
+        val query = StreamingTwins.sessionizeTws(events).toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try { query.processAllAvailable() } finally { query.stop() }
       }
     }
     s.table(sink)
@@ -2906,6 +2899,9 @@ object ExtQueries {
     val prefix = Tables.events(s, d)
       .filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // persisted: feeds BOTH the streaming query's initial-state relation
+    // and the final readout join — without it the prefix scan + window
+    // would run twice, against the entry's own don't-replay-history point
     val snapDf = prefix
       .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
       .withColumn("__new",
@@ -2914,6 +2910,7 @@ object ExtQueries {
           .otherwise(0L))
       .groupBy("user_id")
       .agg(max(col("__us")).as("lastTsMicros"), sum(col("__new")).as("sessions"))
+      .transform(graft.CacheLifecycle.persist(_))
     val snapshot = snapDf
       .select(col("user_id"),
         struct(col("lastTsMicros"), col("sessions")).as("state"))
@@ -2922,19 +2919,12 @@ object ExtQueries {
       .filter(col("ts") >= timestamp_micros(lit(cutoffUs)))
       .select(col("event_id"), col("ts"), col("user_id"))
       .as[StreamingTwins.EventRow]
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStateParts(s, 8) {
-      val query = StreamingTwins.sessionizeTwsBootstrap(stream, snapshot).toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update").start()
-      try { query.processAllAvailable() } finally { query.stop() }
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None => s.conf.unset(providerKey)
+    StreamingTwins.withRocksDbProvider(s) {
+      withStateParts(s, 8) {
+        val query = StreamingTwins.sessionizeTwsBootstrap(stream, snapshot).toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try { query.processAllAvailable() } finally { query.stop() }
       }
     }
     // users quiet after the cutoff keep their snapshot count; streamed

@@ -14,20 +14,6 @@ import org.apache.spark.sql.types._
   */
 object StreamingTwins {
 
-  /** Parquet-on-disk schema of events with ns-timestamps read as long
-    * (the same legacy-conf path as `Tables.events`). Only the shape of
-    * the LEGACY TIMESTAMP(NANOS) testdata generation — [[readEvents]]
-    * probes the actual footer and uses this schema only when the file
-    * really is ns-long.
-    */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),           // nanos (legacy nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   // single-file inputs staged into their own directory, memoized per
   // source path so bench reps don't re-copy
   private val staged =
@@ -426,17 +412,39 @@ object StreamingTwins {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** TWS queries require the RocksDB state-store provider; set it for
+    * the duration of `body` and restore after (the same restore-after-
+    * processAllAvailable contract as the partition sizing — the stream
+    * thread reads the conf asynchronously after start()).
+    */
+  def withRocksDbProvider[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Q32's sessionization AGAIN, on Spark 4's `transformWithState`
     * arbitrary-state API — the successor to `flatMapGroupsWithState`
     * that [[sessionize]] uses: typed `ValueState` handles from a
     * `StatefulProcessor` instead of one opaque `GroupState` blob, with
     * per-state TTL and timers available (neither needed here). Must
     * produce the identical answer, so both APIs are pinned to the same
-    * oracle (x51 / x95). Requires the RocksDB state-store provider —
-    * the caller sets `spark.sql.streaming.stateStore.providerClass`.
+    * oracle (x51 / x95). One processor serves the cold-start path
+    * ([[sessionizeTws]] — `handleInitialState` simply never fires) and
+    * the warm-start path ([[sessionizeTwsBootstrap]] — a batch snapshot
+    * seeds each user's (last-ts, sessions) before the first
+    * micro-batch, so a session spanning the snapshot boundary is
+    * classified exactly as the continuous run would). Requires the
+    * RocksDB state-store provider ([[withRocksDbProvider]]).
     */
   final class SessionizeProcessor(gapSeconds: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserSessions] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, EventRow, UserSessions, SessionState] {
     import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
 
@@ -446,6 +454,10 @@ object StreamingTwins {
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       st = getHandle.getValueState[SessionState]("session",
         Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInitialState(userId: Long, initial: SessionState,
+        tv: TimerValues): Unit =
+      st.update(initial)
 
     // same exact-µs arithmetic as sessionize (getTime is ms-truncated)
     private def micros(ts: java.sql.Timestamp): Long =
@@ -479,48 +491,8 @@ object StreamingTwins {
     * operational bootstrap pattern: a long-lived sessionizer restarts
     * (or first deploys) against history already summarized in batch,
     * and the stream continues from that state instead of replaying
-    * 100 TB of history. `handleInitialState` seeds each user's
-    * (last-ts, sessions) before the first micro-batch; a session
-    * spanning the snapshot boundary is then classified exactly as the
-    * continuous run would (the first streamed event compares against
-    * the snapshot's last-ts).
+    * 100 TB of history.
     */
-  final class SessionizeBootstrapProcessor(gapSeconds: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
-        Long, EventRow, UserSessions, SessionState] {
-    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
-    import org.apache.spark.sql.Encoders
-
-    @transient private var st: ValueState[SessionState] = _
-
-    override def init(outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      st = getHandle.getValueState[SessionState]("session",
-        Encoders.product[SessionState], TTLConfig.NONE)
-
-    override def handleInitialState(userId: Long, initial: SessionState,
-        tv: TimerValues): Unit =
-      st.update(initial)
-
-    private def micros(ts: java.sql.Timestamp): Long =
-      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-
-    override def handleInputRows(userId: Long, rows: Iterator[EventRow],
-        tv: TimerValues): Iterator[UserSessions] = {
-      val sorted = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id))
-      if (sorted.isEmpty) return Iterator.empty
-      var s = if (st.exists()) st.get() else SessionState(Long.MinValue, 0L)
-      sorted.foreach { r =>
-        val us = micros(r.ts)
-        val isNew = s.lastTsMicros == Long.MinValue ||
-          (us - s.lastTsMicros) > gapSeconds * 1000000L
-        s = SessionState(us, if (isNew) s.sessions + 1 else s.sessions)
-      }
-      st.update(s)
-      Iterator.single(UserSessions(userId, s.sessions))
-    }
-  }
-
   def sessionizeTwsBootstrap(
       events: Dataset[EventRow],
       snapshot: Dataset[(Long, SessionState)],
@@ -528,7 +500,7 @@ object StreamingTwins {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .transformWithState(new SessionizeBootstrapProcessor(gapSeconds),
+      .transformWithState(new SessionizeProcessor(gapSeconds),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update,
         snapshot.groupByKey(_._1).mapValues(_._2))
   }

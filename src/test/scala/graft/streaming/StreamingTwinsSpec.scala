@@ -126,18 +126,11 @@ class StreamingTwinsSpec extends SparkTestBase {
     val events = StreamingTwins.readEvents(spark, eventsDir)
       .select(col("event_id"), col("ts"), col("user_id"))
       .as[StreamingTwins.EventRow]
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    StreamingTwins.withRocksDbProvider(spark) {
       val q = StreamingTwins.sessionizeTws(events)
         .writeStream.format("memory").queryName("tws_sessions")
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.processAllAvailable(); q.stop()
-    } finally prev match {
-      case Some(p) => spark.conf.set(providerKey, p)
-      case None => spark.conf.unset(providerKey)
     }
     val tws = spark.table("tws_sessions")
       .groupBy("user_id").agg(max("sessions").as("sessions"))
@@ -168,18 +161,11 @@ class StreamingTwinsSpec extends SparkTestBase {
     val events = input.toDF().toDF("event_id", "ts", "user_id")
       .as[StreamingTwins.EventRow]
 
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    StreamingTwins.withRocksDbProvider(spark) {
       val q = StreamingTwins.sessionizeTwsBootstrap(events, snapshot)
         .writeStream.format("memory").queryName("bootstrap_sessions")
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.processAllAvailable(); q.stop()
-    } finally prev match {
-      case Some(p) => spark.conf.set(providerKey, p)
-      case None => spark.conf.unset(providerKey)
     }
     val got = spark.table("bootstrap_sessions")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
