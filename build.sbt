@@ -36,5 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // fills, the sweeper starts evicting HOT methods, and random stages
   // intermittently run interpreted at 15-30x CPU (observed: the same
   // 32-task stage at 8.6 s then 127 s executor time within one JVM).
-  "-XX:ReservedCodeCacheSize=1g",
+  // 1g sufficed through r9's 138 entries; r10's 150-entry sweep
+  // recorded the same eviction fingerprint again (x68 at 7x CPU on
+  // byte-identical code, normal in isolation), so 2g — Bench now
+  // records per-pool occupancy in bench_detail.json to make this
+  // class of regression self-diagnosing.
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -44,6 +44,60 @@ object Bench {
     ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime.max(0L)).sum
 
+  /** JIT code-cache occupancy, `pool → [used_mb, max_mb]`. Recorded in
+    * the detail JSON (and summed into the summary line) because a
+    * saturated code cache is this bench's one known silent killer: the
+    * sweeper evicts HOT compiled methods and random stages run
+    * interpreted at 15–30× CPU (r8 commit ec34938; r10's x68 at 7× CPU
+    * on byte-identical code). With occupancy in the artifact, that
+    * class of regression self-diagnoses instead of costing a round.
+    */
+  private[graft] def codeCacheMb: Seq[(String, Long, Long)] =
+    ManagementFactory.getMemoryPoolMXBeans.asScala.toSeq
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map { p =>
+        val u = p.getUsage
+        val name = p.getName.stripPrefix("CodeHeap").trim
+          .stripPrefix("'").stripSuffix("'").replace(' ', '_')
+        (name, u.getUsed >> 20, u.getMax >> 20)
+      }
+
+  private def codeCacheJson: String =
+    codeCacheMb.map { case (n, u, m) => s""""$n":[$u,$m]""" }
+      .mkString("{", ",", "}")
+
+  /** The 3× CPU regression gate: entries whose CPU exceeds `factor` ×
+    * their previous-round CPU (from the prior `bench_detail.json`).
+    * The `floorCpu` guard keeps sub-second entries' scheduling noise
+    * out (a 0.1→0.4 s flutter is not a regression; a 19→134 s blowup —
+    * r10's x68 — is exactly what this catches in-round, pre-commit).
+    */
+  private[graft] def regressions(
+      prevCpu: Map[String, Double],
+      cur: Seq[(String, Option[Sample])],
+      factor: Double = 3.0, floorCpu: Double = 2.0): Seq[String] =
+    cur.collect {
+      case (k, Some(s))
+          if s.cpu > floorCpu &&
+            prevCpu.get(k).exists(p => p > 0 && s.cpu > factor * p) => k
+    }
+
+  /** Previous round's per-entry CPU from an existing detail file —
+    * empty on first run or unreadable/failed entries.
+    */
+  private[graft] def previousCpu(path: java.nio.file.Path): Map[String, Double] =
+    if (!java.nio.file.Files.exists(path)) Map.empty
+    else try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.readTree(java.nio.file.Files.readAllBytes(path))
+      val entries = root.get("entries")
+      if (entries == null) Map.empty
+      else entries.properties().asScala.collect {
+        case e if e.getValue.isArray && e.getValue.size >= 2 =>
+          e.getKey -> e.getValue.get(1).asDouble
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+
   final case class Sample(wall: Double, cpu: Double, gcMs: Long)
 
   private def f(v: Double, dec: Int): String =
@@ -51,11 +105,14 @@ object Bench {
 
   /** The full per-entry detail JSON written to `bench_detail.json`. */
   private[graft] def renderDetail(
-      results: Seq[(String, Option[Sample])], sfDir: String, reps: Int): String = {
+      results: Seq[(String, Option[Sample])], sfDir: String, reps: Int,
+      regressed: Seq[String] = Nil): String = {
     val detail = results.map { case (k, s) =>
       s""""$k":${s.map(x => s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs}]").getOrElse("null")}"""
     }.mkString("{", ",", "}")
+    val reg = regressed.map(n => s""""$n"""").mkString("[", ",", "]")
     s"""{"fmt":"[wall_s,cpu_s,gc_ms]","sf":"$sfDir","reps":$reps,""" +
+      s""""code_cache_mb":$codeCacheJson,"regressed":$reg,""" +
       s""""total":${totalTriple(results)},"entries":$detail}"""
   }
 
@@ -74,7 +131,8 @@ object Bench {
     * else lives in the detail file.
     */
   private[graft] def renderSummaryLine(
-      results: Seq[(String, Option[Sample])], sfDir: String, detailPath: String): String = {
+      results: Seq[(String, Option[Sample])], sfDir: String, detailPath: String,
+      regressed: Seq[String] = Nil): String = {
     val failed = results.collect { case (k, None) => s""""$k"""" }.mkString("[", ",", "]")
     def groupTriple(prefix: String): String = {
       val ss = results.collect { case (k, Some(s)) if k.startsWith(prefix) => s }
@@ -90,10 +148,15 @@ object Bench {
       .mkString("{", ",", "}")
     val groups =
       s"""{"corpus_q01_q34":${groupTriple("q")},"geometry":${groupTriple("g")},"extension":${groupTriple("x")},"pipeline":${groupTriple("p")}}"""
+    // regression gate + code-cache occupancy, compact: the regressed
+    // list is capped (the gate's job is to flag, the detail file has
+    // the rest) and cc_mb is one number — total used MB across pools
+    val reg = regressed.take(8).map(n => s""""$n"""").mkString("[", ",", "]")
+    val ccUsed = codeCacheMb.map(_._2).sum
     s"""{"metric":"corpus_sweep","value":${f(corpus, 4)},"unit":"sec",""" +
       s""""fmt":"[wall_s,cpu_s,gc_ms]","total":${totalTriple(results)},""" +
-      s""""groups":$groups,"failed":$failed,"queries":$qs,""" +
-      s""""detail":"$detailPath","sf":"$sfDir"}"""
+      s""""groups":$groups,"failed":$failed,"regressed":$reg,"cc_mb":$ccUsed,""" +
+      s""""queries":$qs,"detail":"$detailPath","sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -163,10 +226,15 @@ object Bench {
       spark.catalog.clearCache()
       rs
     }
+    // delta gate: compare against the PREVIOUS sweep's detail file
+    // (read before overwrite). r10's x68 7x-CPU eviction artifact
+    // would have been flagged here in-round instead of costing the
+    // round's perf verdict.
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
+    val regressed = regressions(previousCpu(detailPath), results)
     java.nio.file.Files.write(detailPath,
-      renderDetail(results, sfDir, reps).getBytes("UTF-8"))
-    println(renderSummaryLine(results, sfDir, detailPath.toString))
+      renderDetail(results, sfDir, reps, regressed).getBytes("UTF-8"))
+    println(renderSummaryLine(results, sfDir, detailPath.toString, regressed))
     spark.stop()
   }
 }

@@ -184,19 +184,25 @@ object Dedup {
     *
     * Scale shape: spans are per-doc distinct ALREADY at generation
     * ([[TextAnalysis.tokenNgrams]] array_distincts map-side), so the
-    * exploded stream carries one row per (doc, distinct span) and the
-    * sharing census is a plain `count(*)` per span — two-phase, partial
-    * map-side. The shuffle key is `xxhash64(span)` (8 bytes), never the
-    * raw k-token string (~50+ bytes): same 2⁻⁶⁴-collision argument as
-    * the MinHash shingle hashing below. The shared-span set flows back
-    * as a hash semi-join on the same 64-bit key — both sides partition
-    * identically, and the hot boilerplate span (shared by millions of
-    * docs at 100 TB) collapses map-side in the census and is ONE row on
-    * the build side of the semi-join, so no skew funnel exists. The
-    * per-doc rollup shuffles on the unique doc id, which cannot skew.
-    * Nothing is persisted: both passes re-derive the codegen'd
-    * tokenize+hash from the column-pruned source scan, cheaper at
-    * corpus scale than caching an exploded span table.
+    * exploded stream carries one row per (doc, distinct span). The
+    * shuffle key is `xxhash64(span)` (8 bytes), never the raw k-token
+    * string (~50+ bytes): same 2⁻⁶⁴-collision argument as the MinHash
+    * shingle hashing below. The tokenize+hash explosion — the dominant
+    * CPU cost — runs ONCE: the span stream is hash-exchanged on the
+    * span key a single time and that exchange feeds BOTH the sharing
+    * census (`count(*)` per span — already clustered, so no second
+    * exchange) and the census join probe (ReusedExchange; r10's
+    * three-scan shape re-tokenized the corpus for the census AND for
+    * the per-doc span totals, tripling scan CPU at any scale). The
+    * census-side row concentration for a hot boilerplate span is the
+    * SAME concentration the join probe needs anyway — at real scale
+    * the census is span-cardinality-sized and cannot broadcast, so
+    * probe co-location is inherent, and counting a partition's rows is
+    * a streaming aggregate, not a buffered one. Per-doc span totals
+    * (`n_spans`) come from the same rollup that counts duplicated
+    * spans — one exchange on the unique doc id, which cannot skew.
+    * Nothing is persisted: exchange reuse, not caching, is what
+    * de-duplicates the work.
     */
   def duplicatedSpans(
       df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
@@ -204,21 +210,27 @@ object Dedup {
     // a bytes-sized scan split under-parallelizes it (graft.Spread doc)
     val src = graft.Spread.ensure(
       df.select(col(idCol), col(textCol)), col(idCol))
+    // explicit repartition so census and probe share ONE exchange of
+    // the exploded stream (identical canonical plans → ReusedExchange)
     val spans = src
       .select(col(idCol),
         explode(TextAnalysis.tokenNgrams(col(textCol), k)).as("__span"))
       .select(col(idCol), xxhash64(col("__span")).as("__g"))
-    val shared = spans
-      .groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
-      .filter(col("__docs") > 1)
-      .select("__g")
-    val dup = spans
-      .join(shared, Seq("__g"), "left_semi")
+      .repartition(col("__g"))
+    // count(idCol), not count(*): ids are non-null so the census is
+    // identical, but referencing idCol keeps column pruning from
+    // narrowing this branch's exchange subtree below the probe's —
+    // differently-pruned subtrees canonicalize differently and the
+    // exchange would NOT be reused (two tokenize scans again)
+    val census = spans
+      .groupBy(col("__g")).agg(count(col(idCol)).as("__docs"))
+    spans
+      .join(census, Seq("__g"), "inner")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("bigint").as("dup_spans"))
-    src.select(col(idCol),
-        size(TextAnalysis.tokenNgrams(col(textCol), k)).cast("bigint").as("n_spans"))
-      .join(dup, Seq(idCol), "inner")
+      .agg(count(lit(1)).cast("bigint").as("n_spans"),
+        sum(when(col("__docs") > 1, lit(1L)).otherwise(lit(0L)))
+          .cast("bigint").as("dup_spans"))
+      .filter(col("dup_spans") > 0)
       .withColumn("dup_frac",
         round(col("dup_spans").cast("double") / col("n_spans"), 4))
   }
@@ -238,9 +250,11 @@ object Dedup {
     * window over (doc, start) — no k× position blow-up, and the
     * window's doc-id partition key is unique per doc, so groups are
     * token-count-bounded and skew-free. The shared-span set is derived
-    * exactly as in [[duplicatedSpans]] (map-side-distinct spans,
-    * two-phase census on the 8-byte xxhash64 key, semi-join back).
-    * The final per-doc rollup reuses the window's doc-id exchange.
+    * as a separate census pass (map-side-distinct spans, two-phase
+    * count on the 8-byte xxhash64 key, semi-join back — see
+    * [[sharedSpanPositions]] for why the single-scan shape does not
+    * survive the optimizer here). The final per-doc rollup reuses the
+    * window's doc-id exchange.
     */
   /** Shared span-discovery block of [[dupSpanCoverage]] and
     * [[removeDupSpans]]: positional k-token spans per document
@@ -253,6 +267,20 @@ object Dedup {
     */
   private def sharedSpanPositions(
       src: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // Two tokenize passes BY MEASUREMENT, not oversight: the
+    // single-scan shape [[duplicatedSpans]] uses (span stream
+    // repartitioned on __g once, census over the ReusedExchange) does
+    // not survive the optimizer here — `PushDownLeftSemiAntiJoin`
+    // pushes the semi join below the user repartition (leaving it as a
+    // dead full shuffle above the join), and column pruning narrows
+    // the census branch below the probe's positional columns, so the
+    // canonical plans never match and both branches re-tokenize ANYWAY
+    // on top of the added shuffle (x97 measured 0.8→12 CPU-s on the
+    // attempt, r11). The census pass reads doc-distinct spans
+    // (tokenNgrams array_distincts map-side), partial-counts before
+    // its exchange, and broadcasts back as a semi-join build side —
+    // skew-immune and exchange-light; the probe pass carries the
+    // positional spans the callers need.
     val pos = src
       .select(col(idCol),
         size(TextAnalysis.tokens(col(textCol))).as("__n"),

@@ -28,6 +28,19 @@ import org.apache.spark.sql.types.LongType
   * Ranks are dense, 0-based, and unique as long as the order columns
   * form a total order (pass a tiebreak id; md5 keys alone collide with
   * negligible probability but the id makes it airtight).
+  *
+  * CACHE CONTRACT: the ranged frame is persisted via
+  * [[graft.CacheLifecycle]] and stays persisted in the RETURNED plan —
+  * the persist is load-bearing, not an optimization: the count job
+  * (step 2) and the `mapPartitions` job (step 3) must observe the SAME
+  * physical partitioning for the `spark_partition_id`/
+  * `TaskContext.getPartitionId` offset correspondence to hold. If the
+  * cache were dropped between the two jobs, correctness would rest
+  * only on the order key being total (true when a tiebreak id is
+  * passed, but not enforced). Callers therefore own the release: after
+  * materializing the result, call `CacheLifecycle.release(spark)` (the
+  * bench/verify harnesses do this between groups) — each unreleased
+  * call leaks one cached DataFrame for the session's life.
   */
 object GlobalOrder {
 

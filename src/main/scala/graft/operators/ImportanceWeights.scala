@@ -70,9 +70,11 @@ object ImportanceWeights {
     val tgt = fit(target, textCol, hexChars)
       .withColumnRenamed("c", "ct")
     // one-row totals, broadcast like Bm25's corpus stats — the cross
-    // joins below are 4096×1, not corpus-sized
+    // joins below are 4096×1, not corpus-sized (both 1×1 totals joins
+    // carry the hint; AQE would save an unhinted one, but the hint
+    // removes the dependence on stats being available at plan time)
     val tots = raw.agg(sum(col("cr")).as("rt"))
-      .crossJoin(tgt.agg(sum(col("ct")).as("tt")))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("tt"))))
     // target ⊆ corpus vocabulary need not hold (disjoint target
     // corpora are legal), so the LUT is a full outer over buckets
     val lut = raw.join(tgt, Seq("bucket"), "full_outer")

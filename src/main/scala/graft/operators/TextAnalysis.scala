@@ -122,9 +122,9 @@ object TextAnalysis {
     * corpus.
     *
     * All pure per-row built-in expressions, no UDF, no shuffle — the
-    * 100 TB cost is the corpus scan itself. (The alpha-word rule's
-    * higher-order `filter` lambda is interpreted row-local eval, the
-    * one piece outside whole-stage codegen; everything else codegens.)
+    * 100 TB cost is the corpus scan itself, and every rule (including
+    * alpha-word, a `regexp_count` over the normalized text) stays
+    * inside whole-stage codegen.
     */
   def gopherFlags(
       text: Column, minWords: Int = 50, maxWords: Int = 100000,
@@ -132,7 +132,14 @@ object TextAnalysis {
     val toks = tokens(text)
     val nw = size(toks)
     val mwl = meanWordLen(text)
-    val alphaWords = size(filter(toks, t => t.rlike("[a-z]")))
+    // words containing a letter, counted directly on the normalized
+    // string the tokenizer splits: \S*[a-z]\S* consumes a whole
+    // whitespace-delimited token per match (greedy \S* cannot cross
+    // whitespace), so the count equals filtering tokens(text) on
+    // rlike("[a-z]") — without the interpreted higher-order-function
+    // lambda that form pins into the plan (codegen falls back to
+    // interpreted eval for HOF predicates)
+    val alphaWords = regexp_count(lower(trim(text)), lit("\\S*[a-z]\\S*"))
     val stops = typedLit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))
     val nStops = size(array_intersect(toks, stops))
     val hashes = length(text) - length(regexp_replace(text, "#", ""))

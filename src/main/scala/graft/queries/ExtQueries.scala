@@ -2560,14 +2560,20 @@ object ExtQueries {
     * its whole `[c_ts, c_ts + horizon]` window sits strictly before
     * that watermark — clicks still inside the window when the stream
     * drains stay in state, unemitted (no retractable false negatives).
+    * The oracle watermark is MILLISECOND-truncated before the delay is
+    * subtracted — Spark's EventTimeStats tracks event-time maxima in
+    * ms (µs div 1000), so an exact-µs oracle watermark would classify
+    * a click whose window end lands inside the sub-ms truncation band
+    * differently (emitted-null vs held-in-state) than the engine.
     */
   val x90_streaming_attribution_outer: QuerySpec = q("x90_streaming_attribution_outer",
     """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
       |           WHERE event_type = 'click'),
       |p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
       |      WHERE event_type = 'purchase'),
-      |wm AS (SELECT least((SELECT max(epoch_us(ts)) FROM c),
-      |                    (SELECT max(epoch_us(ts)) FROM p)) - 3600000000 AS w)
+      |wm AS (SELECT m - m % 1000 - 3600000000 AS w FROM
+      |  (SELECT least((SELECT max(epoch_us(ts)) FROM c),
+      |                (SELECT max(epoch_us(ts)) FROM p)) AS m))
       |SELECT c.click_id, p.purchase_id, c.user_id
       |FROM c JOIN p ON p.user_id = c.user_id
       |  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000
@@ -2893,8 +2899,17 @@ object ExtQueries {
     import graft.streaming.StreamingTwins
     val sink = "x99_bootstrap_sink"
     s.catalog.dropTempView(sink)
-    // the same boundary instant on both sides, tz-independent: the ntz
-    // wall values ARE UTC instants by the testdata contract
+    // the same boundary instant on both sides. The ntz wall values ARE
+    // UTC instants by the testdata contract, but the batch side's
+    // ntz→timestamp cast (and the ntz literal cutoff below vs the
+    // instant cutoff on the stream side) goes through the session tz —
+    // so the equivalence rests on the UTC session contract, enforced
+    // here exactly as in Tables.events / StreamingTwins.readEvents
+    // rather than assumed (a non-UTC session would silently shift the
+    // snapshot boundary and every session timestamp).
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "x99_tws_bootstrap: ntz→timestamp snapshot arithmetic requires " +
+        "spark.sql.session.timeZone=UTC")
     val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z
     val prefix = Tables.events(s, d)
       .filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp_ntz"))

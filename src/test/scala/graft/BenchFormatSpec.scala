@@ -53,6 +53,51 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(root.get("entries").get(okName).size == 3)
   }
 
+  test("summary and detail carry the regression gate + code-cache fields") {
+    val line = Bench.renderSummaryLine(
+      worstCase, "sf", "d", regressed = Seq("x68_dup_spans"))
+    assert(line.length < 1900, s"summary line is ${line.length} chars")
+    val root = mapper.readTree(line)
+    assert(root.get("regressed").get(0).asText == "x68_dup_spans")
+    assert(root.get("cc_mb").isNumber)       // code-cache used MB, total
+    val detail = mapper.readTree(
+      Bench.renderDetail(worstCase, "sf", 3, regressed = Seq("x68_dup_spans")))
+    assert(detail.get("regressed").get(0).asText == "x68_dup_spans")
+    // per-pool [used_mb, max_mb]; JDK 17 segments the cache into 3
+    // CodeHeap pools (or 1 unsegmented) — either way, pools exist and
+    // each carries a 2-element MB pair
+    val cc = detail.get("code_cache_mb")
+    assert(cc.size >= 1)
+    cc.properties().forEach { e =>
+      assert(e.getValue.isArray && e.getValue.size == 2, e.toString)
+    }
+  }
+
+  test("delta gate flags an intentional 3x CPU regression and nothing else") {
+    val prev = Map("x68" -> 19.1, "x01" -> 5.0, "q01" -> 0.2, "x55" -> 4.0)
+    val cur = Seq(
+      "x68" -> Some(Bench.Sample(6.5, 133.7, 0L)),   // r10's real blowup: flagged
+      "x01" -> Some(Bench.Sample(1.0, 6.0, 0L)),     // 1.2x: fine
+      "q01" -> Some(Bench.Sample(0.3, 0.9, 0L)),     // 4.5x but sub-floor: noise
+      "x55" -> Some(Bench.Sample(1.0, 4.1, 0L)),     // ~1x: fine
+      "x99" -> Some(Bench.Sample(1.0, 9.9, 0L)),     // new entry, no baseline
+      "x97" -> None)                                 // failed: not the gate's job
+    assert(Bench.regressions(prev, cur) == Seq("x68"))
+    assert(Bench.regressions(Map.empty, cur).isEmpty)  // first run: no gate
+  }
+
+  test("previousCpu reads a detail file's per-entry cpu column") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_gate_")
+    val p = dir.resolve("bench_detail.json")
+    java.nio.file.Files.write(p,
+      Bench.renderDetail(Seq(
+        "x68" -> Some(Bench.Sample(1.36, 19.1, 7L)),
+        "x97" -> None), "sf", 3).getBytes("UTF-8"))
+    val prev = Bench.previousCpu(p)
+    assert(prev == Map("x68" -> 19.1))               // failed entry skipped
+    assert(Bench.previousCpu(dir.resolve("absent.json")).isEmpty)
+  }
+
   test("group triples sum only their own prefix") {
     val rs = Seq(
       "q01" -> Some(Bench.Sample(1.0, 2.0, 10L)),

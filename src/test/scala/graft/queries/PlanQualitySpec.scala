@@ -332,20 +332,30 @@ class PlanQualitySpec extends SparkTestBase {
     assert(pruned.count() > 0)
   }
 
-  test("duplicated-span census aggregates partially map-side; no window, no cross join") {
-    // the sharing census is count(*) per 64-bit span hash — the hot
-    // boilerplate span must collapse in a partial agg before the
-    // exchange (same skew argument as x01/x37), and nothing in the
-    // plan may degenerate to a cartesian/NLJ pairing of docs
-    val plan = ExtQueries.x68_dup_spans.run(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), plan)
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), plan)
-    val first = plan.indexOf("HashAggregate")
-    assert(first >= 0, plan)
-    assert(plan.indexOf("HashAggregate", first + 1) >= 0,
-      s"expected partial+final HashAggregate pair:\n$plan")
+  test("duplicated-span census tokenizes ONCE — census reads the probe's exchange (reuse)") {
+    // r11 contract: the exploded span stream is hash-exchanged on the
+    // 64-bit span key exactly once, and the sharing census aggregates
+    // over a ReusedExchange of that shuffle instead of re-tokenizing
+    // the corpus (r10 ran three tokenize passes: census + probe +
+    // per-doc totals). Reuse only materializes in the AQE FINAL plan,
+    // so this pin executes first. Still: no window, no cartesian.
+    val df = ExtQueries.x68_dup_spans.run(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val initIdx = plan.indexOf("== Initial Plan ==")
+    val finalPlan = plan.substring(plan.indexOf("== Final Plan ==").max(0),
+      if (initIdx >= 0) initIdx else plan.length)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+    assert("Generate".r.findAllIn(finalPlan).size == 1,
+      s"expected exactly one tokenize Generate in the final plan:\n$finalPlan")
+    assert(!finalPlan.contains("Window"), finalPlan)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    // the per-doc rollup (n_spans + dup_spans in ONE aggregate) is
+    // still two-phase: partial before its doc-id exchange
+    val first = finalPlan.indexOf("HashAggregate")
+    assert(first >= 0, finalPlan)
+    assert(finalPlan.indexOf("HashAggregate", first + 1) >= 0,
+      s"expected partial+final HashAggregate pair:\n$finalPlan")
   }
 
   test("semDedup pairs only within cells — equi join on cell, no cartesian") {
@@ -424,22 +434,30 @@ class PlanQualitySpec extends SparkTestBase {
       "doc_id", "text")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // both 1-row totals joins carry the broadcast hint (r11: the
+    // corpus-side totals join gained parity with its :79 sibling) —
+    // nothing in the plan may fall back to an unbroadcast cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
     val first = plan.indexOf("HashAggregate")
     assert(first >= 0, plan)
     assert(plan.indexOf("HashAggregate", first + 1) >= 0,
       s"expected partial+final HashAggregate pair:\n$plan")
   }
 
-  test("gopher flags stay inside whole-stage codegen — one scan, no shuffle, no UDF") {
+  test("gopher flags stay inside whole-stage codegen — one scan, no shuffle, no UDF, no HOF") {
     import graft.operators.{TextAnalysis => TA}
     val df = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TA.gopherFlags(col("text")).as("f"))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)          // pure per-row
-    // no UDF anywhere — the only non-codegen piece is the higher-order
-    // `filter` lambda (alpha-word rule), which is still row-local
-    // interpreted eval inside the same project, not a black-box UDF
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    // r11: the alpha-word rule is a regexp_count, not a higher-order
+    // filter — HOF lambdas force the enclosing project out of
+    // whole-stage codegen into interpreted eval, the one hole x89 had
+    assert(!plan.toLowerCase.contains("lambdafunction"), plan)
+    // the `*(n)` prefix is the simple-string marker for operators
+    // inside a whole-stage-codegen stage
+    assert(plan.contains("*(1) Project"), plan)
   }
 
   test("global rank moves the data exactly once (one range exchange, no hash re-exchange)") {
