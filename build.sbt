@@ -30,6 +30,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Scratch I/O (shuffle spill dirs, streaming temp checkpoints —
+  // offset/commit logs and state-store delta files fsync per
+  // micro-batch) on tmpfs instead of the disk-backed /tmp: the 13
+  // streaming sweep entries pay StreamingQuery lifecycle cost per rep,
+  // ~15-25% of which measured as checkpoint-dir I/O latency on this
+  // box. Standard fast-local-dir practice (a production cluster puts
+  // spark.local.dir on local NVMe); the engine under test is unchanged.
+  // The dir is created at sbt load (below) — a forked JVM does NOT
+  // create its java.io.tmpdir and would fail on first temp file.
+  "-Djava.io.tmpdir=/dev/shm/graft_tmp",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // A full verify/bench sweep JIT-compiles hundreds of distinct
   // whole-stage-codegen classes; the JDK 17 default 240 MB code cache
@@ -43,3 +53,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // class of regression self-diagnosing.
   "-XX:ReservedCodeCacheSize=2g",
 )
+
+// Forked JVMs get -Djava.io.tmpdir=/dev/shm/graft_tmp (above); the JVM
+// does not create a missing tmpdir, so guarantee it exists the moment
+// the build loads — tmpfs is cleared on every boot.
+Global / onLoad := {
+  val prev = (Global / onLoad).value
+  prev.andThen { s =>
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/dev/shm/graft_tmp"))
+    s
+  }
+}

@@ -39,20 +39,34 @@ import org.apache.spark.sql.functions._
   */
 object ImportanceWeights {
 
-  /** One bucket id per uni/bigram instance (bag semantics — NOT
+  /** One uni/bigram instance per element (bag semantics — NOT
     * distinct; frequency is the signal here, unlike the dedup grams).
+    * Bucketing happens AFTER the explode ([[bucketOf]]): an earlier
+    * shape computed `substring(md5(g), 1, hexChars)` inside a
+    * `transform` lambda, and higher-order-function lambdas run on the
+    * interpreted eval path — md5 per gram instance outside whole-stage
+    * codegen was the hottest interpreted loop in the engine (x69's
+    * 20+ CPU-s, with JIT-state-dependent 2–3× sweep-to-sweep swings).
+    * Exploding the raw grams first keeps the per-gram md5 in a
+    * codegen'd projection.
     */
-  def gramBuckets(text: Column, hexChars: Int): Column =
-    transform(
-      concat(TextAnalysis.tokens(text), TextAnalysis.rawTokenNgrams(text, 2)),
-      g => substring(md5(g), 1, hexChars))
+  def gramInstances(text: Column): Column =
+    concat(TextAnalysis.tokens(text), TextAnalysis.rawTokenNgrams(text, 2))
+
+  /** `substr(md5(gram), 1, hexChars)` as a plain (codegen'd) column
+    * over an exploded gram — bit-identical buckets to the old
+    * in-lambda form.
+    */
+  def bucketOf(gram: Column, hexChars: Int): Column =
+    substring(md5(gram), 1, hexChars)
 
   /** Hashed-n-gram bucket census of a corpus: (bucket, c) with c the
     * number of gram INSTANCES hashing there. ≤ 16^hexChars rows.
     */
   def fit(df: DataFrame, textCol: String, hexChars: Int = 3): DataFrame =
     graft.Spread.ensure(df.select(col(textCol)))
-      .select(explode(gramBuckets(col(textCol), hexChars)).as("bucket"))
+      .select(explode(gramInstances(col(textCol))).as("__gram"))
+      .select(bucketOf(col("__gram"), hexChars).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).cast("double").as("c"))
 
@@ -87,7 +101,8 @@ object ImportanceWeights {
     // the id clustering survives to the rollup — when the guard fires,
     // its exchange REPLACES the rollup's rather than adding one
     graft.Spread.ensure(corpus.select(col(idCol), col(textCol)), col(idCol))
-      .select(col(idCol), explode(gramBuckets(col(textCol), hexChars)).as("bucket"))
+      .select(col(idCol), explode(gramInstances(col(textCol))).as("__gram"))
+      .select(col(idCol), bucketOf(col("__gram"), hexChars).as("bucket"))
       .join(broadcast(lut), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("llr")).as("weight"))

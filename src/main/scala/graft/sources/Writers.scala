@@ -84,6 +84,78 @@ object Writers {
     FeatureService.toDataFrame(spark, features, columns)
   }
 
+  /** One published layer's service-definition metadata — the fields
+    * the reference posts per item in its `updateDefinition` call
+    * (`scripts/update_service_definitions.py:40-48`: serviceDescription
+    * + description HTML with `lastEditDate` nulled) plus the item
+    * title/tags an AGOL item carries. `blueGreen` captures the swap
+    * topology of `scripts/_services.py` (a public view promoted across
+    * two backing services) as DATA, so the swap itself stays a thin
+    * driver script outside the engine (SURVEY §2.1's scoping of
+    * OP-10).
+    */
+  final case class LayerManifest(
+      name: String,
+      title: String,
+      summary: String,
+      description: String,
+      tags: Seq[String],
+      artifacts: Map[String, String],
+      blueGreen: Option[(String, String)])
+
+  /** Write the publish manifest: the engine-side artifact a driver
+    * publish script consumes to push metadata + swap services. Pure
+    * local JSON — the engine never talks to a service catalog; it
+    * emits everything the ~100-line driver script needs. `lastEditDate`
+    * is emitted as an explicit null, mirroring the reference's
+    * "null it out or the server rejects the change"
+    * (`update_service_definitions.py:41`).
+    */
+  def publishManifest(layers: Seq[LayerManifest], path: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("layers")
+    layers.foreach { l =>
+      val n = arr.addObject()
+      n.put("name", l.name)
+      n.put("title", l.title)
+      n.put("serviceDescription", l.summary)
+      n.put("description", l.description)
+      val tags = n.putArray("tags")
+      l.tags.foreach(tags.add)
+      val arts = n.putObject("artifacts")
+      l.artifacts.toSeq.sortBy(_._1).foreach { case (k, v) => arts.put(k, v) }
+      l.blueGreen.foreach { case (blue, green) =>
+        val bg = n.putObject("blueGreen")
+        bg.put("blue", blue); bg.put("green", green)
+      }
+      n.putObject("editingInfo").putNull("lastEditDate")
+    }
+    Files.write(Paths.get(path),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+  }
+
+  /** Round-trip of [[publishManifest]] — what the driver publish
+    * script parses.
+    */
+  def readManifest(path: String): Seq[LayerManifest] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(path)))
+    import scala.jdk.CollectionConverters._
+    root.get("layers").elements().asScala.map { n =>
+      LayerManifest(
+        name = n.get("name").asText,
+        title = n.get("title").asText,
+        summary = n.get("serviceDescription").asText,
+        description = n.get("description").asText,
+        tags = n.get("tags").elements().asScala.map(_.asText).toSeq,
+        artifacts = Option(n.get("artifacts")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty),
+        blueGreen = Option(n.get("blueGreen")).map(bg =>
+          (bg.get("blue").asText, bg.get("green").asText)))
+    }.toSeq
+  }
+
   /** JTS Polygon/MultiPolygon → GeoJSON geometry text. */
   def geoJsonGeometry(g: org.locationtech.jts.geom.Geometry): String = {
     def ring(r: org.locationtech.jts.geom.LineString): String =

@@ -100,4 +100,33 @@ class WritersSpec extends SparkTestBase {
     val lines = scala.io.Source.fromFile(parts(0)).getLines().toList
     assert(lines.head == "k,v" && lines.size == 3)
   }
+
+  test("publish manifest round-trips, nulls lastEditDate, keeps blue/green as data") {
+    val layers = Seq(
+      Writers.LayerManifest(
+        name = "cities",
+        title = "City Boundaries",
+        summary = "City boundaries with third-party identifiers.",
+        description = "<p>Boundaries from the authoritative source…</p>",
+        tags = Seq("boundaries", "cities"),
+        artifacts = Map(
+          "geojson" -> "/out/cities.geojson", "csv" -> "/out/cities.csv"),
+        blueGreen = Some(("item-blue-1", "item-green-1"))),
+      Writers.LayerManifest(
+        name = "counties", title = "County Boundaries", summary = "s",
+        description = "d", tags = Nil, artifacts = Map.empty, blueGreen = None))
+    val path = Files.createTempFile("manifest", ".json").toString
+    Writers.publishManifest(layers, path)
+    // round-trip: the driver publish script reads back exactly what
+    // the engine wrote
+    assert(Writers.readManifest(path) == layers)
+    // the updateDefinition contract: lastEditDate must be an explicit
+    // null per layer, serviceDescription is the summary field
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val first = root.get("layers").get(0)
+    assert(first.get("editingInfo").get("lastEditDate").isNull)
+    assert(first.get("serviceDescription").asText.startsWith("City boundaries"))
+    assert(root.get("layers").get(1).get("blueGreen") == null)
+  }
 }
