@@ -195,20 +195,21 @@ object Bench {
     // from GC/section-ordering noise. A failed query reports -1 and
     // lands in `failed` so breakage is visible in the JSON itself.
     //
-    // EXCEPTION: the streaming entries run ONE timed rep. Their wall
-    // is StreamingQuery lifecycle constant (start/stop, micro-batch
-    // planning, state-store commits), not data-proportional work —
-    // measured cross-rep spread is the same state-machinery noise a
-    // median of 3 can't reduce, and the 13 entries × 2 extra
-    // lifecycles were ~20% of total sweep runtime for no signal. The
-    // priming run still happens, so the timed rep is warm like every
-    // other entry's.
+    // EXCEPTION: the streaming entries run TWO timed reps and report
+    // the MIN-wall one. Their wall is a StreamingQuery lifecycle
+    // CONSTANT (start/stop, micro-batch planning, state-store
+    // commits), not data-proportional work — the right estimator for a
+    // constant plus one-sided scheduling/commit-tail noise is the min,
+    // where a median-of-3 spends 3 lifecycles to still carry the noise
+    // (r11 single-rep trial: x61 reported 2.1–3.8 s across sweeps on
+    // identical code). The priming run still happens, so both timed
+    // reps are warm like every other entry's.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     def isStreaming(name: String): Boolean =
       name.contains("streaming") ||
         Set("x93_session_window", "x95_tws_sessionize", "x99_tws_bootstrap")(name)
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        reps: Int): Option[Sample] = {
+        reps: Int, reportMin: Boolean = false): Option[Sample] = {
       // one untimed priming execution first: BASELINE.md budgets are
       // POST-WARMUP steady state, and entries whose contract includes
       // materialization (the pipeline flow's OP-07 branch caches, the
@@ -226,7 +227,8 @@ object Bench {
             if (c0 < 0) -1.0 else (processCpuNs - c0) / 1e9, gcMillis - g0))
         } catch { case _: Throwable => None }
       }
-      if (samples.size == reps) Some(samples.sortBy(_.wall).apply(reps / 2)) else None
+      if (samples.size != reps) None
+      else Some(samples.sortBy(_.wall).apply(if (reportMin) 0 else reps / 2))
     }
 
     // group boundaries (name prefix) are where accumulated operator
@@ -235,7 +237,9 @@ object Bench {
     val byGroup = SparkEntry.queries.toSeq.sortBy(_._1).groupBy(_._1.head).toSeq.sortBy(_._1)
     val results = byGroup.flatMap { case (_, entries) =>
       val rs = entries.map { case (name, fn) =>
-        name -> measure(fn, if (isStreaming(name)) 1 else reps)
+        val streaming = isStreaming(name)
+        name -> measure(fn, if (streaming) 2 min reps else reps,
+          reportMin = streaming)
       }
       CacheLifecycle.release(spark)
       spark.catalog.clearCache()
