@@ -83,22 +83,41 @@ object Bench {
     }
 
   /** Previous round's per-entry CPU from an existing detail file —
-    * empty on first run or unreadable/failed entries.
+    * empty on first run, unreadable/failed entries, or when the prior
+    * sweep ran a DIFFERENT scale factor (`sfDir` mismatch): comparing
+    * an sf0.1 sweep against an sf0.001 smoke run's detail would flag
+    * every data-proportional entry as a 100× "regression".
     */
-  private[graft] def previousCpu(path: java.nio.file.Path): Map[String, Double] =
+  private[graft] def previousCpu(
+      path: java.nio.file.Path, sfDir: String): Map[String, Double] =
     if (!java.nio.file.Files.exists(path)) Map.empty
     else try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper
       val root = mapper.readTree(java.nio.file.Files.readAllBytes(path))
       val entries = root.get("entries")
-      if (entries == null) Map.empty
+      val sameSf = root.get("sf") != null && root.get("sf").asText == sfDir
+      if (entries == null || !sameSf) Map.empty
       else entries.properties().asScala.collect {
         case e if e.getValue.isArray && e.getValue.size >= 2 =>
           e.getKey -> e.getValue.get(1).asDouble
       }.toMap
     } catch { case _: Throwable => Map.empty }
 
-  final case class Sample(wall: Double, cpu: Double, gcMs: Long)
+  /** `jitMs` is the delta of `CompilationMXBean.getTotalCompilationTime`
+    * across the rep: bench `cpu` is PROCESS CPU and therefore charges
+    * background C2 compile bursts to whichever rep triggered them
+    * (x69 measured 21-44 CPU-s at flat wall across r11 sweeps, no code
+    * change). With jitMs in the artifact, a cpu spike with flat wall
+    * and a matching jit delta is attributable at a glance instead of
+    * costing a round of re-measurement. -1 when the JVM doesn't report.
+    */
+  final case class Sample(wall: Double, cpu: Double, gcMs: Long, jitMs: Long = -1L)
+
+  private val compBean = ManagementFactory.getCompilationMXBean
+  private def jitMillis: Long =
+    if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
+      compBean.getTotalCompilationTime
+    else -1L
 
   private def f(v: Double, dec: Int): String =
     s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
@@ -108,10 +127,10 @@ object Bench {
       results: Seq[(String, Option[Sample])], sfDir: String, reps: Int,
       regressed: Seq[String] = Nil): String = {
     val detail = results.map { case (k, s) =>
-      s""""$k":${s.map(x => s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs}]").getOrElse("null")}"""
+      s""""$k":${s.map(x => s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs},${x.jitMs}]").getOrElse("null")}"""
     }.mkString("{", ",", "}")
     val reg = regressed.map(n => s""""$n"""").mkString("[", ",", "]")
-    s"""{"fmt":"[wall_s,cpu_s,gc_ms]","sf":"$sfDir","reps":$reps,""" +
+    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms]","sf":"$sfDir","reps":$reps,""" +
       s""""code_cache_mb":$codeCacheJson,"regressed":$reg,""" +
       s""""total":${totalTriple(results)},"entries":$detail}"""
   }
@@ -220,11 +239,13 @@ object Bench {
       // query exactly that way)
       try fn(spark, sfDir).count() catch { case _: Throwable => }
       val samples = (1 to reps).flatMap { _ =>
-        val w0 = System.nanoTime(); val c0 = processCpuNs; val g0 = gcMillis
+        val w0 = System.nanoTime(); val c0 = processCpuNs
+        val g0 = gcMillis; val j0 = jitMillis
         try {
           fn(spark, sfDir).count()
           Some(Sample((System.nanoTime() - w0) / 1e9,
-            if (c0 < 0) -1.0 else (processCpuNs - c0) / 1e9, gcMillis - g0))
+            if (c0 < 0) -1.0 else (processCpuNs - c0) / 1e9, gcMillis - g0,
+            if (j0 < 0) -1L else jitMillis - j0))
         } catch { case _: Throwable => None }
       }
       if (samples.size != reps) None
@@ -250,7 +271,7 @@ object Bench {
     // would have been flagged here in-round instead of costing the
     // round's perf verdict.
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
-    val regressed = regressions(previousCpu(detailPath), results)
+    val regressed = regressions(previousCpu(detailPath, sfDir), results)
     java.nio.file.Files.write(detailPath,
       renderDetail(results, sfDir, reps, regressed).getBytes("UTF-8"))
     println(renderSummaryLine(results, sfDir, detailPath.toString, regressed))

@@ -49,8 +49,11 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(root.get("reps").asInt == 3)
     val failedName = worstCase.collectFirst { case (n, None) => n }.get
     assert(root.get("entries").get(failedName).isNull)
+    // [wall_s, cpu_s, gc_ms, jit_ms] — jit_ms present since r11 so a
+    // cpu spike can be attributed to a compile burst from the artifact
+    assert(root.get("fmt").asText == "[wall_s,cpu_s,gc_ms,jit_ms]")
     val okName = worstCase.collectFirst { case (n, Some(_)) => n }.get
-    assert(root.get("entries").get(okName).size == 3)
+    assert(root.get("entries").get(okName).size == 4)
   }
 
   test("summary and detail carry the regression gate + code-cache fields") {
@@ -86,16 +89,19 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.regressions(Map.empty, cur).isEmpty)  // first run: no gate
   }
 
-  test("previousCpu reads a detail file's per-entry cpu column") {
+  test("previousCpu reads a detail file's per-entry cpu column, same-sf only") {
     val dir = java.nio.file.Files.createTempDirectory("bench_gate_")
     val p = dir.resolve("bench_detail.json")
     java.nio.file.Files.write(p,
       Bench.renderDetail(Seq(
         "x68" -> Some(Bench.Sample(1.36, 19.1, 7L)),
-        "x97" -> None), "sf", 3).getBytes("UTF-8"))
-    val prev = Bench.previousCpu(p)
+        "x97" -> None), "/t/sf0.1", 3).getBytes("UTF-8"))
+    val prev = Bench.previousCpu(p, "/t/sf0.1")
     assert(prev == Map("x68" -> 19.1))               // failed entry skipped
-    assert(Bench.previousCpu(dir.resolve("absent.json")).isEmpty)
+    assert(Bench.previousCpu(dir.resolve("absent.json"), "/t/sf0.1").isEmpty)
+    // sf mismatch (e.g. an sf0.001 smoke run's detail on disk): the
+    // gate must stand down, not flag every entry as a 100x regression
+    assert(Bench.previousCpu(p, "/t/sf0.001").isEmpty)
   }
 
   test("group triples sum only their own prefix") {
