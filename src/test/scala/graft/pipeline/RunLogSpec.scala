@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable.ArrayBuffer
+
+/** OP-53 (`logging_and_alerts.py:13-67`): three-way fan-out, rotating
+  * file semantics, and the success/failure issue protocol.
+  */
+class RunLogSpec extends AnyFunSuite {
+
+  private def tempLog() = {
+    val dir = Files.createTempDirectory("runlog")
+    dir.resolve("logs").resolve("run_log.txt")
+  }
+
+  private def fixedClock(start: Long = 1700000000000L): () => Long = {
+    var t = start
+    () => { t += 1000; t }
+  }
+
+  test("records fan out to console, file, and the in-memory keeper") {
+    val console = new ArrayBuffer[String]
+    val file = tempLog()
+    val log = new RunLog(file, console += _, fixedClock())
+    log.info("Logging configured")
+    log.debug("workspace ready")
+
+    assert(console.size == 2)
+    assert(log.records.map(_.message) == Seq("Logging configured", "workspace ready"))
+    val onDisk = new String(Files.readAllBytes(file), "UTF-8")
+    assert(onDisk.contains("Logging configured") && onDisk.contains("workspace ready"))
+    // %(asctime)s %(levelname)-8s %(name)-15s %(message)s
+    assert(console.head.matches(
+      """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} INFO {5}graft {11}Logging configured"""))
+  }
+
+  test("level threshold drops records below it") {
+    val console = new ArrayBuffer[String]
+    val log = new RunLog(tempLog(), console += _, fixedClock(), level = RunLog.Warning)
+    log.debug("hidden"); log.info("hidden too"); log.error("kept")
+    assert(console.size == 1 && log.records.map(_.message) == Seq("kept"))
+  }
+
+  test("rotation keeps backupCount files and never splits a record") {
+    val file = tempLog()
+    val log = new RunLog(file, _ => (), fixedClock(), maxBytes = 120, backupCount = 2)
+    (1 to 12).foreach(i => log.info(s"record number $i with some padding to force rotation"))
+
+    val b1 = Paths.get(file.toString + ".1")
+    val b2 = Paths.get(file.toString + ".2")
+    val b3 = Paths.get(file.toString + ".3")
+    assert(Files.exists(file) && Files.exists(b1) && Files.exists(b2))
+    assert(!Files.exists(b3), "backupCount=2 must cap the chain")
+    // every surviving line is whole (starts with a timestamp), none split
+    Seq(file, b1, b2).foreach { p =>
+      new String(Files.readAllBytes(p), "UTF-8").linesIterator.foreach(l =>
+        assert(l.matches("""\d{4}-\d{2}-\d{2} .*"""), s"split record in $p: $l"))
+    }
+    // newest data is in the live file
+    assert(new String(Files.readAllBytes(file), "UTF-8").contains("record number 12"))
+  }
+
+  test("flush on success: issue created closed, no assignee, body carries the log") {
+    val log = new RunLog(tempLog(), _ => (), fixedClock())
+    log.info("step one"); log.info("step two")
+    val posted = new ArrayBuffer[RunLog.Issue]
+    val issue = log.flush(success = true, posted += _, fileGithubIssues = true)
+    assert(issue.state == "closed" && issue.assignees.isEmpty)
+    assert(issue.title.contains("succeeded"))
+    assert(issue.body.contains("step one") && issue.body.contains("step two"))
+    assert(posted == Seq(issue))
+  }
+
+  test("flush on failure: scary title, open, assigned") {
+    val log = new RunLog(tempLog(), _ => (), fixedClock())
+    log.error("retrieval blew up")
+    val issue = log.flush(success = false, assignee = "oncall")
+    assert(issue.state == "open" && issue.assignees == Seq("oncall"))
+    assert(issue.title.toUpperCase.contains("FAILED"))
+    assert(issue.body.contains("retrieval blew up"))
+  }
+
+  test("FILE_GITHUB_ISSUES=false gates the post but still returns the payload") {
+    val log = new RunLog(tempLog(), _ => (), fixedClock())
+    log.info("quiet run")
+    var posts = 0
+    val issue = log.flush(success = true, _ => posts += 1, fileGithubIssues = false)
+    assert(posts == 0 && issue.body.contains("quiet run"))
+  }
+}
