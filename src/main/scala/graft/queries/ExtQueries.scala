@@ -2424,7 +2424,7 @@ object ExtQueries {
       // experiment reads as z = NULL, not a division error
       val se = sqrt(pooled * (lit(1.0) - pooled) *
         (lit(1.0) / col("na") + lit(1.0) / col("nb")))
-      a.crossJoin(b)
+      a.crossJoin(broadcast(b))
         .select(col("na"), col("ca"), col("nb"), col("cb"),
           round((col("ca").cast("double") / col("na") -
               col("cb").cast("double") / col("nb")) /
