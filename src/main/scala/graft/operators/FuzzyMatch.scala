@@ -35,7 +35,17 @@ object FuzzyMatch {
     val keyed = df.select(blockKey.as("block"), col(idCol).as("id"), col(nameCol).as("name"))
     val a = keyed.select(col("block"), col("id").as("a"), col("name").as("a_name"))
     val b = keyed.select(col("block"), col("id").as("b"), col("name").as("b_name"))
-    a.join(b, "block")
+    // The join OUTPUT (Σ|block|² candidate pairs) is far larger than its
+    // input, so parallelism must come from the probe side's partitioning,
+    // not the input file layout: a small dim side broadcasts and a BHJ
+    // inherits the scan's partitions — one small file = ONE task doing
+    // every pairwise score (measured 4.3 s serial vs 0.3 s spread at
+    // sf0.1). Pin an explicit block-keyed exchange: explicit N so AQE's
+    // input-byte-based coalescing (blind to expansion) can't fold it
+    // back to one partition; block-keyed so per-task expansion stays
+    // whole-block-bounded and a shuffled-join fallback is co-partitioned.
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    a.repartition(parts, col("block")).join(b, "block")
       .where(col("a") < col("b"))
       .withColumn("score", StringFunctions.jaro_winkler_similarity(col("a_name"), col("b_name")))
       .where(col("score") >= minScore)

@@ -304,6 +304,12 @@ class PlanQualitySpec extends SparkTestBase {
     // NestedLoop/cartesian over the table would be the scale bug
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the probe side carries a pinned block-keyed exchange: the join
+    // OUTPUT (Σ|block|² pairs) dwarfs its input, so parallelism must
+    // not depend on the scan's file layout, and the explicit N keeps
+    // AQE's input-byte coalescing (blind to expansion) from folding
+    // the scoring back into one task (r11: 4.3 s serial → 0.6 s)
+    assert(plan.contains("REPARTITION_BY_NUM"), plan)
   }
 
   test("pagerank persists the edge prep — iterations reuse one materialization") {
