@@ -90,6 +90,30 @@ object Bench {
     */
   private[graft] def previousCpu(
       path: java.nio.file.Path, sfDir: String): Map[String, Double] =
+    previousCpuImpl(path, sfDir)
+
+  /** Gate baseline with fallback: prefer the immediately-previous
+    * sweep's `bench_detail.json`, but when that is missing (the detail
+    * file is gitignored, so a workspace restore drops it) or was last
+    * written by a different-sf smoke run, fall back to the TRACKED
+    * per-sf baseline (`bench_baseline_<sf>.json`, committed once per
+    * accepted sweep). Without the fallback, the exact scenario the
+    * gate exists for — a cross-round regression first seen on a fresh
+    * checkout, like r10's x68 — silently stands the gate down.
+    */
+  private[graft] def gateBaseline(
+      detail: java.nio.file.Path, baseline: java.nio.file.Path,
+      sfDir: String): Map[String, Double] = {
+    val cur = previousCpuImpl(detail, sfDir)
+    if (cur.nonEmpty) cur else previousCpuImpl(baseline, sfDir)
+  }
+
+  /** `/root/testdata/sf0.1` → `sf0.1` (baseline-file suffix). */
+  private[graft] def sfSlug(sfDir: String): String =
+    sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def previousCpuImpl(
+      path: java.nio.file.Path, sfDir: String): Map[String, Double] =
     if (!java.nio.file.Files.exists(path)) Map.empty
     else try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper
@@ -271,9 +295,15 @@ object Bench {
     // would have been flagged here in-round instead of costing the
     // round's perf verdict.
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
-    val regressed = regressions(previousCpu(detailPath, sfDir), results)
-    java.nio.file.Files.write(detailPath,
-      renderDetail(results, sfDir, reps, regressed).getBytes("UTF-8"))
+    val baselinePath =
+      java.nio.file.Paths.get(s"bench_baseline_${sfSlug(sfDir)}.json").toAbsolutePath
+    val regressed = regressions(gateBaseline(detailPath, baselinePath, sfDir), results)
+    val detailJson = renderDetail(results, sfDir, reps, regressed).getBytes("UTF-8")
+    java.nio.file.Files.write(detailPath, detailJson)
+    // refresh the tracked per-sf baseline too (same content): committing
+    // it pins the gate's cross-round reference past workspace restores
+    // and interleaved different-sf smoke runs
+    java.nio.file.Files.write(baselinePath, detailJson)
     println(renderSummaryLine(results, sfDir, detailPath.toString, regressed))
     spark.stop()
   }

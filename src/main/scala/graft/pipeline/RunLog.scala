@@ -105,14 +105,16 @@ final class RunLog(
   }
 
   /** Python `RotatingFileHandler` semantics: if appending the record
-    * would push the CURRENT file past `maxBytes`, roll first
-    * (`.1`→`.2`, current→`.1`), then write to a fresh file — a single
-    * record longer than `maxBytes` still lands whole.
+    * would reach or pass `maxBytes` (`pos + len(msg) >= maxBytes`,
+    * `shouldRollover`), roll first (`.1`→`.2`, current→`.1`), then
+    * write to a fresh file — a single record longer than `maxBytes`
+    * still lands whole, and an EMPTY file never rolls (CPython
+    * gh-116263).
     */
   private def writeRotating(line: String): Unit = {
     val bytes = line.getBytes(UTF_8)
     val size = if (Files.exists(logFile)) Files.size(logFile) else 0L
-    if (size > 0 && size + bytes.length > maxBytes) {
+    if (size > 0 && size + bytes.length >= maxBytes) {
       var i = backupCount - 1
       while (i >= 1) {
         val src = backup(i)

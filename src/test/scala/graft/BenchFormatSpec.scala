@@ -104,6 +104,34 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.previousCpu(p, "/t/sf0.001").isEmpty)
   }
 
+  test("gate baseline falls back to the tracked per-sf file when the detail is stale") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_gate_fb_")
+    val detail = dir.resolve("bench_detail.json")
+    val baseline = dir.resolve("bench_baseline_sf0.1.json")
+    def write(p: java.nio.file.Path, sf: String, cpu: Double): Unit =
+      java.nio.file.Files.write(p, Bench.renderDetail(
+        Seq("x68" -> Some(Bench.Sample(1.0, cpu, 0L))), sf, 3).getBytes("UTF-8"))
+    // detail present + same sf: it wins (cpu 19.1, not the baseline's 5.0)
+    write(detail, "/t/sf0.1", 19.1); write(baseline, "/t/sf0.1", 5.0)
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x68" -> 19.1))
+    // detail overwritten by a different-sf smoke run: baseline takes over
+    write(detail, "/t/sf0.001", 0.2)
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x68" -> 5.0))
+    // detail missing entirely (workspace restore drops the gitignored
+    // file — the r11 session-start state): baseline still gates
+    java.nio.file.Files.delete(detail)
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x68" -> 5.0))
+    // neither present: gate stands down
+    java.nio.file.Files.delete(baseline)
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1").isEmpty)
+  }
+
+  test("sf slug strips the path and keeps the sf name file-safe") {
+    assert(Bench.sfSlug("/root/testdata/sf0.1") == "sf0.1")
+    assert(Bench.sfSlug("sf0.001") == "sf0.001")
+    assert(Bench.sfSlug("/a b/sf 2") == "sf_2")
+  }
+
   test("group triples sum only their own prefix") {
     val rs = Seq(
       "q01" -> Some(Bench.Sample(1.0, 2.0, 10L)),

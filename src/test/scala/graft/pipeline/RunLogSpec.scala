@@ -63,6 +63,32 @@ class RunLogSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(file), "UTF-8").contains("record number 12"))
   }
 
+  test("rollover boundary matches CPython: >= maxBytes rolls, empty file never does") {
+    // record that lands the file at EXACTLY maxBytes must roll first
+    // (shouldRollover uses pos + len(msg) >= maxBytes)
+    val file = tempLog()
+    val log = new RunLog(file, _ => (), fixedClock(), maxBytes = 100, backupCount = 1)
+    // format() prefix is 36 chars ("yyyy-MM-dd HH:mm:ss LEVEL---8 name--15 "), so
+    // size the messages via the observed on-disk length instead of hardcoding
+    log.info("a")
+    val lineLen = Files.size(file)
+    // second record would land at exactly 2*lineLen; set up a fresh log
+    // with maxBytes == 2*lineLen — equality must trigger the roll
+    val file2 = tempLog()
+    val log2 = new RunLog(file2, _ => (), fixedClock(),
+      maxBytes = 2 * lineLen, backupCount = 1)
+    log2.info("a"); log2.info("a")
+    assert(Files.exists(Paths.get(file2.toString + ".1")),
+      "append reaching exactly maxBytes must rotate (CPython >= boundary)")
+    assert(Files.size(file2) == lineLen)
+    // a single over-long record on an empty file lands whole, no roll
+    val file3 = tempLog()
+    val log3 = new RunLog(file3, _ => (), fixedClock(), maxBytes = 10, backupCount = 1)
+    log3.info("much longer than ten bytes")
+    assert(!Files.exists(Paths.get(file3.toString + ".1")))
+    assert(Files.size(file3) > 10)
+  }
+
   test("flush on success: issue created closed, no assignee, body carries the log") {
     val log = new RunLog(tempLog(), _ => (), fixedClock())
     log.info("step one"); log.info("step two")
