@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve probe (dev tool, like [[DevProbe]] — not library
+  * surface): measures the scale-SENSITIVE operator families at 1×, 4×,
+  * 16× the sf0.1 corpus and prints CPU growth factors, so the "would
+  * this hold at 1000× the data" question is answered by measurement
+  * instead of plan inspection alone.
+  *
+  * Scaled inputs are built to preserve the original's duplicate
+  * density rather than collapse onto it: copy `i` of a document is the
+  * original under a per-copy alphabet rotation (`translate`, a
+  * BIJECTION on letters+digits — every within-copy equality and
+  * difference is preserved exactly, while cross-copy sharing of char
+  * shingles AND token n-grams drops to ~zero, so k× the data means k×
+  * the real work). A token-SUFFIX perturbation is not enough: minhash
+  * shingles are 5-CHAR windows, so suffixed copies remain true
+  * near-dups of each other and the candidate set grows k² — the first
+  * probe run measured exactly that (85M pairs at 16×, 471 CPU-s),
+  * which is the operator giving the output-proportional correct
+  * answer to the wrong fixture. Copy `i` of an embedding is offset by
+  * `i/1000` per dimension (distinct vectors, same geometry). Inputs
+  * are STAGED to scratch parquet before timing so each op is measured
+  * over a real scan, not the generator pipeline.
+  *
+  * Knobs that must scale WITH the corpus do so explicitly, because
+  * that is the 100 TB contract being demonstrated: `semDedup` cells
+  * grow ∝ k (fixed cells would make within-cell pairs grow k² — the
+  * documented scaling knob, Abbas 2023 §3 uses √N-ish cell counts),
+  * and `globalRank` range partitions grow ∝ k (bounded rows per
+  * partition). Everything else runs at its defaults.
+  */
+object ScaleProbe {
+
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("PROBE_SF", "/root/testdata/sf0.1")
+    val scales = if (args.isEmpty) Seq(1, 4, 16) else args.toSeq.map(_.toInt)
+    val spark = graft.GraftSession.builder("scale-probe").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs0 = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val embs0 = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val nDocs = docs0.count()
+    val nEmb = embs0.count()
+
+    val scratch = java.nio.file.Files.createTempDirectory("scale_probe_")
+    def stage(df: DataFrame, name: String): DataFrame = {
+      val p = scratch.resolve(name).toString
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def rot(s: String, i: Int): String = {
+      val r = i % s.length; s.drop(r) + s.take(r)
+    }
+    def scaledDocs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        docs0.select(
+          (col("doc_id") + lit(i.toLong * nDocs)).as("doc_id"),
+          (if (i == 0) col("text")
+           else translate(translate(translate(col("text"),
+             lower, rot(lower, i)), upper, rot(upper, i)),
+             digits, rot(digits, i))).as("text"))
+      }.reduce(_ unionByName _)
+
+    def scaledEmbs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        embs0.select(
+          (col("vec_id") + lit(i.toLong * nEmb)).as("vec_id"),
+          (if (i == 0) col("embedding")
+           else transform(col("embedding"), x => x + lit(i / 1000.0f))).as("embedding"))
+      }.reduce(_ unionByName _)
+
+    // (op, k) -> cpu_s, for the growth-factor summary
+    val cpuBy = scala.collection.mutable.LinkedHashMap.empty[(String, Int), Double]
+
+    def time(op: String, k: Int, rows: Long)(body: => Long): Unit = {
+      body // one warm pass (JIT + codegen), same protocol as Bench
+      graft.CacheLifecycle.release(spark)
+      spark.catalog.clearCache()
+      val w0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
+      val out = body
+      val wall = (System.nanoTime() - w0) / 1e9
+      val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+      graft.CacheLifecycle.release(spark)
+      spark.catalog.clearCache()
+      cpuBy((op, k)) = cpu
+      println(f"PROBE $op%-16s k=$k%2d rows=$rows%7d out=$out%8d " +
+        f"wall=$wall%7.2f cpu=$cpu%8.2f")
+    }
+
+    scales.foreach { k =>
+      val docs = stage(scaledDocs(k), s"docs_$k")
+      val embs = stage(scaledEmbs(k), s"embs_$k")
+      val dRows = k * nDocs
+      val eRows = k * nEmb
+
+      time("exact_dedup", k, dRows) {
+        graft.operators.Dedup.exact(docs, "text", "doc_id").count()
+      }
+      time("minhash_lsh", k, dRows) {
+        graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text").count()
+      }
+      time("dup_spans", k, dRows) {
+        graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text").count()
+      }
+      time("semdedup", k, eRows) {
+        // cells ∝ corpus: the knob that keeps within-cell pairs bounded
+        graft.operators.Dedup.semDedup(embs, "vec_id", "embedding",
+          tau = 0.97, nCells = 16 * k, trainN = math.max(256, 32 * k)).count()
+      }
+      time("ivf_build_probe", k, eRows) {
+        val idx = graft.operators.Similarity.ivfBuild(embs, "vec_id", "embedding")
+        graft.operators.Similarity.ivfTopK(
+          idx, "vec_id", "embedding", Array.fill(64)(0.1f), k = 10).count()
+      }
+      time("global_rank", k, dRows) {
+        graft.operators.GlobalOrder.globalRank(
+          docs, Seq(col("doc_id")), parts = 8 * k).count()
+      }
+    }
+
+    // growth factors vs the k=1 run — linear work shows ~k
+    val base = scales.head
+    println(f"\nGROWTH (cpu_k / cpu_${base}%d; linear ⇒ ≈k/${base}%d)")
+    cpuBy.keys.map(_._1).toSeq.distinct.foreach { op =>
+      val line = scales.map { k =>
+        val r = cpuBy((op, k)) / cpuBy((op, base))
+        f"k=$k%2d:${r}%6.2f"
+      }.mkString("  ")
+      println(f"GROWTH $op%-16s $line")
+    }
+    spark.stop()
+  }
+}
