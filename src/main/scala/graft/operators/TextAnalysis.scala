@@ -90,13 +90,20 @@ object TextAnalysis {
   /** All positional token n-grams (with duplicates) — the shared gram
     * builder under [[tokenNgrams]] and [[repetitionRatio]], so x28's
     * oracle-parity proof of the boundary arithmetic covers both.
+    *
+    * Native codegen kernel ([[graft.functions.TokenNgramsExpr]]), not
+    * the `transform(sequence(…), i => array_join(slice(t, i, n)))`
+    * composition: HOF lambdas evaluate interpreted, and on that path
+    * the captured `tokens(text)` split re-runs once per array ELEMENT
+    * — O(tokens²) regex work per document, measured at ~26 CPU-s per
+    * gram-census pass over the sf0.1 corpus (dominant cost of
+    * x68/x69/x88/x97 before r11). The kernel produces the identical
+    * array (same trim/lower/split semantics, same shorter-than-n
+    * boundary) in one pass; `TokenNgramsSpec` pins equivalence against
+    * the composed form.
     */
-  private[operators] def rawTokenNgrams(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
-      i => array_join(slice(t, i, lit(n)), " "))
-  }
+  private[operators] def rawTokenNgrams(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.token_ngrams(text, n)
 
   def tokenNgrams(text: Column, n: Int): Column =
     array_distinct(rawTokenNgrams(text, n))
@@ -197,13 +204,11 @@ object TextAnalysis {
     * last chunk is the (possibly short) remainder; an empty doc yields
     * one empty chunk.
     */
-  def chunkTokens(text: Column, chunkSize: Int): Column = {
-    val t = tokens(text)
-    val nChunks = greatest(
-      ceil(size(t).cast("double") / chunkSize).cast("int"), lit(1))
-    transform(sequence(lit(1), nChunks),
-      i => array_join(slice(t, (i - 1) * chunkSize + 1, lit(chunkSize)), " "))
-  }
+  def chunkTokens(text: Column, chunkSize: Int): Column =
+    // native stride-n kernel, same rationale as rawTokenNgrams: the
+    // ceil+slice HOF form re-splits the text once per CHUNK on the
+    // interpreted lambda path (TokenNgramsSpec pins equivalence)
+    graft.functions.TextFunctions.token_chunks(text, chunkSize)
 
   /** Winnowing fingerprints (the rolling-hash document fingerprint of
     * Schleimer/Wilkerson/Aiken): k-gram rolling hashes → minimum of
