@@ -262,23 +262,6 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           x => round(x.getField("c"), digits)).as("centroid"))
 
-  /** Matryoshka truncation (Kusupati et al. 2022): keep the first
-    * `dims` coordinates and L2-renormalize, so cosine on the short
-    * vector is a faithful low-cost proxy. Pure codegen'd higher-order
-    * functions — slice, fold for the norm, scale — no UDF in the
-    * scan. Math is double, left-fold order, so an independent engine
-    * matches bit-for-bit up to the final rounding.
-    */
-  def truncateNormalize(vecCol: Column, dims: Int): Column = {
-    val v = transform(slice(vecCol, 1, dims), x => x.cast("double"))
-    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-    when(norm === 0.0, v).otherwise(transform(v, x => x / norm))
-  }
-
-  /** Dot product of two double arrays via zip_with + fold (codegen). */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
   /** Max absolute reconstruction error of a quantized vector — the
     * quality gate a pipeline thresholds before swapping the float
     * column for the int8 one.

@@ -127,6 +127,27 @@ object ScaleProbe {
         graft.operators.GlobalOrder.globalRank(
           docs, Seq(col("doc_id")), parts = 8 * k).count()
       }
+      // expansion join: output Σ|block|² pairs dwarfs input; the x59
+      // lesson (parallelism from an explicit block-keyed exchange, not
+      // file layout) is exactly what must keep this linear-in-k — the
+      // alphabet rotation maps each copy to its own block values, so
+      // block SIZES stay constant and block COUNT grows with k
+      time("fuzzy_match", k, dRows) {
+        graft.operators.FuzzyMatch.blockedSelfMatch(
+          docs.select(col("doc_id"), substring(col("text"), 1, 12).as("name")),
+          "doc_id", "name", substring(col("name"), 1, 2), 0.85).count()
+      }
+      // one-pass corpus stats broadcast + scoring scan — cost is the
+      // token scan, match-count-independent (rotated copies simply
+      // score 0 for the fixed query terms)
+      time("bm25_score", k, dRows) {
+        graft.operators.Bm25.score(docs, "text", Seq("the", "and", "of")).count()
+      }
+      time("winnowing", k, dRows) {
+        docs.select(col("doc_id"),
+            explode(graft.operators.TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
+          .groupBy("fp").agg(count(lit(1)).as("docs")).count()
+      }
     }
 
     // growth factors vs the k=1 run — linear work shows ~k

@@ -77,6 +77,37 @@ class TokenNgramsSpec extends SparkTestBase {
     }
   }
 
+  test("property: native == composed on generated texts (whitespace/unicode/case soup)") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("Σ", "ω", "文", "-", "..", "#tag", "a.b,c", "MiXeD"),
+      Gen.const(""))                       // adjacent separators collapse
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = for {
+      toks <- Gen.listOfN(12, token)
+      seps <- Gen.listOfN(12, sep)
+      pad <- Gen.oneOf("", " ", "\t")
+    } yield pad + toks.zip(seps).map { case (t, s) => t + s }.mkString + pad
+    val params = Gen.Parameters.default
+    val texts = (0 until 60).map(i => textGen.pureApply(params, rng.Seed(1700L + i)))
+    val df = texts.toDF("text")
+    Seq(1, 2, 3, 8).foreach { n =>
+      val diff = df.select(col("text"),
+          TextFunctions.token_ngrams(col("text"), n).as("fast"),
+          composed(col("text"), n).as("slow"))
+        .where(not(col("fast") === col("slow")))
+      assert(diff.isEmpty,
+        s"n=$n: ${diff.collect().take(2).map(_.toString).mkString("; ")}")
+      val diffC = df.select(
+          TextFunctions.token_chunks(col("text"), n).as("fast"),
+          composedChunks(col("text"), n).as("slow"))
+        .where(not(col("fast") === col("slow")))
+      assert(diffC.isEmpty, s"chunk n=$n mismatch")
+    }
+  }
+
   test("null text yields null; the plan stays whole-stage codegen with no lambda") {
     import spark.implicits._
     // null propagation (a local relation folds at plan time — fine,
