@@ -286,6 +286,59 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(rows.sorted == (1L to 90L), s"got ${rows.size} rows")
   }
 
+  test("RocksDB TWS restart: value state survives the kill — an open session is not re-counted") {
+    // Same restart contract as the test above, but on the OTHER state
+    // backend: transformWithState requires the RocksDB provider, whose
+    // recovery path (snapshot + changelog reload from the checkpoint)
+    // is disjoint from the HDFS-backed store. The probe is a session
+    // OPEN across the kill: the post-restart event lands inside the
+    // gap, so the recovered (lastTs, sessions) state must keep the
+    // count at 2 — a lost store would report 1.
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val in = Files.createTempDirectory("tws_restart_in")
+    val ckpt = Files.createTempDirectory("tws_restart_ckpt").toString
+    def stage(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("tws_restart_stage")
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"), col("user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, in.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    }
+    // memory sink refuses checkpoint recovery, so collect through
+    // foreachBatch — the recoverable sink adapter production uses
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def runOnce(): Unit = StreamingTwins.withRocksDbProvider(spark) {
+      val schema = spark.read.parquet(in.toString).schema
+      val events = spark.readStream.schema(schema).parquet(in.toString)
+        .as[StreamingTwins.EventRow]
+      val q = StreamingTwins.sessionizeTws(events, gapSeconds = 60)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingTwins.UserSessions], _: Long) =>
+          val rows = batch.collect().map(u => (u.user_id, u.sessions))
+          emitted.synchronized { emitted ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // life 1: gap 60s exceeded between the two events → sessions = 2
+    stage("a.parquet", Seq(
+      (1L, "2024-01-01 00:00:00", 7L), (2L, "2024-01-01 00:01:40", 7L)))
+    runOnce()
+    assert(emitted.synchronized(emitted.map(_._2).max) == 2L)
+    emitted.synchronized(emitted.clear())
+    // life 2, same checkpoint: 30 s after the last event — inside the gap
+    stage("b.parquet", Seq((3L, "2024-01-01 00:02:10", 7L)))
+    runOnce()
+    val life2 = emitted.synchronized(emitted.filter(_._1 == 7L).map(_._2).max)
+    assert(life2 == 2L,
+      "recovered RocksDB value state must carry the open session across the restart")
+  }
+
   test("streaming paragraph dedup matches the batch twin on one micro-batch") {
     import graft.operators.Dedup
     // shared boilerplate paragraph + per-doc content (the x37 shape)
