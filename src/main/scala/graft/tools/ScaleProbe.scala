@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * Scaled inputs are built to preserve the original's duplicate
   * density rather than collapse onto it: copy `i` of a document is the
-  * original under a per-copy alphabet rotation (`translate`, a
+  * original under a per-copy alphabet permutation (`translate`, an affine
   * BIJECTION on letters+digits — every within-copy equality and
   * difference is preserved exactly, while cross-copy sharing of char
   * shingles AND token n-grams drops to ~zero, so k× the data means k×
@@ -59,8 +59,20 @@ object ScaleProbe {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     val digits = "0123456789"
-    def rot(s: String, i: Int): String = {
-      val r = i % s.length; s.drop(r) + s.take(r)
+    // Affine permutation x → a·x+b (mod n), a coprime to n — NOT a bare
+    // rotation: rotations repeat with period 26, so at k > 26 copies
+    // i and i+26 became bit-identical again and the k=64 probe measured
+    // a fixture artifact (exact dedup collapsing 320k→130k rows, 2.5×
+    // super-linear "pair growth"). The affine family gives 12·26 = 312
+    // distinct letter bijections — enough period for any practical k.
+    val coprimes26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val coprimes10 = Seq(1, 3, 7, 9)
+    def affine(s: String, i: Int): String = {
+      val n = s.length
+      val as = if (n == 26) coprimes26 else coprimes10
+      val a = as((i / n) % as.size)
+      val b = i % n
+      (0 until n).map(x => s((a * x + b) % n)).mkString
     }
     def scaledDocs(k: Int): DataFrame =
       (0 until k).map { i =>
@@ -68,8 +80,8 @@ object ScaleProbe {
           (col("doc_id") + lit(i.toLong * nDocs)).as("doc_id"),
           (if (i == 0) col("text")
            else translate(translate(translate(col("text"),
-             lower, rot(lower, i)), upper, rot(upper, i)),
-             digits, rot(digits, i))).as("text"))
+             lower, affine(lower, i)), upper, affine(upper, i)),
+             digits, affine(digits, i))).as("text"))
       }.reduce(_ unionByName _)
 
     def scaledEmbs(k: Int): DataFrame =
