@@ -94,6 +94,103 @@ case class TokenNgramsExpr(child: Expression, n: Int, stride: Int = 1)
     copy(child = c)
 }
 
+/** Fused MinHash signature kernel — the single hottest loop of the
+  * dedup pipeline at corpus scale (numHashes × shingles updates per
+  * document). Replaces the two-UDF chain
+  * `sigUdf(shingleHashes(text, k))`, which materialized the per-doc
+  * shingle-hash array and paid a serialize/convert round-trip BETWEEN
+  * the UDFs; here each FNV+avalanche shingle hash streams straight
+  * into the running minima, one pass over the characters, no
+  * intermediate array. Bit-identical math: FNV-1a over chars +
+  * murmur-final avalanche per window, splitmix64(h ^ seedᵢ) minima,
+  * seeds from `Random(42)` — `MinhashSignatureSpec` pins equivalence
+  * against an independent re-implementation and the x03/x05 goldens
+  * pin it end-to-end.
+  */
+object MinhashOps {
+
+  private val seedsCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  def seeds(numHashes: Int): Array[Long] =
+    seedsCache.computeIfAbsent(numHashes, n => {
+      val rnd = new scala.util.Random(42)
+      Array.fill(n)(rnd.nextLong())
+    })
+
+  @inline private def mix64(x0: Long): Long = {
+    var z = x0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** All-MaxValue signature for null/shingle-less input, matching the
+    * old chain (null text → empty shingle array → untouched minima).
+    */
+  def signature(u: UTF8String, numHashes: Int, shingleK: Int): ArrayData = {
+    val sds = seeds(numHashes)
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    if (u != null) {
+      val s = u.trim().toLowerCase().toString
+      val n = math.max(1, s.length - shingleK + 1)
+      var i = 0
+      while (i < n) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        val end = math.min(s.length, i + shingleK)
+        while (j < end) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+        h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+        var q = 0
+        while (q < numHashes) {
+          val v = mix64(h ^ sds(q))
+          if (v < out(q)) out(q) = v
+          q += 1
+        }
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `minhash_signature(text, numHashes, shingleK)` — see [[MinhashOps]].
+  * NOT null-intolerant: a null document carries the empty-set
+  * signature (all Long.MaxValue), exactly like the UDF chain it
+  * replaced, so null-vs-null candidate semantics are unchanged.
+  */
+case class MinhashSignatureExpr(child: Expression, numHashes: Int, shingleK: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(numHashes >= 1 && shingleK >= 1, s"bad params: $numHashes, $shingleK")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "minhash_signature"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    MinhashOps.signature(
+      child.eval(input).asInstanceOf[UTF8String], numHashes, shingleK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+            graft.functions.MinhashOps.signature(
+              ${c.isNull} ? null : ${c.value}, $numHashes, $shingleK);
+        """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinhashSignatureExpr =
+    copy(child = c)
+}
+
 object TextFunctions {
   def token_ngrams(text: Column, n: Int): Column =
     GraftColumnBridge.column(TokenNgramsExpr(GraftColumnBridge.expression(text), n))
@@ -102,4 +199,8 @@ object TextFunctions {
   def token_chunks(text: Column, chunkSize: Int): Column =
     GraftColumnBridge.column(TokenNgramsExpr(
       GraftColumnBridge.expression(text), chunkSize, chunkSize))
+
+  def minhash_signature(text: Column, numHashes: Int, shingleK: Int): Column =
+    GraftColumnBridge.column(MinhashSignatureExpr(
+      GraftColumnBridge.expression(text), numHashes, shingleK))
 }

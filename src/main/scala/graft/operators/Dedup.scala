@@ -354,25 +354,9 @@ object Dedup {
   }
 
   // --- MinHash --------------------------------------------------------
-
-  /** Deterministic seeded hash family: h_i(x) = splitmix64(x ^ seed_i).
-    * For min-wise hashing the family only needs per-seed uniform
-    * 64-bit mixing; the splitmix64 finalizer (2 multiplies + shifts)
-    * costs a third of an affine-mod-Mersenne-prime evaluation, and the
-    * signature loop runs numHashes × shingles times per document —
-    * the single hottest loop of the dedup pipeline at corpus scale.
-    */
-  private def hashSeeds(numHashes: Int): Array[Long] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(numHashes)(rnd.nextLong())
-  }
-
-  @inline private def mix64(x0: Long): Long = {
-    var z = x0
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // Hash family + signature kernel live in graft.functions.MinhashOps
+  // (splitmix64(x ^ seed_i) minima — the rationale and the exact math
+  // are documented there; seeds stay the Random(42) schedule).
 
   /** Char-shingle hashes: 64-bit FNV-1a + avalanche over each k-char
     * window of the normalized text, in one pass. A tight UDF loop: the
@@ -407,28 +391,18 @@ object Dedup {
   /** MinHash signature: per hash function i, min over shingles of
     * splitmix64(h ^ seedᵢ). Shingle-outer loop order so each shingle
     * hash is loaded once and streamed across all hash functions.
+    *
+    * Native fused kernel ([[graft.functions.MinhashSignatureExpr]]) —
+    * the previous shape chained TWO UDFs ([[shingleHashes]] →
+    * signature fold), which materialized the per-doc shingle-hash
+    * array and paid a serialize/convert round-trip between them on the
+    * hottest loop of the dedup pipeline. Same bits: the kernel copies
+    * this file's FNV-1a+avalanche and splitmix64 math and the
+    * `Random(42)` seed schedule (`MinhashSignatureSpec` pins it, the
+    * x03/x05 goldens pin it end-to-end).
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleK: Int): Column = {
-    val seeds = hashSeeds(numHashes)
-    val sigUdf = udf((hs: Array[Long]) => {
-      val out = Array.fill(numHashes)(Long.MaxValue)
-      if (hs != null) {
-        var j = 0
-        while (j < hs.length) {
-          val h = hs(j)
-          var i = 0
-          while (i < numHashes) {
-            val v = mix64(h ^ seeds(i))
-            if (v < out(i)) out(i) = v
-            i += 1
-          }
-          j += 1
-        }
-      }
-      out
-    })
-    sigUdf(shingleHashes(text, shingleK))
-  }
+  def minhashSignature(text: Column, numHashes: Int, shingleK: Int): Column =
+    graft.functions.TextFunctions.minhash_signature(text, numHashes, shingleK)
 
   /** LSH candidate pairs: ids sharing ≥1 band bucket, with the
     * signature-estimated Jaccard attached. `a < b` dedupes pairs.
