@@ -107,4 +107,40 @@ object ImportanceWeights {
       .groupBy(col(idCol))
       .agg(sum(col("llr")).as("weight"))
   }
+
+  /** [[weights]] specialized for the common deployment where the
+    * target is a SLICE of the corpus (`targetCond`, e.g.
+    * `lang = 'en'`): both bucket censuses come out of ONE gram
+    * explosion — each census row carries a conditional count — instead
+    * of two separate fit passes over overlapping data. Same counts,
+    * same smoothing-literal arithmetic, bit-identical weights (x69
+    * pins it against the two-pass oracle); one third of the explode
+    * work at any scale. A bucket with no target grams counts ct = 0
+    * directly, which equals the general path's
+    * `coalesce(null, 0)` for a bucket absent from the target fit.
+    */
+  def weightsWithin(
+      corpus: DataFrame, targetCond: Column,
+      idCol: String, textCol: String, hexChars: Int = 3): DataFrame = {
+    val b = math.pow(16.0, hexChars)
+    val census = graft.Spread.ensure(
+        corpus.select(col(textCol), targetCond.as("__t")))
+      .select(col("__t"), explode(gramInstances(col(textCol))).as("__gram"))
+      .select(col("__t"), bucketOf(col("__gram"), hexChars).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("double").as("cr"),
+        sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).cast("double").as("ct"))
+    val tots = census.agg(sum(col("cr")).as("rt"), sum(col("ct")).as("tt"))
+    val lut = census.crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        (log((col("ct") + lit(1.0)) / (col("tt") + lit(b))) -
+         log((col("cr") + lit(1.0)) / (col("rt") + lit(b))))
+          .as("llr"))
+    graft.Spread.ensure(corpus.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), explode(gramInstances(col(textCol))).as("__gram"))
+      .select(col(idCol), bucketOf(col("__gram"), hexChars).as("bucket"))
+      .join(broadcast(lut), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("llr")).as("weight"))
+  }
 }

@@ -1882,7 +1882,10 @@ object ExtQueries {
       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.operators.ImportanceWeights
     val docs = Tables.documents(s, d)
-    ImportanceWeights.weights(docs, docs.filter(col("lang") === "en"),
+    // target = a slice of the corpus → single-census specialization
+    // (one gram explosion serves both bucket censuses; the general
+    // two-corpus `weights` stays for disjoint target corpora)
+    ImportanceWeights.weightsWithin(docs, col("lang") === "en",
         "doc_id", "text", hexChars = 3)
       .select(col("doc_id"), round(col("weight"), 4).as("weight"))
       .orderBy("doc_id")

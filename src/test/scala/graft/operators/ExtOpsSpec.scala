@@ -574,5 +574,12 @@ class ExtOpsSpec extends SparkTestBase {
     assert(w(3) > w(5) && w(5) > w(4))
     // weights exist for every corpus doc, including the target slice
     assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // the single-census slice specialization is BIT-identical to the
+    // general two-fit path on the filter-of-corpus case (x69 relies on
+    // this — its oracle was written against the two-fit arithmetic)
+    val w1 = ImportanceWeights.weightsWithin(
+        corpus, $"slice" === "t", "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w1 == w, s"specialization diverged: $w1 vs $w")
   }
 }
