@@ -66,31 +66,43 @@ object Bench {
     codeCacheMb.map { case (n, u, m) => s""""$n":[$u,$m]""" }
       .mkString("{", ",", "}")
 
-  /** The 3× CPU regression gate: entries whose CPU exceeds `factor` ×
-    * their previous-round CPU (from the prior `bench_detail.json`).
-    * The `floorCpu` guard keeps sub-second entries' scheduling noise
-    * out (a 0.1→0.4 s flutter is not a regression; a 19→134 s blowup —
-    * r10's x68 — is exactly what this catches in-round, pre-commit).
+  /** The 3× regression gate: entries whose cost exceeds `factor` ×
+    * their previous-round value (from the prior `bench_detail.json`).
+    * Compute rows gate on CPU (the contention-free signal; the
+    * `floorCpu` guard keeps sub-second scheduling noise out — a
+    * 0.1→0.4 s flutter is not a regression; a 19→134 s blowup — r10's
+    * x68 — is exactly what this catches in-round, pre-commit).
+    * STREAMING lifecycle rows gate on WALL instead: their CPU swings
+    * 3–5× on identical code when the fixture splits into one extra
+    * micro-batch of state commits (r11 adjudications: x71 at 15.7
+    * CPU-s vs 3.1–4.7 in four adjacent sweeps), while their wall is
+    * the lifecycle constant the bench already reports min-of-2 for.
     */
   private[graft] def regressions(
-      prevCpu: Map[String, Double],
+      prev: Map[String, (Double, Double)],
       cur: Seq[(String, Option[Sample])],
-      factor: Double = 3.0, floorCpu: Double = 2.0): Seq[String] =
+      streaming: String => Boolean = _ => false,
+      factor: Double = 3.0, floorCpu: Double = 2.0,
+      floorWall: Double = 1.0): Seq[String] =
     cur.collect {
       case (k, Some(s))
-          if s.cpu > floorCpu &&
-            prevCpu.get(k).exists(p => p > 0 && s.cpu > factor * p) => k
+          if (if (streaming(k))
+            s.wall > floorWall &&
+              prev.get(k).exists { case (w, _) => w > 0 && s.wall > factor * w }
+          else
+            s.cpu > floorCpu &&
+              prev.get(k).exists { case (_, c) => c > 0 && s.cpu > factor * c }) => k
     }
 
-  /** Previous round's per-entry CPU from an existing detail file —
-    * empty on first run, unreadable/failed entries, or when the prior
-    * sweep ran a DIFFERENT scale factor (`sfDir` mismatch): comparing
-    * an sf0.1 sweep against an sf0.001 smoke run's detail would flag
-    * every data-proportional entry as a 100× "regression".
+  /** Previous round's per-entry (wall, cpu) from an existing detail
+    * file — empty on first run, unreadable/failed entries, or when the
+    * prior sweep ran a DIFFERENT scale factor (`sfDir` mismatch):
+    * comparing an sf0.1 sweep against an sf0.001 smoke run's detail
+    * would flag every data-proportional entry as a 100× "regression".
     */
   private[graft] def previousCpu(
-      path: java.nio.file.Path, sfDir: String): Map[String, Double] =
-    previousCpuImpl(path, sfDir)
+      path: java.nio.file.Path, sfDir: String): Map[String, (Double, Double)] =
+    previousMetricsImpl(path, sfDir)
 
   /** Gate baseline with fallback: prefer the immediately-previous
     * sweep's `bench_detail.json`, but when that is missing (the detail
@@ -103,17 +115,17 @@ object Bench {
     */
   private[graft] def gateBaseline(
       detail: java.nio.file.Path, baseline: java.nio.file.Path,
-      sfDir: String): Map[String, Double] = {
-    val cur = previousCpuImpl(detail, sfDir)
-    if (cur.nonEmpty) cur else previousCpuImpl(baseline, sfDir)
+      sfDir: String): Map[String, (Double, Double)] = {
+    val cur = previousMetricsImpl(detail, sfDir)
+    if (cur.nonEmpty) cur else previousMetricsImpl(baseline, sfDir)
   }
 
   /** `/root/testdata/sf0.1` → `sf0.1` (baseline-file suffix). */
   private[graft] def sfSlug(sfDir: String): String =
     sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9.]", "_")
 
-  private def previousCpuImpl(
-      path: java.nio.file.Path, sfDir: String): Map[String, Double] =
+  private def previousMetricsImpl(
+      path: java.nio.file.Path, sfDir: String): Map[String, (Double, Double)] =
     if (!java.nio.file.Files.exists(path)) Map.empty
     else try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper
@@ -123,7 +135,7 @@ object Bench {
       if (entries == null || !sameSf) Map.empty
       else entries.properties().asScala.collect {
         case e if e.getValue.isArray && e.getValue.size >= 2 =>
-          e.getKey -> e.getValue.get(1).asDouble
+          e.getKey -> (e.getValue.get(0).asDouble, e.getValue.get(1).asDouble)
       }.toMap
     } catch { case _: Throwable => Map.empty }
 
@@ -297,7 +309,8 @@ object Bench {
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
     val baselinePath =
       java.nio.file.Paths.get(s"bench_baseline_${sfSlug(sfDir)}.json").toAbsolutePath
-    val regressed = regressions(gateBaseline(detailPath, baselinePath, sfDir), results)
+    val regressed = regressions(
+      gateBaseline(detailPath, baselinePath, sfDir), results, isStreaming)
     val detailJson = renderDetail(results, sfDir, reps, regressed).getBytes("UTF-8")
     java.nio.file.Files.write(detailPath, detailJson)
     // refresh the tracked per-sf baseline too (same content): committing

@@ -77,7 +77,9 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("delta gate flags an intentional 3x CPU regression and nothing else") {
-    val prev = Map("x68" -> 19.1, "x01" -> 5.0, "q01" -> 0.2, "x55" -> 4.0)
+    val prev = Map(
+      "x68" -> (1.36, 19.1), "x01" -> (1.0, 5.0),
+      "q01" -> (0.1, 0.2), "x55" -> (1.0, 4.0))
     val cur = Seq(
       "x68" -> Some(Bench.Sample(6.5, 133.7, 0L)),   // r10's real blowup: flagged
       "x01" -> Some(Bench.Sample(1.0, 6.0, 0L)),     // 1.2x: fine
@@ -89,7 +91,25 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.regressions(Map.empty, cur).isEmpty)  // first run: no gate
   }
 
-  test("previousCpu reads a detail file's per-entry cpu column, same-sf only") {
+  test("streaming lifecycle rows gate on wall, not cpu (micro-batch-split noise)") {
+    val streaming = Set("x71_streaming_dedup", "x95_tws_sessionize")
+    val prev = Map(
+      "x71_streaming_dedup" -> (1.5, 4.5),
+      "x95_tws_sessionize" -> (1.0, 2.0),
+      "x68" -> (1.36, 19.1))
+    val cur = Seq(
+      // the r11 adjudicated case: cpu 3.5x on an extra micro-batch of
+      // state commits, wall < 2x — lifecycle noise, NOT flagged
+      "x71_streaming_dedup" -> Some(Bench.Sample(2.62, 15.68, 0L)),
+      // a real streaming regression: wall blows past 3x — flagged
+      "x95_tws_sessionize" -> Some(Bench.Sample(4.1, 9.0, 0L)),
+      // compute row keeps the cpu rule
+      "x68" -> Some(Bench.Sample(6.5, 133.7, 0L)))
+    assert(Bench.regressions(prev, cur, streaming) ==
+      Seq("x95_tws_sessionize", "x68"))
+  }
+
+  test("previousCpu reads a detail file's per-entry wall+cpu, same-sf only") {
     val dir = java.nio.file.Files.createTempDirectory("bench_gate_")
     val p = dir.resolve("bench_detail.json")
     java.nio.file.Files.write(p,
@@ -97,7 +117,7 @@ class BenchFormatSpec extends AnyFunSuite {
         "x68" -> Some(Bench.Sample(1.36, 19.1, 7L)),
         "x97" -> None), "/t/sf0.1", 3).getBytes("UTF-8"))
     val prev = Bench.previousCpu(p, "/t/sf0.1")
-    assert(prev == Map("x68" -> 19.1))               // failed entry skipped
+    assert(prev == Map("x68" -> (1.36, 19.1)))       // failed entry skipped
     assert(Bench.previousCpu(dir.resolve("absent.json"), "/t/sf0.1").isEmpty)
     // sf mismatch (e.g. an sf0.001 smoke run's detail on disk): the
     // gate must stand down, not flag every entry as a 100x regression
@@ -113,14 +133,14 @@ class BenchFormatSpec extends AnyFunSuite {
         Seq("x68" -> Some(Bench.Sample(1.0, cpu, 0L))), sf, 3).getBytes("UTF-8"))
     // detail present + same sf: it wins (cpu 19.1, not the baseline's 5.0)
     write(detail, "/t/sf0.1", 19.1); write(baseline, "/t/sf0.1", 5.0)
-    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x68" -> 19.1))
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x68" -> (1.0, 19.1)))
     // detail overwritten by a different-sf smoke run: baseline takes over
     write(detail, "/t/sf0.001", 0.2)
-    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x68" -> 5.0))
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x68" -> (1.0, 5.0)))
     // detail missing entirely (workspace restore drops the gitignored
     // file — the r11 session-start state): baseline still gates
     java.nio.file.Files.delete(detail)
-    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x68" -> 5.0))
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x68" -> (1.0, 5.0)))
     // neither present: gate stands down
     java.nio.file.Files.delete(baseline)
     assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1").isEmpty)
