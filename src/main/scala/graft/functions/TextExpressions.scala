@@ -191,6 +191,75 @@ case class MinhashSignatureExpr(child: Expression, numHashes: Int, shingleK: Int
     copy(child = c)
 }
 
+/** Fused 64-bit SimHash kernel. Replaces
+  * `foldUdf(transform(split(lower(trim(text)), "\s+"), t => xxhash64(t)))`
+  * — the HOF's per-token `xxhash64` evaluated interpreted and the fold
+  * crossed a UDF boundary with the materialized hash array. Here each
+  * token hashes through THE SAME `XXH64.hashUnsafeBytes` static
+  * Spark's `xxhash64` codegen calls (seed 42), streaming straight
+  * into the 64 bit-counters — bit-identical by construction
+  * (`SimhashSpec` pins the composed form; the x05 golden pins it
+  * end-to-end through the block trick).
+  */
+object SimhashOps {
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Null text folds zero tokens → all-zero counters → signature 0L,
+    * exactly like the UDF chain (whose fold returned 0 for a null
+    * hash array).
+    */
+  def simhash(u: UTF8String): Long = {
+    val acc = new Array[Int](64)
+    if (u != null) {
+      val parts = ws.split(u.trim().toLowerCase().toString, -1)
+      var i = 0
+      while (i < parts.length) {
+        val t = UTF8String.fromString(parts(i))
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+        var j = 0
+        while (j < 64) {
+          acc(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1
+        }
+        i += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}
+
+/** `simhash64(text)` — see [[SimhashOps.simhash]]. */
+case class SimhashExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash64"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    SimhashOps.simhash(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+          long ${ev.value} = graft.functions.SimhashOps.simhash(
+            ${c.isNull} ? null : ${c.value});
+        """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimhashExpr =
+    copy(child = c)
+}
+
 object TextFunctions {
   def token_ngrams(text: Column, n: Int): Column =
     GraftColumnBridge.column(TokenNgramsExpr(GraftColumnBridge.expression(text), n))
@@ -203,4 +272,7 @@ object TextFunctions {
   def minhash_signature(text: Column, numHashes: Int, shingleK: Int): Column =
     GraftColumnBridge.column(MinhashSignatureExpr(
       GraftColumnBridge.expression(text), numHashes, shingleK))
+
+  def simhash64(text: Column): Column =
+    GraftColumnBridge.column(SimhashExpr(GraftColumnBridge.expression(text)))
 }

@@ -634,21 +634,14 @@ object Dedup {
 
   // --- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens. */
-  def simhash(text: Column): Column = {
-    val fold = udf((hs: Seq[Long]) => {
-      val acc = new Array[Int](64)
-      if (hs != null) hs.foreach { h =>
-        var j = 0
-        while (j < 64) { acc(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
-      }
-      var sig = 0L
-      var j = 0
-      while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
-      sig
-    })
-    fold(transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t)))
-  }
+  /** 64-bit SimHash over whitespace tokens — native fused kernel
+    * ([[graft.functions.SimhashExpr]]): per-token `xxhash64` (the same
+    * seed-42 `XXH64` static Spark's built-in calls) streamed into the
+    * 64 bit-counters in one pass, replacing the interpreted-HOF hash +
+    * UDF fold chain on the signature scan.
+    */
+  def simhash(text: Column): Column =
+    graft.functions.TextFunctions.simhash64(text)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
     * via the block trick: distance ≤ k ⇒ the pair agrees on at least
