@@ -127,12 +127,23 @@ object MinhashOps {
 
   /** All-MaxValue signature for null/shingle-less input, matching the
     * old chain (null text → empty shingle array → untouched minima).
+    *
+    * Normalization is JAVA-trim semantics (`String.trim`, strips every
+    * char <= U+0020), NOT `UTF8String.trim` (ASCII space only): the
+    * exact-Jaccard verify stage ([[graft.operators.Dedup.shingleHashes]])
+    * and the golden generator (`tools/golden_ext.py`, Python `.strip()`)
+    * both strip tabs/newlines/CRs, and candidate and verify paths MUST
+    * shingle the same windows — a `\t`-padded document normalized two
+    * different ways gets different shingle sets, so its signature (and
+    * hence its LSH candidacy) silently diverges from what the verify
+    * stage would score. `MinhashSignatureSpec` pins the boundary with a
+    * `"\tabc\n"`-style case.
     */
   def signature(u: UTF8String, numHashes: Int, shingleK: Int): ArrayData = {
     val sds = seeds(numHashes)
     val out = Array.fill(numHashes)(Long.MaxValue)
     if (u != null) {
-      val s = u.trim().toLowerCase().toString
+      val s = u.toString.trim.toLowerCase
       val n = math.max(1, s.length - shingleK + 1)
       var i = 0
       while (i < n) {

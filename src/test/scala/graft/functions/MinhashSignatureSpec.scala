@@ -50,6 +50,10 @@ class MinhashSignatureSpec extends SparkTestBase {
     import spark.implicits._
     val texts = Seq(
       "the quick brown fox", "abc", "ab", "", "   padded   ",
+      // non-space whitespace at the boundaries: kernel and verify path
+      // must strip ALL of it (Java-trim semantics) — UTF8String.trim
+      // strips ASCII 0x20 only and would shingle different windows
+      "\tabc\n", "\r\n padded \t\r", "\t\t", "a\tb",
       "MIXED Case ΣΙΓΜΑ", "aaaaaaaaaaaaaaa", "x") ++
       graft.Tables.documents(spark, "/root/testdata/sf0.001")
         .select("text").limit(40).collect().map(_.getString(0)).toSeq
