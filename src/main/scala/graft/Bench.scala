@@ -106,33 +106,48 @@ object Bench {
 
   /** Gate baseline with fallback: prefer the immediately-previous
     * sweep's `bench_detail.json`, but when that is missing (the detail
-    * file is gitignored, so a workspace restore drops it) or was last
-    * written by a different-sf smoke run, fall back to the TRACKED
-    * per-sf baseline (`bench_baseline_<sf>.json`, committed once per
-    * accepted sweep). Without the fallback, the exact scenario the
-    * gate exists for — a cross-round regression first seen on a fresh
-    * checkout, like r10's x68 — silently stands the gate down.
+    * file is gitignored, so a workspace restore drops it), was last
+    * written by a different-sf smoke run, or was itself FLAGGED
+    * REGRESSED, fall back to the TRACKED per-sf baseline
+    * (`bench_baseline_<sf>.json`, refreshed only on clean sweeps).
+    * Without the fallback, the exact scenario the gate exists for — a
+    * cross-round regression first seen on a fresh checkout, like r10's
+    * x68 — silently stands the gate down; without the regressed-taint
+    * rule, one flagged sweep becomes the next sweep's reference and
+    * the regression passes silently ever after (exactly what happened
+    * to the r11 baseline: the driver's flagged x77 sweep overwrote it).
     */
   private[graft] def gateBaseline(
       detail: java.nio.file.Path, baseline: java.nio.file.Path,
       sfDir: String): Map[String, (Double, Double)] = {
-    val cur = previousMetricsImpl(detail, sfDir)
-    if (cur.nonEmpty) cur else previousMetricsImpl(baseline, sfDir)
+    val cur = previousMetricsImpl(detail, sfDir, rejectTainted = true)
+    if (cur.nonEmpty) cur
+    else previousMetricsImpl(baseline, sfDir, rejectTainted = true)
   }
 
-  /** `/root/testdata/sf0.1` → `sf0.1` (baseline-file suffix). */
-  private[graft] def sfSlug(sfDir: String): String =
-    sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9.]", "_")
+  /** `/root/testdata/sf0.1` → `sf0.1` (baseline-file suffix). Trailing
+    * slashes are stripped first — `"/t/sf0.1/"` must not degenerate to
+    * the empty slug, whose baseline file would collide across scale
+    * factors and defeat the per-sf separation.
+    */
+  private[graft] def sfSlug(sfDir: String): String = {
+    val s = sfDir.replaceAll("/+$", "").replaceAll(".*/", "")
+      .replaceAll("[^A-Za-z0-9.]", "_")
+    if (s.isEmpty) "default" else s
+  }
 
   private def previousMetricsImpl(
-      path: java.nio.file.Path, sfDir: String): Map[String, (Double, Double)] =
+      path: java.nio.file.Path, sfDir: String,
+      rejectTainted: Boolean = false): Map[String, (Double, Double)] =
     if (!java.nio.file.Files.exists(path)) Map.empty
     else try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper
       val root = mapper.readTree(java.nio.file.Files.readAllBytes(path))
       val entries = root.get("entries")
       val sameSf = root.get("sf") != null && root.get("sf").asText == sfDir
-      if (entries == null || !sameSf) Map.empty
+      val tainted = rejectTainted &&
+        root.get("regressed") != null && root.get("regressed").size > 0
+      if (entries == null || !sameSf || tainted) Map.empty
       else entries.properties().asScala.collect {
         case e if e.getValue.isArray && e.getValue.size >= 2 =>
           e.getKey -> (e.getValue.get(0).asDouble, e.getValue.get(1).asDouble)
@@ -146,8 +161,19 @@ object Bench {
     * change). With jitMs in the artifact, a cpu spike with flat wall
     * and a matching jit delta is attributable at a glance instead of
     * costing a round of re-measurement. -1 when the JVM doesn't report.
+    *
+    * `evict` is the count of cached-RDD blocks REMOVED from storage
+    * during the rep (BlockUpdated events whose new level is invalid),
+    * and `storMb` the block-manager storage memory in use at rep end —
+    * the storage-side analogue of the r11 code-cache telemetry. The
+    * r11 driver sweep's open question (x77 at ×29 CPU on identical
+    * code, code cache exonerated at 163/2048 MB) has storage eviction
+    * of the shared minhash/CC persists as its prime suspect; these two
+    * fields make that class of regression attributable from the
+    * artifact. -1 when not instrumented (unit-test rendering).
     */
-  final case class Sample(wall: Double, cpu: Double, gcMs: Long, jitMs: Long = -1L)
+  final case class Sample(wall: Double, cpu: Double, gcMs: Long,
+      jitMs: Long = -1L, evict: Long = -1L, storMb: Long = -1L)
 
   private val compBean = ManagementFactory.getCompilationMXBean
   private def jitMillis: Long =
@@ -163,10 +189,12 @@ object Bench {
       results: Seq[(String, Option[Sample])], sfDir: String, reps: Int,
       regressed: Seq[String] = Nil): String = {
     val detail = results.map { case (k, s) =>
-      s""""$k":${s.map(x => s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs},${x.jitMs}]").getOrElse("null")}"""
+      s""""$k":${s.map(x =>
+        s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs},${x.jitMs},${x.evict},${x.storMb}]")
+        .getOrElse("null")}"""
     }.mkString("{", ",", "}")
     val reg = regressed.map(n => s""""$n"""").mkString("[", ",", "]")
-    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms]","sf":"$sfDir","reps":$reps,""" +
+    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb]","sf":"$sfDir","reps":$reps,""" +
       s""""code_cache_mb":$codeCacheJson,"regressed":$reg,""" +
       s""""total":${totalTriple(results)},"entries":$detail}"""
   }
@@ -208,10 +236,15 @@ object Bench {
     // the rest) and cc_mb is one number — total used MB across pools
     val reg = regressed.take(8).map(n => s""""$n"""").mkString("[", ",", "]")
     val ccUsed = codeCacheMb.map(_._2).sum
+    // evict: cached-block evictions summed over TIMED reps only (the
+    // deliberate between-group releases don't count) — nonzero here
+    // says storage pressure touched a measured entry; the per-entry
+    // culprit is in the detail file
+    val evictTotal = results.flatMap(_._2).map(_.evict.max(0L)).sum
     s"""{"metric":"corpus_sweep","value":${f(corpus, 4)},"unit":"sec",""" +
       s""""fmt":"[wall_s,cpu_s,gc_ms]","total":${totalTriple(results)},""" +
       s""""groups":$groups,"failed":$failed,"regressed":$reg,"cc_mb":$ccUsed,""" +
-      s""""queries":$qs,"detail":"$detailPath","sf":"$sfDir"}"""
+      s""""evict":$evictTotal,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -229,15 +262,38 @@ object Bench {
     // must fit in — round 5 lost ~130 chars of budget to exactly that
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Storage-eviction telemetry (see Sample scaladoc): count cached
+    // blocks dropped from storage, session-wide; measure() reads the
+    // counter around each timed rep so the artifact attributes
+    // eviction-driven recompute to the entry that paid it.
+    val evictedBlocks = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onBlockUpdated(
+          e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+        val info = e.blockUpdatedInfo
+        // an invalid level means the block left storage entirely
+        // (evicted or unpersisted); a memory→disk demotion keeps a
+        // valid level and is not counted — MEMORY_AND_DISK persists
+        // survive that without recompute
+        if (info.blockId.isRDD && !info.storageLevel.isValid)
+          evictedBlocks.incrementAndGet()
+      }
+    })
+    def storageMb: Long =
+      spark.sparkContext.statusTracker.getExecutorInfos
+        .map(e => e.usedOnHeapStorageMemory + e.usedOffHeapStorageMemory)
+        .sum >> 20
+
     // JVM/codegen warmup at the smallest scale factor so measured
     // numbers reflect steady-state execution (BASELINE.md's
-    // "post-warmup" budgets): run every DATA-SCALED query once at
-    // sf0.001 — same plans, so codegen caches and JIT warm, while the
-    // sf0.1 measurement still does all the data-proportional work.
-    // Fixture-fixed groups (g*, p*) are NOT warmed: they ignore the
-    // scale dir, so a warm run would only measure their caches.
+    // "post-warmup" budgets): run every query once — same plans, so
+    // codegen caches and JIT warm, while the sf0.1 measurement still
+    // does all the data-proportional work. g*/p* ignore the scale dir
+    // (fixture-fixed), but are warmed too since r12: their operator
+    // caches are dropped again right below, and the warm run buys the
+    // plan compile + JIT that otherwise lands INSIDE the timed region
+    // (r11 driver sweep: geometry +2.3 s with g12 jit at 1.1 s).
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => n.startsWith("q") || n.startsWith("x") }
       .foreach { case (_, fn) =>
         try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
       }
@@ -276,12 +332,13 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => }
       val samples = (1 to reps).flatMap { _ =>
         val w0 = System.nanoTime(); val c0 = processCpuNs
-        val g0 = gcMillis; val j0 = jitMillis
+        val g0 = gcMillis; val j0 = jitMillis; val e0 = evictedBlocks.get()
         try {
           fn(spark, sfDir).count()
           Some(Sample((System.nanoTime() - w0) / 1e9,
             if (c0 < 0) -1.0 else (processCpuNs - c0) / 1e9, gcMillis - g0,
-            if (j0 < 0) -1L else jitMillis - j0))
+            if (j0 < 0) -1L else jitMillis - j0,
+            evictedBlocks.get() - e0, storageMb))
         } catch { case _: Throwable => None }
       }
       if (samples.size != reps) None
@@ -313,10 +370,16 @@ object Bench {
       gateBaseline(detailPath, baselinePath, sfDir), results, isStreaming)
     val detailJson = renderDetail(results, sfDir, reps, regressed).getBytes("UTF-8")
     java.nio.file.Files.write(detailPath, detailJson)
-    // refresh the tracked per-sf baseline too (same content): committing
-    // it pins the gate's cross-round reference past workspace restores
-    // and interleaved different-sf smoke runs
-    java.nio.file.Files.write(baselinePath, detailJson)
+    // refresh the tracked per-sf baseline (same content) ONLY when the
+    // sweep is clean: a flagged sweep must not become the reference the
+    // next sweep gates against, or the gate is one-shot — the flagged
+    // values pass silently ever after (the r11 driver sweep overwrote
+    // the baseline with its own flagged x77 numbers exactly this way;
+    // gateBaseline also rejects regressed-tainted files on read, so
+    // legacy tainted baselines stand the gate down rather than lie).
+    // Committing the clean baseline pins the gate's cross-round
+    // reference past workspace restores and different-sf smoke runs.
+    if (regressed.isEmpty) java.nio.file.Files.write(baselinePath, detailJson)
     println(renderSummaryLine(results, sfDir, detailPath.toString, regressed))
     spark.stop()
   }

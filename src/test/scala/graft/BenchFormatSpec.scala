@@ -49,11 +49,12 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(root.get("reps").asInt == 3)
     val failedName = worstCase.collectFirst { case (n, None) => n }.get
     assert(root.get("entries").get(failedName).isNull)
-    // [wall_s, cpu_s, gc_ms, jit_ms] — jit_ms present since r11 so a
-    // cpu spike can be attributed to a compile burst from the artifact
-    assert(root.get("fmt").asText == "[wall_s,cpu_s,gc_ms,jit_ms]")
+    // jit_ms since r11 (compile-burst attribution); evict_blocks +
+    // stor_mb since r12 (storage-eviction attribution — the r11 x77
+    // blowup's prime suspect class)
+    assert(root.get("fmt").asText == "[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb]")
     val okName = worstCase.collectFirst { case (n, Some(_)) => n }.get
-    assert(root.get("entries").get(okName).size == 4)
+    assert(root.get("entries").get(okName).size == 6)
   }
 
   test("summary and detail carry the regression gate + code-cache fields") {
@@ -150,6 +151,29 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.sfSlug("/root/testdata/sf0.1") == "sf0.1")
     assert(Bench.sfSlug("sf0.001") == "sf0.001")
     assert(Bench.sfSlug("/a b/sf 2") == "sf_2")
+    // trailing slash must not degenerate to the empty slug (whose
+    // baseline file would collide across scale factors)
+    assert(Bench.sfSlug("/root/testdata/sf0.1/") == "sf0.1")
+    assert(Bench.sfSlug("/root/testdata/sf0.1///") == "sf0.1")
+    assert(Bench.sfSlug("///") == "default")
+  }
+
+  test("gate rejects a regressed-tainted detail/baseline as its reference") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_gate_taint_")
+    val detail = dir.resolve("bench_detail.json")
+    val baseline = dir.resolve("bench_baseline_sf0.1.json")
+    def write(p: java.nio.file.Path, cpu: Double, reg: Seq[String]): Unit =
+      java.nio.file.Files.write(p, Bench.renderDetail(
+        Seq("x77" -> Some(Bench.Sample(1.0, cpu, 0L))), "/t/sf0.1", 3,
+        regressed = reg).getBytes("UTF-8"))
+    // detail flagged regressed (the r11 driver-sweep shape): the clean
+    // baseline must gate, not the flagged values
+    write(detail, 60.7, Seq("x77")); write(baseline, 2.1, Nil)
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x77" -> (1.0, 2.1)))
+    // both tainted (legacy: r11 committed the flagged sweep as the
+    // baseline): stand down rather than gate against regressed values
+    write(baseline, 60.7, Seq("x77"))
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1").isEmpty)
   }
 
   test("group triples sum only their own prefix") {
