@@ -490,20 +490,30 @@ object Dedup {
     * the standard one-pass LSH dedup; a full transitive-closure variant
     * would iterate connected components).
     */
+  /** `precomputedVerified`: an already-verified (a, b) pair frame
+    * (jaccard threshold applied) to reuse instead of re-running the
+    * candidate + verification stages — the sharing hook for pipelines
+    * where several consumers need the same verified edge set (pair
+    * drop, cluster dedup, leakage-safe splitting): the expensive
+    * minhash→verify chain runs ONCE and the small edge frame fans out.
+    */
   def nearDupRemove(
       df: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
-      precomputedCandidates: Option[DataFrame] = None): DataFrame = {
-    val cands = precomputedCandidates
-      .getOrElse(minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK))
-      // signature estimate is unbiased with σ ≈ √(j(1−j)/numHashes)
-      // (≈0.06 at 64 hashes): pre-filtering 2.5σ below the threshold
-      // discards the overwhelming mass of low-overlap candidates before
-      // the expensive exact verification, with negligible recall loss
-      .filter(col("est_jaccard") >= jaccardThreshold - 0.15)
-    val verified = ngramJaccard(df, idCol, textCol, cands, shingleK)
-      .filter(col("jaccard") >= jaccardThreshold)
+      precomputedCandidates: Option[DataFrame] = None,
+      precomputedVerified: Option[DataFrame] = None): DataFrame = {
+    val verified = precomputedVerified.getOrElse {
+      val cands = precomputedCandidates
+        .getOrElse(minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK))
+        // signature estimate is unbiased with σ ≈ √(j(1−j)/numHashes)
+        // (≈0.06 at 64 hashes): pre-filtering 2.5σ below the threshold
+        // discards the overwhelming mass of low-overlap candidates before
+        // the expensive exact verification, with negligible recall loss
+        .filter(col("est_jaccard") >= jaccardThreshold - 0.15)
+      ngramJaccard(df, idCol, textCol, cands, shingleK)
+        .filter(col("jaccard") >= jaccardThreshold)
+    }
     val drop = verified.select(col("b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
@@ -616,17 +626,30 @@ object Dedup {
     * [[nearDupRemove]]: edges (a,c),(b,c) form one cluster — the pair
     * policy keeps {a, b}, this keeps only a.
     */
+  /** `precomputedVerified` / `precomputedComponents`: reuse hooks like
+    * [[nearDupRemove]]'s — `precomputedComponents` (an (id, component)
+    * frame from [[connectedComponents]]) additionally skips the
+    * EAGER component computation (a count + driver union-find or
+    * label-propagation loop per call), which a caller sharing one edge
+    * set across several consumers should pay exactly once.
+    */
   def nearDupRemoveCC(
       df: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
-      precomputedCandidates: Option[DataFrame] = None): DataFrame = {
-    val cands = precomputedCandidates
-      .getOrElse(minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK))
-      .filter(col("est_jaccard") >= jaccardThreshold - 0.15)
-    val verified = ngramJaccard(df, idCol, textCol, cands, shingleK)
-      .filter(col("jaccard") >= jaccardThreshold)
-    val comps = connectedComponents(verified, "a", "b")
+      precomputedCandidates: Option[DataFrame] = None,
+      precomputedVerified: Option[DataFrame] = None,
+      precomputedComponents: Option[DataFrame] = None): DataFrame = {
+    val comps = precomputedComponents.getOrElse {
+      val verified = precomputedVerified.getOrElse {
+        val cands = precomputedCandidates
+          .getOrElse(minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK))
+          .filter(col("est_jaccard") >= jaccardThreshold - 0.15)
+        ngramJaccard(df, idCol, textCol, cands, shingleK)
+          .filter(col("jaccard") >= jaccardThreshold)
+      }
+      connectedComponents(verified, "a", "b")
+    }
     val drop = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")

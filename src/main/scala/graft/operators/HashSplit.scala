@@ -82,8 +82,17 @@ object HashSplit {
     * near-dup edges; rows absent from it are singletons and split by
     * their own id. The assignment stays a pure row-local function of
     * the cluster representative (same md5-threshold CASE as [[assign]],
-    * no window, no global sort), and the components side — a tiny
-    * fraction of the corpus, only docs with a near-dup — broadcasts.
+    * no window, no global sort).
+    *
+    * The components join carries NO broadcast hint: `components` has
+    * one row per document that appears in ANY near-dup cluster, and on
+    * a boilerplate-heavy corpus that is a double-digit fraction of all
+    * documents — corpus-proportional, past any broadcast budget at
+    * 100 TB. A hard-coded hint forces a driver collect regardless (AQE
+    * cannot demote a hint). Left size-adaptive, the static estimator /
+    * AQE broadcast the typical small-cluster-map case and fall back to
+    * a shuffle join on `idCol` when the map is corpus-sized
+    * (PlanQualitySpec pins the small-side broadcast).
     */
   def leakageSafeAssign(
       df: DataFrame, idCol: String, components: DataFrame,
@@ -91,7 +100,7 @@ object HashSplit {
       splitCol: String = "split"): DataFrame = {
     val comp = components
       .select(col("id").as(idCol), col("component").as("__comp"))
-    val keyed = df.join(broadcast(comp), Seq(idCol), "left")
+    val keyed = df.join(comp, Seq(idCol), "left")
       .withColumn("__rep", coalesce(col("__comp"), col(idCol)))
     assign(keyed, "__rep", splits, splitCol).drop("__comp", "__rep")
   }

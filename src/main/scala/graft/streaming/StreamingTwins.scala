@@ -203,10 +203,14 @@ object StreamingTwins {
     * inline into each micro-batch's codegen).
     *
     * `evalGrams` is the benchmark gram set — benchmark-sized by
-    * definition, so it broadcasts as a hash set probed per gram
-    * (`arrays_overlap` against a literal would rebuild the set per
-    * ROW; a bloom filter of the set is the further-compressed variant,
-    * `Decontaminate.contaminatedIdsBloom`).
+    * definition, so it inlines as an array literal probed with the
+    * built-in `arrays_overlap`, keeping the whole gate inside
+    * whole-stage codegen (the previous broadcast-set UDF forced an
+    * interpreted eval boundary into every micro-batch's hot path;
+    * `arrays_overlap` hashes the SMALLER side per row, and the per-doc
+    * gram array is typically the smaller one anyway). For eval sets
+    * too big to inline, the bloom-filter variant is
+    * `Decontaminate.contaminatedIdsBloom`.
     *
     * Gate ORDER matters for determinism: quality and decontamination
     * are row-local, so they run BEFORE dedup — then the surviving
@@ -226,12 +230,17 @@ object StreamingTwins {
       n: Int = 8, minQuality: Double = 0.3,
       eventTimeCol: Option[String] = None,
       watermark: String = "10 minutes"): DataFrame = {
-    val bc = docs.sparkSession.sparkContext.broadcast(evalGrams.toSet)
-    val hitsEval = udf((gs: Seq[String]) => gs != null && gs.exists(bc.value.contains))
+    // coalesce pins the UDF's null contract: a null gram array hit
+    // nothing (kept), while bare arrays_overlap would return null and
+    // the negated filter would drop the row
+    val hitsEval = coalesce(
+      arrays_overlap(graft.operators.TextAnalysis.tokenNgrams(col("text"), n),
+        typedLit(evalGrams)),
+      lit(false))
     val gated = docs
       .withColumn("quality", graft.operators.TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
-      .filter(!hitsEval(graft.operators.TextAnalysis.tokenNgrams(col("text"), n)))
+      .filter(!hitsEval)
       .withColumn("__k", graft.operators.Dedup.contentKey(col("text")))
     val deduped = eventTimeCol match {
       case Some(ts) => gated.withWatermark(ts, watermark)

@@ -420,6 +420,11 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("cluster split probes components via broadcast; assignment is a row-local CASE") {
+    // r12: the join strategy is SIZE-ADAPTIVE — leakageSafeAssign
+    // carries no broadcast hint (components is corpus-proportional on a
+    // dup-heavy corpus, so a hard-coded hint is a 100 TB driver-collect
+    // bomb). The planner must still BROADCAST the typical small
+    // cluster map on its own size estimate, which is what this pins.
     val comps = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), col("doc_id").as("component")).limit(10)
     val plan = graft.operators.HashSplit.leakageSafeAssign(

@@ -216,7 +216,13 @@ class StreamingTwinsSpec extends SparkTestBase {
 
     val stream = spark.readStream.schema(static.schema).parquet(docsDir)
       .filter(col("doc_id") % 97 =!= 0)
-    val q = StreamingTwins.ingestCorpus(stream, evalGrams)
+    val ingested = StreamingTwins.ingestCorpus(stream, evalGrams)
+    // r12: the decontamination gate is the built-in arrays_overlap, so
+    // every micro-batch's filter chain stays inside whole-stage codegen
+    // — no interpreted UDF boundary in the hot path
+    assert(!ingested.queryExecution.analyzed.toString.contains("UDF"),
+      ingested.queryExecution.analyzed.toString.take(800))
+    val q = ingested
       .writeStream.format("memory").queryName("ingested")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
