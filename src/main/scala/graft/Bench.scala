@@ -284,6 +284,15 @@ object Bench {
         .map(e => e.usedOnHeapStorageMemory + e.usedOffHeapStorageMemory)
         .sum >> 20
 
+    // dev-only subset filter (comma-separated name prefixes, applied
+    // to warmup AND measurement): lets a perf iteration re-measure one
+    // family in ~30 s instead of a 5 min full sweep. The driver never
+    // sets it, so official sweeps always measure everything.
+    val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def warmSelected(name: String): Boolean =
+      warmOnly.forall(_.exists(name.startsWith))
+
     // JVM/codegen warmup at the smallest scale factor so measured
     // numbers reflect steady-state execution (BASELINE.md's
     // "post-warmup" budgets): run every query once — same plans, so
@@ -294,6 +303,7 @@ object Bench {
     // plan compile + JIT that otherwise lands INSIDE the timed region
     // (r11 driver sweep: geometry +2.3 s with g12 jit at 1.1 s).
     SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => warmSelected(n) }
       .foreach { case (_, fn) =>
         try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
       }
@@ -348,7 +358,9 @@ object Bench {
     // group boundaries (name prefix) are where accumulated operator
     // persists are reclaimed — the sweep measures each group from a
     // cold cache, and storage stays bounded across the whole run
-    val byGroup = SparkEntry.queries.toSeq.sortBy(_._1).groupBy(_._1.head).toSeq.sortBy(_._1)
+    val byGroup = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => warmSelected(n) }
+      .groupBy(_._1.head).toSeq.sortBy(_._1)
     val results = byGroup.flatMap { case (_, entries) =>
       val rs = entries.map { case (name, fn) =>
         val streaming = isStreaming(name)
@@ -369,7 +381,10 @@ object Bench {
     val regressed = regressions(
       gateBaseline(detailPath, baselinePath, sfDir), results, isStreaming)
     val detailJson = renderDetail(results, sfDir, reps, regressed).getBytes("UTF-8")
-    java.nio.file.Files.write(detailPath, detailJson)
+    // a filtered dev run never overwrites the reference files: a
+    // partial entry set would stand the gate down for everything it
+    // skipped
+    if (warmOnly.isEmpty) java.nio.file.Files.write(detailPath, detailJson)
     // refresh the tracked per-sf baseline (same content) ONLY when the
     // sweep is clean: a flagged sweep must not become the reference the
     // next sweep gates against, or the gate is one-shot — the flagged
@@ -379,7 +394,8 @@ object Bench {
     // legacy tainted baselines stand the gate down rather than lie).
     // Committing the clean baseline pins the gate's cross-round
     // reference past workspace restores and different-sf smoke runs.
-    if (regressed.isEmpty) java.nio.file.Files.write(baselinePath, detailJson)
+    if (regressed.isEmpty && warmOnly.isEmpty)
+      java.nio.file.Files.write(baselinePath, detailJson)
     println(renderSummaryLine(results, sfDir, detailPath.toString, regressed))
     spark.stop()
   }

@@ -39,10 +39,29 @@ object ExtQueries {
     * AFTER processAllAvailable: the stream thread reads it
     * asynchronously after start(), so an eager restore races.
     */
-  private def withStateParts[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
+  private def withStateParts[T](s: SparkSession, n: Int,
+      noDataBatches: Boolean = true)(body: => T): T = {
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNd = s.conf.get(ndKey)
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // noDataBatches = false skips the trailing EMPTY micro-batch Spark
+    // schedules after the watermark advances. Legal only for entries
+    // whose ANSWER is fully emitted by the data batches — complete-mode
+    // sinks (replaced wholesale every batch: x54/x93/x96), immediate
+    // append emitters (dropDuplicates[WithinWatermark]: x71/x98), and
+    // the INNER stream-stream join (x61) — where the extra batch only
+    // performs state cleanup the bench rep then throws away with the
+    // query. It is WRONG wherever emission itself waits on the
+    // watermark: outer joins (x90's null rows) and append-mode
+    // windowed aggregations. Saves one full cycle of per-partition
+    // state-store load/commit + planning per run — a pure lifecycle
+    // constant at any corpus size.
+    s.conf.set(ndKey, noDataBatches.toString)
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set(ndKey, prevNd)
+    }
   }
 
   /** Distinct raw 5-gram sets per document in DuckDB list SQL — the
@@ -1468,7 +1487,7 @@ object ExtQueries {
     import graft.streaming.StreamingTwins
     val sink = "x54_hourly_sink"
     s.catalog.dropTempView(sink)
-    withStateParts(s, 8) {
+    withStateParts(s, 8, noDataBatches = false) {
       val query = StreamingTwins.hourlyByType(
           StreamingTwins.readEvents(s, s"$d/events.parquet"))
         .writeStream.format("memory").queryName(sink)
@@ -1685,7 +1704,7 @@ object ExtQueries {
     s.catalog.dropTempView(sink)
     val events1 = StreamingTwins.readEvents(s, s"$d/events.parquet")
     val events2 = StreamingTwins.readEvents(s, s"$d/events.parquet")
-    withStateParts(s, 8) {
+    withStateParts(s, 8, noDataBatches = false) {
       val query = StreamingTwins.attribution(
           events1.where(col("event_type") === "click"),
           events2.where(col("event_type") === "purchase"))
@@ -1961,7 +1980,7 @@ object ExtQueries {
     val sink = "x71_dedup_sink"
     s.catalog.dropTempView(sink)
     val ev = StreamingTwins.readEvents(s, s"$d/events.parquet")
-    withStateParts(s, 8) {
+    withStateParts(s, 8, noDataBatches = false) {
       val query = StreamingTwins.dedupEvents(ev.unionAll(ev))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
@@ -2691,7 +2710,7 @@ object ExtQueries {
     val sink = "x93_session_window_sink"
     s.catalog.dropTempView(sink)
     val ev = StreamingTwins.readEvents(s, s"$d/events.parquet")
-    withStateParts(s, 8) {
+    withStateParts(s, 8, noDataBatches = false) {
       // complete mode: session merging cannot retract an update-mode
       // emission (Spark rejects update outright), and append would
       // hold back sessions still inside the watermark when the stream
@@ -2848,7 +2867,7 @@ object ExtQueries {
     import graft.streaming.StreamingTwins
     val sink = "x96_sliding_sink"
     s.catalog.dropTempView(sink)
-    withStateParts(s, 8) {
+    withStateParts(s, 8, noDataBatches = false) {
       val query = StreamingTwins.readEvents(s, s"$d/events.parquet")
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start").as("w"),
@@ -2912,7 +2931,7 @@ object ExtQueries {
     val sink = "x98_dedup_wm_sink"
     s.catalog.dropTempView(sink)
     val ev = StreamingTwins.readEvents(s, s"$d/events.parquet")
-    withStateParts(s, 8) {
+    withStateParts(s, 8, noDataBatches = false) {
       val query = StreamingTwins.dedupEventsWithinWatermark(ev.unionAll(ev))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()

@@ -42,8 +42,22 @@ object PipelineQueries {
       .withColumn("geom", G.st_transform(col("geom"), lit(4326), lit(C.ServiceSrid)))
   }
 
-  // one flow per session: p01/p02 share the cached branch DataFrames
+  // one flow per session: p01/p02 share the cached branch DataFrames.
+  // The memo MUST evict alongside the caches it guards (the
+  // CacheLifecycle scaladoc's "memo surviving its persist" hazard):
+  // Bench warms every entry then calls release + clearCache, which
+  // unpersists the flow's branch caches — a surviving memo would hand
+  // every later consumer an UNCACHED Result and each bench rep would
+  // silently rebuild the whole flow (measured: the p-group tripled,
+  // 3.5 s → 8.3 s, when r12 first added p* to warmup).
   @volatile private var memo: Option[(SparkSession, BunnyHopFlow.Result)] = None
+
+  graft.CacheLifecycle.onRelease { s =>
+    memo match {
+      case Some((sess, _)) if sess eq s => memo = None
+      case _ => ()
+    }
+  }
 
   /** Full merged layer (with geometry) for publish sinks. */
   def mergedWithGeom(s: SparkSession): org.apache.spark.sql.DataFrame =
