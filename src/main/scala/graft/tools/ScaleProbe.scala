@@ -160,6 +160,25 @@ object ScaleProbe {
             explode(graft.operators.TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
           .groupBy("fp").agg(count(lit(1)).as("docs")).count()
       }
+      // r12 in-row pair expansion. Density-preserving fixture (same
+      // principle as the affine-permutation text copies): baskets are
+      // 4 consecutive SAME-COPY docs and items carry a per-copy
+      // namespace prefix, so every copy's basket structure is
+      // isomorphic to copy 0 — per-pair supports are k-invariant,
+      // the mined pair set grows exactly ∝ k, and the
+      // distinct/collect/expand work is linear in baskets. (A naive
+      // `doc_id % B` basketing mixed copies and COLLAPSED supports:
+      // CPU shrank ×0.6 at 16× because pruning strengthened — the
+      // fixture measuring the wrong thing, caught by its own output
+      // column.)
+      time("frequent_pairs", k, dRows) {
+        val baskets = docs.select(
+          (col("doc_id") / 4).cast("long").as("bk"),
+          concat((col("doc_id") / lit(nDocs)).cast("long").cast("string"),
+            lit(":"), substring(col("text"), 1, 1)).as("item"))
+        graft.operators.Cooccur.frequentPairs(
+          baskets, "bk", "item", minSupport = 2).count()
+      }
     }
 
     // growth factors vs the k=1 run — linear work shows ~k

@@ -56,4 +56,45 @@ class GraphCooccurSpec extends SparkTestBase {
       .collect()
     assert(out.length == 1 && out(0).getAs[Long]("support") == 2L)
   }
+
+  test("frequentPairs: randomized parity with a brute-force reference") {
+    // guards the r12 in-row pair expansion (sorted collect_list +
+    // nested-transform slice) against its edge cases — empty baskets
+    // after pruning, singleton baskets, large baskets, ties — by
+    // recomputing support/lift from first principles on a seeded
+    // random basket set and comparing exactly.
+    val rnd = new scala.util.Random(7)
+    val items = ('a' to 'j').map(_.toString)
+    val rows = (1 to 120).flatMap { b =>
+      val size = rnd.nextInt(6) // 0..5 items, empties exercise pruning
+      Seq.fill(size)(items(rnd.nextInt(items.size))).map(i => (s"b$b", i))
+    }
+    val minSupport = 3L
+    // brute force in plain Scala
+    val baskets = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val itemN = baskets.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val freq = itemN.filter(_._2 >= minSupport).keySet
+    val nB = baskets.size.toDouble
+    val expected = baskets.values.toSeq
+      .map(_.filter(freq))
+      .flatMap(s => s.toSeq.sorted.combinations(2))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minSupport)
+      .map { case (Seq(pa, pb), sup) =>
+        (pa, pb, sup,
+          BigDecimal(sup * nB / (itemN(pa).toDouble * itemN(pb)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+    val got = Cooccur.frequentPairs(
+        rows.toDF("basket", "item"), "basket", "item", minSupport)
+      .collect()
+      .map(r => (r.getAs[String]("pa"), r.getAs[String]("pb"),
+        r.getAs[Long]("support"), r.getAs[Double]("lift"))).toSet
+    assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)),
+      s"pair/support mismatch: got ${got.size}, expected ${expected.size}")
+    got.foreach { case (pa, pb, sup, lift) =>
+      val exp = expected.find(e => e._1 == pa && e._2 == pb).get._4
+      assert(math.abs(lift - exp) < 1e-9, s"lift($pa,$pb): $lift vs $exp")
+    }
+  }
 }
