@@ -419,6 +419,34 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("frequent pairs expand in-row — no corpus self-join, lift LUTs broadcast") {
+    // r12 shape: the only exchanges the corpus-sized item stream
+    // crosses are the distinct and the basket collect; pair generation
+    // is a Generate over the basket array. A SortMergeJoin in the
+    // FINAL adaptive plan would mean the self-join came back or the
+    // bounded freq/lift frames stopped broadcasting — pre-AQE the
+    // static estimator does plan SMJs here (aggregate outputs have no
+    // usable stats), which is exactly why the frames carry no
+    // hard-coded hints and AQE's runtime sizes decide (the HashSplit
+    // lesson: a hint is a 100 TB driver-collect bomb if the frame is
+    // ever corpus-proportional).
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val items = li
+      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+    val df = graft.operators.Cooccur.frequentPairs(items, "ok", "item", 200)
+    df.collect() // finalize AQE: assertions must read runtime decisions
+    // AdaptiveSparkPlan.toString prints BOTH "== Final Plan ==" and
+    // "== Initial Plan ==" — only the final section is what ran
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("isFinalPlan=true"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate explode"), plan)
+  }
+
   test("cluster split probes components via broadcast; assignment is a row-local CASE") {
     // r12: the join strategy is SIZE-ADAPTIVE — leakageSafeAssign
     // carries no broadcast hint (components is corpus-proportional on a
