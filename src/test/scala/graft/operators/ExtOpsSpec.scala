@@ -137,6 +137,28 @@ class ExtOpsSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("precomputed verified/components reuse hooks equal the internal chain") {
+    // the r12 sharing hooks (one verified edge set fanned out to pair
+    // drop, cluster dedup, and splitting) must be drop-in: identical
+    // output to each operator's own candidate→verify→CC chain
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.65)
+    val verified = Dedup.ngramJaccard(docs, "doc_id", "text", cands, 5)
+      .filter(col("jaccard") >= 0.8)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(Dedup.nearDupRemove(docs, "doc_id", "text",
+        precomputedVerified = Some(verified))) ==
+      ids(Dedup.nearDupRemove(docs, "doc_id", "text")))
+    val comps = Dedup.connectedComponents(verified, "a", "b")
+    assert(ids(Dedup.nearDupRemoveCC(docs, "doc_id", "text",
+        precomputedComponents = Some(comps))) ==
+      ids(Dedup.nearDupRemoveCC(docs, "doc_id", "text")))
+    assert(ids(Dedup.nearDupRemoveCC(docs, "doc_id", "text",
+        precomputedVerified = Some(verified))) ==
+      ids(Dedup.nearDupRemoveCC(docs, "doc_id", "text")))
+  }
+
   test("ivf top-k agrees with brute force when probing all cells") {
     val rnd = new scala.util.Random(11)
     val emb = (1L to 300L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
