@@ -197,14 +197,36 @@ object BunnyHopFlow {
     val citiesJoined = runJoins(citiesPathway(cdtfa), census, gnis, dla)
     val countiesJoined = runJoins(countiesPathway(cdtfa), census, gnis, dla)
 
-    val cities = finalizeLayer(coastalCut(citiesJoined, coastline)).cache()
+    // Compact the published layers before caching: they are built by
+    // 32-partition shuffles but hold jurisdiction-count rows (hundreds
+    // at the reference's production scale), so an uncompacted cache is
+    // ~64 near-empty partitions and EVERY downstream read pays that
+    // many task setups + columnar-batch deserializations — measured
+    // 2.6 CPU-s for a warm 9-row `merged.count()`, ×2 inside the
+    // quality gate. `repartition` (not `coalesce`: coalesce would fold
+    // into and de-parallelize the expensive overlay/sliver stage
+    // upstream) adds one tiny one-time exchange and cuts every warm
+    // read to a handful of tasks.
+    val cities = finalizeLayer(coastalCut(citiesJoined, coastline))
+      .repartition(CachedLayerPartitions).cache()
     val counties = finalizeLayer(coastalCut(countiesJoined, coastline))
       .drop(PlaceAbbr)                                        // bunny.py:391
-      .cache()
+      .repartition(CachedLayerPartitions).cache()
 
+    // cached too: the erase is recomputed per consumer otherwise, and
+    // unincorporated areas are read by both the publish sinks and the
+    // unincorporated-layer entry
     val uninc = unincorporated(counties, cities)
+      .repartition(CachedLayerPartitions).cache()
     val merged = cities.unionByName(counties, allowMissingColumns = true)
 
     Result(cities, counties, uninc, merged)
   }
+
+  /** Partition count for the small cached output layers (see run()):
+    * sized for the reference's production scale (hundreds of
+    * jurisdiction polygons) — enough for multi-core scans, small
+    * enough that warm reads don't drown in empty-task setup.
+    */
+  private val CachedLayerPartitions = 4
 }
