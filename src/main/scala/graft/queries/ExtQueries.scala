@@ -166,6 +166,12 @@ object ExtQueries {
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
           minhashCands(s, d).filter(col("est_jaccard") >= 0.65), 5)
         .filter(col("jaccard") >= 0.8)
+        // compact before persist: verified edges are a tiny fraction
+        // of the corpus but the verify join runs at full shuffle
+        // parallelism — uncompacted, every consumer's warm read pays
+        // ~32 near-empty task setups (the BunnyHopFlow cached-layer
+        // lesson)
+        .repartition(4)
         .transform(graft.CacheLifecycle.persist(_)))
 
   private def neardupComponents(s: SparkSession, d: String): DataFrame =
