@@ -38,6 +38,28 @@ class CacheLifecycleSpec extends SparkTestBase {
       before.sortBy(_.getLong(0))))
   }
 
+  test("release hooks evict the pipeline flow memo with its caches") {
+    // the r12 p-group regression in one assertion: PipelineQueries'
+    // memo must NOT outlive the flow's branch caches — a surviving
+    // memo hands every later consumer an UNCACHED Result and each use
+    // silently rebuilds the whole pipeline (3.5 s → 8.3 s in the
+    // bench when warmup+release first covered p*)
+    spark.catalog.clearCache()
+    CacheLifecycle.release(spark)
+    val a = queries.PipelineQueries.mergedWithGeom(spark)
+    assert(a eq queries.PipelineQueries.mergedWithGeom(spark)) // memoized
+    CacheLifecycle.release(spark)
+    spark.catalog.clearCache()
+    val b = queries.PipelineQueries.mergedWithGeom(spark)
+    assert(!(a eq b)) // fresh Result whose branches re-cache
+    // compact caches: the published layers are jurisdiction-count
+    // frames; the cache must not keep the build's full shuffle
+    // parallelism (warm reads drowned in empty-task setup pre-r12)
+    assert(b.rdd.getNumPartitions <= 8, s"merged partitions: ${b.rdd.getNumPartitions}")
+    CacheLifecycle.release(spark)
+    spark.catalog.clearCache()
+  }
+
   test("release hooks evict the ExtQueries candidate memo with its persist") {
     spark.catalog.clearCache()
     CacheLifecycle.release(spark)
