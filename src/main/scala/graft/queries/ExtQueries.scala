@@ -178,6 +178,28 @@ object ExtQueries {
     compsCache.getOrElseUpdate((s, d),
       Dedup.connectedComponents(verifiedPairs(s, d), "a", "b"))
 
+  // x16's edge set is NOT the shared one by design: its verification
+  // runs over the EXACT-DEDUPED corpus (the oracle recomputes grams
+  // over `exact`), and a pair whose lower-id member was exact-dropped
+  // must not drop the survivor. Same memo/compaction pattern, its own
+  // cache key.
+  private val verified16Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  graft.CacheLifecycle.onRelease { s =>
+    verified16Cache.filterInPlace { case ((sess, _), _) => sess ne s }
+  }
+
+  private def verifiedPairsOverExact(s: SparkSession, d: String): DataFrame =
+    verified16Cache.getOrElseUpdate((s, d),
+      Dedup.ngramJaccard(
+          Dedup.exact(Tables.documents(s, d), "text", "doc_id"),
+          "doc_id", "text",
+          minhashCands(s, d).filter(col("est_jaccard") >= 0.65), 5)
+        .filter(col("jaccard") >= 0.8)
+        .repartition(4)
+        .transform(graft.CacheLifecycle.persist(_)))
+
   /** MinHash+LSH near-dup candidate pairs. Oracle: VALUES golden from
     * the from-spec Python reimplementation (tools/golden_ext.py —
     * java.util.Random LCG seeds, FNV-1a+fmix64 shingles, splitmix64
@@ -515,7 +537,7 @@ object ExtQueries {
     val docs = Tables.documents(s, d)
     val exact = Dedup.exact(docs, "text", "doc_id")
     val nearDeduped = Dedup.nearDupRemove(exact, "doc_id", "text",
-      precomputedCandidates = Some(minhashCands(s, d)))
+      precomputedVerified = Some(verifiedPairsOverExact(s, d)))
     nearDeduped
       .withColumn("quality", TA.qualityScore(col("text")))
       .filter(col("quality") >= 0.3)
