@@ -202,6 +202,80 @@ case class MinhashSignatureExpr(child: Expression, numHashes: Int, shingleK: Int
     copy(child = c)
 }
 
+/** Char-shingle FNV-1a(+avalanche) hash kernel — native and
+  * CANONICALIZATION-STABLE. The tight UDF it replaced
+  * (`Dedup.shingleHashes`) was built INSIDE the method and captured
+  * `k`, so every `ngramJaccard` invocation carried a fresh function
+  * object: two builds of "the same" gram plan were never `sameResult`,
+  * the persisted gram/pair frames could not serve any later
+  * invocation, and every one silently re-persisted an unmatchable
+  * twin and recomputed the shingle pass (caught by the r12 bench's
+  * own gate: x04 flagged at 15.1 CPU-s with evict=0 — recompute
+  * without eviction is exactly this signature). A case-class
+  * expression parameterized by `k` canonicalizes structurally, so
+  * cached gram frames serve every consumer. Same bits as the UDF:
+  * Java-trim + toLowerCase normalization (the r12-unified family
+  * contract), FNV-1a over chars + murmur-final avalanche per window,
+  * texts shorter than k yield one short window.
+  */
+object ShingleOps {
+
+  def hashes(u: UTF8String, k: Int): ArrayData = {
+    if (u == null)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
+    val s = u.toString.trim.toLowerCase
+    val n = math.max(1, s.length - k + 1)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = math.min(s.length, i + k)
+      while (j < end) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+      out(i) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `shingle_hashes(text, k)` — see [[ShingleOps.hashes]]. NOT
+  * null-intolerant: null text carries the EMPTY hash array (not
+  * null), exactly like the UDF it replaced.
+  */
+case class ShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingle_hashes"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    ShingleOps.hashes(child.eval(input).asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+            graft.functions.ShingleOps.hashes(
+              ${c.isNull} ? null : ${c.value}, $k);
+        """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
+    copy(child = c)
+}
+
 /** Fused 64-bit SimHash kernel. Replaces
   * `foldUdf(transform(split(lower(trim(text)), "\s+"), t => xxhash64(t)))`
   * — the HOF's per-token `xxhash64` evaluated interpreted and the fold
@@ -283,6 +357,10 @@ object TextFunctions {
   def minhash_signature(text: Column, numHashes: Int, shingleK: Int): Column =
     GraftColumnBridge.column(MinhashSignatureExpr(
       GraftColumnBridge.expression(text), numHashes, shingleK))
+
+  def shingle_hashes(text: Column, k: Int): Column =
+    GraftColumnBridge.column(ShingleHashesExpr(
+      GraftColumnBridge.expression(text), k))
 
   def simhash64(text: Column): Column =
     GraftColumnBridge.column(SimhashExpr(GraftColumnBridge.expression(text)))

@@ -240,7 +240,109 @@ case class AdcCellScoreExpr(first: Expression, second: Expression, third: Expres
     copy(first = f, second = s, third = t)
 }
 
+/** Rademacher (±1) random-hyperplane sign-LSH signatures — native and
+  * CANONICALIZATION-STABLE, which is the load-bearing property: the
+  * closure-capturing UDF this replaced
+  * (`udf((v: Seq[Float]) => ...)` with `planes` captured) built a NEW
+  * function object per operator invocation, so two builds of "the
+  * same" signature plan were never `sameResult` and a persisted
+  * signature frame could not serve ANY later invocation — every bench
+  * rep (and every re-derived plan in a long session) silently
+  * recomputed the full signature scan. A case-class expression
+  * parameterized by (numTables, signBits, dim) canonicalizes
+  * structurally; planes regenerate deterministically from the pinned
+  * seed-42 schedule ([[graft.operators.Dedup.rademacherPlanes]]'s
+  * contract) and are cached per shape.
+  */
+object SignLshOps {
+
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** Seed-42 Rademacher planes — MUST stay bit-identical to
+    * `Dedup.rademacherPlanes` (the x06/x08/x35 goldens are derived
+    * from that schedule by an independent Python reimplementation).
+    */
+  def planes(signBits: Int, dim: Int): Array[Array[Double]] =
+    planesCache.computeIfAbsent((signBits, dim), _ => {
+      val rnd = new scala.util.Random(42)
+      Array.fill(signBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    })
+
+  /** `numTables` sign signatures; table t uses plane rows
+    * [t·signBits, (t+1)·signBits). Null vector → all-zero signatures
+    * (NOT null), matching the UDF it replaced. Identical arithmetic:
+    * Double plane × widened Float element, dot over
+    * min(dim, |v|) components.
+    */
+  def signatures(v: ArrayData, numTables: Int, signBits: Int, dim: Int): ArrayData = {
+    val out = new Array[Long](numTables)
+    if (v != null) {
+      val ps = planes(numTables * signBits, dim)
+      val n = math.min(dim, v.numElements())
+      var t = 0
+      while (t < numTables) {
+        var sig = 0L
+        var b = 0
+        while (b < signBits) {
+          val p = ps(t * signBits + b)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += p(i) * v.getFloat(i); i += 1 }
+          if (s > 0) sig |= (1L << b)
+          b += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `sign_lsh(vec, numTables, signBits, dim)` — see [[SignLshOps]].
+  * NOT null-intolerant: a null vector carries all-zero signatures,
+  * exactly like the UDF it replaced (a null would silently drop the
+  * row from every LSH bucket instead of bucketing it at 0).
+  */
+case class SignLshExpr(child: Expression, numTables: Int, signBits: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(signBits >= 1 && signBits <= 63, s"signBits must be in [1, 63], got $signBits")
+  require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "sign_lsh"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    SignLshOps.signatures(
+      child.eval(input).asInstanceOf[ArrayData], numTables, signBits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+            graft.functions.SignLshOps.signatures(
+              ${c.isNull} ? null : ${c.value}, $numTables, $signBits, $dim);
+        """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshExpr =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
+  def sign_lsh(vec: Column, numTables: Int, signBits: Int, dim: Int): Column =
+    GraftColumnBridge.column(SignLshExpr(
+      GraftColumnBridge.expression(vec), numTables, signBits, dim))
+
   def adc_score(code: Column, table: Column): Column =
     GraftColumnBridge.column(AdcScoreExpr(
       GraftColumnBridge.expression(code), GraftColumnBridge.expression(table)))

@@ -359,34 +359,20 @@ object Dedup {
   // are documented there; seeds stay the Random(42) schedule).
 
   /** Char-shingle hashes: 64-bit FNV-1a + avalanche over each k-char
-    * window of the normalized text, in one pass. A tight UDF loop: the
-    * higher-order-function formulation (`transform(sequence(...), i =>
-    * xxhash64(substr(...)))`) allocates a UTF8String per shingle and
-    * measured ~10× slower on 5k docs. Texts shorter than k yield one
-    * (short) window, matching `substr` semantics.
+    * window of the normalized text, in one pass — native codegen
+    * kernel ([[graft.functions.ShingleHashesExpr]]). Texts shorter
+    * than k yield one (short) window, matching `substr` semantics.
+    *
+    * r12: was a tight closure-capturing UDF (already ~10× faster than
+    * the HOF formulation), replaced by the expression for
+    * CANONICALIZATION STABILITY — the captured-`k` closure made every
+    * invocation's gram plan canonically unique, so the persisted gram
+    * frames inside `ngramJaccard` could never serve a later
+    * invocation and each bench rep silently recomputed the shingle
+    * pass (the kernel's scaladoc has the full mechanism).
     */
-  def shingleHashes(text: Column, k: Int): Column = {
-    val f = udf((raw: String) => {
-      if (raw == null) Array.empty[Long]
-      else {
-        val s = raw.trim.toLowerCase
-        val n = math.max(1, s.length - k + 1)
-        val out = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          var h = 0xcbf29ce484222325L
-          var j = i
-          val end = math.min(s.length, i + k)
-          while (j < end) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
-          h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-          out(i) = h
-          i += 1
-        }
-        out
-      }
-    })
-    f(text)
-  }
+  def shingleHashes(text: Column, k: Int): Column =
+    graft.functions.TextFunctions.shingle_hashes(text, k)
 
   /** MinHash signature: per hash function i, min over shingles of
     * splitmix64(h ^ seedᵢ). Shingle-outer loop order so each shingle
@@ -771,30 +757,14 @@ object Dedup {
       signBits: Int = 16, numTables: Int = 4): DataFrame = {
     require(signBits >= 1 && signBits <= 63, "signBits must be in [1, 63]")
     require(numTables >= 1, "numTables must be >= 1")
-    val planes = rademacherPlanes(numTables * signBits, dim)
-    val sigUdf = udf((v: Seq[Float]) => {
-      val out = new Array[Long](numTables)
-      if (v != null) {
-        var t = 0
-        while (t < numTables) {
-          var sig = 0L
-          var b = 0
-          while (b < signBits) {
-            val p = planes(t * signBits + b)
-            var s = 0.0; var i = 0
-            while (i < math.min(dim, v.length)) { s += p(i) * v(i); i += 1 }
-            if (s > 0) sig |= (1L << b)
-            b += 1
-          }
-          out(t) = sig
-          t += 1
-        }
-      }
-      out
-    })
+    // native canonicalization-stable kernel (see SignLshOps: the
+    // planes-capturing UDF it replaced made every invocation's
+    // signature plan unique, defeating the persist below across
+    // invocations); planes stay the seed-42 rademacherPlanes schedule
     val sigs = df.select(col(idCol).as("id"),
         normalizeUdf(col(vecCol)).as("vec"),
-        sigUdf(col(vecCol)).as("sigs"))
+        graft.functions.VectorFunctions
+          .sign_lsh(col(vecCol), numTables, signBits, dim).as("sigs"))
       .transform(graft.CacheLifecycle.persist(_))
 
     val buckets = sigs.select(col("id"), posexplode(col("sigs")))

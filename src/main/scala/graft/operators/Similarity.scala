@@ -106,23 +106,15 @@ object Similarity {
         col("col._2").as("negative_id"), col("col._1").as("cos"))
   }
 
-  private[operators] def signSignature(vecCol: Column, dim: Int, signBits: Int): Column = {
-    val planes = Dedup.rademacherPlanes(signBits, dim)
-    udf((v: Seq[Float]) => {
-      if (v == null) 0L
-      else {
-        var sig = 0L; var b = 0
-        while (b < signBits) {
-          var s = 0.0; var i = 0
-          val p = planes(b)
-          while (i < math.min(dim, v.length)) { s += p(i) * v(i); i += 1 }
-          if (s > 0) sig |= (1L << b)
-          b += 1
-        }
-        sig
-      }
-    }).apply(vecCol)
-  }
+  /** Single sign-LSH signature = table 0 of the native kernel
+    * (`rademacherPlanes(1·signBits, dim)` IS `rademacherPlanes(
+    * signBits, dim)`, so the bits match the previous planes-capturing
+    * UDF exactly, and the plan is canonicalization-stable — see
+    * [[graft.functions.SignLshOps]] for why that matters).
+    */
+  private[operators] def signSignature(vecCol: Column, dim: Int, signBits: Int): Column =
+    element_at(
+      graft.functions.VectorFunctions.sign_lsh(vecCol, 1, signBits, dim), 1)
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     * vector to a centroid cell; a query scans only the `nprobe` cells

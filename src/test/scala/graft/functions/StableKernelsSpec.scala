@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The r12 canonicalization-stability kernels: [[ShingleHashesExpr]]
+  * and [[SignLshExpr]] must (1) be bit-identical to the
+  * closure-capturing UDFs they replaced, and (2) canonicalize equal
+  * across SEPARATE operator invocations — the property the UDFs
+  * lacked, which made every invocation's persisted gram/signature
+  * frame unmatchable by the next one (each bench rep silently
+  * recomputed; the bench gate caught it as cpu×6 with evict=0).
+  */
+class StableKernelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // independent reference: the UDF bodies they replaced, verbatim
+  private def refShingles(raw: String, k: Int): Array[Long] =
+    if (raw == null) Array.empty[Long]
+    else {
+      val s = raw.trim.toLowerCase
+      val n = math.max(1, s.length - k + 1)
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        val end = math.min(s.length, i + k)
+        while (j < end) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+        h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+
+  private def refSignLsh(
+      v: Seq[Float], numTables: Int, signBits: Int, dim: Int): Array[Long] = {
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(numTables * signBits, dim)(
+      if (rnd.nextBoolean()) 1.0 else -1.0)
+    val out = new Array[Long](numTables)
+    if (v != null) {
+      var t = 0
+      while (t < numTables) {
+        var sig = 0L; var b = 0
+        while (b < signBits) {
+          val p = planes(t * signBits + b)
+          var s = 0.0; var i = 0
+          while (i < math.min(dim, v.length)) { s += p(i) * v(i); i += 1 }
+          if (s > 0) sig |= (1L << b)
+          b += 1
+        }
+        out(t) = sig; t += 1
+      }
+    }
+    out
+  }
+
+  test("shingle_hashes is bit-identical to the UDF it replaced") {
+    val texts = Seq("the quick brown fox", "abc", "ab", "", "   padded   ",
+      "\tabc\n", "a", "xy" * 40, null)
+    val got = texts.toDF("t")
+      .select(TextFunctions.shingle_hashes(col("t"), 5).as("h"))
+      .collect().map(r => r.getSeq[Long](0).toArray)
+    texts.zip(got).foreach { case (t, h) =>
+      assert(h.sameElements(refShingles(t, 5)), s"mismatch on '$t'")
+    }
+  }
+
+  test("sign_lsh is bit-identical to the planes-capturing UDF it replaced") {
+    val rnd = new scala.util.Random(3)
+    val vecs: Seq[Seq[Float]] =
+      Seq.fill(20)(Seq.fill(64)(rnd.nextGaussian().toFloat)) ++
+        Seq(Seq.fill(10)(1.0f), Seq.empty[Float], null)
+    val got = vecs.toDF("v")
+      .select(VectorFunctions.sign_lsh(col("v"), 4, 6, 64).as("s"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    vecs.zip(got).foreach { case (v, s) =>
+      assert(s.sameElements(refSignLsh(v, 4, 6, 64)), s"mismatch on $v")
+    }
+    // the single-signature shape = table 0 of the kernel
+    val single = vecs.toDF("v")
+      .select(element_at(VectorFunctions.sign_lsh(col("v"), 1, 16, 64), 1).as("s"))
+      .collect().map(_.getLong(0))
+    vecs.zip(single).foreach { case (v, s) =>
+      assert(s == refSignLsh(v, 1, 16, 64)(0))
+    }
+  }
+
+  test("separate invocations canonicalize equal (cache frames can serve)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def gramPlan() = docs.select(col("doc_id"),
+      array_distinct(graft.operators.Dedup.shingleHashes(col("text"), 5)).as("g"))
+    assert(gramPlan().queryExecution.analyzed
+      .sameResult(gramPlan().queryExecution.analyzed),
+      "two shingle-gram builds must be sameResult, or persisted gram " +
+        "frames can never serve a later invocation")
+
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def sigPlan() = embs.select(col("vec_id"),
+      VectorFunctions.sign_lsh(col("embedding"), 4, 6, 64).as("s"))
+    assert(sigPlan().queryExecution.analyzed
+      .sameResult(sigPlan().queryExecution.analyzed))
+
+    // end-to-end: a persisted frame from one build serves the next
+    spark.catalog.clearCache()
+    val first = gramPlan().persist()
+    first.count()
+    val reused = gramPlan().queryExecution.withCachedData.toString
+    assert(reused.contains("InMemoryRelation"),
+      s"second build must read the first build's cache:\n$reused")
+    first.unpersist()
+  }
+}
