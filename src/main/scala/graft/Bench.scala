@@ -77,20 +77,26 @@ object Bench {
     * micro-batch of state commits (r11 adjudications: x71 at 15.7
     * CPU-s vs 3.1–4.7 in four adjacent sweeps), while their wall is
     * the lifecycle constant the bench already reports min-of-2 for.
+    * Compute rows additionally require wall > `floorWallCompute`: a
+    * sub-quarter-second entry's CPU flutters across the 2 CPU-s floor
+    * on pure 32-thread scheduling noise (r12: q30 flagged at 2.15
+    * CPU-s / 0.21 s wall vs 0.49 / 0.19 baseline — flat wall, tiny
+    * absolute cost), while every real compute regression this gate
+    * exists for carried seconds of wall (r10 x68: 6.5 s / 133.7).
     */
   private[graft] def regressions(
       prev: Map[String, (Double, Double)],
       cur: Seq[(String, Option[Sample])],
       streaming: String => Boolean = _ => false,
       factor: Double = 3.0, floorCpu: Double = 2.0,
-      floorWall: Double = 1.0): Seq[String] =
+      floorWall: Double = 1.0, floorWallCompute: Double = 0.5): Seq[String] =
     cur.collect {
       case (k, Some(s))
           if (if (streaming(k))
             s.wall > floorWall &&
               prev.get(k).exists { case (w, _) => w > 0 && s.wall > factor * w }
           else
-            s.cpu > floorCpu &&
+            s.cpu > floorCpu && s.wall > floorWallCompute &&
               prev.get(k).exists { case (_, c) => c > 0 && s.cpu > factor * c }) => k
     }
 

@@ -85,10 +85,14 @@ class BenchFormatSpec extends AnyFunSuite {
       "x68" -> Some(Bench.Sample(6.5, 133.7, 0L)),   // r10's real blowup: flagged
       "x01" -> Some(Bench.Sample(1.0, 6.0, 0L)),     // 1.2x: fine
       "q01" -> Some(Bench.Sample(0.3, 0.9, 0L)),     // 4.5x but sub-floor: noise
+      // the r12 q30 flutter: 4.4x CPU over the floor but FLAT
+      // sub-quarter-second wall — 32-thread scheduling noise on a tiny
+      // entry, not a regression (the compute-row wall floor keeps it out)
+      "q30" -> Some(Bench.Sample(0.21, 2.15, 0L)),
       "x55" -> Some(Bench.Sample(1.0, 4.1, 0L)),     // ~1x: fine
       "x99" -> Some(Bench.Sample(1.0, 9.9, 0L)),     // new entry, no baseline
       "x97" -> None)                                 // failed: not the gate's job
-    assert(Bench.regressions(prev, cur) == Seq("x68"))
+    assert(Bench.regressions(prev + ("q30" -> (0.19, 0.49)), cur) == Seq("x68"))
     assert(Bench.regressions(Map.empty, cur).isEmpty)  // first run: no gate
   }
 
