@@ -116,13 +116,50 @@ object StreamScaleProbe {
       (k, peak)
     }
 
+    println("\n== tws: RocksDB transformWithState sessionizer state vs key cardinality (expect ~k) ==")
+    val twsState = scales.map { k =>
+      import org.apache.spark.sql.SparkSession
+      import graft.streaming.StreamingTwins
+      val dir = scratch.resolve(s"tws_$k").toString
+      val nUsers = ev0.select("user_id").distinct().count()
+      (0 until k).map(i => ev0.select(
+          (col("event_id") + lit(i.toLong * nEv)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(i.toLong * nUsers)).as("user_id")))
+        .reduce(_ unionByName _)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val sink = s"tws_sink_$k"
+      implicit val sq: SparkSession = spark
+      import sq.implicits._
+      val events = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+        .as[StreamingTwins.EventRow]
+      val q = StreamingTwins.withRocksDbProvider(spark) {
+        val query = StreamingTwins.sessionizeTws(events).toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try query.processAllAvailable() finally query.stop()
+        query
+      }
+      spark.catalog.dropTempView(sink)
+      val so = q.recentProgress.toSeq.flatMap(_.stateOperators.headOption)
+      val rows = so.map(_.numRowsTotal).max
+      val mem = so.map(_.memoryUsedBytes).max
+      println(f"PROBE tws_keys       k=$k%2d in=${k * nEv}%8d " +
+        f"state_rows=$rows%8d state_mb=${mem >> 20}%5d")
+      (k, rows)
+    }
+
     val kb = keyState.head._2.toDouble
     val hb = horizonState.head._2.toDouble
-    println("\nGROWTH (vs k=1; keys expect ≈k, horizon expect ≈1)")
+    val tb = twsState.head._2.toDouble
+    println("\nGROWTH (vs k=1; keys/tws expect ≈k, horizon expect ≈1)")
     println("GROWTH stream_keys    " + keyState.map { case (k, r) =>
       f"k=$k%2d:${r / kb}%6.2f" }.mkString("  "))
     println("GROWTH stream_horizon " + horizonState.map { case (k, r) =>
       f"k=$k%2d:${r / hb}%6.2f" }.mkString("  "))
+    println("GROWTH tws_keys       " + twsState.map { case (k, r) =>
+      f"k=$k%2d:${r / tb}%6.2f" }.mkString("  "))
     spark.stop()
   }
 }
