@@ -52,7 +52,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // records per-pool occupancy in bench_detail.json to make this
   // class of regression self-diagnosing.
   "-XX:ReservedCodeCacheSize=2g",
-)
+  // Commit and zero the whole heap at JVM startup instead of lazily
+  // on first touch. On driver-sized heaps (~64-90 GiB) lazy paging
+  // charged multi-second kernel zeroing + THP work to whichever bench
+  // entry happened to be running — DIFFERENT entries at up to 10x CPU
+  // per run on identical code, the r10 x68 / r11 x77 "regressed on
+  // identical code" anomaly shape. Measured at 64g: 263.8 and 179.9
+  // CPU-s sweeps with rotating 10x entries without this flag; 131.9
+  // CPU-s (8g-equivalent, zero flagged) with it. Standard large-heap
+  // practice; the one-time pre-touch cost lands at startup, outside
+  // every timed region.
+  "-XX:+AlwaysPreTouch",
+) ++
+  // dev experiment hook: extra JVM flags for the forked mains without
+  // editing the build (e.g. GC-attribution runs at driver-sized heaps)
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))
 
 // Forked JVMs get -Djava.io.tmpdir=/dev/shm/graft_tmp (above); the JVM
 // does not create a missing tmpdir, so guarantee it exists the moment

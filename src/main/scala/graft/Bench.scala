@@ -83,22 +83,33 @@ object Bench {
     * CPU-s / 0.21 s wall vs 0.49 / 0.19 baseline — flat wall, tiny
     * absolute cost), while every real compute regression this gate
     * exists for carried seconds of wall (r10 x68: 6.5 s / 133.7).
+    *
+    * Compute rows gate on TASK CPU when the sample carries it
+    * (falling back to process CPU for legacy samples): process CPU
+    * charges JVM background work — concurrent-GC threads, heap page
+    * zeroing — to whichever entry is running, and on a driver-sized
+    * (~90 GiB) heap that measured as DIFFERENT entries at 10× process
+    * CPU per run with flat task CPU (the r10 x68 / r11 x77 "regressed
+    * on identical code" shape). Task CPU is the query's own work; the
+    * gate flags the engine, not the JVM's housekeeping.
     */
   private[graft] def regressions(
       prev: Map[String, (Double, Double)],
       cur: Seq[(String, Option[Sample])],
       streaming: String => Boolean = _ => false,
       factor: Double = 3.0, floorCpu: Double = 2.0,
-      floorWall: Double = 1.0, floorWallCompute: Double = 0.5): Seq[String] =
+      floorWall: Double = 1.0, floorWallCompute: Double = 0.5): Seq[String] = {
+    def effCpu(s: Sample): Double = if (s.taskCpu >= 0) s.taskCpu else s.cpu
     cur.collect {
       case (k, Some(s))
           if (if (streaming(k))
             s.wall > floorWall &&
               prev.get(k).exists { case (w, _) => w > 0 && s.wall > factor * w }
           else
-            s.cpu > floorCpu && s.wall > floorWallCompute &&
-              prev.get(k).exists { case (_, c) => c > 0 && s.cpu > factor * c }) => k
+            effCpu(s) > floorCpu && s.wall > floorWallCompute &&
+              prev.get(k).exists { case (_, c) => c > 0 && effCpu(s) > factor * c }) => k
     }
+  }
 
   /** Previous round's per-entry (wall, cpu) from an existing detail
     * file — empty on first run, unreadable/failed entries, or when the
@@ -156,7 +167,15 @@ object Bench {
       if (entries == null || !sameSf || tainted) Map.empty
       else entries.properties().asScala.collect {
         case e if e.getValue.isArray && e.getValue.size >= 2 =>
-          e.getKey -> (e.getValue.get(0).asDouble, e.getValue.get(1).asDouble)
+          val a = e.getValue
+          // prefer the task-cpu column (index 6, present since the r12
+          // format) as the gate's cpu reference — matches regressions()
+          // gating current samples on task cpu; legacy 4/6-column
+          // baselines fall back to process cpu
+          val cpu =
+            if (a.size >= 7 && a.get(6).asDouble >= 0) a.get(6).asDouble
+            else a.get(1).asDouble
+          e.getKey -> (a.get(0).asDouble, cpu)
       }.toMap
     } catch { case _: Throwable => Map.empty }
 
@@ -177,9 +196,22 @@ object Bench {
     * of the shared minhash/CC persists as its prime suspect; these two
     * fields make that class of regression attributable from the
     * artifact. -1 when not instrumented (unit-test rendering).
+    *
+    * `taskCpu` is the sum of TASK executor CPU seconds
+    * (`TaskMetrics.executorCpuTime`) for tasks finishing during the
+    * rep — the CPU the QUERY actually used. `cpu` is PROCESS CPU:
+    * when `cpu >> taskCpu` the excess is JVM background work
+    * (concurrent-GC threads, heap page zeroing, C2 — none visible in
+    * the STW-only `gcMs`), not the engine. Measured r12 on a 64 GiB
+    * heap (the driver runs ~90 GiB): the same code flags DIFFERENT
+    * entries at 10× process-CPU per run while their task CPU stays
+    * flat — the r10/r11 "regression on identical code" driver
+    * anomalies carry exactly this signature, and this column turns a
+    * round of re-measurement into one artifact read.
     */
   final case class Sample(wall: Double, cpu: Double, gcMs: Long,
-      jitMs: Long = -1L, evict: Long = -1L, storMb: Long = -1L)
+      jitMs: Long = -1L, evict: Long = -1L, storMb: Long = -1L,
+      taskCpu: Double = -1.0)
 
   private val compBean = ManagementFactory.getCompilationMXBean
   private def jitMillis: Long =
@@ -196,11 +228,11 @@ object Bench {
       regressed: Seq[String] = Nil): String = {
     val detail = results.map { case (k, s) =>
       s""""$k":${s.map(x =>
-        s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs},${x.jitMs},${x.evict},${x.storMb}]")
+        s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs},${x.jitMs},${x.evict},${x.storMb},${f(x.taskCpu, 2)}]")
         .getOrElse("null")}"""
     }.mkString("{", ",", "}")
     val reg = regressed.map(n => s""""$n"""").mkString("[", ",", "]")
-    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb]","sf":"$sfDir","reps":$reps,""" +
+    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s]","sf":"$sfDir","reps":$reps,""" +
       s""""code_cache_mb":$codeCacheJson,"regressed":$reg,""" +
       s""""total":${totalTriple(results)},"entries":$detail}"""
   }
@@ -273,6 +305,8 @@ object Bench {
     // counter around each timed rep so the artifact attributes
     // eviction-driven recompute to the entry that paid it.
     val evictedBlocks = new java.util.concurrent.atomic.AtomicLong(0L)
+    // cumulative task executor-CPU ns (see Sample.taskCpu)
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onBlockUpdated(
           e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
@@ -284,6 +318,10 @@ object Bench {
         if (info.blockId.isRDD && !info.storageLevel.isValid)
           evictedBlocks.incrementAndGet()
       }
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          taskCpuNs.addAndGet(e.taskMetrics.executorCpuTime)
     })
     def storageMb: Long =
       spark.sparkContext.statusTracker.getExecutorInfos
@@ -349,12 +387,14 @@ object Bench {
       val samples = (1 to reps).flatMap { _ =>
         val w0 = System.nanoTime(); val c0 = processCpuNs
         val g0 = gcMillis; val j0 = jitMillis; val e0 = evictedBlocks.get()
+        val t0 = taskCpuNs.get()
         try {
           fn(spark, sfDir).count()
           Some(Sample((System.nanoTime() - w0) / 1e9,
             if (c0 < 0) -1.0 else (processCpuNs - c0) / 1e9, gcMillis - g0,
             if (j0 < 0) -1L else jitMillis - j0,
-            evictedBlocks.get() - e0, storageMb))
+            evictedBlocks.get() - e0, storageMb,
+            (taskCpuNs.get() - t0) / 1e9))
         } catch { case _: Throwable => None }
       }
       if (samples.size != reps) None

@@ -50,11 +50,13 @@ class BenchFormatSpec extends AnyFunSuite {
     val failedName = worstCase.collectFirst { case (n, None) => n }.get
     assert(root.get("entries").get(failedName).isNull)
     // jit_ms since r11 (compile-burst attribution); evict_blocks +
-    // stor_mb since r12 (storage-eviction attribution — the r11 x77
-    // blowup's prime suspect class)
-    assert(root.get("fmt").asText == "[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb]")
+    // stor_mb + task_cpu_s since r12 (storage-eviction and
+    // background-JVM-CPU attribution — the r10/r11 "regressed on
+    // identical code" driver anomalies)
+    assert(root.get("fmt").asText ==
+      "[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s]")
     val okName = worstCase.collectFirst { case (n, Some(_)) => n }.get
-    assert(root.get("entries").get(okName).size == 6)
+    assert(root.get("entries").get(okName).size == 7)
   }
 
   test("summary and detail carry the regression gate + code-cache fields") {
@@ -91,8 +93,17 @@ class BenchFormatSpec extends AnyFunSuite {
       "q30" -> Some(Bench.Sample(0.21, 2.15, 0L)),
       "x55" -> Some(Bench.Sample(1.0, 4.1, 0L)),     // ~1x: fine
       "x99" -> Some(Bench.Sample(1.0, 9.9, 0L)),     // new entry, no baseline
+      // the driver-heap anomaly shape: process cpu x10 over baseline
+      // but TASK cpu flat — background JVM work (concurrent GC, page
+      // zeroing) charged to the entry; gates on task cpu, NOT flagged
+      "x36" -> Some(Bench.Sample(4.6, 76.8, 205L, 242L, 0L, 188L, taskCpu = 5.1)),
+      // and the converse: the query's own task cpu blew up — flagged
+      // even though background noise could mask it in process terms
+      "x40" -> Some(Bench.Sample(3.0, 19.0, 0L, 0L, 0L, 0L, taskCpu = 18.2)),
       "x97" -> None)                                 // failed: not the gate's job
-    assert(Bench.regressions(prev + ("q30" -> (0.19, 0.49)), cur) == Seq("x68"))
+    val prevAll = prev ++ Map(
+      "q30" -> (0.19, 0.49), "x36" -> (0.7, 5.0), "x40" -> (1.0, 5.0))
+    assert(Bench.regressions(prevAll, cur) == Seq("x68", "x40"))
     assert(Bench.regressions(Map.empty, cur).isEmpty)  // first run: no gate
   }
 
