@@ -338,7 +338,75 @@ case class SignLshExpr(child: Expression, numTables: Int, signBits: Int, dim: In
     copy(child = newChild)
 }
 
+/** All unordered element pairs of an array, in one native pass. */
+object PairOps {
+  def pairs(arr: ArrayData, et: DataType): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[AnyRef](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.get(i, et)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(a, arr.get(j, et))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `array_pairs(arr)`: all (i < j) element pairs of `arr` as
+  * struct<pa, pb> rows — the in-row pair-expansion kernel under
+  * basket co-occurrence mining. The composed HOF form
+  * (`flatten(transform(arr, (x,i) => transform(slice(arr, i+2, …),
+  * y => struct(x, y))))`) evaluates its lambdas on the INTERPRETED
+  * path and re-slices per outer element; on the x72 input (150 k
+  * baskets → 2.4 M pairs) that measured 11 task-CPU-s where this
+  * single pass is a tight two-loop copy. For a SORTED input array the
+  * emitted (pa, pb) are ascending, preserving the `pa < pb` output
+  * contract.
+  */
+case class ArrayPairsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array_pairs needs an array input, got $other")
+    }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pa", elemType),
+      org.apache.spark.sql.types.StructField("pb", elemType))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "array_pairs"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    PairOps.pairs(arr.asInstanceOf[ArrayData], elemType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val etRef = ctx.addReferenceObj("etype", elemType)
+    defineCodeGen(ctx, ev, c => s"graft.functions.PairOps.pairs($c, $etRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ArrayPairsExpr =
+    copy(child = c)
+}
+
 object VectorFunctions {
+  def array_pairs(arr: Column): Column =
+    GraftColumnBridge.column(ArrayPairsExpr(GraftColumnBridge.expression(arr)))
+
   def sign_lsh(vec: Column, numTables: Int, signBits: Int, dim: Int): Column =
     GraftColumnBridge.column(SignLshExpr(
       GraftColumnBridge.expression(vec), numTables, signBits, dim))
