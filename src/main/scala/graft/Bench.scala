@@ -84,22 +84,29 @@ object Bench {
     * absolute cost), while every real compute regression this gate
     * exists for carried seconds of wall (r10 x68: 6.5 s / 133.7).
     *
-    * Compute rows gate on TASK CPU when the sample carries it
-    * (falling back to process CPU for legacy samples): process CPU
+    * Compute rows gate on TASK CPU when the sample carries it AND the
+    * reference was recorded in task CPU (`refIsTask`): process CPU
     * charges JVM background work — concurrent-GC threads, heap page
     * zeroing — to whichever entry is running, and on a driver-sized
     * (~90 GiB) heap that measured as DIFFERENT entries at 10× process
     * CPU per run with flat task CPU (the r10 x68 / r11 x77 "regressed
     * on identical code" shape). Task CPU is the query's own work; the
-    * gate flags the engine, not the JVM's housekeeping.
+    * gate flags the engine, not the JVM's housekeeping. When the
+    * reference file is a legacy process-CPU baseline, the CURRENT
+    * samples gate on process CPU too — comparing task CPU (structurally
+    * smaller) against a process-CPU reference would systematically
+    * under-detect during exactly the fresh-checkout fallback the
+    * legacy path exists for.
     */
   private[graft] def regressions(
       prev: Map[String, (Double, Double)],
       cur: Seq[(String, Option[Sample])],
       streaming: String => Boolean = _ => false,
       factor: Double = 3.0, floorCpu: Double = 2.0,
-      floorWall: Double = 1.0, floorWallCompute: Double = 0.5): Seq[String] = {
-    def effCpu(s: Sample): Double = if (s.taskCpu >= 0) s.taskCpu else s.cpu
+      floorWall: Double = 1.0, floorWallCompute: Double = 0.5,
+      refIsTask: Boolean = true): Seq[String] = {
+    def effCpu(s: Sample): Double =
+      if (refIsTask && s.taskCpu >= 0) s.taskCpu else s.cpu
     cur.collect {
       case (k, Some(s))
           if (if (streaming(k))
@@ -119,7 +126,7 @@ object Bench {
     */
   private[graft] def previousCpu(
       path: java.nio.file.Path, sfDir: String): Map[String, (Double, Double)] =
-    previousMetricsImpl(path, sfDir)
+    previousMetricsImpl(path, sfDir)._1
 
   /** Gate baseline with fallback: prefer the immediately-previous
     * sweep's `bench_detail.json`, but when that is missing (the detail
@@ -134,11 +141,15 @@ object Bench {
     * the regression passes silently ever after (exactly what happened
     * to the r11 baseline: the driver's flagged x77 sweep overwrote it).
     */
+  /** Returns (per-entry (wall, cpu) reference, whether that cpu is
+    * TASK cpu) — the flag keeps regressions() comparing like with
+    * like when the reference is a legacy process-CPU file.
+    */
   private[graft] def gateBaseline(
       detail: java.nio.file.Path, baseline: java.nio.file.Path,
-      sfDir: String): Map[String, (Double, Double)] = {
+      sfDir: String): (Map[String, (Double, Double)], Boolean) = {
     val cur = previousMetricsImpl(detail, sfDir, rejectTainted = true)
-    if (cur.nonEmpty) cur
+    if (cur._1.nonEmpty) cur
     else previousMetricsImpl(baseline, sfDir, rejectTainted = true)
   }
 
@@ -155,8 +166,8 @@ object Bench {
 
   private def previousMetricsImpl(
       path: java.nio.file.Path, sfDir: String,
-      rejectTainted: Boolean = false): Map[String, (Double, Double)] =
-    if (!java.nio.file.Files.exists(path)) Map.empty
+      rejectTainted: Boolean = false): (Map[String, (Double, Double)], Boolean) =
+    if (!java.nio.file.Files.exists(path)) (Map.empty, true)
     else try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper
       val root = mapper.readTree(java.nio.file.Files.readAllBytes(path))
@@ -164,20 +175,20 @@ object Bench {
       val sameSf = root.get("sf") != null && root.get("sf").asText == sfDir
       val tainted = rejectTainted &&
         root.get("regressed") != null && root.get("regressed").size > 0
-      if (entries == null || !sameSf || tainted) Map.empty
-      else entries.properties().asScala.collect {
+      // the task-cpu column landed with the r12 format; its presence
+      // decides which metric regressions() reads off CURRENT samples
+      val isTask = root.get("fmt") != null &&
+        root.get("fmt").asText.contains("task_cpu_s")
+      if (entries == null || !sameSf || tainted) (Map.empty, true)
+      else (entries.properties().asScala.collect {
         case e if e.getValue.isArray && e.getValue.size >= 2 =>
           val a = e.getValue
-          // prefer the task-cpu column (index 6, present since the r12
-          // format) as the gate's cpu reference — matches regressions()
-          // gating current samples on task cpu; legacy 4/6-column
-          // baselines fall back to process cpu
           val cpu =
-            if (a.size >= 7 && a.get(6).asDouble >= 0) a.get(6).asDouble
+            if (isTask && a.size >= 7 && a.get(6).asDouble >= 0) a.get(6).asDouble
             else a.get(1).asDouble
           e.getKey -> (a.get(0).asDouble, cpu)
-      }.toMap
-    } catch { case _: Throwable => Map.empty }
+      }.toMap, isTask)
+    } catch { case _: Throwable => (Map.empty, true) }
 
   /** `jitMs` is the delta of `CompilationMXBean.getTotalCompilationTime`
     * across the rep: bench `cpu` is PROCESS CPU and therefore charges
@@ -323,6 +334,19 @@ object Bench {
         if (e.taskMetrics != null)
           taskCpuNs.addAndGet(e.taskMetrics.executorCpuTime)
     })
+    // listener events arrive on an async bus; poll the counters until
+    // they hold still (two consecutive 20 ms reads) before sampling a
+    // rep boundary, bounded at ~400 ms — the public-API stand-in for
+    // the private listenerBus.waitUntilEmpty()
+    def settleListenerCounters(): Unit = {
+      var last = (taskCpuNs.get(), evictedBlocks.get())
+      var i = 0
+      while (i < 20) {
+        Thread.sleep(20)
+        val cur = (taskCpuNs.get(), evictedBlocks.get())
+        if (cur == last) i = 20 else { last = cur; i += 1 }
+      }
+    }
     def storageMb: Long =
       spark.sparkContext.statusTracker.getExecutorInfos
         .map(e => e.usedOnHeapStorageMemory + e.usedOffHeapStorageMemory)
@@ -334,6 +358,7 @@ object Bench {
     // sets it, so official sweeps always measure everything.
     val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // empty/comma-only value == no filter, not "measure nothing"
     def warmSelected(name: String): Boolean =
       warmOnly.forall(_.exists(name.startsWith))
 
@@ -385,14 +410,23 @@ object Bench {
       // query exactly that way)
       try fn(spark, sfDir).count() catch { case _: Throwable => }
       val samples = (1 to reps).flatMap { _ =>
+        settleListenerCounters()
         val w0 = System.nanoTime(); val c0 = processCpuNs
         val g0 = gcMillis; val j0 = jitMillis; val e0 = evictedBlocks.get()
         val t0 = taskCpuNs.get()
         try {
           fn(spark, sfDir).count()
-          Some(Sample((System.nanoTime() - w0) / 1e9,
-            if (c0 < 0) -1.0 else (processCpuNs - c0) / 1e9, gcMillis - g0,
-            if (j0 < 0) -1L else jitMillis - j0,
+          // wall/cpu/gc/jit close here; the listener-fed counters
+          // (taskCpu, evict) are read AFTER the async bus settles, so a
+          // heavy rep's tail events don't land in the next rep's delta
+          // (they feed the regression gate — misattribution there is a
+          // false flag). The settle wait is outside the wall window.
+          val wall = (System.nanoTime() - w0) / 1e9
+          val cpu = if (c0 < 0) -1.0 else (processCpuNs - c0) / 1e9
+          val gc = gcMillis - g0
+          val jit = if (j0 < 0) -1L else jitMillis - j0
+          settleListenerCounters()
+          Some(Sample(wall, cpu, gc, jit,
             evictedBlocks.get() - e0, storageMb,
             (taskCpuNs.get() - t0) / 1e9))
         } catch { case _: Throwable => None }
@@ -424,8 +458,9 @@ object Bench {
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
     val baselinePath =
       java.nio.file.Paths.get(s"bench_baseline_${sfSlug(sfDir)}.json").toAbsolutePath
-    val regressed = regressions(
-      gateBaseline(detailPath, baselinePath, sfDir), results, isStreaming)
+    val (gateRef, gateRefIsTask) = gateBaseline(detailPath, baselinePath, sfDir)
+    val regressed = regressions(gateRef, results, isStreaming,
+      refIsTask = gateRefIsTask)
     val detailJson = renderDetail(results, sfDir, reps, regressed).getBytes("UTF-8")
     // a filtered dev run never overwrites the reference files: a
     // partial entry set would stand the gate down for everything it

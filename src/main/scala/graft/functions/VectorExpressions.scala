@@ -340,8 +340,22 @@ case class SignLshExpr(child: Expression, numTables: Int, signBits: Int, dim: In
 
 /** All unordered element pairs of an array, in one native pass. */
 object PairOps {
+  // n(n-1)/2 must stay a sane in-row materialization: past ~46k
+  // elements the pair count overflows Int (NegativeArraySizeException)
+  // and well before that a single row holds 10⁹ structs. A basket
+  // this wide means upstream pruning failed — fail with the knob to
+  // turn, instead of an OOM or a silent negative-size crash. (The
+  // self-join shape this kernel replaced streamed such pathologies
+  // slowly; an explicit error is the honest contract for an IN-ROW
+  // expansion.)
+  private val MaxElems = 1 << 14 // 16384 → ≤ ~134M pairs per row
+
   def pairs(arr: ArrayData, et: DataType): ArrayData = {
     val n = arr.numElements()
+    if (n > MaxElems) throw new IllegalArgumentException(
+      s"array_pairs: input has $n elements (> $MaxElems); an in-row " +
+        "pair expansion this wide means upstream pruning (e.g. " +
+        "Cooccur minSupport) is too weak — raise it, or pre-split the group")
     val out = new Array[AnyRef](n * (n - 1) / 2)
     var idx = 0
     var i = 0

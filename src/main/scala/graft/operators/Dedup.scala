@@ -689,10 +689,13 @@ object Dedup {
     * implementation (the x06/x08 oracle goldens are produced by a
     * from-spec Python reimplementation in tools/golden_ext.py).
     */
-  private[operators] def rademacherPlanes(signBits: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(signBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
+  private[operators] def rademacherPlanes(signBits: Int, dim: Int): Array[Array[Double]] =
+    // single implementation of the seed-42 schedule (r12: delegates to
+    // the native kernel's cache) — the data-side sign_lsh buckets and
+    // the driver-side query signature (Similarity.signatureOf) MUST
+    // come from the same plane matrix, or LSH probes scan the wrong
+    // buckets; one source of truth makes desynchronization impossible
+    graft.functions.SignLshOps.planes(signBits, dim)
 
   /** Cosine similarity of two float-array columns — native codegen'd
     * expression ([[graft.functions.VecCosineExpr]]): primitive

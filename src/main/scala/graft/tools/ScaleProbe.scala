@@ -172,8 +172,15 @@ object ScaleProbe {
       // fixture measuring the wrong thing, caught by its own output
       // column.)
       time("frequent_pairs", k, dRows) {
+        // copy-scoped basket id: (copy index, within-copy doc group) —
+        // a bare doc_id/4 only keeps copies apart when nDocs % 4 == 0;
+        // for any other corpus the basket at a copy boundary mixes
+        // namespaces and supports stop being k-invariant (the fixture
+        // failure mode documented above, guarded by construction here)
+        val copyBaskets = lit((nDocs + 3) / 4)
         val baskets = docs.select(
-          (col("doc_id") / 4).cast("long").as("bk"),
+          ((col("doc_id") / lit(nDocs)).cast("long") * copyBaskets +
+            ((col("doc_id") % lit(nDocs)) / 4).cast("long")).as("bk"),
           concat((col("doc_id") / lit(nDocs)).cast("long").cast("string"),
             lit(":"), substring(col("text"), 1, 1)).as("item"))
         graft.operators.Cooccur.frequentPairs(

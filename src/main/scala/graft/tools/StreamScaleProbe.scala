@@ -101,9 +101,11 @@ object StreamScaleProbe {
             (col("ts") + expr(s"INTERVAL ${i * shiftDays} DAYS")).as("ts"),
             col("user_id"))
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part under $tmp"))
+        val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) { s =>
+          s.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part under $tmp"))
+        }
         java.nio.file.Files.move(part, dir.resolve(f"epoch_$i%03d.parquet"))
       }
       val prog = runDedup(dir.toString, "10 minutes")

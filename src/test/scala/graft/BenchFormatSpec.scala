@@ -104,6 +104,12 @@ class BenchFormatSpec extends AnyFunSuite {
     val prevAll = prev ++ Map(
       "q30" -> (0.19, 0.49), "x36" -> (0.7, 5.0), "x40" -> (1.0, 5.0))
     assert(Bench.regressions(prevAll, cur) == Seq("x68", "x40"))
+    // legacy process-CPU reference (pre-task_cpu baseline file): the
+    // CURRENT samples must gate on process cpu too — comparing task
+    // cpu (structurally smaller) against a process-cpu reference would
+    // systematically under-detect during the fallback
+    assert(Bench.regressions(prevAll, cur, refIsTask = false) ==
+      Seq("x68", "x36", "x40"))
     assert(Bench.regressions(Map.empty, cur).isEmpty)  // first run: no gate
   }
 
@@ -149,17 +155,17 @@ class BenchFormatSpec extends AnyFunSuite {
         Seq("x68" -> Some(Bench.Sample(1.0, cpu, 0L))), sf, 3).getBytes("UTF-8"))
     // detail present + same sf: it wins (cpu 19.1, not the baseline's 5.0)
     write(detail, "/t/sf0.1", 19.1); write(baseline, "/t/sf0.1", 5.0)
-    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x68" -> (1.0, 19.1)))
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1")._1 == Map("x68" -> (1.0, 19.1)))
     // detail overwritten by a different-sf smoke run: baseline takes over
     write(detail, "/t/sf0.001", 0.2)
-    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x68" -> (1.0, 5.0)))
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1")._1 == Map("x68" -> (1.0, 5.0)))
     // detail missing entirely (workspace restore drops the gitignored
     // file — the r11 session-start state): baseline still gates
     java.nio.file.Files.delete(detail)
-    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x68" -> (1.0, 5.0)))
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1")._1 == Map("x68" -> (1.0, 5.0)))
     // neither present: gate stands down
     java.nio.file.Files.delete(baseline)
-    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1").isEmpty)
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1")._1.isEmpty)
   }
 
   test("sf slug strips the path and keeps the sf name file-safe") {
@@ -184,11 +190,11 @@ class BenchFormatSpec extends AnyFunSuite {
     // detail flagged regressed (the r11 driver-sweep shape): the clean
     // baseline must gate, not the flagged values
     write(detail, 60.7, Seq("x77")); write(baseline, 2.1, Nil)
-    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1") == Map("x77" -> (1.0, 2.1)))
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1")._1 == Map("x77" -> (1.0, 2.1)))
     // both tainted (legacy: r11 committed the flagged sweep as the
     // baseline): stand down rather than gate against regressed values
     write(baseline, 60.7, Seq("x77"))
-    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1").isEmpty)
+    assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1")._1.isEmpty)
   }
 
   test("group triples sum only their own prefix") {
