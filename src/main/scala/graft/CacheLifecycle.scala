@@ -80,6 +80,15 @@ object CacheLifecycle {
     rdd
   }
 
+  /** Snapshot of the tracked DataFrames for `spark` — spec hook (the
+    * persist-stability invariant walks these across rebuilds).
+    */
+  def trackedFrames(spark: SparkSession): Seq[DataFrame] = {
+    val b = Seq.newBuilder[DataFrame]
+    tracked.forEach(df => if (df.sparkSession eq spark) b += df)
+    b.result()
+  }
+
   /** Tracked-entry count for `spark` — spec hook. */
   def trackedCount(spark: SparkSession): Int = {
     var n = 0

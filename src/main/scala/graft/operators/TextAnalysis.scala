@@ -218,38 +218,11 @@ object TextAnalysis {
     * of positions selected — the sparse local-similarity signal used
     * for plagiarism/copy detection at corpus scale.
     */
-  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val f = udf((raw: String) => {
-      if (raw == null) Array.empty[Long]
-      else {
-        val s = raw.trim.toLowerCase
-        val n = math.max(1, s.length - k + 1)
-        val hs = new Array[Long](n)
-        var i = 0
-        while (i < n) {                       // rolling k-gram hashes
-          var h = 0xcbf29ce484222325L
-          var j = i
-          val end = math.min(s.length, i + k)
-          while (j < end) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
-          h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-          hs(i) = h
-          i += 1
-        }
-        val out = scala.collection.mutable.LinkedHashSet[Long]()
-        var start = 0
-        while (start <= n - math.min(w, n)) { // min of each hash window
-          var m = Long.MaxValue
-          var j = start
-          val end = math.min(n, start + w)
-          while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
-          out += m
-          start += 1
-        }
-        out.toArray
-      }
-    })
-    f(text)
-  }
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    // native canonicalization-stable kernel: the pre-r13 method-local
+    // UDF captured (k, w), so x17's persisted fingerprint frame could
+    // never serve a rebuilt plan (see WinnowingOps scaladoc)
+    graft.functions.TextFunctions.winnowing_fingerprints(text, k, w)
 
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram LM — the CCNet perplexity-quality signal (Wenzek 2020

@@ -1,0 +1,77 @@
+package graft
+
+/** Structural invariant closing the capturing-UDF persist trap
+  * (r12's root-caused ghost class; r13 finding: x17's winnowing UDF
+  * was a live instance the per-site audit missed).
+  *
+  * The contract: every subtree an operator hands to
+  * `CacheLifecycle.persist` must canonicalize STABLE — a second build
+  * of the same entry must produce a `sameResult` plan for the same
+  * subtree. Spark's CacheManager matches cached frames by
+  * `sameResult` on the analyzed plan, and the bench rebuilds every
+  * entry's DataFrame per rep: a persisted subtree that is NOT
+  * sameResult across builds (a method-local `udf(...)` capturing its
+  * parameters makes every invocation a fresh, canonically-unique
+  * closure) can never serve reps 2+, so each rep silently recomputes
+  * the scan AND registers an unmatchable twin cache entry. This spec
+  * turns that from a per-site audit into a suite-enforced invariant
+  * over the WHOLE entry surface.
+  *
+  * Streaming entries are excluded: they persist nothing through
+  * CacheLifecycle (asserted below, so the exclusion self-expires if
+  * one ever starts).
+  */
+class PersistStabilitySpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // same classifier as Bench.isStreaming
+  private def isStreaming(name: String): Boolean =
+    name.contains("streaming") ||
+      Set("x93_session_window", "x95_tws_sessionize", "x99_tws_bootstrap")(name)
+
+  test("every CacheLifecycle-persisted subtree is sameResult across rebuilds") {
+    // Model the bench exactly: reps rebuild the entry WITHOUT a
+    // release in between (release runs at group boundaries only). So
+    // build twice back-to-back; a memo-stabilized entry hands build 2
+    // the IDENTICAL frames (zero new tracked objects — fine), and a
+    // plain per-invocation persist must produce a subtree that
+    // sameResult-matches a build-1 frame, or rep 2 can never serve
+    // from rep 1's cache. (Releasing between the builds would be the
+    // WRONG model: it evicts the pipeline memos, whose rebuilt branch
+    // caches sit on fresh LogicalRDDs that are never sameResult — a
+    // situation the bench's reps never see.)
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+    for ((name, fn) <- entries) {
+      CacheLifecycle.release(spark)
+      spark.catalog.clearCache()
+      fn(spark, dir)
+      val t1 = CacheLifecycle.trackedFrames(spark)
+      // the second (rep-2-shaped) build runs only for entries that
+      // persist at all, so the streaming family — whose wall is a
+      // StreamingQuery lifecycle constant — pays it only where it
+      // matters (x99's persisted batch bootstrap frame)
+      if (t1.nonEmpty) {
+        val p1 = t1.map(_.queryExecution.analyzed)
+        fn(spark, dir)
+        val fresh = CacheLifecycle.trackedFrames(spark)
+          .filterNot(f2 => t1.exists(_ eq f2))
+        fresh.foreach { f2 =>
+          val a2 = f2.queryExecution.analyzed
+          if (!p1.exists(_.sameResult(a2)))
+            offenders += s"$name: a subtree persisted by build 2 matches " +
+              s"nothing build 1 persisted — rep 2+ recomputes it and " +
+              s"registers an unmatchable twin (capturing UDF / unstable " +
+              s"canonicalization?):\n${a2.treeString.linesIterator.take(8).mkString("\n")}"
+        }
+      }
+    }
+    CacheLifecycle.release(spark)
+    spark.catalog.clearCache()
+    assert(offenders.isEmpty,
+      s"${offenders.size} unstable persisted subtree(s):\n\n" +
+        offenders.mkString("\n\n"))
+  }
+
+}

@@ -57,6 +57,36 @@ class StableKernelsSpec extends SparkTestBase {
     out
   }
 
+  // independent reference: the r12 winnowing UDF body, verbatim
+  private def refWinnowing(raw: String, k: Int, w: Int): Array[Long] =
+    if (raw == null) Array.empty[Long]
+    else {
+      val s = raw.trim.toLowerCase
+      val n = math.max(1, s.length - k + 1)
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        val end = math.min(s.length, i + k)
+        while (j < end) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+        h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+        hs(i) = h
+        i += 1
+      }
+      val out = scala.collection.mutable.LinkedHashSet[Long]()
+      var start = 0
+      while (start <= n - math.min(w, n)) {
+        var m = Long.MaxValue
+        var j = start
+        val end = math.min(n, start + w)
+        while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+        out += m
+        start += 1
+      }
+      out.toArray
+    }
+
   test("shingle_hashes is bit-identical to the UDF it replaced") {
     val texts = Seq("the quick brown fox", "abc", "ab", "", "   padded   ",
       "\tabc\n", "a", "xy" * 40, null)
@@ -66,6 +96,40 @@ class StableKernelsSpec extends SparkTestBase {
     texts.zip(got).foreach { case (t, h) =>
       assert(h.sameElements(refShingles(t, 5)), s"mismatch on '$t'")
     }
+  }
+
+  test("winnowing_fingerprints is bit-identical to the UDF it replaced") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog", "abc",
+      "ab", "", "   padded   ", "\tabc\ndef\r", "a", "xy" * 60,
+      "repeat repeat repeat repeat repeat", null)
+    for ((k, w) <- Seq((8, 4), (5, 3), (4, 8), (1, 1))) {
+      val got = texts.toDF("t")
+        .select(TextFunctions.winnowing_fingerprints(col("t"), k, w).as("f"))
+        .collect().map(r => r.getSeq[Long](0).toArray)
+      texts.zip(got).foreach { case (t, f) =>
+        assert(f.sameElements(refWinnowing(t, k, w)),
+          s"mismatch on '$t' (k=$k, w=$w)")
+      }
+    }
+  }
+
+  test("winnowing invocations canonicalize equal and serve from cache") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def fpPlan() = docs.select(col("doc_id"),
+      explode(graft.operators.TextAnalysis
+        .winnowingFingerprints(col("text"))).as("fp"))
+    assert(fpPlan().queryExecution.analyzed
+      .sameResult(fpPlan().queryExecution.analyzed),
+      "two winnowing builds must be sameResult, or x17's persisted " +
+        "fingerprint frame can never serve a rebuilt bench rep")
+
+    spark.catalog.clearCache()
+    val first = fpPlan().persist()
+    first.count()
+    val reused = fpPlan().queryExecution.withCachedData.toString
+    assert(reused.contains("InMemoryRelation"),
+      s"second build must read the first build's cache:\n$reused")
+    first.unpersist()
   }
 
   test("sign_lsh is bit-identical to the planes-capturing UDF it replaced") {
