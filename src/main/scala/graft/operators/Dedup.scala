@@ -210,13 +210,21 @@ object Dedup {
     // a bytes-sized scan split under-parallelizes it (graft.Spread doc)
     val src = graft.Spread.ensure(
       df.select(col(idCol), col(textCol)), col(idCol))
-    // explicit repartition so census and probe share ONE exchange of
-    // the exploded stream (identical canonical plans → ReusedExchange)
+    // explicit repartition so census and probe read ONE __g-clustered
+    // copy of the exploded stream — persisted (r14): the ReusedExchange
+    // sharing covered the single execution, but every re-execution
+    // (bench rep, a second action on the result) re-tokenized the
+    // corpus; the cached frame is 16 bytes/row (id, hash), both
+    // consumers inherit its __g partitioning (no further exchange),
+    // and the plan is canonicalization-stable so rebuilt invocations
+    // serve from the same entry. At lake scale this is the span index
+    // a dedup run materializes anyway; MEMORY_AND_DISK spills it.
     val spans = src
       .select(col(idCol),
         explode(TextAnalysis.tokenNgrams(col(textCol), k)).as("__span"))
       .select(col(idCol), xxhash64(col("__span")).as("__g"))
       .repartition(col("__g"))
+      .transform(graft.CacheLifecycle.persist(_))
     // count(idCol), not count(*): ids are non-null so the census is
     // identical, but referencing idCol keeps column pruning from
     // narrowing this branch's exchange subtree below the probe's —
@@ -296,7 +304,18 @@ object Dedup {
       .groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") > 1)
       .select("__g")
-    pos.join(shared, Seq("__g"), "left_semi")
+    // persist the joined positions (r14): the semi-join output is
+    // bounded by the corpus's DUPLICATED positions — far below the
+    // gram stream — and it is the frame both callers re-execute over
+    // (x88's window+rollup, x97's per-doc span lists; in a sweep the
+    // second caller's identical subtree serves straight from the
+    // first's cache entry). Without it every re-execution paid BOTH
+    // tokenize passes again — the r13 driver sweep's x88 flag. __g is
+    // dropped before the persist: neither caller reads it, and the
+    // cached rows shrink to (id, start, end).
+    graft.CacheLifecycle.persist(
+      pos.join(shared, Seq("__g"), "left_semi")
+        .select(col(idCol), col("__start"), col("__end")))
   }
 
   def dupSpanCoverage(
@@ -811,26 +830,69 @@ object Dedup {
     * (the paper runs ~100k clusters for the same reason); a skewed
     * cell is an equi-join key, so AQE skew-split applies. The cell
     * assignment scan runs twice feeding the two join sides; the
-    * production path materializes the assignment once as a
-    * cell-partitioned layout ([[graft.sources.Layout]], the
-    * lshWrite/ivf pattern) and joins against that. NULL embeddings
-    * get a NULL cell: never paired, never dropped.
+    * production path ([[semDedupWrite]] + [[semDedupAssigned]], x101)
+    * materializes the assignment ONCE as a cell-partitioned layout
+    * ([[graft.sources.Layout]], the lshWrite/ivf pattern) and joins
+    * against that — the nondeterministic assign UDF then runs exactly
+    * once per vector at write time, and every later action (and both
+    * self-join sides) reads cell-clustered files instead of
+    * re-scoring the corpus. NULL embeddings get a NULL cell: never
+    * paired, never dropped.
     */
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
       tau: Double, nCells: Int = 16,
-      iters: Int = 3, trainN: Int = 256): DataFrame = {
+      iters: Int = 3, trainN: Int = 256): DataFrame =
+    semDedupAssigned(
+      semDedupCells(df, idCol, vecCol, nCells, iters, trainN),
+      idCol, vecCol, tau)
+
+  /** The deterministic-k-means cell assignment of [[semDedup]]:
+    * `(idCol, vecCol, cell)`. One scan; the assign UDF is
+    * `asNondeterministic` (anti-double-eval guard, like ivfPqEncode),
+    * which is exactly why the production path writes this frame out
+    * rather than embedding it in a twice-read plan.
+    */
+  private def semDedupCells(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int, trainN: Int): DataFrame = {
     val sample = Similarity.trainSample(df, idCol, vecCol, trainN)
     require(sample.length >= nCells,
       s"need at least nCells=$nCells training vectors, got ${sample.length}")
     val coarse = Similarity.kmeansCodebook(sample, nCells, iters)
-    // asNondeterministic: same anti-double-eval guard as ivfPqEncode
     val assign = udf((v: Seq[Float]) =>
       if (v == null) null
       else Integer.valueOf(
         Similarity.nearest(v.toArray.map(_.toDouble), coarse))
     ).asNondeterministic()
-    val cells = df.select(col(idCol), col(vecCol), assign(col(vecCol)).as("cell"))
+    df.select(col(idCol), col(vecCol), assign(col(vecCol)).as("cell"))
+  }
+
+  /** Assign cells and write the cell-partitioned embedding layout
+    * (hive `cell=` directories — the lshWrite/ivfWrite pattern). At
+    * 100 TB this one pass is the only time the coarse quantizer
+    * touches the corpus; dedup, re-dedup at a different tau, and
+    * single-cell probes (partition-pruned — PlanQualitySpec) all run
+    * against the layout.
+    */
+  def semDedupWrite(
+      df: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int = 16, iters: Int = 3, trainN: Int = 256): Unit =
+    graft.sources.Layout.writePartitioned(
+      semDedupCells(df, idCol, vecCol, nCells, iters, trainN),
+      path, Seq("cell"))
+
+  /** The [[semDedup]] keep rule over an already-assigned `(idCol,
+    * vecCol, cell)` frame — typically `spark.read.parquet` of a
+    * [[semDedupWrite]] layout. Same join, same drop rule, same output
+    * contract as [[semDedup]] (x101 pins the layout round-trip against
+    * x70's golden); both self-join sides scan the same cell-clustered
+    * files, and the assignment cost is whatever the caller already
+    * paid — zero here.
+    */
+  def semDedupAssigned(
+      cells: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
     val a = cells.select(col("cell"), col(idCol).as("__a"), col(vecCol).as("__va"))
     val b = cells.select(col("cell"), col(idCol).as("__b"), col(vecCol).as("__vb"))
     val droppedIds = a.join(b, Seq("cell"))

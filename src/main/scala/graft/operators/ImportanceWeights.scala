@@ -26,16 +26,27 @@ import org.apache.spark.sql.functions._
   * md5-order sampling), string-keyed so no hex→int conversion is
   * needed, B = 16^hexChars.
   *
-  * Scale shape: the two fits are two-phase `groupBy(bucket).count()`
-  * over codegen'd gram streams — duplicate mass collapses map-side and
-  * the exchange carries at most B rows per partition. The resulting
-  * B-row log-likelihood-ratio table BROADCASTS into the scoring scan,
-  * whose only wide exchange is the per-doc rollup on the unique doc id
-  * (cannot skew). The raw corpus streams twice (fit + score), the
-  * target once; nothing corpus-sized is shuffled or persisted. At
-  * 100 TB the raw fit can run on a hash sample of the corpus (bucket
-  * frequencies saturate long before full coverage) without changing
-  * the scoring contract — the LUT is the only coupling.
+  * Scale shape (r14): the corpus explodes ONCE into a per-document
+  * bucket census `(doc, bucket, n)` — duplicate grams within a doc
+  * collapse map-side, so the one wide exchange carries at most
+  * docs × min(grams/doc, B) rows, a fraction of the gram stream — and
+  * that frame is `CacheLifecycle.persist`ed because BOTH downstream
+  * consumers read it: the corpus-wide bucket fit (a second, tiny
+  * `groupBy(bucket)` whose exchange carries ≤ B rows per partition)
+  * and the scoring rollup. Without the materialization Spark computes
+  * the explode subtree once per consumer — the pre-r14 shape paid the
+  * tokenize + md5 stream twice per execution, and it was the engine's
+  * hottest per-rep recompute (x69's r13 driver flag). The B-row
+  * log-likelihood-ratio table BROADCASTS into the scoring pass, whose
+  * per-doc weight is now `Σ_bucket llr(bucket) · n` over the census —
+  * same algebra, gram-instance loop replaced by a bucket loop. The
+  * target fit streams the target corpus once; nothing gram-instance-
+  * sized is shuffled or persisted. At 100 TB the per-doc census is the
+  * natural materialization unit (it is what a curation run stores
+  * anyway); MEMORY_AND_DISK spills it rather than recomputing, and the
+  * raw fit can run on a hash sample of the corpus (bucket frequencies
+  * saturate long before full coverage) without changing the scoring
+  * contract — the LUT is the only coupling.
   */
 object ImportanceWeights {
 
@@ -70,6 +81,39 @@ object ImportanceWeights {
       .groupBy("bucket")
       .agg(count(lit(1)).cast("double").as("c"))
 
+  /** Per-document bucket census `(idCol, [extra cols], bucket, __n)` —
+    * the materialized middle of [[weights]]/[[weightsWithin]]: one
+    * gram explosion, duplicate grams per doc collapsed into exact
+    * integer counts (doubles for downstream float algebra; integers
+    * are exact in IEEE double far past any real gram count, so the
+    * bucket fit summing `__n` is bit-identical to counting instances).
+    * Persisted via [[graft.CacheLifecycle]] — two consumers (fit +
+    * scoring) read it, and the plan is canonicalization-stable (pure
+    * built-in expressions), so a rebuilt invocation serves from the
+    * same cache entry (PersistStabilitySpec's invariant).
+    */
+  private def docBucketCounts(
+      src: DataFrame, idCol: String, textCol: String, hexChars: Int,
+      extra: Seq[String]): DataFrame = {
+    val keys = (idCol +: extra).map(col)
+    graft.CacheLifecycle.persist(
+      graft.Spread.ensure(src, col(idCol))
+        .select(keys :+ explode(gramInstances(col(textCol))).as("__gram"): _*)
+        .select(keys :+ bucketOf(col("__gram"), hexChars).as("bucket"): _*)
+        .groupBy(keys :+ col("bucket"): _*)
+        .agg(count(lit(1)).cast("double").as("__n")))
+  }
+
+  /** Shared scoring pass: broadcast the B-row LUT into the census and
+    * roll up `Σ llr · n` per doc. Both public paths score through this
+    * one shape, so their weights stay arithmetically identical on the
+    * slice-of-corpus case (ExtOpsSpec pins it).
+    */
+  private def score(percell: DataFrame, lut: DataFrame, idCol: String): DataFrame =
+    percell.join(broadcast(lut), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("llr") * col("__n")).as("weight"))
+
   /** Per-document importance weight of every `corpus` doc against the
     * `target` slice: (idCol, weight). Smoothing-constant arithmetic is
     * kept in the exact literal shape `(c+1)/(tot+B)` so an independent
@@ -79,8 +123,9 @@ object ImportanceWeights {
       corpus: DataFrame, target: DataFrame,
       idCol: String, textCol: String, hexChars: Int = 3): DataFrame = {
     val b = math.pow(16.0, hexChars)
-    val raw = fit(corpus, textCol, hexChars)
-      .withColumnRenamed("c", "cr")
+    val percell = docBucketCounts(
+      corpus.select(col(idCol), col(textCol)), idCol, textCol, hexChars, Nil)
+    val raw = percell.groupBy("bucket").agg(sum(col("__n")).as("cr"))
     val tgt = fit(target, textCol, hexChars)
       .withColumnRenamed("c", "ct")
     // one-row totals, broadcast like Bm25's corpus stats — the cross
@@ -97,50 +142,41 @@ object ImportanceWeights {
         (log((coalesce(col("ct"), lit(0.0)) + lit(1.0)) / (col("tt") + lit(b))) -
          log((coalesce(col("cr"), lit(0.0)) + lit(1.0)) / (col("rt") + lit(b))))
           .as("llr"))
-    // keyed spread: the explode and broadcast join are row-local, so
-    // the id clustering survives to the rollup — when the guard fires,
-    // its exchange REPLACES the rollup's rather than adding one
-    graft.Spread.ensure(corpus.select(col(idCol), col(textCol)), col(idCol))
-      .select(col(idCol), explode(gramInstances(col(textCol))).as("__gram"))
-      .select(col(idCol), bucketOf(col("__gram"), hexChars).as("bucket"))
-      .join(broadcast(lut), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(sum(col("llr")).as("weight"))
+    score(percell, lut, idCol)
   }
 
   /** [[weights]] specialized for the common deployment where the
     * target is a SLICE of the corpus (`targetCond`, e.g.
-    * `lang = 'en'`): both bucket censuses come out of ONE gram
-    * explosion — each census row carries a conditional count — instead
-    * of two separate fit passes over overlapping data. Same counts,
-    * same smoothing-literal arithmetic, bit-identical weights (x69
-    * pins it against the two-pass oracle); one third of the explode
-    * work at any scale. A bucket with no target grams counts ct = 0
-    * directly, which equals the general path's
-    * `coalesce(null, 0)` for a bucket absent from the target fit.
+    * `lang = 'en'`): both bucket censuses come out of the ONE
+    * persisted per-doc census — each bucket row carries a conditional
+    * count — instead of a separate target fit pass over overlapping
+    * data. Same counts, same smoothing-literal arithmetic, same
+    * `Σ llr · n` scoring as the general path (ExtOpsSpec pins
+    * equality to libm-ulp tolerance; the exact-bit guarantee of the
+    * pre-r14 twin-explode shape died with the per-instance sum, whose
+    * float addition order the grouped census does not reproduce). A
+    * bucket with no target grams counts ct = 0 directly, which equals
+    * the general path's `coalesce(null, 0)` for a bucket absent from
+    * the target fit.
     */
   def weightsWithin(
       corpus: DataFrame, targetCond: Column,
       idCol: String, textCol: String, hexChars: Int = 3): DataFrame = {
     val b = math.pow(16.0, hexChars)
-    val census = graft.Spread.ensure(
-        corpus.select(col(textCol), targetCond.as("__t")))
-      .select(col("__t"), explode(gramInstances(col(textCol))).as("__gram"))
-      .select(col("__t"), bucketOf(col("__gram"), hexChars).as("bucket"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).cast("double").as("cr"),
-        sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).cast("double").as("ct"))
+    // the target flag rides the census as a grouping key (constant per
+    // doc, so the (id, bucket) cells and their counts are unchanged)
+    val percell = docBucketCounts(
+      corpus.select(col(idCol), col(textCol), targetCond.as("__t")),
+      idCol, textCol, hexChars, Seq("__t"))
+    val census = percell.groupBy("bucket")
+      .agg(sum(col("__n")).as("cr"),
+        sum(when(col("__t"), col("__n")).otherwise(lit(0.0))).as("ct"))
     val tots = census.agg(sum(col("cr")).as("rt"), sum(col("ct")).as("tt"))
     val lut = census.crossJoin(broadcast(tots))
       .select(col("bucket"),
         (log((col("ct") + lit(1.0)) / (col("tt") + lit(b))) -
          log((col("cr") + lit(1.0)) / (col("rt") + lit(b))))
           .as("llr"))
-    graft.Spread.ensure(corpus.select(col(idCol), col(textCol)), col(idCol))
-      .select(col(idCol), explode(gramInstances(col(textCol))).as("__gram"))
-      .select(col(idCol), bucketOf(col("__gram"), hexChars).as("bucket"))
-      .join(broadcast(lut), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(sum(col("llr")).as("weight"))
+    score(percell.select(col(idCol), col("bucket"), col("__n")), lut, idCol)
   }
 }

@@ -151,6 +151,9 @@ object ExtQueries {
   private val lshLayoutCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  private val semDedupLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   private def minhashCands(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s, d),
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
@@ -1951,22 +1954,26 @@ object ExtQueries {
       |                 FOR i IN range(1, greatest(len(t), 2))]) AS gram
       |  FROM tok),
       |b AS (SELECT doc_id, lang, substr(md5(gram), 1, 3) AS bucket FROM g),
-      |rawc AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS cr FROM b GROUP BY bucket),
-      |tgtc AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS ct
-      |  FROM b WHERE lang = 'en' GROUP BY bucket),
+      |pc AS (SELECT doc_id, lang, bucket, CAST(count(*) AS DOUBLE) AS n
+      |  FROM b GROUP BY doc_id, lang, bucket),
+      |rawc AS (SELECT bucket, sum(n) AS cr FROM pc GROUP BY bucket),
+      |tgtc AS (SELECT bucket, sum(n) AS ct
+      |  FROM pc WHERE lang = 'en' GROUP BY bucket),
       |tots AS (SELECT (SELECT sum(cr) FROM rawc) AS rt, (SELECT sum(ct) FROM tgtc) AS tt),
       |lut AS (SELECT r.bucket,
       |    ln((coalesce(t.ct, 0.0) + 1.0) / (tots.tt + 4096.0))
       |      - ln((r.cr + 1.0) / (tots.rt + 4096.0)) AS llr
       |  FROM rawc r LEFT JOIN tgtc t USING (bucket) CROSS JOIN tots)
-      |SELECT b.doc_id, round(sum(lut.llr), 4) AS weight
-      |FROM b JOIN lut USING (bucket)
-      |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |SELECT pc.doc_id, round(sum(lut.llr * pc.n), 4) AS weight
+      |FROM pc JOIN lut USING (bucket)
+      |GROUP BY pc.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.operators.ImportanceWeights
     val docs = Tables.documents(s, d)
     // target = a slice of the corpus → single-census specialization
-    // (one gram explosion serves both bucket censuses; the general
-    // two-corpus `weights` stays for disjoint target corpora)
+    // (the ONE persisted per-doc bucket census serves both bucket
+    // fits AND the Σ llr·n scoring rollup — the oracle mirrors the
+    // same grouped algebra; the general two-corpus `weights` stays
+    // for disjoint target corpora)
     ImportanceWeights.weightsWithin(docs, col("lang") === "en",
         "doc_id", "text", hexChars = 3)
       .select(col("doc_id"), round(col("weight"), 4).as("weight"))
@@ -1987,6 +1994,36 @@ object ExtQueries {
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
     Dedup.semDedup(
         Tables.embeddings(s, d).filter(col("embedding").isNotNull),
+        "vec_id", "embedding", tau = 0.3)
+      .orderBy("vec_id")
+  }
+
+  /** SemDeDup over the cell-partitioned LAYOUT — the 100 TB production
+    * path of x70 (the lshWrite/x36 pattern applied to semantic dedup):
+    * `semDedupWrite` scores the coarse quantizer over the corpus
+    * exactly once and hive-partitions the vectors by cell; the
+    * pairwise keep rule then self-joins the READ-BACK layout, so both
+    * join sides scan the same cell-clustered files, re-deduping at a
+    * different tau re-reads the layout instead of re-scoring, and the
+    * nondeterministic assign UDF can never double-evaluate (it ran at
+    * write time). Write-once probe-many: the dir memo mirrors
+    * x36's. Identical parameters to x70 ⇒ identical cells and drops ⇒
+    * same golden; PlanQualitySpec pins the single-cell
+    * partition-pruned read the layout exists for.
+    */
+  val x101_semdedup_layout: QuerySpec = duck("x101_semdedup_layout",
+    s"""SELECT vec_id, cell, kept FROM ${Goldens.valuesTable("x70_semdedup.tsv",
+         Seq("vec_id" -> "BIGINT", "cell" -> "INTEGER", "kept" -> "BOOLEAN"))}
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val dir = semDedupLayoutCache.getOrElseUpdate((s, d), {
+      val p = java.nio.file.Files.createTempDirectory("semdedup").toString + "/emb_by_cell"
+      Dedup.semDedupWrite(
+        Tables.embeddings(s, d).filter(col("embedding").isNotNull),
+        "vec_id", "embedding", p)
+      p
+    })
+    Dedup.semDedupAssigned(
+        s.read.parquet(dir).select("vec_id", "embedding", "cell"),
         "vec_id", "embedding", tau = 0.3)
       .orderBy("vec_id")
   }
@@ -3116,5 +3153,5 @@ object ExtQueries {
     x92_global_shuffle, x93_session_window, x94_rrf_fusion,
     x95_tws_sessionize, x96_streaming_sliding, x97_dup_span_removal,
     x98_streaming_dedup_within_wm, x99_tws_bootstrap,
-    x100_curation_pipeline)
+    x100_curation_pipeline, x101_semdedup_layout)
 }

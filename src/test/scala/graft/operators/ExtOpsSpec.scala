@@ -580,6 +580,35 @@ class ExtOpsSpec extends SparkTestBase {
       4L -> false, 5L -> true, 6L -> true))
   }
 
+  test("semDedup layout round-trip reproduces the inline result") {
+    // write-then-read through the cell-partitioned layout must give
+    // the same (cell, kept) verdicts as the inline path — same
+    // deterministic k-means, same keep rule, vectors and cells
+    // surviving the parquet round-trip bit-exactly. Null vectors are
+    // excluded on BOTH sides (the layout path's contract, like x101):
+    // hive-partitioned writes park cell=NULL rows in the default
+    // partition, which is a quarantine directory, not dedup input.
+    def v(xs: Float*): Array[Float] = xs.toArray
+    val rows = Seq(
+      (1L, v(1f, 0f, 0f, 0f)),
+      (2L, v(0.999f, 0.001f, 0f, 0f)),
+      (3L, v(0f, 0f, 1f, 0f)),
+      (4L, v(0f, 0.001f, 0.999f, 0f)),
+      (5L, v(0.7f, 0.7f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val inline = Dedup.semDedup(rows, "vec_id", "embedding",
+        tau = 0.95, nCells = 2, trainN = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("semdl").toString + "/emb"
+    Dedup.semDedupWrite(rows, "vec_id", "embedding", dir,
+      nCells = 2, trainN = 5)
+    val viaLayout = Dedup.semDedupAssigned(
+        spark.read.parquet(dir).select("vec_id", "embedding", "cell"),
+        "vec_id", "embedding", tau = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(viaLayout == inline, s"layout path diverged: $viaLayout vs $inline")
+  }
+
   test("DSIR weights rank target-like docs above off-target docs") {
     // target slice = "spark" docs; a raw doc about spark must out-score
     // a raw doc about cooking under the target-vs-raw likelihood ratio
@@ -596,12 +625,20 @@ class ExtOpsSpec extends SparkTestBase {
     assert(w(3) > w(5) && w(5) > w(4))
     // weights exist for every corpus doc, including the target slice
     assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L))
-    // the single-census slice specialization is BIT-identical to the
-    // general two-fit path on the filter-of-corpus case (x69 relies on
-    // this — its oracle was written against the two-fit arithmetic)
+    // the single-census slice specialization matches the general
+    // two-corpus path to libm-ulp tolerance on the filter-of-corpus
+    // case (same counts, same smoothing literals, same Σ llr·n
+    // algebra; only the float summation ORDER differs — the two
+    // censuses group on different key sets, so per-doc terms arrive
+    // in different partition orders). x69's oracle rounds to 4
+    // decimals for exactly this class of difference.
     val w1 = ImportanceWeights.weightsWithin(
         corpus, $"slice" === "t", "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(w1 == w, s"specialization diverged: $w1 vs $w")
+    assert(w1.keySet == w.keySet, s"specialization diverged: $w1 vs $w")
+    w.foreach { case (k, v) =>
+      assert(math.abs(w1(k) - v) < 1e-9,
+        s"specialization diverged at doc $k: ${w1(k)} vs $v")
+    }
   }
 }

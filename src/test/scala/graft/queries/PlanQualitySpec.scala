@@ -338,22 +338,36 @@ class PlanQualitySpec extends SparkTestBase {
     assert(pruned.count() > 0)
   }
 
-  test("duplicated-span census tokenizes ONCE — census reads the probe's exchange (reuse)") {
-    // r11 contract: the exploded span stream is hash-exchanged on the
-    // 64-bit span key exactly once, and the sharing census aggregates
-    // over a ReusedExchange of that shuffle instead of re-tokenizing
-    // the corpus (r10 ran three tokenize passes: census + probe +
-    // per-doc totals). Reuse only materializes in the AQE FINAL plan,
-    // so this pin executes first. Still: no window, no cartesian.
+  test("duplicated-span census tokenizes ONCE — census and probe read the cached span index") {
+    // r14 contract (supersedes the r11 ReusedExchange pin): the
+    // exploded span stream is hash-exchanged on the 64-bit span key
+    // once and PERSISTED; both consumers (sharing census + positional
+    // probe) read InMemoryTableScans of that one span index, so the
+    // corpus is tokenized exactly once per cache lifetime — including
+    // across re-executions, which the exchange-reuse shape did not
+    // cover (it re-tokenized every action; the r13 driver sweep's x88
+    // family flag). Cache replacement only lands in the AQE FINAL
+    // plan, so this pin executes first. Still: no window, no
+    // cartesian.
     val df = ExtQueries.x68_dup_spans.run(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    val initIdx = plan.indexOf("== Initial Plan ==")
+    // cut at the LAST initial marker — the outer plan's own "Initial
+    // Plan" section prints after everything else, while the cached
+    // span index prints nested Final/Initial sections of its own
+    // whose first marker would truncate the census branch away
+    val initIdx = plan.lastIndexOf("== Initial Plan ==")
     val finalPlan = plan.substring(plan.indexOf("== Final Plan ==").max(0),
       if (initIdx >= 0) initIdx else plan.length)
-    assert(finalPlan.contains("ReusedExchange"), finalPlan)
-    assert("Generate".r.findAllIn(finalPlan).size == 1,
-      s"expected exactly one tokenize Generate in the final plan:\n$finalPlan")
+    assert("InMemoryTableScan".r.findAllIn(finalPlan).size >= 2,
+      s"expected census AND probe to scan the cached span index:\n$finalPlan")
+    // every tokenize Generate must live INSIDE the cached relation's
+    // plan printout — the consuming plan's own operators (everything
+    // before the first InMemoryRelation block) must not re-tokenize
+    val topLevel = finalPlan.substring(0,
+      finalPlan.indexOf("InMemoryRelation").max(0))
+    assert(!topLevel.contains("Generate"),
+      s"tokenize Generate outside the cached span index:\n$finalPlan")
     assert(!finalPlan.contains("Window"), finalPlan)
     assert(!finalPlan.contains("CartesianProduct"), finalPlan)
     // the per-doc rollup (n_spans + dup_spans in ONE aggregate) is
@@ -372,6 +386,36 @@ class PlanQualitySpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("semDedup layout: single-cell probe reads ONE hive partition; keep rule stays equi") {
+    // the point of semDedupWrite's cell-partitioned layout (x101): a
+    // probe of one cell must prune to one `cell=` directory at the
+    // scan (the ivfProbe proof applied to semantic dedup), and the
+    // layout-backed keep rule must plan the same equi-join shape as
+    // the inline path — never a cross/NLJ pairing
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("semdl").toString + "/emb_by_cell"
+    Dedup.semDedupWrite(
+      Tables.embeddings(spark, sfDir).filter(col("embedding").isNotNull),
+      "vec_id", "embedding", dir, nCells = 8)
+    val layout = spark.read.parquet(dir)
+
+    val probed = layout.filter(col("cell") === lit(0))
+    assert(probed.collect().nonEmpty)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = probed.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val partitionsRead = scans.map(_.metrics("numPartitions").value).sum
+    assert(partitionsRead == 1,
+      s"expected 1 hive partition read, got $partitionsRead")
+
+    val keepPlan = Dedup.semDedupAssigned(layout, "vec_id", "embedding", tau = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!keepPlan.contains("CartesianProduct") &&
+      !keepPlan.contains("BroadcastNestedLoopJoin"), keepPlan)
   }
 
   test("kmv/cms sketch aggregates are two-phase ObjectHashAggregate (bounded partials cross the shuffle)") {
@@ -435,10 +479,21 @@ class PlanQualitySpec extends SparkTestBase {
       .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-    val df = graft.operators.Cooccur.frequentPairs(items, "ok", "item", 200)
+    // minSupport = 2, NOT a value that filters everything out: the
+    // pair census is persisted (r14), so an empty filtered result
+    // gives AQE a 0-row cached relation and the whole final plan
+    // collapses to EmptyRelation — a degenerate input proves nothing
+    // about the expansion shape (the pre-r14 in-stage filter hid the
+    // emptiness from AQE, which is the only reason the old threshold
+    // appeared to work).
+    val df = graft.operators.Cooccur.frequentPairs(items, "ok", "item", 2)
     df.collect() // finalize AQE: assertions must read runtime decisions
     // AdaptiveSparkPlan.toString prints BOTH "== Final Plan ==" and
-    // "== Initial Plan ==" — only the final section is what ran
+    // "== Initial Plan ==" — only the final section is what ran. The
+    // head cut lands at the FIRST initial marker (the persisted pair
+    // census prints its own adaptive sections), which still covers
+    // the outer final plan plus the cached census's final plan —
+    // where the Generate expansion now lives.
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(plan.contains("isFinalPlan=true"), plan)
