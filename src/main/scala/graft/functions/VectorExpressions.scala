@@ -338,6 +338,201 @@ case class SignLshExpr(child: Expression, numTables: Int, signBits: Int, dim: In
     copy(child = newChild)
 }
 
+/** Product-quantization encode kernels — the only ANN passes that
+  * stream the full corpus (everything downstream reads m-int codes).
+  * The argmin math is copied verbatim from `Similarity.nearest`/
+  * `dist2` (strict `<`, first-index tie-break, x − codeword
+  * subtraction order, ragged vectors zero-padded to dim) so the
+  * x47/x48 goldens reproduce bit-for-bit; StableKernelsSpec pins the
+  * kernels against the replaced UDF bodies. Inputs are read as
+  * primitive `getFloat` off Tungsten arrays — the `udf((v:
+  * Seq[Float]) => ...)` encoders these replace boxed every element of
+  * every vector on the corpus-streaming pass, and (the r12 lesson)
+  * captured their trained codebooks in method-local closures, leaving
+  * the encode plans canonically unique per invocation.
+  */
+object PqOps {
+
+  private def padded(v: ArrayData, n: Int, i: Int): Double =
+    if (i < n) v.getFloat(i).toDouble else 0.0
+
+  /** Squared L2 from the (optionally residual) subvector at `off` to
+    * codeword `c`. `coarseRow == null` ⇒ plain PQ; otherwise the
+    * residual (x − centroid) is formed per dimension first, exactly
+    * like the UDF's precomputed residual array.
+    */
+  private def subDist2(
+      v: ArrayData, n: Int, off: Int, dsub: Int,
+      c: Array[Double], coarseRow: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < dsub) {
+      val idx = off + i
+      val xv = padded(v, n, idx)
+      val x = if (coarseRow == null) xv else xv - coarseRow(idx)
+      val d = x - c(i); s += d * d; i += 1
+    }
+    s
+  }
+
+  private def subNearest(
+      v: ArrayData, n: Int, off: Int, dsub: Int,
+      cb: Array[Array[Double]], coarseRow: Array[Double]): Int = {
+    var best = 0; var bestD = subDist2(v, n, off, dsub, cb(0), coarseRow)
+    var c = 1
+    while (c < cb.length) {
+      val dd = subDist2(v, n, off, dsub, cb(c), coarseRow)
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def cellDist2(v: ArrayData, n: Int, c: Array[Double], dim: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < dim) { val d = padded(v, n, i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Nearest coarse centroid of the zero-padded vector. */
+  def ivfCell(v: ArrayData, coarse: Array[Array[Double]], dim: Int): Int = {
+    val n = v.numElements()
+    var best = 0; var bestD = cellDist2(v, n, coarse(0), dim)
+    var c = 1
+    while (c < coarse.length) {
+      val dd = cellDist2(v, n, coarse(c), dim)
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Plain PQ code: per subspace, index of the nearest codeword. */
+  def pqCode(v: ArrayData, cbs: Array[Array[Array[Double]]], dim: Int): ArrayData = {
+    val m = cbs.length; val dsub = dim / m
+    val n = v.numElements()
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) { out(j) = subNearest(v, n, j * dsub, dsub, cbs(j), null); j += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** IVF-PQ residual code: nearest coarse cell selects the residual,
+    * then per-subspace nearest codeword of (x − centroid).
+    */
+  def ivfPqCode(
+      v: ArrayData, coarse: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]], dim: Int): ArrayData = {
+    val cell = ivfCell(v, coarse, dim)
+    val coarseRow = coarse(cell)
+    val m = cbs.length; val dsub = dim / m
+    val n = v.numElements()
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) { out(j) = subNearest(v, n, j * dsub, dsub, cbs(j), coarseRow); j += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `pq_encode(vec)`: m-int PQ code of a float vector. Codebooks are
+  * case-class parameters as immutable nested Seqs, so two invocations
+  * built from the same trained model canonicalize EQUAL (deep
+  * structural equality — an Array param would compare by reference
+  * and re-open the r12 capturing-closure trap at the expression
+  * layer); the eval path reads a converted primitive array.
+  */
+case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(codebooks.nonEmpty, "pq_encode needs at least one subspace codebook")
+  require(dim % codebooks.length == 0,
+    s"dim $dim not divisible by m=${codebooks.length} subspaces")
+  @transient private lazy val cbs: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqOps.pqCode(v.asInstanceOf[ArrayData], cbs, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", cbs, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqOps.pqCode($c, $ref, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `ivf_cell(vec)`: nearest coarse centroid index. Deterministic —
+  * pairs with [[IvfPqCodeExpr]] as two independent columns, so a
+  * pushed-down cell predicate re-evaluates only this cheap argmin
+  * (nCells·dim flops), never the full encode (the reason the UDF
+  * this replaces had to lie `asNondeterministic`: its single struct
+  * output made any pushdown replay the whole encode per row).
+  */
+case class IvfCellExpr(child: Expression, coarse: Seq[Seq[Double]], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(coarse.nonEmpty, "ivf_cell needs at least one centroid")
+  @transient private lazy val cc: Array[Array[Double]] = coarse.map(_.toArray).toArray
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivf_cell"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqOps.ivfCell(v.asInstanceOf[ArrayData], cc, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCoarse", cc, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqOps.ivfCell($c, $ref, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCellExpr =
+    copy(child = newChild)
+}
+
+/** `ivfpq_code(vec)`: residual PQ code against the vector's own
+  * nearest coarse cell (recomputed in-kernel — see [[IvfCellExpr]]
+  * for why cell and code are separate deterministic expressions).
+  */
+case class IvfPqCodeExpr(
+    child: Expression, coarse: Seq[Seq[Double]],
+    codebooks: Seq[Seq[Seq[Double]]], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(coarse.nonEmpty, "ivfpq_code needs at least one centroid")
+  require(codebooks.nonEmpty, "ivfpq_code needs at least one subspace codebook")
+  require(dim % codebooks.length == 0,
+    s"dim $dim not divisible by m=${codebooks.length} subspaces")
+  @transient private lazy val cc: Array[Array[Double]] = coarse.map(_.toArray).toArray
+  @transient private lazy val cbs: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivfpq_code"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqOps.ivfPqCode(v.asInstanceOf[ArrayData], cc, cbs, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCoarse", cc, "double[][]")
+    val cbRef = ctx.addReferenceObj("pqCodebooks", cbs, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PqOps.ivfPqCode($c, $cRef, $cbRef, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfPqCodeExpr =
+    copy(child = newChild)
+}
+
 /** All unordered element pairs of an array, in one native pass. */
 object PairOps {
   // n(n-1)/2 must stay a sane in-row materialization: past ~46k
@@ -448,6 +643,20 @@ object VectorFunctions {
 
   def sign_pack(v: Column): Column =
     GraftColumnBridge.column(SignPackExpr(GraftColumnBridge.expression(v)))
+
+  def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]], dim: Int): Column =
+    GraftColumnBridge.column(PqEncodeExpr(
+      GraftColumnBridge.expression(vec), codebooks, dim))
+
+  def ivf_cell(vec: Column, coarse: Seq[Seq[Double]], dim: Int): Column =
+    GraftColumnBridge.column(IvfCellExpr(
+      GraftColumnBridge.expression(vec), coarse, dim))
+
+  def ivfpq_code(
+      vec: Column, coarse: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], dim: Int): Column =
+    GraftColumnBridge.column(IvfPqCodeExpr(
+      GraftColumnBridge.expression(vec), coarse, codebooks, dim))
 
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo

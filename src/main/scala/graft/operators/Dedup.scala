@@ -849,9 +849,10 @@ object Dedup {
 
   /** The deterministic-k-means cell assignment of [[semDedup]]:
     * `(idCol, vecCol, cell)`. One scan; the assign UDF is
-    * `asNondeterministic` (anti-double-eval guard, like ivfPqEncode),
-    * which is exactly why the production path writes this frame out
-    * rather than embedding it in a twice-read plan.
+    * `asNondeterministic` (the anti-double-eval guard the pre-r14
+    * ivfPqEncode UDF also carried), which is exactly why the
+    * production path writes this frame out rather than embedding it
+    * in a twice-read plan.
     */
   private def semDedupCells(
       df: DataFrame, idCol: String, vecCol: String,

@@ -456,26 +456,21 @@ object Similarity {
     * subspace, the index of the nearest codeword. One distributed scan;
     * the code column is m ints per row instead of dim floats — at 100 TB
     * of float32x64 embeddings, a 32× storage cut that turns repeated
-    * ANN scoring into a page-cache-resident scan. Same per-row UDF
-    * trade as [[signSignature]] (the HOF form benchmarked ~10× slower).
+    * ANN scoring into a page-cache-resident scan. Native codegen
+    * kernel ([[graft.functions.PqEncodeExpr]], r14): the corpus-
+    * streaming pass reads floats as Tungsten primitives instead of
+    * boxing a Seq[Float] per row, and the codebook rides as a
+    * structurally-comparable case-class parameter, so encode plans
+    * from the same model canonicalize equal (the closure-capturing
+    * UDF this replaced was the same trap class as r12's signature
+    * builders). StableKernelsSpec pins bit-equality with the old UDF
+    * body and the sameResult property.
     */
   def pqEncode(
-      df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
-    val m = model.m; val dsub = model.dsub
-    val cbs = model.codebooks
-    val dim = model.dim
-    val enc = udf((v: Seq[Float]) => {
-      if (v == null) null
-      else {
-        // ragged (short) vectors zero-pad missing dims — total, never throws
-        val x = Array.tabulate(dim)(d => if (d < v.length) v(d).toDouble else 0.0)
-        Array.tabulate(m) { j =>
-          nearest(x.slice(j * dsub, (j + 1) * dsub), cbs(j))
-        }
-      }
-    })
-    df.select(col(idCol), enc(col(vecCol)).as("code"))
-  }
+      df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame =
+    df.select(col(idCol),
+      graft.functions.VectorFunctions.pq_encode(col(vecCol),
+        model.codebooks.map(_.map(_.toSeq).toSeq).toSeq, model.dim).as("code"))
 
   /** ADC (asymmetric distance) top-k over PQ codes: precompute the
     * m×k table of squared L2 distances from the query's subvectors to
@@ -546,27 +541,23 @@ object Similarity {
     */
   def ivfPqEncode(
       df: DataFrame, idCol: String, vecCol: String, model: IvfPqModel): DataFrame = {
-    val m = model.pq.m; val dsub = model.pq.dsub; val k = model.pq.k
-    val coarse = model.coarse; val cbs = model.pq.codebooks; val dim = model.dim
-    // asNondeterministic is a deliberate white lie: it stops the
-    // optimizer substituting the udf into a pushed-down cell filter,
-    // which would evaluate the full encode TWICE per row (once in the
-    // pushed predicate, once in the surviving projection)
-    val enc = udf((v: Seq[Float]) => {
-      if (v == null) null
-      else {
-        // ragged (short) vectors zero-pad missing dims — total, never throws
-        val x = Array.tabulate(dim)(d => if (d < v.length) v(d).toDouble else 0.0)
-        val cell = nearest(x, coarse)
-        val code = Array.tabulate(m) { j =>
-          val r = Array.tabulate(dsub)(d => x(j * dsub + d) - coarse(cell)(j * dsub + d))
-          nearest(r, cbs(j))
-        }
-        (cell, code)
-      }
-    }).asNondeterministic()
-    df.select(col(idCol), enc(col(vecCol)).as("enc"))
-      .select(col(idCol), col("enc._1").as("cell"), col("enc._2").as("code"))
+    // Two independent deterministic native kernels (r14), replacing
+    // one asNondeterministic struct UDF. The UDF needed its white lie
+    // because a pushed-down cell predicate would have replayed the
+    // WHOLE encode per row; with cell and code as separate
+    // expressions, pushing `cell IN (...)` into the scan re-evaluates
+    // only the cheap coarse argmin (nCells·dim flops) — and the
+    // expensive residual-code kernel then runs on the PRUNED rows
+    // only, which the nondeterminism barrier used to prevent. Same
+    // math, same bits (StableKernelsSpec pins both against the UDF
+    // body; the x48 golden is unchanged).
+    val coarse = model.coarse.map(_.toSeq).toSeq
+    val cbs = model.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    df.select(col(idCol),
+      graft.functions.VectorFunctions
+        .ivf_cell(col(vecCol), coarse, model.dim).as("cell"),
+      graft.functions.VectorFunctions
+        .ivfpq_code(col(vecCol), coarse, cbs, model.dim).as("code"))
   }
 
   /** The `nprobe` cells nearest the query, deterministically ordered

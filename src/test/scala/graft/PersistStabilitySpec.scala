@@ -17,18 +17,22 @@ package graft
   * turns that from a per-site audit into a suite-enforced invariant
   * over the WHOLE entry surface.
   *
-  * Streaming entries are excluded: they persist nothing through
-  * CacheLifecycle (asserted below, so the exclusion self-expires if
-  * one ever starts).
+  * There is NO streaming carve-out: the walk covers every entry, and
+  * any entry that persists nothing (most of the streaming family —
+  * their state lives in state stores, not CacheLifecycle) simply has
+  * nothing to check; one that does persist (x99's batch bootstrap
+  * frame) is held to the same invariant as the batch entries.
+  *
+  * Scale note (r14): the invariant is plan-structural, but constant
+  * folding can differ with data-dependent literals, so the walk was
+  * run once at sf0.1 (`PERSIST_SPEC_SF=/root/testdata/sf0.1`, r14:
+  * green, 0 offenders) to close the "stable at toy scale only"
+  * loophole; CI runs it at sf0.001 where the spec costs ~1 min.
   */
 class PersistStabilitySpec extends SparkTestBase {
 
-  private val dir = "/root/testdata/sf0.001"
-
-  // same classifier as Bench.isStreaming
-  private def isStreaming(name: String): Boolean =
-    name.contains("streaming") ||
-      Set("x93_session_window", "x95_tws_sessionize", "x99_tws_bootstrap")(name)
+  private val dir =
+    sys.env.getOrElse("PERSIST_SPEC_SF", "/root/testdata/sf0.001")
 
   test("every CacheLifecycle-persisted subtree is sameResult across rebuilds") {
     // Model the bench exactly: reps rebuild the entry WITHOUT a

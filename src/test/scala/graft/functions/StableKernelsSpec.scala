@@ -176,4 +176,122 @@ class StableKernelsSpec extends SparkTestBase {
       s"second build must read the first build's cache:\n$reused")
     first.unpersist()
   }
+
+  // ---- r14: the PQ encoders (the last corpus-streaming closure UDFs) ----
+
+  // independent reference: Similarity.nearest/dist2, verbatim
+  private def refNearest(x: Array[Double], cands: Array[Array[Double]]): Int = {
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var best = 0; var bestD = dist2(x, cands(0)); var c = 1
+    while (c < cands.length) {
+      val dd = dist2(x, cands(c))
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    best
+  }
+
+  // the replaced pqEncode UDF body, verbatim
+  private def refPqEncode(
+      v: Seq[Float], cbs: Array[Array[Array[Double]]],
+      dim: Int, m: Int, dsub: Int): Array[Int] =
+    if (v == null) null
+    else {
+      val x = Array.tabulate(dim)(d => if (d < v.length) v(d).toDouble else 0.0)
+      Array.tabulate(m)(j => refNearest(x.slice(j * dsub, (j + 1) * dsub), cbs(j)))
+    }
+
+  // the replaced ivfPqEncode UDF body, verbatim
+  private def refIvfPqEncode(
+      v: Seq[Float], coarse: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]],
+      dim: Int, m: Int, dsub: Int): (Integer, Array[Int]) =
+    if (v == null) (null, null)
+    else {
+      val x = Array.tabulate(dim)(d => if (d < v.length) v(d).toDouble else 0.0)
+      val cell = refNearest(x, coarse)
+      val code = Array.tabulate(m) { j =>
+        val r = Array.tabulate(dsub)(d => x(j * dsub + d) - coarse(cell)(j * dsub + d))
+        refNearest(r, cbs(j))
+      }
+      (cell, code)
+    }
+
+  test("pq_encode / ivf_cell / ivfpq_code are bit-identical to the UDFs they replaced") {
+    import graft.operators.Similarity
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Similarity.pqTrain(embs, "vec_id", "embedding", dim = 64, trainN = 64)
+    val ivfModel = Similarity.ivfPqTrain(embs, "vec_id", "embedding", dim = 64,
+      nCells = 4, trainN = 64)
+
+    // the real corpus, including its null embeddings, plus ragged and
+    // empty vectors (the zero-pad edge the UDFs were total over)
+    val odd = Seq(
+      (9001L, Array(0.5f, -2f, 3f)), (9002L, Array.empty[Float]),
+      (9003L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val input = embs.select("vec_id", "embedding").unionByName(odd)
+    val raw = input.collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Float](1)).orNull).toMap
+
+    val gotPq = Similarity.pqEncode(input, "vec_id", "embedding", model)
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Int](1)).map(_.toArray).orNull)
+    gotPq.foreach { case (id, code) =>
+      val ref = refPqEncode(raw(id), model.codebooks, model.dim, model.m, model.dsub)
+      assert((code == null && ref == null) || code.sameElements(ref),
+        s"pq_encode mismatch on vec $id")
+    }
+
+    val gotIvf = Similarity.ivfPqEncode(input, "vec_id", "embedding", ivfModel)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
+        if (r.isNullAt(2)) null else r.getSeq[Int](2).toArray))
+    gotIvf.foreach { case (id, cell, code) =>
+      val (refCell, refCode) = refIvfPqEncode(raw(id), ivfModel.coarse,
+        ivfModel.pq.codebooks, ivfModel.dim, ivfModel.pq.m, ivfModel.pq.dsub)
+      assert(cell == refCell, s"ivf_cell mismatch on vec $id: $cell vs $refCell")
+      assert((code == null && refCode == null) || code.sameElements(refCode),
+        s"ivfpq_code mismatch on vec $id")
+    }
+  }
+
+  test("encode plans from independently re-trained models canonicalize equal") {
+    import graft.operators.Similarity
+    // the bench-rep reality: each invocation re-trains its model, so
+    // cache serving needs VALUE equality of the codebook parameters
+    // across training runs (deterministic k-means guarantees equal
+    // values; the expressions carry them as nested Seqs so equal
+    // values compare equal — an Array param would compare by
+    // reference and silently break this)
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def encPlan() = {
+      val m = Similarity.pqTrain(embs, "vec_id", "embedding", dim = 64, trainN = 64)
+      Similarity.pqEncode(embs, "vec_id", "embedding", m)
+    }
+    assert(encPlan().queryExecution.analyzed
+      .sameResult(encPlan().queryExecution.analyzed),
+      "two pq-encode builds must be sameResult, or a persisted code " +
+        "frame can never serve a rebuilt plan")
+    def ivfPlan() = {
+      val m = Similarity.ivfPqTrain(embs, "vec_id", "embedding", dim = 64,
+        nCells = 4, trainN = 64)
+      Similarity.ivfPqEncode(embs, "vec_id", "embedding", m)
+    }
+    assert(ivfPlan().queryExecution.analyzed
+      .sameResult(ivfPlan().queryExecution.analyzed))
+
+    spark.catalog.clearCache()
+    val first = encPlan().persist()
+    first.count()
+    val reused = encPlan().queryExecution.withCachedData.toString
+    assert(reused.contains("InMemoryRelation"),
+      s"second build must read the first build's cache:\n$reused")
+    first.unpersist()
+  }
 }
