@@ -828,31 +828,46 @@ object Dedup {
     * Scale shape: the join key is the cell id, so the pairwise stage
     * costs Σ_c s_c² — bounded by choosing nCells ∝ corpus/targetCell
     * (the paper runs ~100k clusters for the same reason); a skewed
-    * cell is an equi-join key, so AQE skew-split applies. The cell
-    * assignment scan runs twice feeding the two join sides; the
+    * cell is an equi-join key, so AQE skew-split applies. The cells
+    * frame (native deterministic assign kernel, r14) is persisted —
+    * it feeds both join sides plus the kept-flag join, and assigns
+    * once per cache lifetime instead of three times per action. The
     * production path ([[semDedupWrite]] + [[semDedupAssigned]], x101)
-    * materializes the assignment ONCE as a cell-partitioned layout
-    * ([[graft.sources.Layout]], the lshWrite/ivf pattern) and joins
-    * against that — the nondeterministic assign UDF then runs exactly
-    * once per vector at write time, and every later action (and both
-    * self-join sides) reads cell-clustered files instead of
-    * re-scoring the corpus. NULL embeddings get a NULL cell: never
-    * paired, never dropped.
+    * goes further and materializes the assignment as a
+    * cell-partitioned layout ([[graft.sources.Layout]], the
+    * lshWrite/ivf pattern): the assignment runs exactly once per
+    * vector at write time, every later action (and both self-join
+    * sides) reads cell-clustered files instead of re-scoring the
+    * corpus, and single-cell probes partition-prune. NULL embeddings
+    * get a NULL cell: never paired, never dropped.
     */
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
       tau: Double, nCells: Int = 16,
       iters: Int = 3, trainN: Int = 256): DataFrame =
+    // persist: the cells frame feeds BOTH pairwise join sides and the
+    // final kept-flag join (three consumers — without it the assign
+    // scan runs three times per action), and since r14 the assignment
+    // is a deterministic canonicalization-stable kernel, so the cache
+    // serves rebuilds too. The layout path (semDedupWrite) does not
+    // persist: its one consumer is the write itself.
     semDedupAssigned(
-      semDedupCells(df, idCol, vecCol, nCells, iters, trainN),
+      graft.CacheLifecycle.persist(
+        semDedupCells(df, idCol, vecCol, nCells, iters, trainN)),
       idCol, vecCol, tau)
 
   /** The deterministic-k-means cell assignment of [[semDedup]]:
-    * `(idCol, vecCol, cell)`. One scan; the assign UDF is
-    * `asNondeterministic` (the anti-double-eval guard the pre-r14
-    * ivfPqEncode UDF also carried), which is exactly why the
-    * production path writes this frame out rather than embedding it
-    * in a twice-read plan.
+    * `(idCol, vecCol, cell)`. One scan through the native
+    * [[graft.functions.IvfCellExpr]] argmin kernel (r14 — it IS the
+    * nearest-cell assignment; the nondeterministic closure UDF it
+    * replaces was both the engine's last unstable-canonicalization
+    * assign and an optimizer barrier). Deterministic + structurally
+    * canonical, so the inline path can persist the thrice-consumed
+    * cells frame and re-deduping rebuilds serve from cache. Kernel
+    * semantics for RAGGED vectors zero-pad to the centroid dimension
+    * (the PQ-encoder convention — the old UDF was partial there,
+    * indexing past short centroids); equal-length vectors, i.e.
+    * every golden and every real corpus, assign identically.
     */
   private def semDedupCells(
       df: DataFrame, idCol: String, vecCol: String,
@@ -861,12 +876,9 @@ object Dedup {
     require(sample.length >= nCells,
       s"need at least nCells=$nCells training vectors, got ${sample.length}")
     val coarse = Similarity.kmeansCodebook(sample, nCells, iters)
-    val assign = udf((v: Seq[Float]) =>
-      if (v == null) null
-      else Integer.valueOf(
-        Similarity.nearest(v.toArray.map(_.toDouble), coarse))
-    ).asNondeterministic()
-    df.select(col(idCol), col(vecCol), assign(col(vecCol)).as("cell"))
+    df.select(col(idCol), col(vecCol),
+      graft.functions.VectorFunctions.ivf_cell(
+        col(vecCol), coarse.map(_.toSeq).toSeq, coarse(0).length).as("cell"))
   }
 
   /** Assign cells and write the cell-partitioned embedding layout
