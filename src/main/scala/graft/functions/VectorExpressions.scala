@@ -353,8 +353,14 @@ case class SignLshExpr(child: Expression, numTables: Int, signBits: Int, dim: In
   */
 object PqOps {
 
+  // null ELEMENTS read as 0.0 too, explicitly: UnsafeArrayData would
+  // return the zeroed value bits while GenericArrayData would throw —
+  // the isNullAt guard makes both paths agree, total, on the same
+  // convention as the out-of-range pad. (The replaced Seq[Float] UDFs
+  // NPEd on null elements; a corrupt row now encodes as if the
+  // missing dimension were 0, like a short vector.)
   private def padded(v: ArrayData, n: Int, i: Int): Double =
-    if (i < n) v.getFloat(i).toDouble else 0.0
+    if (i < n && !v.isNullAt(i)) v.getFloat(i).toDouble else 0.0
 
   /** Squared L2 from the (optionally residual) subvector at `off` to
     * codeword `c`. `coarseRow == null` ⇒ plain PQ; otherwise the
@@ -464,6 +470,14 @@ case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]], dim
     defineCodeGen(ctx, ev, c => s"graft.functions.PqOps.pqCode($c, $ref, $dim)")
   }
 
+  // plan strings print the codebook SHAPE, not its contents — at
+  // production sizes (100k+ codewords) every explain()/debug-log/
+  // assert-message stringification of a plan containing this
+  // expression would otherwise materialize MBs of doubles
+  override def flatArguments: Iterator[Any] = Iterator(child,
+    s"codebooks<${codebooks.length}x${codebooks.head.length}x${codebooks.head.head.length}>",
+    dim)
+
   override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
     copy(child = newChild)
 }
@@ -492,6 +506,10 @@ case class IvfCellExpr(child: Expression, coarse: Seq[Seq[Double]], dim: Int)
     val ref = ctx.addReferenceObj("ivfCoarse", cc, "double[][]")
     defineCodeGen(ctx, ev, c => s"graft.functions.PqOps.ivfCell($c, $ref, $dim)")
   }
+
+  // shape, not contents, in plan strings (see PqEncodeExpr)
+  override def flatArguments: Iterator[Any] = Iterator(child,
+    s"coarse<${coarse.length}x${coarse.head.length}>", dim)
 
   override protected def withNewChildInternal(newChild: Expression): IvfCellExpr =
     copy(child = newChild)
@@ -528,6 +546,12 @@ case class IvfPqCodeExpr(
     defineCodeGen(ctx, ev,
       c => s"graft.functions.PqOps.ivfPqCode($c, $cRef, $cbRef, $dim)")
   }
+
+  // shape, not contents, in plan strings (see PqEncodeExpr)
+  override def flatArguments: Iterator[Any] = Iterator(child,
+    s"coarse<${coarse.length}x${coarse.head.length}>",
+    s"codebooks<${codebooks.length}x${codebooks.head.length}x${codebooks.head.head.length}>",
+    dim)
 
   override protected def withNewChildInternal(newChild: Expression): IvfPqCodeExpr =
     copy(child = newChild)

@@ -189,11 +189,13 @@ object Dedup {
     * string (~50+ bytes): same 2⁻⁶⁴-collision argument as the MinHash
     * shingle hashing below. The tokenize+hash explosion — the dominant
     * CPU cost — runs ONCE: the span stream is hash-exchanged on the
-    * span key a single time and that exchange feeds BOTH the sharing
-    * census (`count(*)` per span — already clustered, so no second
-    * exchange) and the census join probe (ReusedExchange; r10's
-    * three-scan shape re-tokenized the corpus for the census AND for
-    * the per-doc span totals, tripling scan CPU at any scale). The
+    * span key a single time and PERSISTED (r14), and that one cached
+    * copy feeds BOTH the sharing census (`count(*)` per span —
+    * already clustered, so no second exchange) and the census join
+    * probe (r10's three-scan shape re-tokenized the corpus for the
+    * census AND for the per-doc span totals, tripling scan CPU at any
+    * scale; the r11-r13 ReusedExchange shape shared the single
+    * execution but re-tokenized on every re-execution). The
     * census-side row concentration for a hot boilerplate span is the
     * SAME concentration the join probe needs anyway — at real scale
     * the census is span-cardinality-sized and cannot broadcast, so
@@ -201,8 +203,9 @@ object Dedup {
     * a streaming aggregate, not a buffered one. Per-doc span totals
     * (`n_spans`) come from the same rollup that counts duplicated
     * spans — one exchange on the unique doc id, which cannot skew.
-    * Nothing is persisted: exchange reuse, not caching, is what
-    * de-duplicates the work.
+    * The persisted span index is 16 bytes/row (id, hash), registered
+    * with [[graft.CacheLifecycle]] — callers batch-release it like
+    * every other operator-internal persist.
     */
   def duplicatedSpans(
       df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {

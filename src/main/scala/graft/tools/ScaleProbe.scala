@@ -125,6 +125,13 @@ object ScaleProbe {
       time("dup_spans", k, dRows) {
         graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text").count()
       }
+      time("dsir_weights", k, dRows) {
+        // r14 single-explode shape: per-doc bucket census persisted,
+        // bucket fit + Σ llr·n scoring both read it. Deterministic
+        // id-hash target slice (~25% of docs at any k).
+        graft.operators.ImportanceWeights.weightsWithin(
+          docs, col("doc_id") % 4 === 0, "doc_id", "text").count()
+      }
       time("semdedup", k, eRows) {
         // cells ∝ corpus: the knob that keeps within-cell pairs bounded
         graft.operators.Dedup.semDedup(embs, "vec_id", "embedding",

@@ -17,6 +17,20 @@ package graft
   * turns that from a per-site audit into a suite-enforced invariant
   * over the WHOLE entry surface.
   *
+  * Scope: the invariant covers DataFrame persists
+  * (`CacheLifecycle.persist` / `trackedFrames`) — the layer where
+  * CacheManager's sameResult matching makes cross-build serving
+  * possible at all. RDD-layer persists (`persistRdd`, today only the
+  * grid kNN join's eagerly-computed result union) are matched by
+  * OBJECT IDENTITY, so a rebuilt entry can never serve a prior
+  * build's RDD cache by construction — that is not an instability
+  * bug but the operator's eager contract: each invocation recomputes
+  * (g12's bench cost, ~0.4 s/rep, is that recompute, bounded and
+  * declared), and the persist exists so the RETURNED frame's own
+  * downstream actions reuse the union. A future operator wanting
+  * cross-build serving must persist at the DataFrame layer, where
+  * this spec enforces stability.
+  *
   * There is NO streaming carve-out: the walk covers every entry, and
   * any entry that persists nothing (most of the streaming family —
   * their state lives in state stores, not CacheLifecycle) simply has

@@ -12,6 +12,31 @@ class PlanQualitySpec extends SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** Every physical node of an EXECUTED adaptive plan, descending
+    * through AQE wrappers and query stages. String surgery on
+    * `executedPlan.toString` cannot do this reliably once cached
+    * relations are in play: InMemoryRelation prints its own nested
+    * "== Final/Initial Plan ==" sections, so any marker-based cut
+    * either truncates real branches or includes initial-plan text
+    * (the r14 x68 pin shipped with exactly that hole). `intoCaches`
+    * additionally walks each InMemoryRelation's cached plan —
+    * off by default so "the consuming plan re-executes X" and "X
+    * lives inside the cache" stay distinguishable assertions.
+    */
+  private def physNodes(
+      p: org.apache.spark.sql.execution.SparkPlan,
+      intoCaches: Boolean = false): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p match {
+      case a: AdaptiveSparkPlanExec => p +: physNodes(a.executedPlan, intoCaches)
+      case q: QueryStageExec => p +: physNodes(q.plan, intoCaches)
+      case i: InMemoryTableScanExec if intoCaches =>
+        p +: physNodes(i.relation.cachedPlan, intoCaches)
+      case _ => p +: p.children.flatMap(physNodes(_, intoCaches))
+    }
+  }
+
   test("q01 filter reaches the parquet scan (pushdown + pruning)") {
     val plan = CorpusQueries.q01.run(spark, sfDir)
       .queryExecution.executedPlan.toString
@@ -349,33 +374,26 @@ class PlanQualitySpec extends SparkTestBase {
     // family flag). Cache replacement only lands in the AQE FINAL
     // plan, so this pin executes first. Still: no window, no
     // cartesian.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     val df = ExtQueries.x68_dup_spans.run(spark, sfDir)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    // cut at the LAST initial marker — the outer plan's own "Initial
-    // Plan" section prints after everything else, while the cached
-    // span index prints nested Final/Initial sections of its own
-    // whose first marker would truncate the census branch away
-    val initIdx = plan.lastIndexOf("== Initial Plan ==")
-    val finalPlan = plan.substring(plan.indexOf("== Final Plan ==").max(0),
-      if (initIdx >= 0) initIdx else plan.length)
-    assert("InMemoryTableScan".r.findAllIn(finalPlan).size >= 2,
-      s"expected census AND probe to scan the cached span index:\n$finalPlan")
-    // every tokenize Generate must live INSIDE the cached relation's
-    // plan printout — the consuming plan's own operators (everything
-    // before the first InMemoryRelation block) must not re-tokenize
-    val topLevel = finalPlan.substring(0,
-      finalPlan.indexOf("InMemoryRelation").max(0))
-    assert(!topLevel.contains("Generate"),
-      s"tokenize Generate outside the cached span index:\n$finalPlan")
-    assert(!finalPlan.contains("Window"), finalPlan)
-    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    val nodes = physNodes(df.queryExecution.executedPlan)
+    val names = nodes.map(_.nodeName)
+    // census AND probe must each scan the cached span index...
+    assert(nodes.count(_.isInstanceOf[InMemoryTableScanExec]) >= 2,
+      s"expected census AND probe to scan the cached span index:\n${names.mkString("\n")}")
+    // ...and the consuming plan itself must not re-tokenize — every
+    // Generate lives inside the cached relation, which physNodes does
+    // not descend into by default
+    assert(!names.exists(_.contains("Generate")),
+      s"tokenize Generate outside the cached span index:\n${names.mkString("\n")}")
+    assert(!names.exists(_.contains("Window")), names.mkString("\n"))
+    assert(!names.exists(_.contains("CartesianProduct")), names.mkString("\n"))
     // the per-doc rollup (n_spans + dup_spans in ONE aggregate) is
     // still two-phase: partial before its doc-id exchange
-    val first = finalPlan.indexOf("HashAggregate")
-    assert(first >= 0, finalPlan)
-    assert(finalPlan.indexOf("HashAggregate", first + 1) >= 0,
-      s"expected partial+final HashAggregate pair:\n$finalPlan")
+    assert(nodes.count(_.isInstanceOf[HashAggregateExec]) >= 2,
+      s"expected partial+final HashAggregate pair:\n${names.mkString("\n")}")
   }
 
   test("semDedup pairs only within cells — equi join on cell, no cartesian") {
@@ -488,18 +506,15 @@ class PlanQualitySpec extends SparkTestBase {
     // appeared to work).
     val df = graft.operators.Cooccur.frequentPairs(items, "ok", "item", 2)
     df.collect() // finalize AQE: assertions must read runtime decisions
-    // AdaptiveSparkPlan.toString prints BOTH "== Final Plan ==" and
-    // "== Initial Plan ==" — only the final section is what ran. The
-    // head cut lands at the FIRST initial marker (the persisted pair
-    // census prints its own adaptive sections), which still covers
-    // the outer final plan plus the cached census's final plan —
-    // where the Generate expansion now lives.
-    val plan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    assert(plan.contains("isFinalPlan=true"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("Generate explode"), plan)
+    // node walk INTO the cached pair census (that is where the
+    // expansion now lives), never string surgery on the adaptive
+    // printout — see physNodes
+    val nodes = physNodes(df.queryExecution.executedPlan, intoCaches = true)
+    val names = nodes.map(_.nodeName)
+    assert(!names.exists(_.contains("SortMergeJoin")), names.mkString("\n"))
+    assert(!names.exists(_.contains("CartesianProduct")), names.mkString("\n"))
+    assert(names.exists(_.contains("Generate")),
+      s"expected the in-row pair expansion Generate:\n${names.mkString("\n")}")
   }
 
   test("cluster split probes components via broadcast; assignment is a row-local CASE") {
