@@ -39,10 +39,16 @@ object Cooccur {
       minSupport: Long, digits: Int = 6): DataFrame = {
     val items = graft.CacheLifecycle.persist(
       df.select(col(basketCol).as("ok"), col(itemCol).as("item")).distinct())
-    val freq = items.groupBy("item")
+    // freq (Apriori L1) and the basket count are persisted too (r14):
+    // they are the only subtrees a re-execution still recomputed from
+    // the items cache once the pair census below was persisted —
+    // bounded frames (≤ frequent items + 1 row), and the lift joins
+    // read them on every action
+    val freq = graft.CacheLifecycle.persist(items.groupBy("item")
       .agg(count(lit(1)).as("n"))
-      .where(col("n") >= minSupport)
-    val nBaskets = items.agg(countDistinct(col("ok")).cast("double").as("nb"))
+      .where(col("n") >= minSupport))
+    val nBaskets = graft.CacheLifecycle.persist(
+      items.agg(countDistinct(col("ok")).cast("double").as("nb")))
 
     val pruned = items.join(freq, Seq("item"), "left_semi")
     val baskets = pruned.groupBy("ok")

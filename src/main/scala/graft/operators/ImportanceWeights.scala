@@ -135,13 +135,15 @@ object ImportanceWeights {
     val tots = raw.agg(sum(col("cr")).as("rt"))
       .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("tt"))))
     // target ⊆ corpus vocabulary need not hold (disjoint target
-    // corpora are legal), so the LUT is a full outer over buckets
-    val lut = raw.join(tgt, Seq("bucket"), "full_outer")
-      .crossJoin(broadcast(tots))
-      .select(col("bucket"),
-        (log((coalesce(col("ct"), lit(0.0)) + lit(1.0)) / (col("tt") + lit(b))) -
-         log((coalesce(col("cr"), lit(0.0)) + lit(1.0)) / (col("rt") + lit(b))))
-          .as("llr"))
+    // corpora are legal), so the LUT is a full outer over buckets;
+    // persisted — it is the fitted model (see weightsWithin)
+    val lut = graft.CacheLifecycle.persist(
+      raw.join(tgt, Seq("bucket"), "full_outer")
+        .crossJoin(broadcast(tots))
+        .select(col("bucket"),
+          (log((coalesce(col("ct"), lit(0.0)) + lit(1.0)) / (col("tt") + lit(b))) -
+           log((coalesce(col("cr"), lit(0.0)) + lit(1.0)) / (col("rt") + lit(b))))
+            .as("llr")))
     score(percell, lut, idCol)
   }
 
@@ -172,11 +174,14 @@ object ImportanceWeights {
       .agg(sum(col("__n")).as("cr"),
         sum(when(col("__t"), col("__n")).otherwise(lit(0.0))).as("ct"))
     val tots = census.agg(sum(col("cr")).as("rt"), sum(col("ct")).as("tt"))
-    val lut = census.crossJoin(broadcast(tots))
+    // the B-row LUT is the fitted model — persist it like the census
+    // it derives from, so a re-execution pays only the scoring join,
+    // not a fresh fit aggregation over the census
+    val lut = graft.CacheLifecycle.persist(census.crossJoin(broadcast(tots))
       .select(col("bucket"),
         (log((col("ct") + lit(1.0)) / (col("tt") + lit(b))) -
          log((col("cr") + lit(1.0)) / (col("rt") + lit(b))))
-          .as("llr"))
+          .as("llr")))
     score(percell.select(col(idCol), col("bucket"), col("__n")), lut, idCol)
   }
 }
