@@ -230,11 +230,15 @@ object Dedup {
       .transform(graft.CacheLifecycle.persist(_))
     // count(idCol), not count(*): ids are non-null so the census is
     // identical, but referencing idCol keeps column pruning from
-    // narrowing this branch's exchange subtree below the probe's —
+    // narrowing this branch's subtree below the probe's —
     // differently-pruned subtrees canonicalize differently and the
-    // exchange would NOT be reused (two tokenize scans again)
-    val census = spans
-      .groupBy(col("__g")).agg(count(col(idCol)).as("__docs"))
+    // cached span index would NOT serve both (two tokenize scans
+    // again). The census (span-cardinality rows of (hash, count)) is
+    // persisted too: it is the shared-span table a dedup run
+    // materializes, and without it every re-execution re-aggregated
+    // the span index just to rediscover it.
+    val census = graft.CacheLifecycle.persist(spans
+      .groupBy(col("__g")).agg(count(col(idCol)).as("__docs")))
     spans
       .join(census, Seq("__g"), "inner")
       .groupBy(col(idCol))

@@ -261,6 +261,27 @@ class StableKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("PQ kernels read null array ELEMENTS as 0.0 on both ArrayData paths") {
+    import graft.operators.Similarity
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Similarity.pqTrain(embs, "vec_id", "embedding", dim = 64, trainN = 64)
+    val cbs = model.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    // a null element must encode exactly like a literal 0.0f in that
+    // position (the documented total convention; the replaced UDFs
+    // NPEd). Built via SQL array() literals — this exercises the
+    // non-Unsafe GenericArrayData path, where an unguarded getFloat
+    // would throw instead of reading zeroed bits.
+    val out = spark.sql(
+      """SELECT array(CAST(0.5 AS FLOAT), CAST(NULL AS FLOAT), CAST(-1.5 AS FLOAT)) AS withNull,
+        |       array(CAST(0.5 AS FLOAT), CAST(0.0 AS FLOAT), CAST(-1.5 AS FLOAT)) AS withZero""".stripMargin)
+      .select(
+        VectorFunctions.pq_encode(col("withNull"), cbs, model.dim).as("cn"),
+        VectorFunctions.pq_encode(col("withZero"), cbs, model.dim).as("cz"))
+      .head()
+    assert(out.getSeq[Int](0) == out.getSeq[Int](1),
+      "null element must encode as 0.0")
+  }
+
   test("encode plans from independently re-trained models canonicalize equal") {
     import graft.operators.Similarity
     // the bench-rep reality: each invocation re-trains its model, so
