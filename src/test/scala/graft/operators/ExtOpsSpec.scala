@@ -607,6 +607,19 @@ class ExtOpsSpec extends SparkTestBase {
         "vec_id", "embedding", tau = 0.95)
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
     assert(viaLayout == inline, s"layout path diverged: $viaLayout vs $inline")
+
+    // the layout's write-once contract: re-deduping at a DIFFERENT tau
+    // re-reads the same files, and a looser threshold must drop a
+    // superset of a stricter one (cosine >= 0.95 pairs are also
+    // >= 0.5 pairs; same cells, same lowest-id-wins rule)
+    val layout = spark.read.parquet(dir).select("vec_id", "embedding", "cell")
+    def dropped(tau: Double): Set[Long] =
+      Dedup.semDedupAssigned(layout, "vec_id", "embedding", tau)
+        .filter(!col("kept")).collect().map(_.getLong(0)).toSet
+    val strict = dropped(0.95)
+    val loose = dropped(0.5)
+    assert(strict.subsetOf(loose),
+      s"tau monotonicity violated: dropped@0.95=$strict not within dropped@0.5=$loose")
   }
 
   test("DSIR weights rank target-like docs above off-target docs") {
