@@ -31,7 +31,17 @@ object Goldens {
     * DECIMAL). `cols` maps name -> DuckDB cast type, in TSV order.
     */
   def valuesTable(resource: String, cols: Seq[(String, String)]): String = {
-    val body = rows(resource).map { r =>
+    val rs = rows(resource)
+    // an empty golden must still be valid SQL — "(VALUES ) AS ..." is
+    // not. Surfaced regenerating goldens at sf0.1 (r14): winnowing has
+    // zero collision pairs there, and the x17 oracle would have become
+    // a parse error instead of an empty table.
+    if (rs.isEmpty) {
+      val sel = cols.map { case (n, t) => s"CAST(NULL AS $t) AS $n" }
+        .mkString(", ")
+      return s"(SELECT $sel WHERE false) AS __g"
+    }
+    val body = rs.map { r =>
       r.zip(cols).map { case (v, (_, t)) =>
         if (v == "\\N") s"CAST(NULL AS $t)"
         else if (t == "VARCHAR") "'" + v.replace("'", "''") + "'"

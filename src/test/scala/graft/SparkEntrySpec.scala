@@ -16,6 +16,19 @@ class SparkEntrySpec extends SparkTestBase {
     assert(orphans.isEmpty, s"oracle SQL without a query body: $orphans")
   }
 
+  test("valuesTable stays valid SQL for an EMPTY golden (zero-row TSV)") {
+    // surfaced regenerating goldens at sf0.1 (r14): a golden family
+    // with no pairs at some scale must oracle as an empty typed
+    // table, not a "(VALUES )" parse error
+    val sql = queries.Goldens.valuesTable("empty_test.tsv",
+      Seq("a" -> "BIGINT", "b" -> "DOUBLE"))
+    assert(sql.contains("WHERE false") && sql.contains("CAST(NULL AS BIGINT) AS a"),
+      sql)
+    // and a non-empty golden still renders the VALUES form
+    assert(queries.Goldens.valuesTable("x08_ann_lsh.tsv",
+      Seq("vec_id" -> "BIGINT", "cosine" -> "DOUBLE")).contains("(VALUES"))
+  }
+
   test("query names are unique across groups") {
     val specs = Seq(
       queries.CorpusQueries.all, queries.GeomQueries.all,
