@@ -44,8 +44,14 @@ object Decontaminate {
     * error in the SAFE direction — no false negatives, so every truly
     * contaminated doc is flagged; `fpp` controls how much clean data
     * is over-dropped (spec'd as a superset of the exact ids). The
-    * probe is a UDF by necessity (sketch membership has no built-in),
-    * confined to the gram stream like the Dedup numeric kernels.
+    * probe is a UDF by necessity: Spark's bloom machinery
+    * (`BloomFilterAggregate`/`BloomFilterMightContain`) is internal to
+    * runtime join filtering and NOT registered on the public surface
+    * (verified on 4.1: `might_contain` is UNRESOLVED_ROUTINE), and a
+    * broadcast sketch has no canonicalization-stable literal form —
+    * so the UDF stays, confined to the gram stream, and deliberately
+    * feeds no CacheLifecycle persist (PersistStabilitySpec would
+    * catch it if it ever did).
     */
   def contaminatedIdsBloom(
       train: DataFrame, eval: DataFrame,
