@@ -243,7 +243,13 @@ object Bench {
         .getOrElse("null")}"""
     }.mkString("{", ",", "}")
     val reg = regressed.map(n => s""""$n"""").mkString("[", ",", "]")
-    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s]","sf":"$sfDir","reps":$reps,""" +
+    // heap_gb: JVM max-heap provenance. The r14 reconciliation found the
+    // tracked baseline silently swapped between an 8g local sweep and the
+    // driver's ~90g sweep with nothing in the file saying which; recording
+    // the heap makes every future baseline/detail self-describing (the
+    // r10-r12 ghost hunts all began by NOT knowing a reference's heap).
+    val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s]","sf":"$sfDir","reps":$reps,"heap_gb":$heapGb,""" +
       s""""code_cache_mb":$codeCacheJson,"regressed":$reg,""" +
       s""""total":${totalTriple(results)},"entries":$detail}"""
   }

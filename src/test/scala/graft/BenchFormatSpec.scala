@@ -55,6 +55,9 @@ class BenchFormatSpec extends AnyFunSuite {
     // identical code" driver anomalies)
     assert(root.get("fmt").asText ==
       "[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s]")
+    // heap_gb since r15 (baseline provenance: an 8g local sweep and the
+    // driver's ~90g sweep must be distinguishable from the file alone)
+    assert(root.get("heap_gb").isNumber && root.get("heap_gb").asLong >= 1)
     val okName = worstCase.collectFirst { case (n, Some(_)) => n }.get
     assert(root.get("entries").get(okName).size == 7)
   }
