@@ -1,0 +1,42 @@
+package graft
+
+/** JVM-exit cleanup for the engine's scratch directories.
+  *
+  * Layout memos (LSH / semDedup cell layouts, compaction scratch,
+  * streaming fixture stages) live under `java.io.tmpdir`, which this
+  * project points at RAM-backed storage — so "temp" files that outlive
+  * the session are resident memory, and `File.deleteOnExit()` is a
+  * silent no-op for non-empty directories (it only unlinks empty ones).
+  * One registry + one shutdown hook deletes registered roots
+  * recursively, best-effort (cleanup must never turn a successful run
+  * into a failing exit).
+  */
+object TempDirs {
+  private val roots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  Runtime.getRuntime.addShutdownHook(
+    new Thread(() => roots.forEach(deleteRecursively(_)), "graft-tempdir-cleanup"))
+
+  /** Register a directory root for deletion at JVM exit; returns it. */
+  def register(p: java.nio.file.Path): java.nio.file.Path = { roots.add(p); p }
+
+  /** The shutdown hook's body, callable from tests (a spec cannot
+    * observe a JVM exit from inside the JVM).
+    */
+  private[graft] def purgeNow(): Unit = {
+    roots.forEach(deleteRecursively(_))
+    roots.clear()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder()).forEach { q =>
+          try java.nio.file.Files.deleteIfExists(q)
+          catch { case _: Throwable => () }
+        } finally walk.close()
+      }
+    } catch { case _: Throwable => () }
+}

@@ -39,6 +39,35 @@ object VecOps {
     if (d == 0.0) 0.0 else ab / d
   }
 
+  /** L2-normalize into a fresh float array. Arithmetic matches the
+    * `udf((v: Seq[Float]) => ...)` it replaced bit-for-bit on clean
+    * data (StableKernelsSpec): sum of squares in Double over widened
+    * floats, `sqrt`, then per-element Double division narrowed back to
+    * Float; a zero-norm vector passes through unchanged. Null ELEMENTS
+    * read as 0.0 — the [[PqOps]] convention (the replaced Seq[Float]
+    * UDF NPEd on them), so corrupt rows normalize as if the missing
+    * dimension were 0 instead of killing the task.
+    */
+  def normalize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (v.isNullAt(i)) 0.0 else v.getFloat(i).toDouble
+      s += x * x; i += 1
+    }
+    val norm = math.sqrt(s)
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) {
+      val x = if (v.isNullAt(i)) 0f else v.getFloat(i)
+      out(i) = if (norm == 0.0) x else (x / norm).toFloat
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   def eqCount(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
     var c = 0
@@ -167,6 +196,33 @@ case class VecCosineExpr(left: Expression, right: Expression) extends BinaryExpr
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosineExpr =
     copy(left = l, right = r)
+}
+
+/** `vec_normalize(v)`: L2-normalized copy of a float vector — see
+  * [[VecOps.normalize]]. Runs once per row on the corpus-streaming
+  * scan that feeds every embedding near-dup / semantic-dedup operator,
+  * so it is native (the boxed `Seq[Float]` UDF it replaced was the
+  * engine's last non-native corpus-scan kernel) and, as a plain
+  * parameter-free case class, canonicalization-stable: the persisted
+  * normalized-signature frame in `Dedup.embeddingNearDup` serves every
+  * later build of the same plan.
+  */
+case class VecNormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_normalize"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.normalize(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VecOps.normalize($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecNormalizeExpr =
+    copy(child = newChild)
 }
 
 /** `sign_pack(v)`: binary quantization of a float vector into one
@@ -423,14 +479,9 @@ object PqOps {
       .fromPrimitiveArray(out)
   }
 
-  /** IVF-PQ residual code: nearest coarse cell selects the residual,
-    * then per-subspace nearest codeword of (x − centroid).
-    */
-  def ivfPqCode(
-      v: ArrayData, coarse: Array[Array[Double]],
+  private def codeAgainst(
+      v: ArrayData, coarseRow: Array[Double],
       cbs: Array[Array[Array[Double]]], dim: Int): ArrayData = {
-    val cell = ivfCell(v, coarse, dim)
-    val coarseRow = coarse(cell)
     val m = cbs.length; val dsub = dim / m
     val n = v.numElements()
     val out = new Array[Int](m)
@@ -438,6 +489,28 @@ object PqOps {
     while (j < m) { out(j) = subNearest(v, n, j * dsub, dsub, cbs(j), coarseRow); j += 1 }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(out)
+  }
+
+  /** IVF-PQ residual code: nearest coarse cell selects the residual,
+    * then per-subspace nearest codeword of (x − centroid).
+    */
+  def ivfPqCode(
+      v: ArrayData, coarse: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]], dim: Int): ArrayData =
+    codeAgainst(v, coarse(ivfCell(v, coarse, dim)), cbs, dim)
+
+  /** IVF-PQ residual code against a CALLER-SUPPLIED cell — the bulk
+    * encode path, where the cell was already computed as its own
+    * column and the coarse argmin must not run a second time.
+    */
+  def ivfPqCodeAt(
+      v: ArrayData, cell: Int, coarse: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]], dim: Int): ArrayData = {
+    if (cell < 0 || cell >= coarse.length)
+      throw new IllegalArgumentException(
+        s"ivfpq_code_at: cell $cell is outside [0, ${coarse.length}) — the cell " +
+          "column must come from ivf_cell with the same coarse quantizer")
+    codeAgainst(v, coarse(cell), cbs, dim)
   }
 }
 
@@ -454,6 +527,15 @@ case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]], dim
   require(codebooks.nonEmpty, "pq_encode needs at least one subspace codebook")
   require(dim % codebooks.length == 0,
     s"dim $dim not divisible by m=${codebooks.length} subspaces")
+  // shape validation at construction, not as a per-task
+  // ArrayIndexOutOfBoundsException at execution: every subspace needs
+  // at least one codeword, and every codeword must cover the dsub
+  // dimensions the kernel reads
+  require(codebooks.forall(_.nonEmpty),
+    "pq_encode: every subspace codebook needs at least one codeword")
+  require(codebooks.forall(_.forall(_.length >= dim / codebooks.length)),
+    s"pq_encode: every codeword must have at least dsub=${dim / codebooks.length} " +
+      "dimensions (codebooks and dim must come from the same PqModel)")
   @transient private lazy val cbs: Array[Array[Array[Double]]] =
     codebooks.map(_.map(_.toArray).toArray).toArray
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
@@ -493,6 +575,9 @@ case class IvfCellExpr(child: Expression, coarse: Seq[Seq[Double]], dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ImplicitCastInputTypes {
   require(coarse.nonEmpty, "ivf_cell needs at least one centroid")
+  require(coarse.forall(_.length >= dim),
+    s"ivf_cell: every centroid must have at least dim=$dim dimensions " +
+      "(coarse and dim must come from the same model)")
   @transient private lazy val cc: Array[Array[Double]] = coarse.map(_.toArray).toArray
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
@@ -528,6 +613,12 @@ case class IvfPqCodeExpr(
   require(codebooks.nonEmpty, "ivfpq_code needs at least one subspace codebook")
   require(dim % codebooks.length == 0,
     s"dim $dim not divisible by m=${codebooks.length} subspaces")
+  require(coarse.forall(_.length >= dim),
+    s"ivfpq_code: every centroid must have at least dim=$dim dimensions")
+  require(codebooks.forall(_.nonEmpty),
+    "ivfpq_code: every subspace codebook needs at least one codeword")
+  require(codebooks.forall(_.forall(_.length >= dim / codebooks.length)),
+    s"ivfpq_code: every codeword must have at least dsub=${dim / codebooks.length} dimensions")
   @transient private lazy val cc: Array[Array[Double]] = coarse.map(_.toArray).toArray
   @transient private lazy val cbs: Array[Array[Array[Double]]] =
     codebooks.map(_.map(_.toArray).toArray).toArray
@@ -555,6 +646,63 @@ case class IvfPqCodeExpr(
 
   override protected def withNewChildInternal(newChild: Expression): IvfPqCodeExpr =
     copy(child = newChild)
+}
+
+/** `ivfpq_code_at(vec, cell)`: residual PQ code against a
+  * caller-supplied coarse cell. The bulk-encode complement of
+  * [[IvfPqCodeExpr]]: on a full-corpus encode pass with no cell
+  * predicate to push, recomputing the coarse argmin inside the code
+  * kernel doubles the nCells·dim flops — here the cell arrives as a
+  * COLUMN (computed once by [[IvfCellExpr]] in the projection below),
+  * and because a non-cheap expression referenced twice is never
+  * inlined by CollapseProject, the argmin genuinely runs once per row.
+  * [[graft.operators.Similarity.ivfPqEncode]] composes the two; a cell
+  * predicate still pushes between the projections, pruning rows before
+  * this kernel runs.
+  */
+case class IvfPqCodeAtExpr(
+    left: Expression, right: Expression, coarse: Seq[Seq[Double]],
+    codebooks: Seq[Seq[Seq[Double]]], dim: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(coarse.nonEmpty, "ivfpq_code_at needs at least one centroid")
+  require(codebooks.nonEmpty, "ivfpq_code_at needs at least one subspace codebook")
+  require(dim % codebooks.length == 0,
+    s"dim $dim not divisible by m=${codebooks.length} subspaces")
+  require(coarse.forall(_.length >= dim),
+    s"ivfpq_code_at: every centroid must have at least dim=$dim dimensions")
+  require(codebooks.forall(_.nonEmpty),
+    "ivfpq_code_at: every subspace codebook needs at least one codeword")
+  require(codebooks.forall(_.forall(_.length >= dim / codebooks.length)),
+    s"ivfpq_code_at: every codeword must have at least dsub=${dim / codebooks.length} dimensions")
+  @transient private lazy val cc: Array[Array[Double]] = coarse.map(_.toArray).toArray
+  @transient private lazy val cbs: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivfpq_code_at"
+
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    PqOps.ivfPqCodeAt(v.asInstanceOf[ArrayData], cell.asInstanceOf[Int], cc, cbs, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCoarse", cc, "double[][]")
+    val cbRef = ctx.addReferenceObj("pqCodebooks", cbs, "double[][][]")
+    defineCodeGen(ctx, ev,
+      (v, cell) => s"graft.functions.PqOps.ivfPqCodeAt($v, $cell, $cRef, $cbRef, $dim)")
+  }
+
+  // shape, not contents, in plan strings (see PqEncodeExpr)
+  override def flatArguments: Iterator[Any] = Iterator(left, right,
+    s"coarse<${coarse.length}x${coarse.head.length}>",
+    s"codebooks<${codebooks.length}x${codebooks.head.length}x${codebooks.head.head.length}>",
+    dim)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): IvfPqCodeAtExpr =
+    copy(left = l, right = r)
 }
 
 /** All unordered element pairs of an array, in one native pass. */
@@ -661,6 +809,9 @@ object VectorFunctions {
     GraftColumnBridge.column(VecCosineExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  def vec_normalize(v: Column): Column =
+    GraftColumnBridge.column(VecNormalizeExpr(GraftColumnBridge.expression(v)))
+
   def sig_eqcount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SigEqCountExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -681,6 +832,13 @@ object VectorFunctions {
       codebooks: Seq[Seq[Seq[Double]]], dim: Int): Column =
     GraftColumnBridge.column(IvfPqCodeExpr(
       GraftColumnBridge.expression(vec), coarse, codebooks, dim))
+
+  def ivfpq_code_at(
+      vec: Column, cell: Column, coarse: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], dim: Int): Column =
+    GraftColumnBridge.column(IvfPqCodeAtExpr(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cell),
+      coarse, codebooks, dim))
 
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -704,5 +862,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => AdcCellScoreExpr(exprs(0), exprs(1), exprs(2))),
     (FunctionIdentifier("sign_pack"),
       new ExpressionInfo(classOf[SignPackExpr].getName, "sign_pack"),
-      (exprs: Seq[Expression]) => SignPackExpr(exprs.head)))
+      (exprs: Seq[Expression]) => SignPackExpr(exprs.head)),
+    (FunctionIdentifier("vec_normalize"),
+      new ExpressionInfo(classOf[VecNormalizeExpr].getName, "vec_normalize"),
+      (exprs: Seq[Expression]) => VecNormalizeExpr(exprs.head)))
 }

@@ -732,23 +732,14 @@ object Dedup {
     graft.functions.VectorFunctions.vec_cosine(a, b)
 
   /** L2-normalize a float vector once per row, so per-pair cosine
-    * reduces to a single dot product.
+    * reduces to a single dot product. Native codegen'd kernel
+    * ([[graft.functions.VecNormalizeExpr]], r15) — the boxed
+    * `Seq[Float]` UDF it replaced was the last non-native kernel on a
+    * corpus-streaming scan; StableKernelsSpec pins bit-equality with
+    * the replaced UDF body and plan canonicalization stability.
     */
-  private[operators] val normalizeUdf = udf((v: Seq[Float]) => {
-    if (v == null) null
-    else {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-      val norm = math.sqrt(s)
-      if (norm == 0.0) v.toArray
-      else {
-        val out = new Array[Float](v.length)
-        i = 0
-        while (i < v.length) { out(i) = (v(i) / norm).toFloat; i += 1 }
-        out
-      }
-    }
-  })
+  def normalize(v: Column): Column =
+    graft.functions.VectorFunctions.vec_normalize(v)
 
   /** Embedding near-dup pairs (cosine ≥ threshold) via banded
     * random-hyperplane sign-LSH: `numTables` independent signBits-bit
@@ -772,7 +763,7 @@ object Dedup {
     * Execution shape (the minhash lessons applied): the signature scan
     * is persisted because it feeds both sides of the self-join
     * (Catalyst does not dedupe self-join subtrees — without it the
-    * normalize + signature UDFs run twice over the corpus); the bucket
+    * normalize + signature kernels run twice over the corpus); the bucket
     * self-join carries ONLY (table, bucket, id) — a near-dup pair
     * co-occurs in many tables, so bare id pairs are deduped FIRST,
     * then the normalized vectors attach once per distinct pair (AQE
@@ -791,7 +782,7 @@ object Dedup {
     // signature plan unique, defeating the persist below across
     // invocations); planes stay the seed-42 rademacherPlanes schedule
     val sigs = df.select(col(idCol).as("id"),
-        normalizeUdf(col(vecCol)).as("vec"),
+        normalize(col(vecCol)).as("vec"),
         graft.functions.VectorFunctions
           .sign_lsh(col(vecCol), numTables, signBits, dim).as("sigs"))
       .transform(graft.CacheLifecycle.persist(_))

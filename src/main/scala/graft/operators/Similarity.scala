@@ -541,23 +541,26 @@ object Similarity {
     */
   def ivfPqEncode(
       df: DataFrame, idCol: String, vecCol: String, model: IvfPqModel): DataFrame = {
-    // Two independent deterministic native kernels (r14), replacing
-    // one asNondeterministic struct UDF. The UDF needed its white lie
+    // Two deterministic native kernels (r14), replacing one
+    // asNondeterministic struct UDF — the UDF needed its white lie
     // because a pushed-down cell predicate would have replayed the
-    // WHOLE encode per row; with cell and code as separate
-    // expressions, pushing `cell IN (...)` into the scan re-evaluates
-    // only the cheap coarse argmin (nCells·dim flops) — and the
-    // expensive residual-code kernel then runs on the PRUNED rows
-    // only, which the nondeterminism barrier used to prevent. Same
-    // math, same bits (StableKernelsSpec pins both against the UDF
-    // body; the x48 golden is unchanged).
+    // WHOLE encode per row. Since r15 the residual-code kernel takes
+    // the cell as a COLUMN (ivfpq_code_at) instead of recomputing the
+    // coarse argmin in-kernel: the argmin runs exactly once per row on
+    // the bulk encode pass (CollapseProject never inlines a non-cheap
+    // projection referenced twice — PlanQualitySpec pins one
+    // ivf_cell in the optimized plan), and a `cell IN (...)` predicate
+    // still pushes between the two projections, so the expensive code
+    // kernel runs on PRUNED rows only. Same math, same bits
+    // (StableKernelsSpec pins against the UDF body; x48 unchanged).
     val coarse = model.coarse.map(_.toSeq).toSeq
     val cbs = model.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq
-    df.select(col(idCol),
-      graft.functions.VectorFunctions
-        .ivf_cell(col(vecCol), coarse, model.dim).as("cell"),
-      graft.functions.VectorFunctions
-        .ivfpq_code(col(vecCol), coarse, cbs, model.dim).as("code"))
+    df.select(col(idCol), col(vecCol),
+        graft.functions.VectorFunctions
+          .ivf_cell(col(vecCol), coarse, model.dim).as("cell"))
+      .select(col(idCol), col("cell"),
+        graft.functions.VectorFunctions
+          .ivfpq_code_at(col(vecCol), col("cell"), coarse, cbs, model.dim).as("code"))
   }
 
   /** The `nprobe` cells nearest the query, deterministically ordered

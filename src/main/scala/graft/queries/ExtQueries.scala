@@ -340,7 +340,8 @@ object ExtQueries {
     // written path per (session, sfDir) so repeated runs (bench
     // iterations, verify) time the PROBE, not a fresh full write
     val dir = lshLayoutCache.getOrElseUpdate((s, d), {
-      val p = java.nio.file.Files.createTempDirectory("lsh").toString + "/emb_by_bucket"
+      val p = graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("lsh")).toString + "/emb_by_bucket"
       Similarity.lshWrite(Tables.embeddings(s, d), "embedding", p, dim = 64)
       p
     })
@@ -1566,7 +1567,8 @@ object ExtQueries {
     */
   val x56_compaction: QuerySpec = q("x56_compaction",
     """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val base = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val base = graft.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft_compact_")).toString
     val small = s"$base/small"
     val out = s"$base/compacted"
     Tables.documents(s, d).select("doc_id", "lang", "n_chars")
@@ -1594,9 +1596,10 @@ object ExtQueries {
   // fixture point stream for x58, staged once per JVM (values are
   // constants; the file stream source reads directories)
   private lazy val geofencePointsDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_geofence_")
-    dir.toFile.deleteOnExit()
-    dir.toString
+    // deleteOnExit is a no-op on non-empty dirs — TempDirs does the
+    // recursive cleanup
+    graft.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft_geofence_")).toString
   }
   @volatile private var geofenceStaged = false
 
@@ -2016,7 +2019,8 @@ object ExtQueries {
          Seq("vec_id" -> "BIGINT", "cell" -> "INTEGER", "kept" -> "BOOLEAN"))}
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
     val dir = semDedupLayoutCache.getOrElseUpdate((s, d), {
-      val p = java.nio.file.Files.createTempDirectory("semdedup").toString + "/emb_by_cell"
+      val p = graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("semdedup")).toString + "/emb_by_cell"
       Dedup.semDedupWrite(
         Tables.embeddings(s, d).filter(col("embedding").isNotNull),
         "vec_id", "embedding", p)

@@ -37,11 +37,12 @@ object StreamingTwins {
     val f = new java.io.File(path)
     if (!f.isFile) path
     else staged.getOrElseUpdate(path, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-      dir.toFile.deleteOnExit()
+      // deleteOnExit can't remove a non-empty dir — TempDirs deletes
+      // the whole staged root recursively at JVM exit
+      val dir = graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_stream_"))
       val dst = dir.resolve(f.getName)
       java.nio.file.Files.copy(f.toPath, dst)
-      dst.toFile.deleteOnExit()
       dir.toString
     })
   }

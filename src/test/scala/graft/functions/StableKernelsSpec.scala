@@ -315,4 +315,72 @@ class StableKernelsSpec extends SparkTestBase {
       s"second build must read the first build's cache:\n$reused")
     first.unpersist()
   }
+
+  // ---- r15: vec_normalize (the last boxed corpus-scan kernel) ----
+
+  // the replaced Dedup.normalizeUdf body, verbatim
+  private def refNormalize(v: Seq[Float]): Array[Float] =
+    if (v == null) null
+    else {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      val norm = math.sqrt(s)
+      if (norm == 0.0) v.toArray
+      else {
+        val out = new Array[Float](v.length)
+        i = 0
+        while (i < v.length) { out(i) = (v(i) / norm).toFloat; i += 1 }
+        out
+      }
+    }
+
+  test("vec_normalize is bit-identical to the UDF it replaced") {
+    val rnd = new scala.util.Random(7)
+    val vecs: Seq[Seq[Float]] =
+      Seq.fill(20)(Seq.fill(64)(rnd.nextGaussian().toFloat)) ++
+        Seq(Seq.fill(8)(0.0f),          // zero norm → pass-through
+          Seq(3.0f, -4.0f),             // exact 3-4-5 norm
+          Seq(Float.MinPositiveValue),  // denormal survives the double trip
+          Seq.empty[Float], null)
+    val got = vecs.toDF("v")
+      .select(VectorFunctions.vec_normalize(col("v")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Float](0).toArray)
+    vecs.zip(got).foreach { case (v, n) =>
+      val ref = refNormalize(v)
+      if (ref == null) assert(n == null, s"null input must stay null")
+      else assert(n.length == ref.length &&
+        n.indices.forall(i =>
+          java.lang.Float.floatToRawIntBits(n(i)) ==
+            java.lang.Float.floatToRawIntBits(ref(i))),
+        s"mismatch on $v: got ${n.toSeq}, ref ${ref.toSeq}")
+    }
+    // real embeddings end-to-end, same bit-equality
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val rows = embs.select(col("embedding"),
+      VectorFunctions.vec_normalize(col("embedding")).as("n")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0); val n = r.getSeq[Float](1)
+      val ref = refNormalize(v)
+      assert(n.indices.forall(i =>
+        java.lang.Float.floatToRawIntBits(n(i)) ==
+          java.lang.Float.floatToRawIntBits(ref(i))))
+    }
+  }
+
+  test("vec_normalize plans canonicalize equal and serve from cache") {
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def normPlan() = embs.select(col("vec_id"),
+      VectorFunctions.vec_normalize(col("embedding")).as("vec"))
+    assert(normPlan().queryExecution.analyzed
+      .sameResult(normPlan().queryExecution.analyzed),
+      "two normalize builds must be sameResult, or the embeddingNearDup " +
+        "signature persist can never serve a later invocation")
+    spark.catalog.clearCache()
+    val first = normPlan().persist()
+    first.count()
+    val reused = normPlan().queryExecution.withCachedData.toString
+    assert(reused.contains("InMemoryRelation"),
+      s"second build must read the first build's cache:\n$reused")
+    first.unpersist()
+  }
 }

@@ -187,6 +187,53 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected $nprobe partitions read, got $partitionsRead:\n$plan")
   }
 
+  test("ivfPqEncode: coarse argmin once per row; cell predicate prunes before the code kernel") {
+    import graft.operators.Similarity
+    import graft.functions.{IvfCellExpr, IvfPqCodeAtExpr}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = Similarity.ivfPqTrain(emb, "vec_id", "embedding", dim = 64,
+      nCells = 4, trainN = 64)
+    val enc = Similarity.ivfPqEncode(emb, "vec_id", "embedding", model)
+
+    // bulk path: exactly ONE ivf_cell in the optimized plan — the r15
+    // ivfpq_code_at change exists to stop the in-kernel argmin recompute,
+    // and CollapseProject must not undo it by inlining the twice-referenced
+    // cell projection
+    val bulkCells = enc.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.map(_.collect { case e: IvfCellExpr => e }.size).sum
+    }.sum
+    assert(bulkCells == 1,
+      s"expected one ivf_cell in the bulk encode plan, got $bulkCells:\n" +
+        enc.queryExecution.optimizedPlan)
+
+    // probe path: a cell predicate must sit BELOW the residual-code
+    // projection (prune first, encode survivors)
+    val probePlan = enc.filter(col("cell") === 1).queryExecution.optimizedPlan
+    val filters = probePlan.collect { case f: Filter => f }
+    assert(filters.nonEmpty, s"no Filter in:\n$probePlan")
+    filters.foreach { f =>
+      val codeBelow = f.child.collect {
+        case p => p.expressions.map(_.collect { case e: IvfPqCodeAtExpr => e }.size).sum
+      }.sum
+      assert(codeBelow == 0,
+        s"cell predicate must prune before the code kernel runs:\n$probePlan")
+    }
+    val codeAbove = probePlan.collect {
+      case p => p.expressions.map(_.collect { case e: IvfPqCodeAtExpr => e }.size).sum
+    }.sum
+    assert(codeAbove == 1, s"code kernel missing from probe plan:\n$probePlan")
+
+    // and the encode output itself is unchanged vs the one-kernel form
+    val coarse = model.coarse.map(_.toSeq).toSeq
+    val cbs = model.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    val legacy = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.ivf_cell(col("embedding"), coarse, model.dim).as("cell"),
+      graft.functions.VectorFunctions.ivfpq_code(col("embedding"), coarse, cbs, model.dim).as("code"))
+    assert(enc.orderBy("vec_id").collect().toSeq ==
+      legacy.orderBy("vec_id").collect().toSeq)
+  }
+
   test("LSH probe on the bucket-partitioned layout reads only Hamming-ball partitions") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sfDir)
