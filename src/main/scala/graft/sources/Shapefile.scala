@@ -202,10 +202,21 @@ object Shapefile {
     * rows: points → 1, (multi)linestrings → 3, (multi)polygons → 5,
     * multipoints → 8; null geometries become null-shape records.
     */
-  def write(df: org.apache.spark.sql.DataFrame, base: String, geomCol: String = "geom"): Unit = {
+  def write(df: org.apache.spark.sql.DataFrame, base: String, geomCol: String = "geom",
+      maxRows: Int = 1_000_000): Unit = {
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
-    val rows = df.collect()
+    // collect bounded at maxRows + 1, so a lake-scale frame pointed at a
+    // publish sink fails with instructions instead of an
+    // executor-to-driver OOM (the NearestJoin maxResidualRows pattern);
+    // the +1 row is only fetched to DETECT overflow, never written
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Shapefile.write collected more than maxRows=$maxRows rows — " +
+        "shapefile is a driver-side publish format (the format itself caps " +
+        "at 2 GB), not a lake sink. Aggregate or filter the layer to " +
+        "publish size first, write parquet for bulk data, or raise maxRows " +
+        "if the layer genuinely fits.")
     val geoms = rows.map { r =>
       val wkb = r.getAs[Array[Byte]](geomIdx)
       if (wkb == null) null else GeomCodec.read(wkb)

@@ -20,8 +20,22 @@ object Writers {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
-  def writeCsvSingle(df: DataFrame, path: String): Unit =
+  /** Single-file CSV (reference parity). The coalesce(1) funnels the
+    * whole frame through ONE task — correct for small publish tables,
+    * a silent single-node bottleneck for anything lake-sized — so the
+    * row count is guarded up front (a `limit` probe: stops scanning at
+    * maxRows + 1, never counts the full input) with instructions
+    * instead of letting a 100 TB frame serialize through one writer.
+    */
+  def writeCsvSingle(df: DataFrame, path: String,
+      maxRows: Long = 10_000_000L): Unit = {
+    val probed = df.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    require(probed <= maxRows,
+      s"writeCsvSingle: input exceeds maxRows=$maxRows rows — a single-file " +
+        "CSV writes through one task. Use writeCsv (one file per partition) " +
+        "for bulk data, or raise maxRows if the table genuinely fits.")
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+  }
 
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

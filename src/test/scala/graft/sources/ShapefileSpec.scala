@@ -40,6 +40,20 @@ class ShapefileSpec extends SparkTestBase {
     assert(math.abs(back(1).getAs[Double]("area") - 1.0) < 1e-9)
   }
 
+  test("write refuses a frame past maxRows instead of collecting it") {
+    val df = Shapefile.read(spark, base)
+    val many = (1 to 6).map(_ => df).reduce(_ unionAll _) // 12 rows
+    val tmp = java.nio.file.Files.createTempDirectory("shp_big").toString + "/poly"
+    val e = intercept[IllegalArgumentException] {
+      Shapefile.write(many, tmp, maxRows = 10)
+    }
+    assert(e.getMessage.contains("publish"), e.getMessage)
+    assert(!new java.io.File(tmp + ".shp").exists(), "no partial output on refusal")
+    // exactly at the cap still writes
+    Shapefile.write(many, tmp, maxRows = 12)
+    assert(new java.io.File(tmp + ".shp").exists())
+  }
+
   test("point / multipoint / polyline record types round-trip") {
     import spark.implicits._
     val gf = graft.geom.GeomCodec

@@ -101,6 +101,19 @@ class WritersSpec extends SparkTestBase {
     assert(lines.head == "k,v" && lines.size == 3)
   }
 
+  test("single-file csv sink refuses oversized input with instructions") {
+    val big = spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    val dir = Files.createTempDirectory("csvbig").toString + "/out"
+    val e = intercept[IllegalArgumentException] {
+      Writers.writeCsvSingle(big, dir, maxRows = 50)
+    }
+    assert(e.getMessage.contains("writeCsv"), e.getMessage)
+    assert(!new java.io.File(dir).exists(), "no partial output on refusal")
+    // at the limit it still writes
+    Writers.writeCsvSingle(big, dir, maxRows = 100)
+    assert(new java.io.File(dir).exists())
+  }
+
   test("publish manifest round-trips, nulls lastEditDate, keeps blue/green as data") {
     val layers = Seq(
       Writers.LayerManifest(
