@@ -119,6 +119,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("LeftSemi"), plan)
   }
 
+  test("winnowing fixture pair keeps x17 non-vacuous at every scale") {
+    // the r15 fixtures exist because at sf0.1 the synthetic corpus has
+    // no natural shared-window pairs and the golden compared
+    // empty-vs-empty; the engine must emit the planted pair wherever
+    // it runs, with the exact count tools/golden_ext.py derives
+    val rows = ExtQueries.x17_winnowing.run(spark, sfDir).collect()
+    assert(rows.exists(r =>
+      r.getLong(0) == -2L && r.getLong(1) == -1L && r.getLong(2) == 45L),
+      s"fixture pair (-2,-1,45) missing from ${rows.mkString(", ")}")
+  }
+
   test("q30 top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = CorpusQueries.q30.run(spark, sfDir)
       .queryExecution.executedPlan.toString

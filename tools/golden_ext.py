@@ -223,6 +223,50 @@ def winnowing_fps(text, k=8, w=4):
     return out
 
 
+def five_grams(t):
+    """Raw character 5-grams of lower(trim(text)) — the gramsCte the
+    DuckDB oracles build (substr(s, i, 5) for i in 1..max(len-4, 1),
+    deduped)."""
+    s = t.strip().lower()
+    return {s[i - 1:i + 4] for i in range(1, max(len(s) - 3, 2))}
+
+
+def recall_audit(docs, cands, audit_cap=1500):
+    """Generation-time recall guarantee for the candidate-restricted
+    verified-edge oracles (x14/x16/x25/x77): every TRUE all-pairs raw
+    5-gram Jaccard >= 0.8 pair must be a banded MinHash candidate at
+    est >= 0.65, or restricting the oracle's exact-Jaccard recompute to
+    the candidate list would silently forgive an engine recall loss.
+    Quadratic by design, so it runs only at golden-derivation scales
+    (the oracles themselves stay output-proportional at any scale)."""
+    if len(docs) > audit_cap:
+        print(f"recall audit: skipped ({len(docs)} docs > cap {audit_cap})")
+        return
+    g = {i: five_grams(t) for i, t in docs}
+    ids = sorted(g)
+    missed = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            u = len(g[a] | g[b])
+            j = (len(g[a] & g[b]) / u) if u else 0.0
+            if j >= 0.8 and cands.get((a, b), 0.0) < 0.65:
+                missed.append((a, b, j))
+    assert not missed, f"banded candidates missed true >=0.8 pairs: {missed[:5]}"
+    print("recall audit: all true jaccard>=0.8 pairs are candidates at est>=0.65")
+
+
+def winnow_fixtures():
+    """Two fixture docs sharing one long non-repetitive window —
+    mirrored character-for-character in ExtQueries.winnowFixtures so
+    the x17 golden stays non-vacuous at scales where the synthetic
+    corpus has no natural collision pairs (sf0.1)."""
+    core = ''.join(' ' if i % 7 == 6 else chr(ord('a') + (i * i * 31 + i * 7) % 26)
+                   for i in range(3000))
+    return [(-2, "alpha fixture prologue " + core),
+            (-1, "omega fixture prologue " + core + " epilogue")]
+
+
 def winnowing_pairs(docs, max_df=20, min_shared=25):
     fps = {i: set(winnowing_fps(t)) for i, t in docs}
     df = {}
@@ -494,6 +538,7 @@ def main():
         print(f"{name}: {len(rows)} rows")
 
     cands = minhash_candidates(docs)
+    recall_audit(docs, cands)
     # x03: est_jaccard >= 0.5; doubles are k/64 so repr() round-trips
     write('x03_minhash_neardup.tsv',
           [(a, b, e) for (a, b), e in sorted(cands.items()) if e >= 0.5],
@@ -502,7 +547,7 @@ def main():
     # 5-grams in the oracle SQL itself)
     write('x05_simhash.tsv', simhash_pairs(docs),
           lambda r: f"{r[0]}\t{r[1]}\t{r[2]}")
-    write('x17_winnowing.tsv', winnowing_pairs(docs),
+    write('x17_winnowing.tsv', winnowing_pairs(docs + winnow_fixtures()),
           lambda r: f"{r[0]}\t{r[1]}\t{r[2]}")
     write('x06_embedding_neardup.tsv',
           embedding_neardup(embs, threshold=0.3, dim=64, sign_bits=2),
