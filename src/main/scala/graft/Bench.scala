@@ -224,6 +224,15 @@ object Bench {
       jitMs: Long = -1L, evict: Long = -1L, storMb: Long = -1L,
       taskCpu: Double = -1.0)
 
+  /** Streaming entries get fewer reps, min-reporting, and the
+    * lifecycle-floor adjudication (BASELINE.md; StreamFloorProbe
+    * measures the floor table) — shared so Bench and the probes can
+    * never disagree about membership.
+    */
+  private[graft] def isStreaming(name: String): Boolean =
+    name.contains("streaming") ||
+      Set("x93_session_window", "x95_tws_sessionize", "x99_tws_bootstrap")(name)
+
   private val compBean = ManagementFactory.getCompilationMXBean
   private def jitMillis: Long =
     if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
@@ -401,9 +410,7 @@ object Bench {
     // identical code). The priming run still happens, so both timed
     // reps are warm like every other entry's.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    def isStreaming(name: String): Boolean =
-      name.contains("streaming") ||
-        Set("x93_session_window", "x95_tws_sessionize", "x99_tws_bootstrap")(name)
+    def isStreaming(name: String): Boolean = Bench.isStreaming(name)
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         reps: Int, reportMin: Boolean = false): Option[Sample] = {
       // one untimed priming execution first: BASELINE.md budgets are
