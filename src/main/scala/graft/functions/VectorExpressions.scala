@@ -68,6 +68,24 @@ object VecOps {
       .fromPrimitiveArray(out)
   }
 
+  /** True iff `v` is exactly `dim` long with no null elements. The
+    * encode/normalize kernels deliberately absorb corrupt rows (null
+    * elements and ragged vectors zero-pad — a total function beats a
+    * mid-job task failure at 100 TB), which means corruption is
+    * otherwise INVISIBLE; this predicate is the observability hook —
+    * `df.filter(!vec_is_clean(col, dim))` isolates the corrupt rows,
+    * `sum(when(...))` counts them for a data-quality gate.
+    */
+  def isClean(v: ArrayData, dim: Int): Boolean = {
+    if (v.numElements() != dim) return false
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
   def eqCount(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
     var c = 0
@@ -222,6 +240,42 @@ case class VecNormalizeExpr(child: Expression)
     defineCodeGen(ctx, ev, v => s"graft.functions.VecOps.normalize($v)")
 
   override protected def withNewChildInternal(newChild: Expression): VecNormalizeExpr =
+    copy(child = newChild)
+}
+
+/** `vec_is_clean(v, dim)` — see [[VecOps.isClean]]. NOT
+  * null-intolerant: a NULL vector is corrupt, so it must report
+  * `false` rather than propagate NULL and vanish from both sides of a
+  * corruption census.
+  */
+case class VecIsCleanExpr(child: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_is_clean"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && VecOps.isClean(v.asInstanceOf[ArrayData], dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+          boolean ${ev.value} =
+            !${c.isNull} && graft.functions.VecOps.isClean(${c.value}, $dim);
+        """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecIsCleanExpr =
     copy(child = newChild)
 }
 
@@ -811,6 +865,9 @@ object VectorFunctions {
 
   def vec_normalize(v: Column): Column =
     GraftColumnBridge.column(VecNormalizeExpr(GraftColumnBridge.expression(v)))
+
+  def vec_is_clean(v: Column, dim: Int): Column =
+    GraftColumnBridge.column(VecIsCleanExpr(GraftColumnBridge.expression(v), dim))
 
   def sig_eqcount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SigEqCountExpr(

@@ -208,7 +208,9 @@ object Dedup {
     * every other operator-internal persist.
     */
   def duplicatedSpans(
-      df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+      spanIndexLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // the span explosion multiplies CPU per input byte by ~tokens/doc;
     // a bytes-sized scan split under-parallelizes it (graft.Spread doc)
     val src = graft.Spread.ensure(
@@ -221,13 +223,19 @@ object Dedup {
     // consumers inherit its __g partitioning (no further exchange),
     // and the plan is canonicalization-stable so rebuilt invocations
     // serve from the same entry. At lake scale this is the span index
-    // a dedup run materializes anyway; MEMORY_AND_DISK spills it.
+    // a dedup run materializes anyway — but it is GRAM-INSTANCE-sized
+    // (~corpus tokens × 16 B + InMemoryRelation overhead), so the
+    // default MEMORY_AND_DISK can evict every OTHER cached operator on
+    // a big corpus; `spanIndexLevel` lets such a caller route the spans
+    // (and only the spans — the small census persist below stays
+    // unconditional) to DISK_ONLY, trading re-read IO for keeping
+    // executor storage for the frames that fit.
     val spans = src
       .select(col(idCol),
         explode(TextAnalysis.tokenNgrams(col(textCol), k)).as("__span"))
       .select(col(idCol), xxhash64(col("__span")).as("__g"))
       .repartition(col("__g"))
-      .transform(graft.CacheLifecycle.persist(_))
+      .transform(graft.CacheLifecycle.persist(_, spanIndexLevel))
     // count(idCol), not count(*): ids are non-null so the census is
     // identical, but referencing idCol keeps column pruning from
     // narrowing this branch's subtree below the probe's —

@@ -538,6 +538,13 @@ object Similarity {
     * 100 TB layout — a probe then reads only nprobe directories of
     * m-byte codes, the double pruning (cells × code size) that makes
     * billion-vector ANN page-cache-resident.
+    *
+    * Corrupt rows (null elements, ragged vectors) encode under the
+    * kernels' zero-pad convention — total, never a task failure — so
+    * corruption is deliberately absorbed here; a pipeline that must
+    * OBSERVE it censuses with
+    * `VectorFunctions.vec_is_clean(col, dim)` before (or alongside)
+    * the encode.
     */
   def ivfPqEncode(
       df: DataFrame, idCol: String, vecCol: String, model: IvfPqModel): DataFrame = {

@@ -367,6 +367,33 @@ class StableKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("vec_is_clean censuses the corrupt rows the total kernels absorb") {
+    val vecs: Seq[Seq[Float]] = Seq(
+      Seq.fill(4)(1.0f),                      // clean
+      Seq(1.0f, 2.0f, 3.0f),                  // ragged (short)
+      Seq.fill(5)(1.0f),                      // ragged (long)
+      Seq.empty[Float],                       // empty
+      null)                                   // null vector
+    val withNullElem = {
+      // a null ELEMENT — built via SQL so the Seq encoder can't reject it
+      val df = vecs.toDF("v")
+      df.selectExpr(
+        "CASE WHEN size(v) = 4 THEN array(v[0], CAST(NULL AS FLOAT), v[2], v[3]) ELSE v END AS v")
+    }
+    val flags = vecs.toDF("v")
+      .select(VectorFunctions.vec_is_clean(col("v"), 4).as("c"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(flags == Seq(true, false, false, false, false), flags)
+    val nullElemFlags = withNullElem
+      .select(VectorFunctions.vec_is_clean(col("v"), 4).as("c"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(nullElemFlags == Seq(false, false, false, false, false), nullElemFlags)
+    // the census composition the scaladoc recommends
+    val corrupt = withNullElem
+      .filter(!VectorFunctions.vec_is_clean(col("v"), 4)).count()
+    assert(corrupt == 5)
+  }
+
   test("vec_normalize plans canonicalize equal and serve from cache") {
     val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def normPlan() = embs.select(col("vec_id"),
