@@ -21,12 +21,16 @@ object TempDirs {
   /** Register a directory root for deletion at JVM exit; returns it. */
   def register(p: java.nio.file.Path): java.nio.file.Path = { roots.add(p); p }
 
-  /** The shutdown hook's body, callable from tests (a spec cannot
-    * observe a JVM exit from inside the JVM).
+  /** Delete ONE registered root now — the spec hook (a spec cannot
+    * observe a JVM exit from inside the JVM, and it must not purge the
+    * whole registry: other suites in the same JVM still read their
+    * staged dirs — draining globally deleted StreamingTwins' staged
+    * events file out from under two later suites when this was a
+    * purge-everything method).
     */
-  private[graft] def purgeNow(): Unit = {
-    roots.forEach(deleteRecursively(_))
-    roots.clear()
+  private[graft] def deleteNow(p: java.nio.file.Path): Unit = {
+    deleteRecursively(p)
+    roots.remove(p)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

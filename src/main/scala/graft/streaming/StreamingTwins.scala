@@ -35,8 +35,14 @@ object StreamingTwins {
     */
   private def streamableDir(path: String): String = {
     val f = new java.io.File(path)
-    if (!f.isFile) path
-    else staged.getOrElseUpdate(path, {
+    if (!f.isFile) return path
+    // self-heal a vanished stage (external tmp cleanup, RAM-backed tmp
+    // cleared): a memo pointing at a deleted dir must re-stage, not
+    // fail every later stream with PATH_NOT_FOUND
+    staged.get(path).foreach { d =>
+      if (!new java.io.File(d, f.getName).isFile) staged.remove(path)
+    }
+    staged.getOrElseUpdate(path, {
       // deleteOnExit can't remove a non-empty dir — TempDirs deletes
       // the whole staged root recursively at JVM exit
       val dir = graft.TempDirs.register(

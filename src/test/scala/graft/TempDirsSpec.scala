@@ -9,21 +9,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TempDirsSpec extends AnyFunSuite {
 
-  test("purge removes a registered non-empty tree, tolerates missing roots") {
+  test("delete removes a registered non-empty tree, tolerates missing roots") {
+    // deleteNow targets ONLY this spec's roots — a global purge here
+    // would delete other suites' staged dirs mid-JVM (it did: the x51
+    // stream stage vanished under two later suites)
     val root = java.nio.file.Files.createTempDirectory("tempdirs_spec_")
     val sub = java.nio.file.Files.createDirectories(root.resolve("cell=3"))
     java.nio.file.Files.write(sub.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
     TempDirs.register(root)
+    TempDirs.deleteNow(root)
+    assert(!java.nio.file.Files.exists(root), s"$root survived the delete")
 
-    // a root that vanished before exit must not break the purge
+    // a root that vanished before exit must not break the cleanup
     val gone = java.nio.file.Files.createTempDirectory("tempdirs_gone_")
     TempDirs.register(gone)
     java.nio.file.Files.delete(gone)
+    TempDirs.deleteNow(gone)
 
-    TempDirs.purgeNow()
-    assert(!java.nio.file.Files.exists(root), s"$root survived the purge")
-
-    // purge is idempotent once drained
-    TempDirs.purgeNow()
+    // idempotent on an already-deleted root
+    TempDirs.deleteNow(root)
   }
 }
