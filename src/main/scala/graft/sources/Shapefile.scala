@@ -209,8 +209,10 @@ object Shapefile {
     // collect bounded at maxRows + 1, so a lake-scale frame pointed at a
     // publish sink fails with instructions instead of an
     // executor-to-driver OOM (the NearestJoin maxResidualRows pattern);
-    // the +1 row is only fetched to DETECT overflow, never written
-    val rows = df.limit(maxRows + 1).collect()
+    // the +1 row is only fetched to DETECT overflow, never written.
+    // (maxRows = Int.MaxValue means "no cap" — the +1 must not wrap.)
+    val probeN = if (maxRows == Int.MaxValue) maxRows else maxRows + 1
+    val rows = df.limit(probeN).collect()
     require(rows.length <= maxRows,
       s"Shapefile.write collected more than maxRows=$maxRows rows — " +
         "shapefile is a driver-side publish format (the format itself caps " +

@@ -29,7 +29,9 @@ object Writers {
     */
   def writeCsvSingle(df: DataFrame, path: String,
       maxRows: Long = 10_000_000L): Unit = {
-    val probed = df.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    // (min BEFORE the +1: maxRows = Long.MaxValue means "no cap" and
+    // must not wrap negative)
+    val probed = df.limit((maxRows.min(Int.MaxValue - 1L) + 1).toInt).count()
     require(probed <= maxRows,
       s"writeCsvSingle: input exceeds maxRows=$maxRows rows — a single-file " +
         "CSV writes through one task. Use writeCsv (one file per partition) " +
