@@ -284,4 +284,36 @@ class PropertySpec extends SparkTestBase {
         assert(rep == 1.0 - 1.0 / (len - 2))
     }
   }
+
+  test("vec_normalize algebra: unit norms, zero-vector pass-through, cosine = dot of normalized") {
+    import graft.functions.VectorFunctions._
+    val gen = Gen.listOfN(64, Gen.choose(-5.0f, 5.0f))
+    val params = Gen.Parameters.default
+    val vecs: Seq[Seq[Float]] =
+      (0 until 40).map(i => gen.pureApply(params, rng.Seed(100 + i)).toSeq) :+
+        Seq.fill(64)(0.0f)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+
+    val rows = df.select(
+        vec_is_clean($"v", 64).as("clean"),
+        vec_dot(vec_normalize($"v"), vec_normalize($"v")).as("selfdot"))
+      .collect()
+    rows.dropRight(1).foreach { r =>
+      assert(r.getBoolean(0), "generated vectors are clean")
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-5,
+        s"normalized self-dot ${r.getDouble(1)} != 1")
+    }
+    assert(rows.last.getDouble(1) == 0.0, "zero vector passes through as zeros")
+
+    // the identity embeddingNearDup's per-row pre-normalization rests
+    // on: cosine(a, b) == dot(normalize(a), normalize(b)) up to fp
+    val pairs = vecs.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    pairs.toDF("va", "vb")
+      .select(vec_cosine($"va", $"vb").as("cos"),
+        vec_dot(vec_normalize($"va"), vec_normalize($"vb")).as("ndot"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6,
+          s"cos ${r.getDouble(0)} vs normalized dot ${r.getDouble(1)}")
+      }
+  }
 }
