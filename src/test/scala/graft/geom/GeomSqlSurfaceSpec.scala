@@ -13,11 +13,13 @@ class GeomSqlSurfaceSpec extends SparkTestBase {
     val r = spark.sql(
       """SELECT round(vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)), 6) AS d,
         |  round(vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)), 6) AS c,
-        |  sig_eqcount(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS e""".stripMargin)
+        |  sig_eqcount(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS e,
+        |  vec_normalize(array(3.0F, 4.0F)) AS n""".stripMargin)
       .collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 1.0)
     assert(r.getInt(2) == 2)
+    assert(r.getSeq[Float](3) == Seq(0.6f, 0.8f))
   }
 
   test("registered ST functions drive a dissolve + metrics query in pure SQL") {
