@@ -231,29 +231,54 @@ def five_grams(t):
     return {s[i - 1:i + 4] for i in range(1, max(len(s) - 3, 2))}
 
 
-def recall_audit(docs, cands, audit_cap=1500):
+def recall_audit(docs, cands, flop_cap=5e11):
     """Generation-time recall guarantee for the candidate-restricted
     verified-edge oracles (x14/x16/x25/x77): every TRUE all-pairs raw
     5-gram Jaccard >= 0.8 pair must be a banded MinHash candidate at
     est >= 0.65, or restricting the oracle's exact-Jaccard recompute to
     the candidate list would silently forgive an engine recall loss.
-    Quadratic by design, so it runs only at golden-derivation scales
-    (the oracles themselves stay output-proportional at any scale)."""
-    if len(docs) > audit_cap:
-        print(f"recall audit: skipped ({len(docs)} docs > cap {audit_cap})")
-        return
+
+    All-pairs ground truth computed as a dense boolean gram-incidence
+    matrix product (|A ∩ B| = M · Mᵀ — BLAS makes 5000 docs × ~2k grams
+    a few seconds where the pure-python set sweep took hours), then
+    pairs NEAR the threshold re-checked with exact integer set
+    arithmetic so float32 rounding can neither include nor exclude a
+    borderline pair. Skips only past flop_cap (2·n²·m), printing the
+    reason."""
+    import numpy as np
     g = {i: five_grams(t) for i, t in docs}
+    vocab = {}
+    for s in g.values():
+        for gr in s:
+            vocab.setdefault(gr, len(vocab))
+    n, m = len(g), len(vocab)
+    if 2.0 * n * n * m > flop_cap:
+        print(f"recall audit: skipped (n={n}, grams={m} exceeds flop cap)")
+        return
     ids = sorted(g)
-    missed = []
-    for x in range(len(ids)):
-        for y in range(x + 1, len(ids)):
-            a, b = ids[x], ids[y]
-            u = len(g[a] | g[b])
-            j = (len(g[a] & g[b]) / u) if u else 0.0
-            if j >= 0.8 and cands.get((a, b), 0.0) < 0.65:
+    M = np.zeros((n, m), dtype=np.float32)
+    for r, i in enumerate(ids):
+        for gr in g[i]:
+            M[r, vocab[gr]] = 1.0
+    inter = M @ M.T                      # counts <= m << 2^24: exact in f32
+    sizes = M.sum(axis=1)
+    union = sizes[:, None] + sizes[None, :] - inter
+    with np.errstate(divide='ignore', invalid='ignore'):
+        J = np.where(union > 0, inter / union, 0.0)
+    # conservative f32 screen, exact integer decision per survivor
+    xs, ys = np.where(np.triu(J, k=1) >= 0.79)
+    true_pairs, missed = [], []
+    for x, y in zip(xs.tolist(), ys.tolist()):
+        a, b = ids[x], ids[y]
+        un = len(g[a] | g[b])
+        j = (len(g[a] & g[b]) / un) if un else 0.0
+        if j >= 0.8:
+            true_pairs.append((a, b))
+            if cands.get((a, b), 0.0) < 0.65:
                 missed.append((a, b, j))
     assert not missed, f"banded candidates missed true >=0.8 pairs: {missed[:5]}"
-    print("recall audit: all true jaccard>=0.8 pairs are candidates at est>=0.65")
+    print(f"recall audit: {len(true_pairs)} true jaccard>=0.8 pairs, "
+          f"all are candidates at est>=0.65 (n={n}, grams={m})")
 
 
 def winnow_fixtures():
