@@ -231,7 +231,7 @@ def five_grams(t):
     return {s[i - 1:i + 4] for i in range(1, max(len(s) - 3, 2))}
 
 
-def recall_audit(docs, cands, flop_cap=5e11):
+def recall_audit(docs, cands, flop_cap=5e11, allow_skip=False):
     """Generation-time recall guarantee for the candidate-restricted
     verified-edge oracles (x14/x16/x25/x77): every TRUE all-pairs raw
     5-gram Jaccard >= 0.8 pair must be a banded MinHash candidate at
@@ -243,8 +243,13 @@ def recall_audit(docs, cands, flop_cap=5e11):
     a few seconds where the pure-python set sweep took hours), then
     pairs NEAR the threshold re-checked with exact integer set
     arithmetic so float32 rounding can neither include nor exclude a
-    borderline pair. Skips only past flop_cap (2·n²·m), printing the
-    reason."""
+    borderline pair.
+
+    FAIL-CLOSED: past flop_cap (2·n²·m) the audit EXITS NONZERO unless
+    --allow-audit-skip was passed explicitly — a green golden run must
+    imply the banding-recall guarantee actually ran, never that it was
+    quietly too expensive. Returns the one-line audit record that main()
+    writes to <outdir>/recall_audit.txt for the verify record."""
     import numpy as np
     g = {i: five_grams(t) for i, t in docs}
     vocab = {}
@@ -253,8 +258,15 @@ def recall_audit(docs, cands, flop_cap=5e11):
             vocab.setdefault(gr, len(vocab))
     n, m = len(g), len(vocab)
     if 2.0 * n * n * m > flop_cap:
-        print(f"recall audit: skipped (n={n}, grams={m} exceeds flop cap)")
-        return
+        rec = (f"skipped n={n} grams={m} flops={2.0 * n * n * m:.2e} "
+               f"cap={flop_cap:.2e}")
+        if not allow_skip:
+            sys.exit(f"recall audit: REFUSING to skip ({rec}). The "
+                     "x14/x16/x25/x77 candidate-restricted oracles depend "
+                     "on this guarantee; pass --allow-audit-skip only if "
+                     "you will verify banding recall by other means.")
+        print(f"recall audit: {rec} (--allow-audit-skip)")
+        return rec
     ids = sorted(g)
     M = np.zeros((n, m), dtype=np.float32)
     for r, i in enumerate(ids):
@@ -277,8 +289,10 @@ def recall_audit(docs, cands, flop_cap=5e11):
             if cands.get((a, b), 0.0) < 0.65:
                 missed.append((a, b, j))
     assert not missed, f"banded candidates missed true >=0.8 pairs: {missed[:5]}"
-    print(f"recall audit: {len(true_pairs)} true jaccard>=0.8 pairs, "
-          f"all are candidates at est>=0.65 (n={n}, grams={m})")
+    rec = (f"ok {len(true_pairs)} true jaccard>=0.8 pairs, all are "
+           f"candidates at est>=0.65 (n={n}, grams={m})")
+    print(f"recall audit: {rec}")
+    return rec
 
 
 def winnow_fixtures():
@@ -544,7 +558,9 @@ def ivfpq_topk(vecs, query, k=10, dim=64, n_cells=8, m=8, codewords=16,
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if a != '--allow-audit-skip']
+    allow_skip = '--allow-audit-skip' in sys.argv[1:]
+    sfdir, outdir = args[0], args[1]
     os.makedirs(outdir, exist_ok=True)
     import duckdb
     con = duckdb.connect()
@@ -563,7 +579,9 @@ def main():
         print(f"{name}: {len(rows)} rows")
 
     cands = minhash_candidates(docs)
-    recall_audit(docs, cands)
+    audit_rec = recall_audit(docs, cands, allow_skip=allow_skip)
+    with open(os.path.join(outdir, 'recall_audit.txt'), 'w') as f:
+        f.write(f"{os.path.basename(sfdir.rstrip('/'))}: {audit_rec}\n")
     # x03: est_jaccard >= 0.5; doubles are k/64 so repr() round-trips
     write('x03_minhash_neardup.tsv',
           [(a, b, e) for (a, b), e in sorted(cands.items()) if e >= 0.5],
