@@ -26,9 +26,24 @@ object Writers {
     * row count is guarded up front (a `limit` probe: stops scanning at
     * maxRows + 1, never counts the full input) with instructions
     * instead of letting a 100 TB frame serialize through one writer.
+    *
+    * The probe is an EXTRA execution of the input plan before the
+    * write — an un-persisted expensive upstream frame pays ~2× here
+    * (persist first if that matters; unlike `Shapefile.write`, a CSV
+    * write cannot reuse driver-collected probe rows without buffering
+    * the table on the driver). `maxRows = Long.MaxValue` is the one
+    * explicit "no cap" sentinel; anything else must sit below the
+    * probe's Int.MaxValue-row reach or the guard could not actually
+    * enforce it, so such values are rejected rather than silently
+    * unenforced.
     */
   def writeCsvSingle(df: DataFrame, path: String,
       maxRows: Long = 10_000_000L): Unit = {
+    require(maxRows == Long.MaxValue || maxRows < Int.MaxValue - 1L,
+      s"writeCsvSingle: maxRows=$maxRows is above the limit-probe's reach " +
+        "(Int.MaxValue-2) and below the explicit no-cap sentinel " +
+        "Long.MaxValue — the guard cannot enforce it. Pass Long.MaxValue " +
+        "to disable the cap deliberately, or a cap the probe can check.")
     // (min BEFORE the +1: maxRows = Long.MaxValue means "no cap" and
     // must not wrap negative)
     val probed = df.limit((maxRows.min(Int.MaxValue - 1L) + 1).toInt).count()

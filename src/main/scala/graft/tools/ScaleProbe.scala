@@ -125,6 +125,16 @@ object ScaleProbe {
       time("dup_spans", k, dRows) {
         graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text").count()
       }
+      // the r15 lake-scale routing knob, exercised: the gram-instance-
+      // sized span index goes to DISK_ONLY (the small census persist
+      // stays unconditional inside the operator). The delta vs
+      // dup_spans at the same k IS the documented spill trade —
+      // re-read IO for the spans in exchange for leaving executor
+      // storage memory to the frames that fit.
+      time("dup_spans_disk", k, dRows) {
+        graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text",
+          spanIndexLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY).count()
+      }
       time("dsir_weights", k, dRows) {
         // r14 single-explode shape: per-doc bucket census persisted,
         // bucket fit + Σ llr·n scoring both read it. Deterministic
@@ -136,6 +146,28 @@ object ScaleProbe {
         // cells ∝ corpus: the knob that keeps within-cell pairs bounded
         graft.operators.Dedup.semDedup(embs, "vec_id", "embedding",
           tau = 0.97, nCells = 16 * k, trainN = math.max(256, 32 * k)).count()
+      }
+      // vec_is_clean composed with an encode pass — the observability
+      // pattern the ivfPqEncode scaladoc prescribes: the encode kernels
+      // deliberately absorb corrupt rows (zero-pad, total function), so
+      // a pipeline that must OBSERVE corruption censuses first and
+      // encodes only the clean rows. ~2% of rows are deterministically
+      // corrupted in the two absorbed ways (ragged slice, null
+      // element); out = encoded clean rows, so the census is doing real
+      // row-exclusion work, not just counting.
+      time("vec_clean_encode", k, eRows) {
+        val corrupted = embs.select(col("vec_id"),
+          when(col("vec_id") % 97 === 0, slice(col("embedding"), 1, 32))
+            .when(col("vec_id") % 101 === 0,
+              transform(col("embedding"), (x, i) =>
+                when(i === 0, lit(null).cast("float")).otherwise(x)))
+            .otherwise(col("embedding")).as("embedding"))
+        val clean = corrupted.filter(
+          graft.functions.VectorFunctions.vec_is_clean(col("embedding"), 64))
+        val model = graft.operators.Similarity.ivfPqTrain(
+          clean, "vec_id", "embedding", dim = 64)
+        graft.operators.Similarity.ivfPqEncode(
+          clean, "vec_id", "embedding", model).count()
       }
       time("ivf_build_probe", k, eRows) {
         val idx = graft.operators.Similarity.ivfBuild(embs, "vec_id", "embedding")

@@ -34,26 +34,51 @@ object StreamFloorProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // (batchId, triggerExecution ms, inputRows) per progress event, plus
-    // a started-query counter; the listener is async — drained below
-    val batches = mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Progress/termination events arrive on an async bus thread, so a
+    // previous entry's (or the priming pass's) late event could land
+    // after a naive clear() and pollute the next entry's batch_exec_s.
+    // Attribution is therefore BY RUN ID: onQueryStarted is delivered
+    // SYNCHRONOUSLY (before start() returns), so after an entry's fn
+    // returns, `startedIds` holds exactly its queries' runIds; progress
+    // rows are tagged with their runId and filtered against that set.
+    // The drain below then waits for the bus (FIFO per listener) to
+    // deliver the TERMINATION event of every started run — at which
+    // point every earlier progress event of those runs has been
+    // delivered too — replacing the old fixed 300 ms sleep, which both
+    // raced stale events in and could miss the final event.
+    val batches = mutable.ArrayBuffer.empty[(java.util.UUID, Long, Long, Long)]
+    val startedIds = mutable.Set.empty[java.util.UUID]
+    val terminatedIds = mutable.Set.empty[java.util.UUID]
+    val lock = new Object
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
-        started.incrementAndGet()
+        lock.synchronized { startedIds += e.runId }
       override def onQueryProgress(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-        batches.synchronized {
+        lock.synchronized {
           val p = e.progress
-          batches += ((p.batchId,
+          batches += ((p.runId, p.batchId,
             Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L),
             p.numInputRows))
         }
       override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        lock.synchronized { terminatedIds += e.runId; lock.notifyAll() }
     }
     spark.streams.addListener(listener)
+
+    // wait until every run started during this entry has its termination
+    // event delivered (bounded — a stuck bus reports rather than hangs)
+    def drain(ids: Set[java.util.UUID], capMs: Long = 10000): Unit = {
+      val deadline = System.nanoTime() + capMs * 1000000L
+      lock.synchronized {
+        while (!ids.subsetOf(terminatedIds) && System.nanoTime() < deadline)
+          lock.wait(50)
+        require(ids.subsetOf(terminatedIds),
+          s"listener bus did not deliver termination for ${ids -- terminatedIds}")
+      }
+    }
 
     val entries = graft.SparkEntry.queries
       .filter { case (n, _) => graft.Bench.isStreaming(n) }
@@ -66,18 +91,18 @@ object StreamFloorProbe {
     println("| entry | wall_s | queries | batches | batch_exec_s | lifecycle_s |")
     println("|---|---|---|---|---|---|")
     val rows = entries.map { case (name, fn) =>
-      batches.synchronized(batches.clear())
-      started.set(0)
+      val before = lock.synchronized { startedIds.toSet }
       val t0 = System.nanoTime()
       fn(spark, sfDir).collect()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events are delivered on a separate bus thread; give the
-      // final progress a moment to land
-      Thread.sleep(300)
-      val bs = batches.synchronized(batches.toVector)
-      val execS = bs.map(_._2).filter(_ >= 0).sum / 1000.0
+      val mine = lock.synchronized { startedIds.toSet } -- before
+      drain(mine)
+      val bs = lock.synchronized {
+        batches.filter(b => mine.contains(b._1)).toVector
+      }
+      val execS = bs.map(_._3).filter(_ >= 0).sum / 1000.0
       val lifecycle = math.max(0.0, wall - execS)
-      println(f"| $name | $wall%.2f | ${started.get} | ${bs.size} | $execS%.2f | $lifecycle%.2f |")
+      println(f"| $name | $wall%.2f | ${mine.size} | ${bs.size} | $execS%.2f | $lifecycle%.2f |")
       (name, wall, execS, lifecycle)
     }
     val wallSum = rows.map(_._2).sum

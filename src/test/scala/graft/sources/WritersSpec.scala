@@ -114,6 +114,24 @@ class WritersSpec extends SparkTestBase {
     assert(new java.io.File(dir).exists())
   }
 
+  test("single-file csv sink rejects unenforceable caps, honors the no-cap sentinel") {
+    val df = Seq((1, "a")).toDF("k", "v")
+    val base = Files.createTempDirectory("csvcap").toString
+    // caps past the probe's Int-row reach used to pass silently
+    // unenforced (e.g. 3e9 rows); now they are rejected up front
+    Seq(3_000_000_000L, Int.MaxValue.toLong, Int.MaxValue - 1L,
+        Long.MaxValue - 1L).foreach { cap =>
+      val e = intercept[IllegalArgumentException] {
+        Writers.writeCsvSingle(df, base + s"/r$cap", maxRows = cap)
+      }
+      assert(e.getMessage.contains("Long.MaxValue"), s"cap=$cap: ${e.getMessage}")
+      assert(!new java.io.File(base + s"/r$cap").exists())
+    }
+    // the explicit sentinel still means "no cap"
+    Writers.writeCsvSingle(df, base + "/nocap", maxRows = Long.MaxValue)
+    assert(new java.io.File(base + "/nocap").exists())
+  }
+
   test("publish manifest round-trips, nulls lastEditDate, keeps blue/green as data") {
     val layers = Seq(
       Writers.LayerManifest(
