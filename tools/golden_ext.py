@@ -579,7 +579,14 @@ def main():
         print(f"{name}: {len(rows)} rows")
 
     cands = minhash_candidates(docs)
-    audit_rec = recall_audit(docs, cands, allow_skip=allow_skip)
+    # GRAFT_AUDIT_FLOP_CAP: operator tunable (bigger box, bigger cap) and
+    # the hook that lets the reverify gate's FAILURE path be exercised
+    # end-to-end (set it to 1 and the run must die unless explicitly
+    # allowed to skip) — a gate whose failure mode is never executed is
+    # itself unverified.
+    flop_cap = float(os.environ.get('GRAFT_AUDIT_FLOP_CAP', 5e11))
+    audit_rec = recall_audit(docs, cands, flop_cap=flop_cap,
+                             allow_skip=allow_skip)
     with open(os.path.join(outdir, 'recall_audit.txt'), 'w') as f:
         f.write(f"{os.path.basename(sfdir.rstrip('/'))}: {audit_rec}\n")
     # x03: est_jaccard >= 0.5; doubles are k/64 so repr() round-trips
