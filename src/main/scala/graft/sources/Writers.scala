@@ -39,6 +39,7 @@ object Writers {
     */
   def writeCsvSingle(df: DataFrame, path: String,
       maxRows: Long = 10_000_000L): Unit = {
+    require(maxRows > 0, s"writeCsvSingle: maxRows=$maxRows must be positive")
     require(maxRows == Long.MaxValue || maxRows < Int.MaxValue - 1L,
       s"writeCsvSingle: maxRows=$maxRows is above the limit-probe's reach " +
         "(Int.MaxValue-2) and below the explicit no-cap sentinel " +

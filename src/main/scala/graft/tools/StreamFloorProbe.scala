@@ -98,7 +98,13 @@ object StreamFloorProbe {
       val mine = lock.synchronized { startedIds.toSet } -- before
       drain(mine)
       val bs = lock.synchronized {
-        batches.filter(b => mine.contains(b._1)).toVector
+        val rows = batches.filter(b => mine.contains(b._1)).toVector
+        // prune consumed history (incl. the priming pass's rows on the
+        // first entry) so a many-entry sweep doesn't scan O(total
+        // events) per entry; runIds stay — `before` needs them
+        batches.filterInPlace(b => !mine.contains(b._1) &&
+          !before.contains(b._1))
+        rows
       }
       val execS = bs.map(_._3).filter(_ >= 0).sum / 1000.0
       val lifecycle = math.max(0.0, wall - execS)

@@ -130,6 +130,13 @@ class WritersSpec extends SparkTestBase {
     // the explicit sentinel still means "no cap"
     Writers.writeCsvSingle(df, base + "/nocap", maxRows = Long.MaxValue)
     assert(new java.io.File(base + "/nocap").exists())
+    // nonsensical caps are rejected up front, not passed to limit()
+    Seq(0L, -1L, -2L).foreach { cap =>
+      val e = intercept[IllegalArgumentException] {
+        Writers.writeCsvSingle(df, base + s"/n$cap", maxRows = cap)
+      }
+      assert(e.getMessage.contains("positive"), s"cap=$cap: ${e.getMessage}")
+    }
   }
 
   test("publish manifest round-trips, nulls lastEditDate, keeps blue/green as data") {

@@ -10,61 +10,111 @@ a local 8g sweep. The COMMITTED file is the canonical (fastest clean 8g
 sweep of the current tree); a working-tree divergence with a big
 heap_gb stamp is a driver-environment measurement, NOT a new canonical.
 
-Prints the adjudication and exits 0 when the divergence is the expected
-driver refresh (or there is no divergence). Exits 1 only when the
-working tree holds a FASTER clean small-heap sweep than the committed
-canonical — i.e. when the rule says you should commit the refresh.
+"Clean" is BASELINE.md's definition, all three legs: zero failed
+entries (Bench renders a failed entry as null AND drops it from the
+total — a sweep with one is incomplete and incomparable), zero
+regressed, zero cache evictions (fmt index 4 per entry).
+
+Exit codes (distinct from 1 so an uncaught crash can never read as an
+adjudication):
+  0 — keep the committed canonical (no divergence, expected driver
+      refresh, or a small-heap sweep that isn't faster-and-clean)
+  2 — the working tree holds a FASTER CLEAN small-heap sweep: the rule
+      says commit it as the new canonical
+  3 — the COMMITTED file itself violates the rule (big-heap driver
+      refresh got committed — the r15 incident — or unknown
+      provenance): restore a proper canonical from git history
 
 Usage: python3 tools/baseline_check.py [bench_baseline_sf0.1.json]
+(run from anywhere in the repo — the script chdirs to the git root so
+the working-tree read and `git show HEAD:` name the same file).
 """
 import json
+import os
 import subprocess
 import sys
 
-PATH = sys.argv[1] if len(sys.argv) > 1 else 'bench_baseline_sf0.1.json'
 SMALL_HEAP_GB = 16  # 8g sweeps are canonical; driver stamps ~89
 
 
-def load_committed():
-    out = subprocess.run(['git', 'show', f'HEAD:{PATH}'],
+def load_committed(path):
+    out = subprocess.run(['git', 'show', f'HEAD:{path}'],
                          capture_output=True, text=True, check=True)
     return json.loads(out.stdout)
 
 
+def taints(d):
+    """BASELINE.md's three-legged clean check."""
+    out = []
+    failed = [k for k, v in d['entries'].items() if v is None]
+    if failed:
+        out.append(f"failed entries {failed[:5]}")
+    if d.get('regressed'):
+        out.append(f"regressed {d['regressed']}")
+    evict = sum(v[4] for v in d['entries'].values()
+                if v is not None and len(v) > 4)
+    if evict:
+        out.append(f"evict_blocks {evict}")
+    return out
+
+
 def describe(tag, d):
     wall, cpu, gc = d['total']
+    t = taints(d)
     print(f"  {tag}: heap_gb={d.get('heap_gb', '?')} wall={wall}s "
           f"cpu={cpu}s gc={gc}ms entries={len(d['entries'])} "
-          f"regressed={d.get('regressed', [])}")
+          f"taints={t if t else 'none (clean)'}")
 
 
 def main():
-    wt = json.load(open(PATH))
-    co = load_committed()
-    print(f"baseline reconciliation check ({PATH}):")
+    root = subprocess.run(['git', 'rev-parse', '--show-toplevel'],
+                          capture_output=True, text=True, check=True).stdout.strip()
+    os.chdir(root)
+    path = sys.argv[1] if len(sys.argv) > 1 else 'bench_baseline_sf0.1.json'
+    wt = json.load(open(path))
+    co = load_committed(path)
+    print(f"baseline reconciliation check ({path}):")
     describe('committed (canonical)', co)
+
+    co_heap = co.get('heap_gb')
+    if co_heap is None or co_heap > SMALL_HEAP_GB:
+        print(f"  ADJUDICATION: the COMMITTED file is not a valid canonical "
+              f"(heap_gb={co_heap!r}; rule requires a clean sweep at "
+              f"<= {SMALL_HEAP_GB}g with known provenance) — the r15 "
+              "incident shape, where a driver round-close commit overwrote "
+              "the canonical. Restore the last small-heap canonical from "
+              "git history (git log -- " + path + ").")
+        return 3
+
     if wt == co:
         print("  working-tree == committed: nothing to reconcile")
         return 0
     describe('working-tree          ', wt)
-    wt_heap = wt.get('heap_gb', 0)
-    clean = not wt.get('regressed')
+    wt_heap = wt.get('heap_gb')
+    if wt_heap is None:
+        print("  ADJUDICATION: working-tree file carries no heap_gb stamp — "
+              "unknown provenance (pre-r15 format?). Refusing to adjudicate; "
+              "keep the committed canonical and re-measure with a stamped "
+              "sweep.")
+        return 0
     if wt_heap > SMALL_HEAP_GB:
         print(f"  ADJUDICATION: working-tree file is a DRIVER REFRESH "
               f"(heap_gb={wt_heap} > {SMALL_HEAP_GB}) vs committed "
-              f"canonical (heap_gb={co.get('heap_gb', '?')}). Expected "
-              "per BASELINE.md: keep the committed canonical; the "
-              "driver environment measures 15-25% slower wall. "
-              "Do NOT commit this refresh.")
+              f"canonical (heap_gb={co_heap}). Expected per BASELINE.md: "
+              "keep the committed canonical; the driver environment "
+              "measures 15-25% slower wall. Do NOT commit this refresh.")
         return 0
-    if clean and wt['total'][0] < co['total'][0]:
-        print(f"  ADJUDICATION: working-tree is a FASTER clean small-heap "
+    wt_taints = taints(wt)
+    if not wt_taints and wt['total'][0] < co['total'][0]:
+        print(f"  ADJUDICATION: working-tree is a FASTER CLEAN small-heap "
               f"sweep ({wt['total'][0]}s < {co['total'][0]}s at "
-              f"heap_gb={wt_heap}). Per the fastest-clean-8g rule this "
-              "SHOULD become the new committed canonical.")
-        return 1
-    print("  ADJUDICATION: working-tree is a small-heap sweep but not "
-          "faster-and-clean vs the canonical — keep the committed file.")
+              f"heap_gb={wt_heap}, zero taints). Per the fastest-clean-8g "
+              "rule this SHOULD become the new committed canonical.")
+        return 2
+    why = (f"tainted: {wt_taints}" if wt_taints
+           else f"not faster ({wt['total'][0]}s >= {co['total'][0]}s)")
+    print(f"  ADJUDICATION: working-tree is a small-heap sweep but {why} — "
+          "keep the committed file.")
     return 0
 
 

@@ -288,7 +288,12 @@ def recall_audit(docs, cands, flop_cap=5e11, allow_skip=False):
             true_pairs.append((a, b))
             if cands.get((a, b), 0.0) < 0.65:
                 missed.append((a, b, j))
-    assert not missed, f"banded candidates missed true >=0.8 pairs: {missed[:5]}"
+    # explicit exit, not `assert` — the gate must survive python3 -O /
+    # PYTHONOPTIMIZE, which strips asserts and would turn a recall loss
+    # into an "ok" record
+    if missed:
+        sys.exit(f"recall audit: banded candidates MISSED true >=0.8 "
+                 f"pairs: {missed[:5]}")
     rec = (f"ok {len(true_pairs)} true jaccard>=0.8 pairs, all are "
            f"candidates at est>=0.65 (n={n}, grams={m})")
     print(f"recall audit: {rec}")
