@@ -146,4 +146,55 @@ else
   echo "skip C: $SF not present (set GRAFT_SELFTEST_SF)"
 fi
 
+# ---------- D. check_oracle.py flags every corruption class ----------
+# The 151/151 gate is only as good as the comparator: write a synthetic
+# outdir where d1 is byte-faithful and d2-d6 each carry exactly one
+# corruption (value, row count, physical type, column name, missing
+# output); the comparator must pass d1, name each failure class, and
+# exit nonzero.
+if [ -d "$SF" ]; then
+  OD="$TMP/oracle_case"
+  python3 - "$SF" "$OD" <<'EOF'
+import duckdb, pyarrow as pa, pyarrow.parquet as pq, pyarrow.compute as pc
+import json, os, sys
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+con.execute(f"CREATE VIEW region AS SELECT * FROM '{sf}/region.parquet'")
+base = con.execute(
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+).fetch_arrow_table()
+sqls, SQL = {}, "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+def put(name, table):
+    os.makedirs(f"{out}/{name}", exist_ok=True)
+    if table is not None:
+        pq.write_table(table, f"{out}/{name}/part-0.parquet")
+    sqls[name] = SQL
+put("d1_pass", base)
+names = base.column("r_name").to_pylist(); names[0] = "CORRUPTED"
+put("d2_value", base.set_column(1, "r_name",
+    pa.array(names, type=base.schema.field("r_name").type)))
+put("d3_rows", base.slice(0, base.num_rows - 1))
+put("d4_types", base.set_column(0, "r_regionkey",
+    pc.cast(base.column("r_regionkey"), pa.int16())))
+put("d5_cols", base.rename_columns(["r_key", "r_name"]))
+put("d6_missing", None)
+json.dump(sqls, open(f"{out}/oracle_sql.json", "w"))
+EOF
+  rc=0; OUT_D="$(python3 tools/check_oracle.py "$OD" "$SF" 2>&1)" || rc=$?
+  if [ "$rc" != 1 ]; then
+    echo "FAIL D: check_oracle exit $rc, expected 1"; echo "$OUT_D"; exit 1
+  fi
+  for pat in "OK   d1_pass" "FAIL d2_value: values differ" \
+             "FAIL d3_rows: rows oracle=" "FAIL d4_types: types oracle=" \
+             "FAIL d5_cols: cols oracle=" "FAIL d6_missing: no spark output" \
+             "1/6 pass"; do
+    if ! echo "$OUT_D" | grep -qF "$pat"; then
+      echo "FAIL D: output lacks '$pat'"; echo "$OUT_D"; exit 1
+    fi
+    PASS=$((PASS + 1)); echo "ok   D /$pat/"
+  done
+else
+  echo "skip D: $SF not present (set GRAFT_SELFTEST_SF)"
+fi
+
 echo "selftest: $PASS checks pass"
