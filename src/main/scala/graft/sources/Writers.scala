@@ -40,11 +40,16 @@ object Writers {
   def writeCsvSingle(df: DataFrame, path: String,
       maxRows: Long = 10_000_000L): Unit = {
     require(maxRows > 0, s"writeCsvSingle: maxRows=$maxRows must be positive")
+    // deliberate ceiling: Int.MaxValue+ is beyond the probe's reach
+    // (limit() takes an Int, so probed <= Int.MaxValue <= maxRows would
+    // always pass), and the single probe-enforceable value above the
+    // cutoff (Int.MaxValue-1) is excluded too — a >2-billion-row
+    // single-file CSV is far past this writer's intent either way
     require(maxRows == Long.MaxValue || maxRows < Int.MaxValue - 1L,
-      s"writeCsvSingle: maxRows=$maxRows is above the limit-probe's reach " +
-        "(Int.MaxValue-2) and below the explicit no-cap sentinel " +
-        "Long.MaxValue — the guard cannot enforce it. Pass Long.MaxValue " +
-        "to disable the cap deliberately, or a cap the probe can check.")
+      s"writeCsvSingle: maxRows=$maxRows is at/above the guard's " +
+        "deliberate Int.MaxValue-2 ceiling and below the explicit " +
+        "no-cap sentinel Long.MaxValue. Pass Long.MaxValue to disable " +
+        "the cap deliberately, or a cap under the ceiling.")
     // (min BEFORE the +1: maxRows = Long.MaxValue means "no cap" and
     // must not wrap negative)
     val probed = df.limit((maxRows.min(Int.MaxValue - 1L) + 1).toInt).count()

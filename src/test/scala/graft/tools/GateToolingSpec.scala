@@ -25,9 +25,13 @@ class GateToolingSpec extends AnyFunSuite {
   test("gate tooling selftest: every adjudication and failure path pins") {
     val script = new java.io.File("tools/selftest.sh")
     assume(script.isFile, s"tools/selftest.sh not under ${new java.io.File(".").getAbsolutePath}")
-    val pyProbe = Process(Seq("python3", "-c", "import numpy, duckdb"))
+    // everything selftest.sh's sections can import: B needs numpy,
+    // C needs duckdb, D needs duckdb + pyarrow + pandas (check_oracle)
+    val pyProbe = Process(
+      Seq("python3", "-c", "import numpy, duckdb, pyarrow, pandas"))
       .!(ProcessLogger(_ => ()))
-    assume(pyProbe == 0, "driver-side python toolchain (numpy/duckdb) absent")
+    assume(pyProbe == 0,
+      "driver-side python toolchain (numpy/duckdb/pyarrow/pandas) absent")
 
     val out = new StringBuilder
     val rc = Process(Seq("bash", script.getPath))
@@ -35,10 +39,10 @@ class GateToolingSpec extends AnyFunSuite {
     assert(rc == 0, s"selftest.sh exited $rc:\n$out")
     val passed = "selftest: (\\d+) checks pass".r
       .findFirstMatchIn(out.toString).map(_.group(1).toInt)
-    // 17 = sections A+B (always-hermetic); C+D add 11 when testdata is
+    // 19 = sections A+B (always-hermetic); C+D add 11 when testdata is
     // present. Pin the floor, not the exact count, so the spec holds in
     // an environment without /root/testdata.
-    assert(passed.exists(_ >= 17),
-      s"expected >=17 checks, got $passed:\n${out.toString.linesIterator.toSeq.takeRight(8).mkString("\n")}")
+    assert(passed.exists(_ >= 19),
+      s"expected >=19 checks, got $passed:\n${out.toString.linesIterator.toSeq.takeRight(8).mkString("\n")}")
   }
 }

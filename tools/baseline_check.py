@@ -104,6 +104,27 @@ def main():
               "keep the committed canonical; the driver environment "
               "measures 15-25% slower wall. Do NOT commit this refresh.")
         return 0
+    # Comparability before speed: a sweep covering a different entry
+    # set (truncated file, renamed/removed entries) or a different sf
+    # measures different WORK — its lower total is not "faster" and
+    # must never auto-adopt. A deliberate entry-set change needs a
+    # human-committed re-measure, not this adjudicator.
+    wt_keys, co_keys = set(wt['entries']), set(co['entries'])
+    if wt_keys != co_keys or wt.get('sf') != co.get('sf'):
+        diff = []
+        if wt.get('sf') != co.get('sf'):
+            diff.append(f"sf {wt.get('sf')!r} vs {co.get('sf')!r}")
+        if wt_keys - co_keys:
+            diff.append(f"extra entries {sorted(wt_keys - co_keys)[:5]}")
+        if co_keys - wt_keys:
+            diff.append(f"missing entries {sorted(co_keys - wt_keys)[:5]}")
+        print(f"  ADJUDICATION: INCOMPARABLE sweeps ({'; '.join(diff)}) — "
+              "the totals measure different work, so faster/slower is "
+              "meaningless. Keep the committed canonical; if the entry set "
+              "changed deliberately, re-measure a clean small-heap sweep "
+              "of the new set and commit it by hand with the change noted "
+              "in BASELINE.md.")
+        return 0
     wt_taints = taints(wt)
     if not wt_taints and wt['total'][0] < co['total'][0]:
         print(f"  ADJUDICATION: working-tree is a FASTER CLEAN small-heap "

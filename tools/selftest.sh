@@ -9,8 +9,10 @@
 # in one session is itself unverified. This script pins, repeatably:
 #   A. baseline_check.py's full exit-code contract (0 keep / 2 adopt /
 #      3 committed-file-invalid) including all three "clean" taint
-#      legs (failed-null entry, regressed list, evict_blocks) and the
-#      provenance refusals — in a THROWAWAY git repo, so `git show
+#      legs (failed-null entry, regressed list, evict_blocks), the
+#      provenance refusals, and the entry-set/sf comparability refusal
+#      (a sweep measuring different WORK must never auto-adopt on a
+#      lower total) — in a THROWAWAY git repo, so `git show
 #      HEAD:` sees controlled fixtures and the real canonical is
 #      never touched.
 #   B. golden_ext.recall_audit's four decision paths (ok / missed pair
@@ -51,16 +53,19 @@ mkdir -p "$FIX"
 git -C "$FIX" init -q
 git -C "$FIX" config user.email t@t && git -C "$FIX" config user.name t
 
-mk() { # mk <heap_gb|null> <wall> <regressed_json> <evict> <entry_json|null>
+mk() { # mk <heap_gb|null> <wall> <regressed_json> <evict> <entry_json|null> [sf] [extra_entry]
   python3 - "$@" <<'EOF'
 import json, sys
-heap, wall, regressed, evict, entry = sys.argv[1:6]
+args = sys.argv[1:]
+heap, wall, regressed, evict, entry = args[:5]
 d = {"fmt": "[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s]",
-     "sf": "/x", "reps": 3,
+     "sf": args[5] if len(args) > 5 else "/x", "reps": 3,
      "total": [float(wall), 10.0, 100],
      "regressed": json.loads(regressed),
      "entries": {"q01": [0.1, 0.2, 0, 0, int(evict), 1, 0.0],
                  "q02": None if entry == "null" else [0.2, 0.3, 0, 0, 0, 1, 0.0]}}
+if len(args) > 6:
+    d["entries"][args[6]] = [0.1, 0.2, 0, 0, 0, 1, 0.0]
 if heap != "null":
     d["heap_gb"] = int(heap)
 print(json.dumps(d))
@@ -87,6 +92,11 @@ mk 8 39.0 '[]' 0 ok > "$FIX/bench.json"
 check "A7 slower clean -> keep"         0 "not faster"            run_bc
 mk null 34.0 '[]' 0 ok > "$FIX/bench.json"
 check "A8 no heap stamp -> refuse"      0 "unknown provenance"    run_bc
+# faster AND clean, but measuring different work — must NOT adopt
+mk 8 34.0 '[]' 0 ok /x q99 > "$FIX/bench.json"
+check "A10 entry-set mismatch -> keep"  0 "INCOMPARABLE.*extra entries" run_bc
+mk 8 34.0 '[]' 0 ok /other-sf > "$FIX/bench.json"
+check "A11 sf mismatch -> keep"         0 "INCOMPARABLE.*sf"      run_bc
 mk 89 40.0 '[]' 0 ok > "$FIX/bench.json"
 git -C "$FIX" add bench.json && git -C "$FIX" commit -qm oops-driver-refresh
 check "A9 committed is refresh -> 3"    3 "COMMITTED file is not a valid canonical" run_bc
