@@ -115,5 +115,6 @@ object StringFunctions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("jaro_winkler_similarity"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler_similarity"),
-      (exprs: Seq[Expression]) => JaroWinklerExpr(exprs(0), exprs(1))))
+      SqlBuilders.nArgs("jaro_winkler_similarity", 2)(
+        exprs => JaroWinklerExpr(exprs(0), exprs(1)))))
 }

@@ -900,27 +900,29 @@ object VectorFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
+  import graft.functions.SqlBuilders.nArgs
+
   /** SQL registration via GraftExtensions. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))),
+      nArgs("vec_dot", 2)(exprs => VecDotExpr(exprs(0), exprs(1)))),
     (FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosineExpr].getName, "vec_cosine"),
-      (exprs: Seq[Expression]) => VecCosineExpr(exprs(0), exprs(1))),
+      nArgs("vec_cosine", 2)(exprs => VecCosineExpr(exprs(0), exprs(1)))),
     (FunctionIdentifier("sig_eqcount"),
       new ExpressionInfo(classOf[SigEqCountExpr].getName, "sig_eqcount"),
-      (exprs: Seq[Expression]) => SigEqCountExpr(exprs(0), exprs(1))),
+      nArgs("sig_eqcount", 2)(exprs => SigEqCountExpr(exprs(0), exprs(1)))),
     (FunctionIdentifier("adc_score"),
       new ExpressionInfo(classOf[AdcScoreExpr].getName, "adc_score"),
-      (exprs: Seq[Expression]) => AdcScoreExpr(exprs(0), exprs(1))),
+      nArgs("adc_score", 2)(exprs => AdcScoreExpr(exprs(0), exprs(1)))),
     (FunctionIdentifier("adc_score_cells"),
       new ExpressionInfo(classOf[AdcCellScoreExpr].getName, "adc_score_cells"),
-      (exprs: Seq[Expression]) => AdcCellScoreExpr(exprs(0), exprs(1), exprs(2))),
+      nArgs("adc_score_cells", 3)(exprs => AdcCellScoreExpr(exprs(0), exprs(1), exprs(2)))),
     (FunctionIdentifier("sign_pack"),
       new ExpressionInfo(classOf[SignPackExpr].getName, "sign_pack"),
-      (exprs: Seq[Expression]) => SignPackExpr(exprs.head)),
+      nArgs("sign_pack", 1)(exprs => SignPackExpr(exprs.head))),
     (FunctionIdentifier("vec_normalize"),
       new ExpressionInfo(classOf[VecNormalizeExpr].getName, "vec_normalize"),
-      (exprs: Seq[Expression]) => VecNormalizeExpr(exprs.head)))
+      nArgs("vec_normalize", 1)(exprs => VecNormalizeExpr(exprs.head))))
 }

@@ -33,6 +33,14 @@ object CrsMath {
   // --- EPSG:3857 (spherical pseudo-Mercator) -------------------------
 
   def lonLatToMercator(lon: Double, lat: Double): (Double, Double) = {
+    // Mercator is undefined at the poles: tan(π/4+φ/2) → ∞ at φ = 90°
+    // and goes negative past it (log → NaN). Without this guard an
+    // out-of-domain latitude (a corrupt vertex, or exactly ±90) silently
+    // produced an Infinity/NaN coordinate that poisoned every downstream
+    // predicate and area; PROJ-based references error here, so fail
+    // loudly. abs(NaN) < 90 is false, so NaN latitudes are caught too.
+    require(math.abs(lat) < 90.0,
+      s"lonLatToMercator: latitude $lat outside the EPSG:3857 domain (-90, 90)")
     val x = A * math.toRadians(lon)
     val y = A * math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0))
     (x, y)
@@ -146,6 +154,9 @@ object CrsMath {
       }
     }
     val res = tr.transform(g)
+    // in-memory JTS convenience only: the engine carries SRID as a
+    // separate column, and GeomCodec's 2D WKB writer drops the SRID on
+    // persist — do not rely on it surviving a WKB round trip
     res.setSRID(toSrid)
     res
   }

@@ -368,52 +368,54 @@ object GeomExpressions {
     GraftColumnBridge.column(StAreaSqmiExpr(
       GraftColumnBridge.expression(g), GraftColumnBridge.expression(srid)))
 
+  import graft.functions.SqlBuilders.nArgs
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("st_area"),
       new ExpressionInfo(classOf[StAreaExpr].getName, "st_area"),
-      (exprs: Seq[Expression]) => StAreaExpr(exprs.head)),
+      nArgs("st_area", 1)(exprs => StAreaExpr(exprs.head))),
     (FunctionIdentifier("st_intersects"),
       new ExpressionInfo(classOf[StIntersectsExpr].getName, "st_intersects"),
-      (exprs: Seq[Expression]) => StIntersectsExpr(exprs(0), exprs(1))),
+      nArgs("st_intersects", 2)(exprs => StIntersectsExpr(exprs(0), exprs(1)))),
     (FunctionIdentifier("st_contains"),
       new ExpressionInfo(classOf[StContainsExpr].getName, "st_contains"),
-      (exprs: Seq[Expression]) => StContainsExpr(exprs(0), exprs(1))),
+      nArgs("st_contains", 2)(exprs => StContainsExpr(exprs(0), exprs(1)))),
     (FunctionIdentifier("st_within"),
       new ExpressionInfo(classOf[StWithinExpr].getName, "st_within"),
-      (exprs: Seq[Expression]) => StWithinExpr(exprs(0), exprs(1))),
+      nArgs("st_within", 2)(exprs => StWithinExpr(exprs(0), exprs(1)))),
     (FunctionIdentifier("st_dwithin"),
       new ExpressionInfo(classOf[StDWithinExpr].getName, "st_dwithin"),
-      (exprs: Seq[Expression]) => StDWithinExpr(exprs(0), exprs(1), exprs(2))),
+      nArgs("st_dwithin", 3)(exprs => StDWithinExpr(exprs(0), exprs(1), exprs(2)))),
     (FunctionIdentifier("st_transform"),
       new ExpressionInfo(classOf[StTransformExpr].getName, "st_transform"),
-      (exprs: Seq[Expression]) => StTransformExpr(exprs(0), exprs(1), exprs(2))),
+      nArgs("st_transform", 3)(exprs => StTransformExpr(exprs(0), exprs(1), exprs(2)))),
     (FunctionIdentifier("st_intersection"),
       new ExpressionInfo(classOf[StIntersectionExpr].getName, "st_intersection"),
-      (exprs: Seq[Expression]) => StIntersectionExpr(exprs(0), exprs(1))),
+      nArgs("st_intersection", 2)(exprs => StIntersectionExpr(exprs(0), exprs(1)))),
     (FunctionIdentifier("st_difference"),
       new ExpressionInfo(classOf[StDifferenceExpr].getName, "st_difference"),
-      (exprs: Seq[Expression]) => StDifferenceExpr(exprs(0), exprs(1))),
+      nArgs("st_difference", 2)(exprs => StDifferenceExpr(exprs(0), exprs(1)))),
     (FunctionIdentifier("st_union"),
       new ExpressionInfo(classOf[StUnionExpr].getName, "st_union"),
-      (exprs: Seq[Expression]) => StUnionExpr(exprs(0), exprs(1))),
+      nArgs("st_union", 2)(exprs => StUnionExpr(exprs(0), exprs(1)))),
     (FunctionIdentifier("st_polygonal"),
       new ExpressionInfo(classOf[StPolygonalExpr].getName, "st_polygonal"),
-      (exprs: Seq[Expression]) => StPolygonalExpr(exprs.head)),
+      nArgs("st_polygonal", 1)(exprs => StPolygonalExpr(exprs.head))),
     (FunctionIdentifier("st_makevalid"),
       new ExpressionInfo(classOf[StMakeValidExpr].getName, "st_makevalid"),
-      (exprs: Seq[Expression]) => StMakeValidExpr(exprs.head)),
+      nArgs("st_makevalid", 1)(exprs => StMakeValidExpr(exprs.head))),
     (FunctionIdentifier("st_area_sqmi"),
       new ExpressionInfo(classOf[StAreaSqmiExpr].getName, "st_area_sqmi"),
-      (exprs: Seq[Expression]) => StAreaSqmiExpr(exprs(0), exprs(1))),
+      nArgs("st_area_sqmi", 2)(exprs => StAreaSqmiExpr(exprs(0), exprs(1)))),
     // grid decomposition primitives (the PBSM building blocks the
     // GridJoinRewrite emits) — exposed so SQL users can hand-build a
     // cell-partitioned spatial join or a cell-keyed layout
     (FunctionIdentifier("st_grid_cells"),
       new ExpressionInfo(classOf[graft.plans.StGridCellsExpr].getName, "st_grid_cells"),
-      (exprs: Seq[Expression]) => graft.plans.StGridCellsExpr(exprs(0), exprs(1), exprs(2))),
+      nArgs("st_grid_cells", 3)(exprs => graft.plans.StGridCellsExpr(exprs(0), exprs(1), exprs(2)))),
     (FunctionIdentifier("st_grid_refcell"),
       new ExpressionInfo(classOf[graft.plans.StGridRefCellExpr].getName, "st_grid_refcell"),
-      (exprs: Seq[Expression]) => graft.plans.StGridRefCellExpr(exprs(0), exprs(1), exprs(2), exprs(3))))
+      nArgs("st_grid_refcell", 4)(exprs => graft.plans.StGridRefCellExpr(exprs(0), exprs(1), exprs(2), exprs(3)))))
 }
 
 /** SparkSessionExtensions hook: `spark.sql("SELECT st_area(geom) …")`

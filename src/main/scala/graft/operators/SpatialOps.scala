@@ -38,6 +38,39 @@ object SpatialOps {
       struct(xxhash64(cs: _*).as("h1"), xxhash64((lit("graft:h2") +: cs): _*).as("h2")))
   }
 
+  /** Post-construction emptiness probe, deliberately nondeterministic —
+    * see [[filterNonEmpty]]. Top-level val so every invocation shares one
+    * function instance (a method-local closure would make each plan
+    * canonically unique — the persisted-plan stability rule pinned by
+    * StableKernelsSpec).
+    */
+  private val nonEmptyGuard =
+    udf((wkb: Array[Byte]) => wkb != null && !GeomCodec.read(wkb).isEmpty)
+      .asNondeterministic()
+
+  /** Drop rows whose just-constructed geometry is empty, with the
+    * constructive chain evaluated ONCE. The naive
+    * `withColumn(g, st_polygonal(st_intersection(…))).filter(!st_isempty(g))`
+    * ran the JTS construction twice per candidate pair: PushDownPredicates
+    * substitutes the column's defining expression into the filter and
+    * pushes it below the projection (filter-through-project is row-order
+    * preserving, so Spark pushes even nondeterministic conditions), and
+    * whole-stage codegen has no cross-operator subexpression elimination
+    * — so the pushed filter built the geometry, then the projection built
+    * it again for survivors. Computing the probe as a nondeterministic
+    * PROJECTED column instead blocks the pushdown at the source (filters
+    * never push through a projection with a nondeterministic field, and
+    * CollapseProject refuses to inline the non-cheap chain into the probe
+    * projection), so the expensive kernel runs exactly once and the probe
+    * merely parses the already-built WKB. Same anti-double-eval device as
+    * the IVF-PQ encode guard in [[Similarity]]; plan shape pinned by
+    * PlanQualitySpec.
+    */
+  private def filterNonEmpty(df: DataFrame, geomCol: String): DataFrame =
+    df.withColumn("__keep", nonEmptyGuard(col(geomCol)))
+      .filter(col("__keep"))
+      .drop("__keep")
+
   /** OP-38 Dissolve (`bunny.py:264-270`): group by keys, union each
     * group's geometries into one multipart feature; non-key attributes
     * drop. Partial (map-side) union happens inside [[graft.geom.StUnionAgg]].
@@ -63,7 +96,7 @@ object SpatialOps {
         when(col("__eunion").isNull, col(geomCol))
           .otherwise(G.st_polygonal(G.st_difference(col(geomCol), col("__eunion")))))
       .drop("__tid", "__eunion")
-      .filter(!G.st_isempty(col(geomCol)))
+      .transform(filterNonEmpty(_, geomCol))
   }
 
   /** OP-43 Union — full planar overlay (`coastline.py:49-52`): output is
@@ -90,7 +123,7 @@ object SpatialOps {
     // (1) intersection pieces, polygonal component only
     val inter = pairs
       .withColumn(geomCol, G.st_polygonal(G.st_intersection(col("__ageom"), col("__bgeom"))))
-      .filter(!G.st_isempty(col(geomCol)))
+      .transform(filterNonEmpty(_, geomCol))
       .select((aAttrs ++ bAttrs).map(col) :+ col(geomCol): _*)
 
     // single select, not a withColumn per attribute: every Dataset
@@ -117,7 +150,7 @@ object SpatialOps {
       .withColumn(geomCol,
         when(col("__bunion").isNull, col("__ageom"))
           .otherwise(G.st_polygonal(G.st_difference(col("__ageom"), col("__bunion")))))
-      .filter(!G.st_isempty(col(geomCol)))
+      .transform(filterNonEmpty(_, geomCol))
     val aRest = blanks(aRest0, bAttrs, b)
       .select((aAttrs ++ bAttrs).map(col) :+ col(geomCol): _*)
 
@@ -127,7 +160,7 @@ object SpatialOps {
       .withColumn(geomCol,
         when(col("__aunion").isNull, col("__bgeom"))
           .otherwise(G.st_polygonal(G.st_difference(col("__bgeom"), col("__aunion")))))
-      .filter(!G.st_isempty(col(geomCol)))
+      .transform(filterNonEmpty(_, geomCol))
     val bRest = blanks(bRest0, aAttrs, a)
       .select((aAttrs ++ bAttrs).map(col) :+ col(geomCol): _*)
 

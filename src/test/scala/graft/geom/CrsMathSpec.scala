@@ -76,6 +76,20 @@ class CrsMathSpec extends AnyFunSuite {
       s"projected=$area authalic=$truth rel=${math.abs(area - truth) / truth}")
   }
 
+  test("Mercator rejects out-of-domain latitude loudly instead of emitting Inf/NaN") {
+    for (lat <- Seq(90.0, -90.0, 91.0, -123.0, Double.NaN)) {
+      val e = intercept[IllegalArgumentException] {
+        CrsMath.lonLatToMercator(0.0, lat)
+      }
+      assert(e.getMessage.contains("EPSG:3857 domain"), s"lat=$lat: ${e.getMessage}")
+    }
+    // the open interval still admits extreme-but-valid latitudes
+    val (_, y) = CrsMath.lonLatToMercator(0.0, 89.999999)
+    assert(!y.isNaN && !y.isInfinite && y > 0, y)
+    val (_, ys) = CrsMath.lonLatToMercator(0.0, -89.999999)
+    assert(!ys.isNaN && !ys.isInfinite && ys < 0, ys)
+  }
+
   test("G8: keep-list constant geometries round-trip 3310→3857→3310 (config.py:60-66)") {
     val farallon = Seq((-281052.0, -16085.0), (-257873.0, -16085.0),
       (-257873.0, -38503.0), (-281052.0, -38503.0))

@@ -67,6 +67,65 @@ class GeomSqlSurfaceSpec extends SparkTestBase {
     assert(!preds.getAs[String]("simp").contains("0.01"))          // vertex simplified away
   }
 
+  test("st_dump/st_collect round-trip from pure SQL (OP-48 surface)") {
+    GeomFunctions.registerAll(spark)
+    // the registerAll drift trap: these two were once present on the
+    // Column API but missing from the SQL registration
+    val r = spark.sql(
+      """SELECT size(st_dump(g)) AS nparts,
+        |       st_area(st_collect(st_dump(g))) AS area
+        |FROM (SELECT st_geomfromwkt(
+        |  'MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((2 2,4 2,4 4,2 4,2 2)))') AS g)
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2)
+    assert(r.getDouble(1) == 5.0)
+  }
+
+  test("st_x/st_y: null for empties; collections skip empty leading parts") {
+    GeomFunctions.registerAll(spark)
+    // This JTS's GeometryCollection.getCoordinate returns the first
+    // NON-empty member's coordinate (it does not NPE on, or return, an
+    // empty leading part); empty geometries are SQL NULL. Pinned here so
+    // a JTS upgrade that regresses either contract (older releases
+    // returned null past the isEmpty guard) fails visibly.
+    val r = spark.sql(
+      """SELECT st_x(st_geomfromwkt('GEOMETRYCOLLECTION(LINESTRING EMPTY, POINT(1 2))')) AS cx,
+        |       st_y(st_geomfromwkt('GEOMETRYCOLLECTION(LINESTRING EMPTY, POINT(1 2))')) AS cy,
+        |       st_x(st_geomfromwkt('LINESTRING EMPTY')) AS ex,
+        |       st_x(st_geomfromwkt('POINT(3 7)')) AS px,
+        |       st_y(st_geomfromwkt('POINT(3 7)')) AS py""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 2.0)
+    assert(r.isNullAt(2))
+    assert(r.getDouble(3) == 3.0 && r.getDouble(4) == 7.0)
+  }
+
+  test("wrong-arity SQL call fails with a clear message, not IndexOutOfBounds") {
+    GeomFunctions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT st_intersects(st_point(0, 0))").collect()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msg.contains("st_intersects expects 2 argument(s), got 1"), msg)
+    assert(!msg.contains("IndexOutOfBounds"), msg)
+  }
+
+  test("st_transform to 3857 fails loudly on a polar latitude instead of NaN") {
+    GeomFunctions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT st_transform(st_point(0, 90), 4326, 3857)").collect()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msg.contains("outside the EPSG:3857 domain"), msg)
+    // in-domain high latitude still projects (finite, huge y)
+    val y = spark.sql(
+      "SELECT st_y(st_transform(st_point(0, 89.9), 4326, 3857)) AS y")
+      .collect()(0).getDouble(0)
+    assert(!y.isNaN && !y.isInfinite && y > 2e7, y)
+  }
+
   test("grid decomposition primitives work from pure SQL") {
     GeomFunctions.registerAll(spark)
     // a 2x1-cell envelope at cell size 10: cells (0,0) and (1,0)

@@ -611,6 +611,39 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected partial+final HashAggregate pair:\n$plan")
   }
 
+  test("overlay/erase constructive chain evaluates ONCE per candidate pair") {
+    // the emptiness post-filter used to push below the projection with
+    // the chain substituted in (PushDownPredicates), running the JTS
+    // construction twice per pair — once in the pushed filter, once in
+    // the project. filterNonEmpty's nondeterministic probe column blocks
+    // that; this pin counts kernel occurrences in the optimized plan.
+    import graft.geom.{GeomFunctions => G}
+    import spark.implicits._
+    def shapes(wkts: (String, String)*) =
+      wkts.toSeq.toDF("name", "wkt")
+        .withColumn("geom", G.st_geomfromwkt(col("wkt"))).drop("wkt")
+    val a = shapes(("a0", "POLYGON((0 0,2 0,2 2,0 2,0 0))"))
+      .withColumnRenamed("name", "aname")
+    val b = shapes(("b0", "POLYGON((1 1,3 1,3 3,1 3,1 1))"))
+      .withColumnRenamed("name", "bname")
+
+    val ov = graft.operators.SpatialOps.overlayUnion(a, b, "geom")
+    val ovPlan = ov.queryExecution.optimizedPlan.toString
+    def cnt(plan: String, k: String) = k.r.findAllIn(plan).size
+    assert(cnt(ovPlan, "st_intersection") == 1, ovPlan)
+    assert(cnt(ovPlan, "st_difference") == 2, ovPlan)
+
+    val er = graft.operators.SpatialOps.erase(a, b, "geom")
+    val erPlan = er.queryExecution.optimizedPlan.toString
+    assert(cnt(erPlan, "st_difference") == 1, erPlan)
+
+    // and the rewrite didn't change results: one lens-shaped leftover
+    // each plus the intersection piece
+    val rows = ov.collect()
+    assert(rows.length == 3, rows.mkString(";"))
+    assert(er.collect().length == 1)
+  }
+
   test("gopher flags stay inside whole-stage codegen — one scan, no shuffle, no UDF, no HOF") {
     import graft.operators.{TextAnalysis => TA}
     val df = Tables.documents(spark, sfDir)
