@@ -54,7 +54,13 @@ object GeomOps {
 
   /** Polygonal component of a mixed-dimension overlay result (touching
     * inputs intersect in lines/points; planar overlay wants areas only).
-    * All-polygonal inputs pass through byte-identical.
+    * All-polygonal inputs pass through byte-identical — note the
+    * deliberate asymmetry in part structure: a MIXED collection has its
+    * areal parts run through UnaryUnionOp (dissolving shared
+    * boundaries), while an already-polygonal input keeps its parts
+    * intact. Areal CONTENT is identical either way; consumers that
+    * count parts (st_numgeometries/st_dump) should not assume a
+    * normalized decomposition across the two paths.
     */
   def polygonal(wkb: Array[Byte]): Array[Byte] = {
     val g = GeomCodec.read(wkb)
@@ -66,6 +72,38 @@ object GeomOps {
       org.locationtech.jts.operation.union.UnaryUnionOp.union(
         java.util.Arrays.asList(polys: _*)))
   }
+
+  /** [[polygonal]] on an in-memory JTS result — shared tail of the fused
+    * constructive kernels below. Byte-compatible with composing
+    * `polygonal(write(g))`: the pass-through branch re-serializes `g`
+    * with the same writer, so the bytes match what the standalone
+    * kernel would have been handed.
+    */
+  private def polygonalOf(g: org.locationtech.jts.geom.Geometry): Array[Byte] = {
+    val polys = (0 until g.getNumGeometries).map(g.getGeometryN)
+      .filter(_.getDimension == 2)
+    if (polys.isEmpty) GeomCodec.write(GeomCodec.factory.createPolygon())
+    else if (polys.size == g.getNumGeometries) GeomCodec.write(g)
+    else GeomCodec.write(
+      org.locationtech.jts.operation.union.UnaryUnionOp.union(
+        java.util.Arrays.asList(polys: _*)))
+  }
+
+  /** Fused `st_polygonal(st_intersection(a, b))` — the overlay inner
+    * loop evaluates this once per candidate pair, and the composed form
+    * paid a full WKB serialize→parse round trip between the two kernels
+    * for a geometry that can be large (the intersection of two detailed
+    * polygons). Fusing hands the JTS object straight to the polygonal
+    * tail. Output is bit-identical to the composition (pinned by spec).
+    */
+  def intersectionPolygonal(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    polygonalOf(GeomCodec.read(a).intersection(GeomCodec.read(b)))
+
+  /** Fused `st_polygonal(st_difference(a, b))` — twin of
+    * [[intersectionPolygonal]] for the erase/leftover branches.
+    */
+  def differencePolygonal(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    polygonalOf(GeomCodec.read(a).difference(GeomCodec.read(b)))
 }
 
 /** `st_area(geom)` as a native Catalyst expression with codegen. */
@@ -228,6 +266,47 @@ case class StUnionExpr(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** `st_intersection_polygonal(a, b)` — the fused overlay inner-loop
+  * kernel (see [[GeomOps.intersectionPolygonal]]): one JTS pass, no WKB
+  * round trip between intersection and the polygonal extraction.
+  */
+case class StIntersectionPolygonalExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_intersection_polygonal"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomOps.intersectionPolygonal(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomOps.intersectionPolygonal($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): StIntersectionPolygonalExpr =
+    copy(left = l, right = r)
+}
+
+/** `st_difference_polygonal(a, b)` — fused twin for erase/leftovers. */
+case class StDifferencePolygonalExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_difference_polygonal"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomOps.differencePolygonal(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomOps.differencePolygonal($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): StDifferencePolygonalExpr =
+    copy(left = l, right = r)
+}
+
 /** `st_polygonal(g)` — keep only the areal component; composed directly
   * over st_intersection/st_difference in overlay and erase, so making it
   * native keeps the whole constructive chain in one codegen span.
@@ -361,6 +440,14 @@ object GeomExpressions {
   def st_polygonal_native(c: Column): Column =
     GraftColumnBridge.column(StPolygonalExpr(GraftColumnBridge.expression(c)))
 
+  def st_intersection_polygonal_native(a: Column, b: Column): Column =
+    GraftColumnBridge.column(StIntersectionPolygonalExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def st_difference_polygonal_native(a: Column, b: Column): Column =
+    GraftColumnBridge.column(StDifferencePolygonalExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   def st_makevalid_native(c: Column): Column =
     GraftColumnBridge.column(StMakeValidExpr(GraftColumnBridge.expression(c)))
 
@@ -401,6 +488,12 @@ object GeomExpressions {
     (FunctionIdentifier("st_polygonal"),
       new ExpressionInfo(classOf[StPolygonalExpr].getName, "st_polygonal"),
       nArgs("st_polygonal", 1)(exprs => StPolygonalExpr(exprs.head))),
+    (FunctionIdentifier("st_intersection_polygonal"),
+      new ExpressionInfo(classOf[StIntersectionPolygonalExpr].getName, "st_intersection_polygonal"),
+      nArgs("st_intersection_polygonal", 2)(exprs => StIntersectionPolygonalExpr(exprs(0), exprs(1)))),
+    (FunctionIdentifier("st_difference_polygonal"),
+      new ExpressionInfo(classOf[StDifferencePolygonalExpr].getName, "st_difference_polygonal"),
+      nArgs("st_difference_polygonal", 2)(exprs => StDifferencePolygonalExpr(exprs(0), exprs(1)))),
     (FunctionIdentifier("st_makevalid"),
       new ExpressionInfo(classOf[StMakeValidExpr].getName, "st_makevalid"),
       nArgs("st_makevalid", 1)(exprs => StMakeValidExpr(exprs.head))),

@@ -119,6 +119,16 @@ object GeomFunctions {
     */
   val st_polygonal: Column => Column = GeomExpressions.st_polygonal_native(_)
 
+  /** Fused `st_polygonal(st_intersection(…))` / `st_polygonal(
+    * st_difference(…))` — bit-identical to the compositions but with no
+    * WKB serialize→parse round trip between the kernels; what the
+    * overlay/erase inner loops evaluate per candidate pair.
+    */
+  val st_intersection_polygonal: (Column, Column) => Column =
+    GeomExpressions.st_intersection_polygonal_native(_, _)
+  val st_difference_polygonal: (Column, Column) => Column =
+    GeomExpressions.st_difference_polygonal_native(_, _)
+
   private val stDumpUdf: UserDefinedFunction =
     udf((wkb: Array[Byte]) => {
       val g = read(wkb)

@@ -94,7 +94,7 @@ object SpatialOps {
     tid.join(hits, Seq("__tid"), "left")
       .withColumn(geomCol,
         when(col("__eunion").isNull, col(geomCol))
-          .otherwise(G.st_polygonal(G.st_difference(col(geomCol), col("__eunion")))))
+          .otherwise(G.st_difference_polygonal(col(geomCol), col("__eunion"))))
       .drop("__tid", "__eunion")
       .transform(filterNonEmpty(_, geomCol))
   }
@@ -122,7 +122,7 @@ object SpatialOps {
 
     // (1) intersection pieces, polygonal component only
     val inter = pairs
-      .withColumn(geomCol, G.st_polygonal(G.st_intersection(col("__ageom"), col("__bgeom"))))
+      .withColumn(geomCol, G.st_intersection_polygonal(col("__ageom"), col("__bgeom")))
       .transform(filterNonEmpty(_, geomCol))
       .select((aAttrs ++ bAttrs).map(col) :+ col(geomCol): _*)
 
@@ -149,7 +149,7 @@ object SpatialOps {
     val aRest0 = aId.join(aHits, Seq("__aid"), "left")
       .withColumn(geomCol,
         when(col("__bunion").isNull, col("__ageom"))
-          .otherwise(G.st_polygonal(G.st_difference(col("__ageom"), col("__bunion")))))
+          .otherwise(G.st_difference_polygonal(col("__ageom"), col("__bunion"))))
       .transform(filterNonEmpty(_, geomCol))
     val aRest = blanks(aRest0, bAttrs, b)
       .select((aAttrs ++ bAttrs).map(col) :+ col(geomCol): _*)
@@ -159,7 +159,7 @@ object SpatialOps {
     val bRest0 = bId.join(bHits, Seq("__bid"), "left")
       .withColumn(geomCol,
         when(col("__aunion").isNull, col("__bgeom"))
-          .otherwise(G.st_polygonal(G.st_difference(col("__bgeom"), col("__aunion")))))
+          .otherwise(G.st_difference_polygonal(col("__bgeom"), col("__aunion"))))
       .transform(filterNonEmpty(_, geomCol))
     val bRest = blanks(bRest0, aAttrs, a)
       .select((aAttrs ++ bAttrs).map(col) :+ col(geomCol): _*)

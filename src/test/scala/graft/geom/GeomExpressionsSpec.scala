@@ -63,6 +63,39 @@ class GeomExpressionsSpec extends SparkTestBase {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
 
+  test("fused intersection/difference+polygonal bit-match the composed forms") {
+    // the fused kernels skip a WKB serialize→parse round trip per pair;
+    // they must stay BYTE-identical to st_polygonal(st_intersection(…))
+    // etc. on every branch: overlapping (pure polygon), touching (mixed
+    // dims → empties), mixed-dimension union path, and nulls
+    val rows = Seq(
+      ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))"),
+      ("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON((1 0, 2 0, 2 1, 1 1, 1 0))"),
+      // GC(poly, line) difference path: a multipolygon minus a square that
+      // splits it — exercises the multi-part pass-through
+      ("MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((2 0,3 0,3 1,2 1,2 0)))",
+        "POLYGON((0.4 -1, 0.6 -1, 0.6 2, 0.4 2, 0.4 -1))"),
+      (null, "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))")
+    ).toDF("wa", "wb")
+      .withColumn("ga", G.st_geomfromwkt($"wa"))
+      .withColumn("gb", G.st_geomfromwkt($"wb"))
+      .select(
+        GeomExpressions.st_intersection_polygonal_native($"ga", $"gb").as("fx"),
+        GeomExpressions.st_polygonal_native(
+          GeomExpressions.st_intersection_native($"ga", $"gb")).as("cx"),
+        GeomExpressions.st_difference_polygonal_native($"ga", $"gb").as("fd"),
+        GeomExpressions.st_polygonal_native(
+          GeomExpressions.st_difference_native($"ga", $"gb")).as("cd"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+      else {
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("fx"), r.getAs[Array[Byte]]("cx")))
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("fd"), r.getAs[Array[Byte]]("cd")))
+      }
+    }
+  }
+
   test("st_polygonal passes all-polygonal input through byte-identical") {
     val wkb = GeomCodec.wktToWkb("MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)))")
     val out = Seq(Tuple1(wkb)).toDF("g")

@@ -630,12 +630,16 @@ class PlanQualitySpec extends SparkTestBase {
     val ov = graft.operators.SpatialOps.overlayUnion(a, b, "geom")
     val ovPlan = ov.queryExecution.optimizedPlan.toString
     def cnt(plan: String, k: String) = k.r.findAllIn(plan).size
-    assert(cnt(ovPlan, "st_intersection") == 1, ovPlan)
-    assert(cnt(ovPlan, "st_difference") == 2, ovPlan)
+    assert(cnt(ovPlan, "st_intersection_polygonal") == 1, ovPlan)
+    assert(cnt(ovPlan, "st_difference_polygonal") == 2, ovPlan)
+    // and only the FUSED kernels — a bare st_polygonal in the plan means
+    // the WKB round trip between the kernels came back
+    assert(cnt(ovPlan, "st_polygonal") == 0, ovPlan)
 
     val er = graft.operators.SpatialOps.erase(a, b, "geom")
     val erPlan = er.queryExecution.optimizedPlan.toString
-    assert(cnt(erPlan, "st_difference") == 1, erPlan)
+    assert(cnt(erPlan, "st_difference_polygonal") == 1, erPlan)
+    assert(cnt(erPlan, "st_polygonal") == 0, erPlan)
 
     // and the rewrite didn't change results: one lens-shaped leftover
     // each plus the intersection piece
