@@ -30,36 +30,67 @@ object GridOps {
     */
   val MaxCellsPerRow: Long = 4L * 1024 * 1024
 
-  /** Every grid cell the geometry's (optionally expanded) envelope
-    * overlaps — the replication set of the PBSM decomposition.
+  /** Floor-based cell bounds (x0, x1, y0, y1) of an already-expanded
+    * envelope, span-guarded — the ONE place both grid paths (this
+    * logical rewrite and the RDD-cogroup [[GridSpatialJoinExec]]) turn
+    * an envelope into cells, so their arithmetic cannot drift. Returns
+    * None for a null envelope (empty geometry — such a row overlaps no
+    * cell and joins nothing) and for the NaN envelope the WKB codec
+    * produces for POINT EMPTY (NaN / cellSize would otherwise floor to
+    * cell 0 silently). Bounds are computed in Long BEFORE any
+    * narrowing: a Double→Int cast saturates, which would collapse an
+    * out-of-range extent into one cell and sail past the span guard
+    * this helper exists to enforce.
     */
-  def gridCells(wkb: Array[Byte], cellSize: Double, expand: Double): ArrayData = {
-    val env = new Envelope(GeomCodec.read(wkb).getEnvelopeInternal)
-    if (expand > 0) env.expandBy(expand)
-    val x0 = math.floor(env.getMinX / cellSize).toInt
-    val x1 = math.floor(env.getMaxX / cellSize).toInt
-    val y0 = math.floor(env.getMinY / cellSize).toInt
-    val y1 = math.floor(env.getMaxY / cellSize).toInt
+  private[plans] def cellRange(
+      env: Envelope, cellSize: Double): Option[(Long, Long, Long, Long)] = {
+    if (env.isNull || env.getMinX.isNaN || env.getMinY.isNaN) return None
+    val x0 = math.floor(env.getMinX / cellSize).toLong
+    val x1 = math.floor(env.getMaxX / cellSize).toLong
+    val y0 = math.floor(env.getMinY / cellSize).toLong
+    val y1 = math.floor(env.getMaxY / cellSize).toLong
     // guard each axis BEFORE multiplying: two ~2^32 spans (a saturated
     // world-extent envelope) would overflow the Long product right past
     // the cap this check exists to enforce
-    val spanX = x1.toLong - x0 + 1
-    val spanY = y1.toLong - y0 + 1
+    val spanX = x1 - x0 + 1
+    val spanY = y1 - y0 + 1
     if (spanX > MaxCellsPerRow || spanY > MaxCellsPerRow ||
         spanX * spanY > MaxCellsPerRow) throw new IllegalArgumentException(
       s"geometry envelope [${env.getMinX},${env.getMinY} .. ${env.getMaxX},${env.getMaxY}] " +
         s"spans $spanX x $spanY grid cells at cellSize=$cellSize (limit $MaxCellsPerRow " +
         s"total) — raise ${SpatialJoinStrategy.GridCellKey} (is it in the layer's CRS units?)")
-    val nCells = spanX * spanY
-    val out = new Array[Long](nCells.toInt)
-    var i = 0
-    var cx = x0
-    while (cx <= x1) {
-      var cy = y0
-      while (cy <= y1) { out(i) = encode(cx, cy); i += 1; cy += 1 }
-      cx += 1
+    Some((x0, x1, y0, y1))
+  }
+
+  /** Every grid cell the geometry's (optionally expanded) envelope
+    * overlaps — the replication set of the PBSM decomposition. Empty
+    * geometries produce an empty array (they overlap nothing).
+    */
+  def gridCells(wkb: Array[Byte], cellSize: Double, expand: Double): ArrayData = {
+    val env = new Envelope(GeomCodec.read(wkb).getEnvelopeInternal)
+    if (expand > 0) env.expandBy(expand)
+    cellRange(env, cellSize) match {
+      case None => ArrayData.toArrayData(Array.emptyLongArray)
+      case Some((x0, x1, y0, y1)) =>
+        // the packed id holds 32 bits per axis; a legitimate small span
+        // far from the origin (fine cells at large coordinates) must
+        // error rather than saturate into a shared Int.MaxValue cell
+        if (x0 < Int.MinValue || x1 > Int.MaxValue ||
+            y0 < Int.MinValue || y1 > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"grid cell coordinates [$x0..$x1, $y0..$y1] exceed the 32-bit " +
+              s"cell-id packing range at cellSize=$cellSize — raise " +
+              s"${SpatialJoinStrategy.GridCellKey}")
+        val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+        var i = 0
+        var cx = x0
+        while (cx <= x1) {
+          var cy = y0
+          while (cy <= y1) { out(i) = encode(cx.toInt, cy.toInt); i += 1; cy += 1 }
+          cx += 1
+        }
+        ArrayData.toArrayData(out)
     }
-    ArrayData.toArrayData(out)
   }
 
   /** The one cell that OWNS the pair under the reference-point rule:
@@ -191,7 +222,12 @@ object GridJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 generatorOutput = Seq(cellR), child = right)
               val owns = EqualTo(
                 StGridRefCellExpr(lg, rg, Literal(cs), Literal(rel.expand)), cellL)
-              val newCond = (EqualTo(cellL, cellR) +: chosen +: owns +:
+              // owns BEFORE chosen: And short-circuits left-to-right, and
+              // a pair whose envelopes span k cells meets in all k — the
+              // cheap envelope/ref-point check kills the k-1 non-owning
+              // copies so the expensive exact JTS predicate runs once per
+              // pair, not once per shared cell
+              val newCond = (EqualTo(cellL, cellR) +: owns +: chosen +:
                 conjuncts.filterNot(_ eq chosen)).reduce(And)
               Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
             case _ => j

@@ -26,9 +26,11 @@ import graft.geom.GeomCodec
   *
   * Scale properties: shuffle volume is O(rows × cells-per-envelope)
   * (≈1–4 for a well-chosen cell size), parallelism is #occupied cells
-  * (millions at 100 TB), memory per task is one cell's rows. Skewed
-  * cells split further by AQE since the shuffle is a plain hash
-  * repartition on cell id.
+  * (millions at 100 TB), memory per task is one cell's rows. The RDD
+  * cogroup sits OUTSIDE AQE's skew splitting, so hot cells (urban
+  * cores) are handled by the static `salts` sub-grouping below — AQE
+  * skew-split applies only to the [[GridJoinRewrite]] path, which
+  * plans a stock shuffle join.
   */
 case class GridSpatialJoinExec(
     leftGeom: Expression,
@@ -73,20 +75,31 @@ case class GridSpatialJoinExec(
         else {
           val env = new Envelope(GeomCodec.read(wkb).getEnvelopeInternal)
           if (expand > 0) env.expandBy(expand)
-          val copied = row.copy()
-          val x0 = math.floor(env.getMinX / cs).toLong
-          val x1 = math.floor(env.getMaxX / cs).toLong
-          val y0 = math.floor(env.getMinY / cs).toLong
-          val y1 = math.floor(env.getMaxY / cs).toLong
-          val saltSeq: Seq[Int] =
-            if (nSalts == 1) Seq(0)
-            else if (replicate) 0 until nSalts
-            else Seq(math.floorMod(java.util.Arrays.hashCode(wkb), nSalts))
-          for {
-            cx <- (x0 to x1).iterator
-            cy <- (y0 to y1).iterator
-            s <- saltSeq.iterator
-          } yield ((cx, cy, s), (wkb, copied))
+          // shared with the rewrite path: same floor arithmetic, same
+          // MaxCellsPerRow guard (a wrong-CRS-units cellSize fails fast
+          // instead of silently emitting ~10^10 shuffle tuples per row),
+          // same empty/NaN-envelope drop
+          GridOps.cellRange(env, cs) match {
+            case None => Iterator.empty
+            case Some((x0, x1, y0, y1)) =>
+              val copied = row.copy()
+              // salt by FULL row content, not geometry alone: the most
+              // common spatial skew is many records sharing one geocoded
+              // point, and a geometry-only hash would land them all in
+              // the same salt, defeating the split. Content hash (not a
+              // position counter) so a task retry that reorders upstream
+              // rows reassigns nothing — the same recompute-determinism
+              // rule as withRowKey in SpatialOps.
+              val saltSeq: Seq[Int] =
+                if (nSalts == 1) Seq(0)
+                else if (replicate) 0 until nSalts
+                else Seq(math.floorMod(copied.hashCode, nSalts))
+              for {
+                cx <- (x0 to x1).iterator
+                cy <- (y0 to y1).iterator
+                s <- saltSeq.iterator
+              } yield ((cx, cy, s), (wkb, copied))
+          }
         }
       }
     }
@@ -104,22 +117,20 @@ case class GridSpatialJoinExec(
     val leftTagged = tag(left, leftGeom, rel0.expand, replicate = false)
     val rightTagged = tag(right, rightGeom, 0.0, replicate = true)
 
-    leftTagged.cogroup(rightTagged, numPartitions).mapPartitions { groups =>
+    leftTagged.cogroup(rightTagged, numPartitions).mapPartitionsWithIndex { (pIdx, groups) =>
       // projection/predicate built once per TASK, not once per occupied
-      // cell — at scale a partition holds many small cells
+      // cell — at scale a partition holds many small cells. initialize
+      // with the REAL partition index (not 0): a nondeterministic
+      // residual (rand() sampling) must seed independently per task,
+      // same as Spark's own join execs.
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val pred = cond.map(c => Predicate.create(c, outAttrs))
-      pred.foreach(_.initialize(0))
+      pred.foreach(_.initialize(pIdx))
 
       groups.flatMap { case ((cx, cy, _), (ls, rs)) =>
       if (ls.isEmpty || rs.isEmpty) Iterator.empty
       else {
-        val cellMinX = cx * cs
-        val cellMinY = cy * cs
-        val cellMaxX = cellMinX + cs
-        val cellMaxY = cellMinY + cs
-
         // index the smaller group, stream the larger
         val (buildSide, streamSide, buildIsRight) =
           if (ls.size <= rs.size) (ls, rs, false) else (rs, ls, true)
@@ -129,15 +140,20 @@ case class GridSpatialJoinExec(
           index.insert(g.getEnvelopeInternal, (row, g))
         }
         // reference point: top-left corner of the (dwithin-expanded)
-        // envelope intersection — exactly one cell owns each pair
+        // envelope intersection — exactly one cell owns each pair.
+        // MUST use the same floor(coord / cs) arithmetic as the cell
+        // assignment in tag(): the interval form (refX >= cx*cs &&
+        // refX < cx*cs + cs) is floating-point-inconsistent with it —
+        // cx*cs rounds differently from floor(refX/cs), so boundary
+        // reference points were owned by two cells (duplicate pairs) or
+        // by none (dropped pairs).
         val owns: (Geometry, Geometry) => Boolean = (lg, rg) => {
           val lEnv = new Envelope(lg.getEnvelopeInternal)
           if (rel0.expand > 0) lEnv.expandBy(rel0.expand)
           val rEnv = rg.getEnvelopeInternal
           val refX = math.max(lEnv.getMinX, rEnv.getMinX)
           val refY = math.max(lEnv.getMinY, rEnv.getMinY)
-          refX >= cellMinX && refX < cellMaxX &&
-            refY >= cellMinY && refY < cellMaxY
+          math.floor(refX / cs).toLong == cx && math.floor(refY / cs).toLong == cy
         }
         streamSide.iterator.flatMap { case (wkb, srow) =>
           SpatialProbe.probeOne(index, GeomCodec.read(wkb), srow, rel0,

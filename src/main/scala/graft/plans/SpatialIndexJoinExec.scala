@@ -93,7 +93,7 @@ case class SpatialIndexJoinExec(
     val outAttrs = output
     val cond = extraCondition
 
-    streamPlan.execute().mapPartitions { iter =>
+    streamPlan.execute().mapPartitionsWithIndex { (pIdx, iter) =>
       // Bulk-load the index once per task; geometries decode once here,
       // not once per probe.
       val index = new STRtree()
@@ -108,7 +108,9 @@ case class SpatialIndexJoinExec(
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val pred = cond.map(c => Predicate.create(c, outAttrs))
-      pred.foreach(_.initialize(0))
+      // real partition index, not 0: nondeterministic residuals must
+      // seed independently per task (same as Spark's own join execs)
+      pred.foreach(_.initialize(pIdx))
 
       iter.flatMap { srow =>
         val wkb = streamGeomBound.eval(srow).asInstanceOf[Array[Byte]]

@@ -108,7 +108,11 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
     * [[GridJoinRewrite]] so both paths accept exactly the same conf.
     */
   private[plans] def gridCellSize: Option[Double] =
-    try Some(SQLConf.get.getConfString(GridCellKey, "").toDouble).filter(_ > 0)
+    // isInfinity: "Infinity".toDouble parses and passes > 0, but
+    // floor(x/Inf) = 0 would put every row of both huge sides into one
+    // cell — a single-task cartesian instead of the documented fallback
+    try Some(SQLConf.get.getConfString(GridCellKey, "").toDouble)
+      .filter(cs => cs > 0 && !cs.isInfinity)
     catch { case _: NumberFormatException => None }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

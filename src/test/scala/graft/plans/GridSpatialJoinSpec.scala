@@ -252,6 +252,126 @@ class GridSpatialJoinSpec extends SparkTestBase {
     }
   }
 
+  test("FP-adversarial cell boundaries: exec owns each pair exactly once") {
+    // cellSize 0.1 is not FP-representable, so corners at multiples of
+    // 0.1 land EXACTLY on cell boundaries where the old interval
+    // ownership test (refX >= cx*cs && refX < cx*cs + cs) disagreed
+    // with the floor(refX/cs) cell assignment: e.g. refX=1.5 satisfied
+    // the interval in BOTH cell 14 (14*0.1+0.1 = 1.5000000000000002)
+    // and cell 15 (15*0.1 = 1.5) → duplicate pairs; other boundary
+    // values satisfied it in NO cell → dropped pairs. The fix owns via
+    // the same floor arithmetic as the assignment.
+    // base -24.6: the lattice -24.6 + k*0.1 lands on doubles where
+    // floor(v/0.1)*0.1 and the interval bound round OPPOSITE ways (e.g.
+    // v = -24.200000000000003 satisfies the interval in two adjacent
+    // cells) — simulated: the interval form emits 3844 pairs for 3136
+    // true ones on this fixture
+    val a = (0 until 144).map { i =>
+      (s"p$i", square(-24.6 + (i % 12) * 0.1, -24.6 + (i / 12) * 0.1, 0.25))
+    }.toDF("pid", "geom")
+    val b = (0 until 144).map { i =>
+      (s"z$i", square(-24.65 + (i % 12) * 0.1, -24.65 + (i / 12) * 0.1, 0.25))
+    }.toDF("zid", "zgeom")
+
+    val expected = pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom"))).sorted
+    assert(expected.nonEmpty)
+    val gotExec = withGrid(0.1) {
+      pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom")))
+    }.sorted
+    assert(gotExec == expected,
+      s"exec: ${gotExec.size} vs ${expected.size} " +
+        s"(dups=${gotExec.diff(expected).take(5)}, missing=${expected.diff(gotExec).take(5)})")
+    val gotRewrite = withRewrite(0.1) {
+      pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom")))
+    }.sorted
+    assert(gotRewrite == expected, s"rewrite: ${gotRewrite.size} vs ${expected.size}")
+  }
+
+  test("empty geometries join nothing in both grid paths instead of corrupting cell 0") {
+    G.registerAll(spark)
+    // POLYGON EMPTY has a null JTS envelope: the old gridCells computed
+    // negative spans whose positive product allocated an all-zero cell
+    // array, piling every empty row into cell encode(0,0)
+    val cells = spark.sql(
+      """SELECT size(st_grid_cells(st_geomfromwkt('POLYGON EMPTY'), 10.0D, 0.0D)) AS n,
+        |       size(st_grid_cells(st_geomfromwkt('GEOMETRYCOLLECTION EMPTY'), 10.0D, 0.0D)) AS m
+        |""".stripMargin).collect()(0)
+    assert(cells.getInt(0) == 0 && cells.getInt(1) == 0)
+
+    val a = Seq(("real", square(1.0, 1.0, 3.0)), ("empty", wkt("POLYGON EMPTY")))
+      .toDF("pid", "geom")
+    val b = Seq(("cellzero", square(2.0, 2.0, 3.0))).toDF("zid", "zgeom")
+    for (mode <- Seq("exec", "rewrite")) {
+      val got = (if (mode == "exec") withGrid(10.0) {
+        pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom")))
+      } else withRewrite(10.0) {
+        pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom")))
+      }).sorted
+      assert(got == Seq(("real", "cellzero")), s"$mode: $got")
+    }
+  }
+
+  test("exec path fails fast on a wrong-units cell size (same cap as the rewrite)") {
+    // a 40-unit envelope at cellSize 1e-5 spans 4e6 cells per axis — the
+    // rewrite path always errored clearly; the exec path used to emit
+    // ~10^13 shuffle tuples instead
+    val e = intercept[Exception] {
+      withGrid(1e-5) {
+        parcels.join(zones, G.st_intersects($"geom", $"zgeom")).count()
+      }
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("raise " + SpatialJoinStrategy.GridCellKey), msg)
+  }
+
+  test("gridCellSize=Infinity is malformed conf: falls back instead of one-cell cartesian") {
+    spark.conf.set(SpatialJoinStrategy.GridCellKey, "Infinity")
+    spark.conf.set(SpatialJoinStrategy.ThresholdKey, "1")
+    try {
+      val df = parcels.join(zones, G.st_intersects($"geom", $"zgeom"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("GridSpatialJoin"), plan)
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.unset(SpatialJoinStrategy.GridCellKey)
+      spark.conf.unset(SpatialJoinStrategy.ThresholdKey)
+    }
+  }
+
+  test("identical-geometry hot rows stay exact under salting (content-hash salts)") {
+    // the classic spatial skew: many records geocoded to ONE point —
+    // a geometry-only salt hash put them all in the same sub-group;
+    // full-row content hashing spreads them and must not change output
+    val hot = (0 until 500).map(i => (s"e$i", square(1.0, 1.0, 0.5)))
+    val a = hot.toDF("pid", "geom").repartition(4)
+    val b = Seq(("zone", square(0.5, 0.5, 2.0))).toDF("zid", "zgeom")
+    val expected = pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom"))).sorted
+    assert(expected.size == 500)
+    spark.conf.set(SpatialJoinStrategy.GridSaltsKey, "4")
+    try {
+      val got = withGrid(10.0) {
+        pairsOf(a.join(b, G.st_intersects($"geom", $"zgeom")))
+      }.sorted
+      assert(got == expected)
+    } finally spark.conf.unset(SpatialJoinStrategy.GridSaltsKey)
+  }
+
+  test("rewrite orders the cheap ownership check before the exact predicate") {
+    withRewrite(10.0) {
+      val df = parcels.join(zones, G.st_intersects($"geom", $"zgeom"))
+      val cond = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.condition.map(_.toString)
+      }.flatten.mkString(" ")
+      val refIdx = cond.indexOf("st_grid_refcell")
+      val exactIdx = cond.indexOf("st_intersects")
+      assert(refIdx >= 0 && exactIdx >= 0, cond)
+      // And short-circuits left-to-right: the envelope-only refcell
+      // check must kill non-owning copies before the JTS predicate runs
+      assert(refIdx < exactIdx, cond)
+    }
+  }
+
   test("negative-coordinate geometries hash to the correct cells") {
     val a = Seq(("a1", square(-25.0, -25.0, 10.0))).toDF("pid", "geom")
     val b = Seq(("b1", square(-20.0, -20.0, 10.0)), ("b2", square(5.0, 5.0, 1.0)))
