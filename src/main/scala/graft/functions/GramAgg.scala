@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions.udaf
   * (i, j, cov) entries (population covariance, E[xy] − E[x]E[y]),
   * rounded so the value survives cross-engine summation-order drift.
   */
-final class GramAgg(dim: Int, roundTo: Int = 6)
-    extends Aggregator[Seq[Float], Array[Double], Seq[(Int, Int, Double)]] {
+final case class GramAgg(dim: Int, roundTo: Int = 6)
+    extends Aggregator[Array[Float], Array[Double], Seq[(Int, Int, Double)]] {
   require(dim >= 1, s"dim must be >= 1, got $dim")
 
   // [0] = n, [1..dim] = sums, then upper-triangle products row-major:
@@ -37,7 +37,13 @@ final class GramAgg(dim: Int, roundTo: Int = 6)
 
   override def zero: Array[Double] = new Array[Double](bufLen)
 
-  override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+  // Array[Float] input (not Seq): the primitive-array encoder
+  // deserializes via a lambda-free toFloatArray, so the resolved input
+  // encoder stays structurally equal across queries (a Seq deserializer
+  // is a MapObjects with fresh lambda ids — the same canonicalization
+  // hazard as the buffer encoder above), and it skips the Seq wrapper
+  // on the hot path
+  override def reduce(b: Array[Double], v: Array[Float]): Array[Double] = {
     if (v == null) return b                 // null vectors don't count
     require(v.length == dim, s"expected dim-$dim vector, got ${v.length}")
     val x = new Array[Double](dim)
@@ -86,20 +92,58 @@ final class GramAgg(dim: Int, roundTo: Int = 6)
     out.result()
   }
 
+  // kryo BUFFER encoder, deliberately: ScalaAggregator embeds the
+  // resolved buffer encoder and compares it during canonicalization; a
+  // resolved ExpressionEncoder[Array[Double]] carries fresh
+  // lambda-variable ids per query, so two builds of the same covariance
+  // plan would never be sameResult (the r11/r12 persisted-frame trap).
+  // Kryo resolves lambda-free (same device as TopKAgg/KmvAgg); the
+  // buffer crosses the shuffle once per map task, so the codec choice
+  // is not hot.
   override def bufferEncoder: Encoder[Array[Double]] =
-    ExpressionEncoder[Array[Double]]()
+    Encoders.kryo[Array[Double]]
 
   override def outputEncoder: Encoder[Seq[(Int, Int, Double)]] =
     ExpressionEncoder[Seq[(Int, Int, Double)]]()
 }
 
 object GramAgg {
+  // one UDAF per parameterization — see the canonicalization-trap note
+  // in TopKAgg (plans with fresh instances are never sameResult)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int),
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   /** Column form: `df.agg(covariance(64)($"embedding"))` →
     * `array<struct<_1:int,_2:int,_3:double>>` of upper-triangle
     * (i, j, cov) entries, 1-based dimensions.
+    *
+    * Right-length vectors carrying a NULL element are EXCLUDED via a
+    * native `vec_is_clean` pre-guard (same convention as the encode
+    * pipelines): without it a single null element either kills the task
+    * inside the primitive `Seq[Float]` deserializer or silently folds
+    * as 0.0 into every covariance entry — at 100 TB one corrupt row
+    * must not fail the pass. Ragged vectors still fail LOUDLY (the
+    * dim-mismatch `require`): a whole corpus at the wrong declared dim
+    * is a caller error, not row corruption. The guard keeps the unboxed
+    * fast path for clean rows; run the `vec_is_clean` census first if
+    * the corrupt count matters.
+    *
+    * CANONICALIZATION CAVEAT: unlike top_k/kmv/cms, plans containing
+    * this aggregate never canonicalize equal across invocations — the
+    * array<float> input encoder deserializes through MapObjects, whose
+    * lambda-variable ids Spark mints fresh per query (pinned as a
+    * canary in GramAggSpec). Persist the one-row OUTPUT if reuse is
+    * needed; a persisted frame containing the raw aggregate can never
+    * serve a rebuilt plan.
     */
   def covariance(dim: Int, roundTo: Int = 6): Column => Column = {
-    val f = udaf(new GramAgg(dim, roundTo), ExpressionEncoder[Seq[Float]]())
-    vec => f(vec)
+    val f = cache.computeIfAbsent((dim, roundTo),
+      _ => udaf(GramAgg(dim, roundTo), ExpressionEncoder[Array[Float]]()))
+    vec => {
+      import org.apache.spark.sql.functions.{size, when}
+      f(when(size(vec) === dim && !VectorFunctions.vec_is_clean(vec, dim),
+        org.apache.spark.sql.functions.lit(null)).otherwise(vec))
+    }
   }
 }

@@ -44,7 +44,7 @@ object SketchAggs {
     * per row with a hard `trimAt`·k bound on any partial buffer
     * crossing the shuffle.
     */
-  final class KmvAgg(k: Int, trimAt: Int = 8)
+  final case class KmvAgg(k: Int, trimAt: Int = 8)
       extends Aggregator[String, ArrayBuffer[String], Seq[String]] {
     require(k >= 2, s"k must be >= 2, got $k")
 
@@ -97,9 +97,18 @@ object SketchAggs {
     * is already the canonical key.
     */
   def kmv_min_k(k: Int): Column => Column = {
-    val f = udaf(new KmvAgg(k), ExpressionEncoder[String]())
+    val f = udafCache.computeIfAbsent(("kmv", k, 0),
+      _ => udaf(KmvAgg(k), ExpressionEncoder[String]()))
     h => f(h)
   }
+
+  // one UDAF instance per parameterization: repeated kmv_min_k(k) /
+  // cms_sketch(d, w) calls must hand Catalyst the SAME function object,
+  // or plans containing them are never sameResult and persisted frames
+  // can't serve later invocations (the r11/r12 canonicalization trap)
+  private val udafCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
 
   /** Distinct-count estimate from a [[kmv_min_k]] sketch column, as a
     * whole-stage-codegen expression over the array: exact `size` when
@@ -129,7 +138,7 @@ object SketchAggs {
     * (state ∝ cardinality) stop fitting, e.g. n-gram frequencies over
     * a 100 TB corpus.
     */
-  final class CmsAgg(depth: Int, width: Int)
+  final case class CmsAgg(depth: Int, width: Int)
       extends Aggregator[String, Array[Long], Array[Long]] {
     require(depth >= 1 && width >= 2, s"bad CMS shape: $depth x $width")
 
@@ -154,19 +163,33 @@ object SketchAggs {
 
     override def finish(b: Array[Long]): Array[Long] = b
 
+    // kryo BUFFER encoder, deliberately: ScalaAggregator embeds the
+    // resolved buffer encoder and compares it during canonicalization,
+    // and a resolved ExpressionEncoder[Array[Long]] carries fresh
+    // lambda-variable ids per query — two builds of the same sketch
+    // plan would never be sameResult (the r11/r12 persisted-frame
+    // trap). Kryo resolves to a lambda-free, structurally-equal tree
+    // (same device as TopKAgg/KmvAgg); the buffer crosses the shuffle
+    // once per map task, so the codec choice is not hot.
     override def bufferEncoder: Encoder[Array[Long]] =
-      ExpressionEncoder[Array[Long]]()
+      Encoders.kryo[Array[Long]]
     override def outputEncoder: Encoder[Array[Long]] =
       ExpressionEncoder[Array[Long]]()
   }
 
   object CmsAgg {
+    // the reduce loop calls bucket() depth times PER ROW: a fresh
+    // provider lookup + digest allocation there is pure map-side CPU at
+    // 100 TB. digest() resets the instance, so a thread-local reuse
+    // produces identical bytes.
+    private val md = ThreadLocal.withInitial[MessageDigest](
+      () => MessageDigest.getInstance("MD5"))
+
     /** Row-j bucket of `item`: first 8 hex digits of md5("j:item") as
       * an unsigned 32-bit int, mod width. Positive by construction.
       */
     def bucket(j: Int, item: String, width: Int): Int = {
-      val d = MessageDigest.getInstance("MD5")
-        .digest(s"$j:$item".getBytes(StandardCharsets.UTF_8))
+      val d = md.get().digest(s"$j:$item".getBytes(StandardCharsets.UTF_8))
       // first 4 bytes big-endian == first 8 hex digits
       val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
@@ -178,7 +201,8 @@ object SketchAggs {
     * depth·width (row-major).
     */
   def cms_sketch(depth: Int, width: Int): Column => Column = {
-    val f = udaf(new CmsAgg(depth, width), ExpressionEncoder[String]())
+    val f = udafCache.computeIfAbsent(("cms", depth, width),
+      _ => udaf(CmsAgg(depth, width), ExpressionEncoder[String]()))
     item => f(item)
   }
 

@@ -24,9 +24,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * produces the identical array in ONE pass per row and stays inside
   * whole-stage codegen.
   */
+/** Shared kernels of the text-hash family. The FNV-1a + murmur-avalanche
+  * window hash is THE hash of the dedup pipeline: MinhashOps (candidate
+  * signatures), ShingleOps (exact-Jaccard verify grams), and
+  * WinnowingOps (fingerprints) MUST stay bit-identical — the LSH
+  * candidate stage, the verify stage, and the goldens all assume one
+  * hash family, so a constant or normalization tweak applied to one
+  * copy would silently desynchronize candidate generation from
+  * verification. One definition removes that risk.
+  */
+private[functions] object TextHash {
+
+  /** The whitespace tokenizer Pattern (`\s+`), shared so the token
+    * family (TextOps, SimhashOps) splits identically.
+    */
+  val ws: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Java-trim + LOCALE-INDEPENDENT lowercase — the r12-unified
+    * normalization contract of the minhash/shingle/winnowing family
+    * (mirrors `golden_ext.py`'s `.strip().lower()` on this corpus).
+    * `Locale.ROOT` pins lowercasing against JVM default-locale drift:
+    * a `tr_TR` cluster JVM would otherwise lowercase 'I' to U+0131,
+    * silently changing every signature versus the goldens.
+    */
+  @inline def normalize(u: UTF8String): String =
+    u.toString.trim.toLowerCase(java.util.Locale.ROOT)
+
+  /** FNV-1a over `s[from, end)` chars + murmur-final avalanche. */
+  @inline def windowHash(s: String, from: Int, end: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = from
+    while (j < end) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+    h
+  }
+}
+
 object TextOps {
 
-  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val ws = TextHash.ws
   private val space = UTF8String.fromString(" ")
 
   /** Positional n-grams of `split(lower(trim(text)), "\s+")`, each
@@ -143,15 +179,11 @@ object MinhashOps {
     val sds = seeds(numHashes)
     val out = Array.fill(numHashes)(Long.MaxValue)
     if (u != null) {
-      val s = u.toString.trim.toLowerCase
+      val s = TextHash.normalize(u)
       val n = math.max(1, s.length - shingleK + 1)
       var i = 0
       while (i < n) {
-        var h = 0xcbf29ce484222325L
-        var j = i
-        val end = math.min(s.length, i + shingleK)
-        while (j < end) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
-        h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+        val h = TextHash.windowHash(s, i, math.min(s.length, i + shingleK))
         var q = 0
         while (q < numHashes) {
           val v = mix64(h ^ sds(q))
@@ -224,17 +256,12 @@ object ShingleOps {
     if (u == null)
       return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
         .fromPrimitiveArray(Array.empty[Long])
-    val s = u.toString.trim.toLowerCase
+    val s = TextHash.normalize(u)
     val n = math.max(1, s.length - k + 1)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      var h = 0xcbf29ce484222325L
-      var j = i
-      val end = math.min(s.length, i + k)
-      while (j < end) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
-      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-      out(i) = h
+      out(i) = TextHash.windowHash(s, i, math.min(s.length, i + k))
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -288,7 +315,7 @@ case class ShingleHashesExpr(child: Expression, k: Int)
   */
 object SimhashOps {
 
-  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val ws = TextHash.ws
 
   /** Null text folds zero tokens → all-zero counters → signature 0L,
     * exactly like the UDF chain (whose fold returned 0 for a null
@@ -369,17 +396,12 @@ object WinnowingOps {
     if (u == null)
       return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
         .fromPrimitiveArray(Array.empty[Long])
-    val s = u.toString.trim.toLowerCase
+    val s = TextHash.normalize(u)
     val n = math.max(1, s.length - k + 1)
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {                       // rolling k-gram hashes
-      var h = 0xcbf29ce484222325L
-      var j = i
-      val end = math.min(s.length, i + k)
-      while (j < end) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
-      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-      hs(i) = h
+      hs(i) = TextHash.windowHash(s, i, math.min(s.length, i + k))
       i += 1
     }
     val out = scala.collection.mutable.LinkedHashSet[Long]()

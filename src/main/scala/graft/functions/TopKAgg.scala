@@ -27,8 +27,9 @@ import scala.collection.mutable.ArrayBuffer
   * reduce path, not at serialization time); lower `trimAt` to tighten
   * the shuffle-size bound at the cost of more frequent sorts.
   */
-final class TopKAgg(k: Int, trimAt: Int = 8)
-    extends Aggregator[(Double, Long), ArrayBuffer[(Double, Long)], Seq[(Double, Long)]] {
+final case class TopKAgg(k: Int, trimAt: Int = 8)
+    extends Aggregator[(java.lang.Double, java.lang.Long),
+      ArrayBuffer[(Double, Long)], Seq[(Double, Long)]] {
   require(k >= 1, s"k must be >= 1, got $k")
 
   // best-first: highest score, then smallest id
@@ -42,9 +43,16 @@ final class TopKAgg(k: Int, trimAt: Int = 8)
 
   override def zero: ArrayBuffer[(Double, Long)] = ArrayBuffer.empty
 
+  // boxed input so a NULL score or id skips the row (the SQL-aggregate
+  // convention KmvAgg/CmsAgg already follow) instead of killing the
+  // task with the primitive encoder's "Null value appeared in
+  // non-nullable field" — at 100 TB one corrupt row must not fail the
+  // pass
   override def reduce(
-      b: ArrayBuffer[(Double, Long)], a: (Double, Long)): ArrayBuffer[(Double, Long)] = {
-    b += a
+      b: ArrayBuffer[(Double, Long)],
+      a: (java.lang.Double, java.lang.Long)): ArrayBuffer[(Double, Long)] = {
+    if (a._1 == null || a._2 == null) return b
+    b += ((a._1.doubleValue, a._2.longValue))
     if (b.length >= trimAt * k) trim(b) else b
   }
 
@@ -63,12 +71,23 @@ final class TopKAgg(k: Int, trimAt: Int = 8)
 }
 
 object TopKAgg {
+  // one UDAF instance per k: repeated top_k(3) calls must hand Catalyst
+  // the SAME function object, or two builds of "the same" plan are
+  // never sameResult and a persisted frame containing the aggregate
+  // can't serve later invocations (the r11/r12 canonicalization trap,
+  // see the stable-kernel rule in StableKernelsSpec)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   /** Column form: `df.groupBy(g).agg(top_k(3)($"score", $"id"))` →
     * `array<struct<_1: double, _2: bigint>>`, best-first. Explode with
-    * `posexplode` for (rank, score, id) rows.
+    * `posexplode` for (rank, score, id) rows. Rows with a NULL score or
+    * id are ignored (they never rank).
     */
   def top_k(k: Int): (Column, Column) => Column = {
-    val f = udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
+    val f = cache.computeIfAbsent(k, kk =>
+      udaf(TopKAgg(kk), ExpressionEncoder[(java.lang.Double, java.lang.Long)]()))
     (score, id) => f(score, id)
   }
 }

@@ -72,9 +72,10 @@ class RetrievalSessionSpec extends SparkTestBase {
   test("top_k trims correctly when the buffer cycles many trim rounds") {
     // k=1, trimAt=2 -> trim fires every other row; 1000 rows, best is id 999
     val df = (0L until 1000L).map(i => ("g", i.toDouble, i)).toDF("g", "score", "id")
-    val topk = new TopKAgg(k = 1, trimAt = 2)
+    val topk = TopKAgg(k = 1, trimAt = 2)
     val got = df.groupBy("g")
-      .agg(udaf(topk, org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())(
+      .agg(udaf(topk, org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(java.lang.Double, java.lang.Long)]())(
         col("score"), col("id")).as("top"))
       .as[(String, Seq[(Double, Long)])].collect().head._2
     assert(got == Seq((999.0, 999L)), got)
