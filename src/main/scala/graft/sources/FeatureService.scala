@@ -61,6 +61,15 @@ object FeatureService {
       out ++= page
       prevSig = Some(sig)
       pages += 1
+      // hitting the page cap with a NON-empty page in hand means rows
+      // remain — returning the prefix would silently truncate the layer
+      // (and loadCached would persist the truncation forever), the exact
+      // failure mode the short-page rule above exists to prevent
+      if (pages >= maxPages && page.nonEmpty)
+        throw new IllegalStateException(
+          s"$baseUrl still returning rows after maxPages=$maxPages pages " +
+            s"(${out.size} rows so far) — raise maxPages or pageSize; " +
+            "refusing to return a silently truncated layer")
       more = page.nonEmpty && pages < maxPages
       offset += page.size
     }
@@ -124,11 +133,18 @@ object FeatureService {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** Full scan: fetch + assemble, column set from the first feature. */
+  /** Full scan: fetch + assemble. The column set is the UNION of keys
+    * across all features (sorted), not the first feature's — GeoJSON
+    * responses may omit null-valued properties per feature, so a
+    * first-feature schema would drop whole columns (and change
+    * run-to-run with feature order). Same rule as
+    * [[Writers.readGeoJson]].
+    */
   def load(spark: SparkSession, fetch: String => String, baseUrl: String): DataFrame = {
     val features = fetchAll(fetch, baseUrl)
     require(features.nonEmpty, s"feature service $baseUrl returned no features")
-    toDataFrame(spark, features, features.head._1.keys.toSeq.sorted)
+    toDataFrame(spark, features,
+      features.iterator.flatMap(_._1.keys).toSeq.distinct.sorted)
   }
 
   /** OP-09 idempotent source caching (`coastline.py:38`'s
@@ -147,8 +163,13 @@ object FeatureService {
       .digest(s"$baseUrl#$vintage".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val path = s"$cacheDir/fs_$key.parquet"
-    val marker = new java.io.File(s"$path/_SUCCESS")
-    if (!marker.exists()) {
+    // Hadoop FS, not java.io.File: a java.io probe can't see hdfs://
+    // or s3a:// cache dirs, so the cache would NEVER hit there and
+    // every call would re-paginate the layer over HTTP — silently
+    // defeating the never-touches-the-network contract
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
       load(spark, fetch, baseUrl).write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)

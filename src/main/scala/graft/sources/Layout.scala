@@ -39,9 +39,14 @@ object Layout {
     */
   def zValue(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    // cast to long FIRST: on IntegerType inputs shiftleft is 32-bit, so
+    // bits=16 already lands a bit in the int sign position (negative z
+    // splits the curve at the wrap) and bits > 16 shifts by >= 32,
+    // which Java reduces mod 32 — distinct cells silently alias
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
   }
 
@@ -82,9 +87,16 @@ object Layout {
     require(targetBytes > 0, "targetBytes must be positive")
     val p = new org.apache.hadoop.fs.Path(inDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(p).iterator
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      .map(_.getLen).sum
+    // RECURSIVE listing: a hive-partitioned directory has only
+    // subdirectories at the top level, so a flat listStatus measured 0
+    // bytes and funneled the whole (recursively read) dataset through
+    // repartition(1) — the opposite of compaction
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && !st.getPath.getName.startsWith("_")) bytes += st.getLen
+    }
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir).repartition(n)
       .write.mode("overwrite").parquet(outDir)

@@ -177,16 +177,34 @@ object Shapefile {
           val until = if (i + 1 < parts.length) parts(i + 1) else pts.length
           gf.createLinearRing(pts.slice(from, until))
         }
-        // spec: clockwise rings are shells, counter-clockwise are holes;
-        // attach each hole to the first shell containing it
+        // spec: clockwise rings are shells, counter-clockwise are holes.
+        // Each hole attaches to its INNERMOST containing shell — "every
+        // shell containing the test vertex" duplicated an island's pond
+        // into the outer landmass in nested records (island-in-lake),
+        // and the containment test is on the shell RING with boundary
+        // counted as inside (JTS Polygon.contains rejects a hole whose
+        // test vertex touches the shell — legal in valid polygons — and
+        // would silently fill it). A hole no shell contains is a broken
+        // all-CCW writer's shell in disguise: promote it instead of
+        // dropping it (the old fallback kept only the FIRST such ring).
         val (holes, shells) = rings.partition(r => Orientation.isCCW(r.getCoordinateSequence))
-        val polys = shells.map { shell =>
-          val myHoles = holes.filter(h =>
-            gf.createPolygon(shell).contains(gf.createPoint(h.getCoordinateN(0))))
-          gf.createPolygon(shell, myHoles.toArray)
+        val shellHoles = Array.fill(shells.length)(ArrayBuffer.empty[LinearRing])
+        val promoted = ArrayBuffer.empty[LinearRing]
+        holes.foreach { h =>
+          val p = h.getCoordinateN(0)
+          val containing = shells.indices.filter { i =>
+            org.locationtech.jts.algorithm.RayCrossingCounter
+              .locatePointInRing(p, shells(i).getCoordinateSequence) !=
+              org.locationtech.jts.geom.Location.EXTERIOR
+          }
+          if (containing.isEmpty) promoted += h
+          else shellHoles(containing.minBy(i => org.locationtech.jts.algorithm.Area
+            .ofRing(shells(i).getCoordinateSequence))) += h
         }
-        if (polys.isEmpty && holes.nonEmpty)            // degenerate: all-CCW writer
-          gf.createPolygon(holes.head)
+        val polys = shells.indices.map(i =>
+          gf.createPolygon(shells(i), shellHoles(i).toArray)) ++
+          promoted.map(gf.createPolygon(_))
+        if (polys.isEmpty) gf.createPolygon()
         else if (polys.size == 1) polys.head
         else gf.createMultiPolygon(polys.toArray)
       case other => throw new IllegalArgumentException(s"unsupported shape type $other")
@@ -346,7 +364,11 @@ object Shapefile {
     final case class Fld(name: String, typ: Char, len: Int, dec: Int, idx: Int)
     def numText(v: Any, dec: Int): String = v match {
       case null => ""
-      case x: java.lang.Number if dec > 0 => f"${x.doubleValue()}%.8f"
+      // Locale.ROOT: the f interpolator formats with the JVM default
+      // locale, so a comma-decimal locale (de_DE) would write '3,14'
+      // into the N field and corrupt every numeric column
+      case x: java.lang.Number if dec > 0 =>
+        String.format(java.util.Locale.ROOT, "%.8f", x.doubleValue())
       case x => x.toString
     }
     val flds = fields.map { case (f, idx) =>
@@ -382,12 +404,13 @@ object Shapefile {
       .order(ByteOrder.LITTLE_ENDIAN)
     out.put(0, 0x03.toByte)
     out.put(1, 95.toByte); out.put(2, 7.toByte); out.put(3, 26.toByte) // fixed date: deterministic output
+    out.put(29, 0x57.toByte)  // language driver: ANSI/Latin-1 (we encode ISO-8859-1)
     out.putInt(4, rows.length)
     out.putShort(8, headerSize.toShort)
     out.putShort(10, recordSize.toShort)
     var fp = 32
     flds.foreach { f =>
-      val nameBytes = f.name.getBytes("ASCII")
+      val nameBytes = f.name.getBytes("ISO-8859-1")
       var i = 0
       while (i < math.min(10, nameBytes.length)) { out.put(fp + i, nameBytes(i)); i += 1 }
       out.put(fp + 11, f.typ.toByte)
@@ -421,9 +444,13 @@ object Shapefile {
                 case x: java.lang.Number => x.doubleValue()
                 case x => x.toString.toDouble
               }
-              pad(f"$d%.8f", f.len, left = true)
+              pad(String.format(java.util.Locale.ROOT, "%.8f", d), f.len, left = true)
           }
-        s.getBytes("ASCII").foreach(out.put)
+        // ISO-8859-1, not ASCII: ASCII getBytes replaces every
+        // non-ASCII char with '?', silently corrupting place names
+        // ("Cañada" → "Ca?ada") in the published artifact; Latin-1 is
+        // the single-byte dBASE convention and round-trips readDbf
+        s.getBytes("ISO-8859-1").foreach(out.put)
       }
     }
     out.put(0x1a.toByte)                                 // EOF
@@ -445,7 +472,7 @@ object Shapefile {
     val fields = new ArrayBuffer[DbfField]
     var fp = 32
     while (fp < headerSize - 1 && bytes(fp) != 0x0d) {
-      val name = new String(bytes, fp, 11, "ASCII").takeWhile(_ != 0).trim
+      val name = new String(bytes, fp, 11, "ISO-8859-1").takeWhile(_ != 0).trim
       val typ = bytes(fp + 11).toChar
       val len = bytes(fp + 16) & 0xff
       fields += DbfField(name, typ, len)
@@ -500,7 +527,7 @@ object Shapefile {
     val rows = (0 until numRecords).map { r =>
       var off = headerSize + r * recordSize + 1         // +1 deletion flag
       fields.map { f =>
-        val raw = new String(bytes, off, f.len, "ASCII").trim
+        val raw = new String(bytes, off, f.len, "ISO-8859-1").trim
         off += f.len
         if (raw.isEmpty) null
         else f.typ match {

@@ -94,6 +94,14 @@ object Writers {
             case v: Int     => propsNode.put(p, v)
             case v: Double  => propsNode.put(p, v)
             case v: Boolean => propsNode.put(p, v)
+            // the remaining numeric SQL types must stay JSON numbers —
+            // the toString fallback emitted "1.5" (a string), and the
+            // upload step this artifact feeds would infer a text field
+            case v: Float                => propsNode.put(p, v)
+            case v: Short                => propsNode.put(p, v)
+            case v: Byte                 => propsNode.put(p, v.toShort)
+            case v: java.math.BigDecimal => propsNode.put(p, v)
+            case v: BigDecimal           => propsNode.put(p, v.bigDecimal)
             case v          => propsNode.put(p, v.toString)
           }
         }

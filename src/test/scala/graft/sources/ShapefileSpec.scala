@@ -40,6 +40,57 @@ class ShapefileSpec extends SparkTestBase {
     assert(math.abs(back(1).getAs[Double]("area") - 1.0) < 1e-9)
   }
 
+  test("nested polygons: island-in-lake holes attach to the INNERMOST shell only") {
+    import spark.implicits._
+    val gf = graft.geom.GeomCodec
+    // outer 20x20 shell with a 10x10 lake hole; 6x6 island shell inside
+    // the lake with a 2x2 pond hole. The pond's test vertex is inside
+    // BOTH the island and the outer shell rings — "every containing
+    // shell" duplicated it into the outer landmass, corrupting areas.
+    val wkt = "MULTIPOLYGON(" +
+      "((0 0, 20 0, 20 20, 0 20, 0 0), (5 5, 15 5, 15 15, 5 15, 5 5))," +
+      "((7 7, 13 7, 13 13, 7 13, 7 7), (9 9, 11 9, 11 11, 9 11, 9 9)))"
+    // area = (400 - 100) + (36 - 4) = 332
+    val dir = java.nio.file.Files.createTempDirectory("shp_nested").toString
+    val df = Seq(("nest", gf.wktToWkb(wkt))).toDF("id", "geom")
+    Shapefile.write(df, s"$dir/nested")
+    val back = Shapefile.read(spark, s"$dir/nested")
+      .select(G.st_area($"geom").as("area"),
+        G.st_isvalid($"geom").as("valid"),
+        G.st_numgeometries($"geom").as("n")).collect()(0)
+    assert(math.abs(back.getAs[Double]("area") - 332.0) < 1e-9, back)
+    assert(back.getAs[Boolean]("valid"))
+    assert(back.getAs[Int]("n") == 2)
+  }
+
+  test("a hole touching its shell at the test vertex is kept, not silently filled") {
+    import spark.implicits._
+    val gf = graft.geom.GeomCodec
+    // hole's FIRST vertex (0 5) lies ON the shell ring (a single-point
+    // touch — valid OGC polygon): JTS Polygon.contains is false on the
+    // boundary, so the old reader dropped the hole entirely (area read
+    // back as 100, not 92.5)
+    val wkt = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (0 5, 5 5, 5 8, 0 5))"
+    val dir = java.nio.file.Files.createTempDirectory("shp_touch").toString
+    val df = Seq(("touch", gf.wktToWkb(wkt))).toDF("id", "geom")
+    Shapefile.write(df, s"$dir/touch")
+    val area = Shapefile.read(spark, s"$dir/touch")
+      .select(G.st_area($"geom")).collect()(0).getDouble(0)
+    assert(math.abs(area - 92.5) < 1e-9, area)
+  }
+
+  test("dbf text round-trips Latin-1 (non-ASCII place names survive)") {
+    import spark.implicits._
+    val gf = graft.geom.GeomCodec
+    val dir = java.nio.file.Files.createTempDirectory("shp_latin1").toString
+    val df = Seq(("Cañada de los Osos", gf.wktToWkb("POINT(1 1)")),
+      ("Peña Müller", gf.wktToWkb("POINT(2 2)"))).toDF("NAME", "geom")
+    Shapefile.write(df, s"$dir/names")
+    val names = Shapefile.read(spark, s"$dir/names")
+      .select($"NAME").as[String].collect().sorted
+    assert(names.toSeq == Seq("Cañada de los Osos", "Peña Müller"), names.toSeq)
+  }
+
   test("write refuses a frame past maxRows instead of collecting it") {
     val df = Shapefile.read(spark, base)
     val many = (1 to 6).map(_ => df).reduce(_ unionAll _) // 12 rows

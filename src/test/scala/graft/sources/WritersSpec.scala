@@ -68,6 +68,57 @@ class WritersSpec extends SparkTestBase {
     assert(fetches > fetchesAfterFirst)
   }
 
+  test("feature-service: hitting maxPages with rows in hand throws, never truncates") {
+    val onePage = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{"NAME":"A"},
+       "geometry":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}}]}"""
+    // a different NAME per offset so the stall detector doesn't fire
+    val fetch: String => String = url => {
+      val off = "resultOffset=(\\d+)".r.findFirstMatchIn(url).get.group(1)
+      onePage.replace("\"A\"", s""""A$off"""")
+    }
+    val e = intercept[IllegalStateException] {
+      FeatureService.fetchAll(fetch, "http://svc/layer/0", maxPages = 3)
+    }
+    assert(e.getMessage.contains("maxPages"), e.getMessage)
+  }
+
+  test("feature-service schema is the UNION of property keys, not the first feature's") {
+    // sparse GeoJSON: the first feature omits ALAND entirely
+    val page = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{"NAME":"A"},
+       "geometry":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}},
+      {"type":"Feature","properties":{"NAME":"B","ALAND":"42"},
+       "geometry":{"type":"Polygon","coordinates":[[[2,2],[3,2],[3,3],[2,3],[2,2]]]}}]}"""
+    val fetch: String => String = url =>
+      if (url.contains("resultOffset=0")) page
+      else """{"type":"FeatureCollection","features":[]}"""
+    val df = FeatureService.load(spark, fetch, "http://svc/layer/1")
+    assert(df.columns.contains("ALAND"), df.columns.toSeq)
+    val rows = df.orderBy("NAME").collect()
+    assert(rows(0).getAs[String]("ALAND") == null)
+    assert(rows(1).getAs[String]("ALAND") == "42")
+  }
+
+  test("compaction sizes a hive-partitioned directory from the recursive listing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact_part").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    val df = (1L to 4000L).map(i => (i, i % 4, s"row_$i")).toDF("id", "part", "payload")
+    df.repartition(10).write.partitionBy("part").parquet(in)
+    def leafBytes(dir: java.io.File): Long =
+      dir.listFiles().map(f => if (f.isDirectory) leafBytes(f)
+        else if (f.getName.endsWith(".parquet")) f.length else 0L).sum
+    val totalBytes = leafBytes(new java.io.File(in))
+    assert(totalBytes > 0)
+    // a flat listing saw only the part= subdirectories (0 bytes -> 1
+    // file); the recursive fix must size from the leaves
+    val n = graft.sources.Layout.compact(spark, in, out,
+      targetBytes = (totalBytes + 2) / 3)
+    assert(n >= 3, s"n=$n (flat listing would give 1)")
+    assert(spark.read.parquet(out).count() == 4000L)
+  }
+
   test("compaction: fewer target-sized files, identical content, even sizes") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("compact_spec").toString

@@ -37,6 +37,22 @@ class ZOrderSpec extends SparkTestBase {
     }.get
   }
 
+  test("zValue on INT columns: no sign-bit wrap at bits=16, no mod-32 aliasing above") {
+    import spark.implicits._
+    // old code shifted in 32-bit int space: bits=16 put b's bit 15 at
+    // position 31 (sign), splitting the curve at the wrap; bits=20
+    // shifted by 38 ≡ 6 (mod 32), aliasing distinct cells
+    val df = Seq((0, 40000), (524288, 0), (8, 0)).toDF("a", "b")
+    val z16 = df.select(graft.sources.Layout.zValue($"a", $"b", 16).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z16.forall(_ >= 0L), z16.toSeq)
+    val z20 = df.select(graft.sources.Layout.zValue($"a", $"b", 20).as("z"))
+      .collect().map(_.getLong(0))
+    // (2^19, 0) and (2^3, 0) collided under mod-32 shifts (both 64)
+    assert(z20(1) != z20(2), s"aliased: ${z20.toSeq}")
+    assert(z20(1) == (1L << 38), z20(1))
+  }
+
   test("z-ordered layout prunes row groups a random layout cannot") {
     val n = 40000
     val rnd = new scala.util.Random(42)
