@@ -18,4 +18,17 @@ object SqlBuilders {
           s"$name expects $n argument(s), got ${exprs.length}")
       f(exprs)
     }
+
+  /** A string as a Spark SQL single-quoted literal — for the few places
+    * that build `selectExpr` strings from user-supplied names (stage
+    * names, column names): an unescaped quote is a ParseException at
+    * best and an injection vector at worst.
+    */
+  def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** A name as a backtick-quoted Spark SQL identifier (column names
+    * with spaces/dots/hyphens are routine in ingested data).
+    */
+  def quoteId(s: String): String = "`" + s.replace("`", "``") + "`"
 }

@@ -432,10 +432,16 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // NULL-text docs are never candidates (the simhash/semDedup
+    // convention): the kernel gives every null doc the identical
+    // empty-set signature, so N null rows would share every band
+    // bucket — N²/2 candidate pairs, each falsely reporting
+    // est_jaccard = 1.0 between documents that have no text
     // persist: the signature scan feeds both sides of the self-join
     // (Catalyst does not dedupe self-join subtrees), so without this the
     // expensive signature pass runs twice
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
       .transform(graft.CacheLifecycle.persist(_))
 
@@ -523,19 +529,30 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
       precomputedCandidates: Option[DataFrame] = None,
       precomputedVerified: Option[DataFrame] = None): DataFrame = {
-    val verified = precomputedVerified.getOrElse {
-      val cands = precomputedCandidates
-        .getOrElse(minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK))
-        // signature estimate is unbiased with σ ≈ √(j(1−j)/numHashes)
-        // (≈0.06 at 64 hashes): pre-filtering 2.5σ below the threshold
-        // discards the overwhelming mass of low-overlap candidates before
-        // the expensive exact verification, with negligible recall loss
-        .filter(col("est_jaccard") >= jaccardThreshold - 0.15)
-      ngramJaccard(df, idCol, textCol, cands, shingleK)
-        .filter(col("jaccard") >= jaccardThreshold)
-    }
+    val verified = precomputedVerified.getOrElse(
+      verifiedEdges(df, idCol, textCol, jaccardThreshold,
+        numHashes, bands, shingleK, precomputedCandidates))
     val drop = verified.select(col("b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** The candidates → σ-prefilter → exact-verify chain shared by
+    * [[nearDupRemove]] and [[nearDupRemoveCC]] (one definition, so the
+    * two removal operators can never verify different pair sets). The
+    * signature estimate is unbiased with σ ≈ √(j(1−j)/numHashes)
+    * (≈0.06 at 64 hashes): pre-filtering 2.5σ below the threshold
+    * discards the overwhelming mass of low-overlap candidates before
+    * the expensive exact verification, with negligible recall loss.
+    */
+  private def verifiedEdges(
+      df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+      precomputedCandidates: Option[DataFrame]): DataFrame = {
+    val cands = precomputedCandidates
+      .getOrElse(minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK))
+      .filter(col("est_jaccard") >= jaccardThreshold - 0.15)
+    ngramJaccard(df, idCol, textCol, cands, shingleK)
+      .filter(col("jaccard") >= jaccardThreshold)
   }
 
   /** Connected components over an undirected pair list via min-label
@@ -570,11 +587,28 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
+      // the driver path must pick the SAME component representative as
+      // the distributed path's min(label) for every id type, or the
+      // same corpus deduplicates differently on either side of
+      // driverThreshold. In particular: strings compare in UTF-8
+      // binary order (Spark's StringType ordering; Java compareTo is
+      // UTF-16 and diverges on supplementary planes), and a toString
+      // fallback would order 10.0 before 9.0.
       val ord = new Ordering[Any] {
         def compare(x: Any, y: Any): Int = (x, y) match {
           case (a: Long, b: Long) => java.lang.Long.compare(a, b)
           case (a: Int, b: Int) => java.lang.Integer.compare(a, b)
-          case _ => x.toString.compareTo(y.toString)
+          case (a: Double, b: Double) => java.lang.Double.compare(a, b)
+          case (a: Float, b: Float) => java.lang.Float.compare(a, b)
+          case (a: Short, b: Short) => java.lang.Short.compare(a, b)
+          case (a: Byte, b: Byte) => java.lang.Byte.compare(a, b)
+          case (a: String, b: String) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+          case (a: Comparable[_], b) if a.getClass == b.getClass =>
+            a.asInstanceOf[Comparable[Any]].compareTo(b)
+          case _ => throw new IllegalArgumentException(
+            s"unsupported id type for connectedComponents: ${x.getClass}")
         }
       }
       edges.foreach { r =>
@@ -661,13 +695,9 @@ object Dedup {
       precomputedVerified: Option[DataFrame] = None,
       precomputedComponents: Option[DataFrame] = None): DataFrame = {
     val comps = precomputedComponents.getOrElse {
-      val verified = precomputedVerified.getOrElse {
-        val cands = precomputedCandidates
-          .getOrElse(minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK))
-          .filter(col("est_jaccard") >= jaccardThreshold - 0.15)
-        ngramJaccard(df, idCol, textCol, cands, shingleK)
-          .filter(col("jaccard") >= jaccardThreshold)
-      }
+      val verified = precomputedVerified.getOrElse(
+        verifiedEdges(df, idCol, textCol, jaccardThreshold,
+          numHashes, bands, shingleK, precomputedCandidates))
       connectedComponents(verified, "a", "b")
     }
     val drop = comps.filter(col("id") =!= col("component"))

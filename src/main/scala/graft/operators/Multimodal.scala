@@ -94,10 +94,17 @@ object Multimodal {
     }
   }
 
+  // top-level val with the target as a COLUMN argument, not a per-call
+  // closure capturing targetBytes: a method-local capturing UDF makes
+  // every resize() plan canonically unique, so persisted frames
+  // downstream could never serve a rebuilt plan (the stable-kernel rule
+  // pinned by StableKernelsSpec)
+  private val resizeUdf =
+    org.apache.spark.sql.functions.udf((p: Array[Byte], t: Int) => resizeStub(p, t))
+
   /** Column form of [[resizeStub]]. */
   def resize(blobPayload: org.apache.spark.sql.Column, targetBytes: Int): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.udf((p: Array[Byte]) => resizeStub(p, targetBytes))
-      .apply(blobPayload)
+    resizeUdf(blobPayload, org.apache.spark.sql.functions.lit(targetBytes))
 
   /** Deterministic frame sampling for a (stub) video payload: emit one
     * row per sampled frame offset — the explode shape a real

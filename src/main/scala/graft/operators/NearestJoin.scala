@@ -295,14 +295,23 @@ object NearestJoin {
 
     if (!exhausted) {
       // residual path: the handful of isolated rows left after the grid
-      // rounds broadcast against one scan of the right side
-      val lefts = remaining.collect()
+      // rounds broadcast against one scan of the right side.
+      // Bound-check BEFORE collecting (the nearestJoin rule): a
+      // too-small cellSize leaves ~every left row unresolved, and a
+      // collect-then-require would OOM the driver before the guard
+      // ever evaluated. take(max+1) pulls at most one row past the cap.
+      // (min with Int.MaxValue-1: RDD.take is Int-typed; a Long cap at
+      // or past Int range is un-probe-able and the residual would have
+      // OOM'd the driver long before, so clamping is safe)
+      val probeN = (maxResidualRows.min(Int.MaxValue - 2L) + 1).toInt
+      val lefts = remaining.take(probeN)
       require(lefts.length <= maxResidualRows,
-        s"nearestJoinGrid residual has ${lefts.length} unresolved rows " +
-          s"(> maxResidualRows=$maxResidualRows): the grid rounds resolved " +
+        s"nearestJoinGrid residual has more than maxResidualRows=" +
+          s"$maxResidualRows unresolved rows: the grid rounds resolved " +
           "almost nothing, which means cellSize is far too small for the " +
           "data's extent — raise cellSize so an average cell holds at " +
           "least k right rows, or raise maxResidualRows.")
+      // lefts IS the complete residual set: take(max+1) returned <= max
       val bc = spark.sparkContext.broadcast(
         lefts.map { case (lid, (wkb, row)) => (lid, wkb, row) })
       val partial = rightById.mapPartitions { iter =>

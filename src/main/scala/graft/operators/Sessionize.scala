@@ -113,8 +113,11 @@ object Sessionize {
     val aggs = stages.indices.map(i =>
       count(when(col("depth") > i, 1)).cast("bigint").as(s"__s$i"))
     val one = depth.agg(aggs.head, aggs.tail: _*)
+    // sqlLit: a stage name containing a quote ("add'l view") must not
+    // break — or inject into — the spliced selectExpr
     val stackExpr = s"stack(${stages.size}, " + stages.zipWithIndex
-      .map { case (n, i) => s"$i, '$n', __s$i" }.mkString(", ") +
+      .map { case (n, i) =>
+        s"$i, ${graft.functions.SqlBuilders.sqlLit(n)}, __s$i" }.mkString(", ") +
       ") AS (stage, stage_name, users)"
     one.selectExpr(stackExpr)
   }

@@ -62,11 +62,15 @@ object Similarity {
       query.take(64).zipWithIndex.foreach { case (x, i) => if (x > 0f) b |= (1L << i) }
       b
     }
+    // asc_nulls_last (the pqTopK rule): sign_pack is null-intolerant,
+    // so null-vector rows carry null hamming — plain asc is NULLS
+    // FIRST and a few null rows would displace every real candidate
+    // from the shortlist
     val short = df
       .select(col(idCol), col(vecCol),
         bit_count(sign_pack(col(vecCol)).bitwiseXOR(lit(qbits)))
           .cast("long").as("hamming"))
-      .orderBy(col("hamming"), col(idCol))
+      .orderBy(col("hamming").asc_nulls_last, col(idCol))
       .limit(k * shortlist)
     short
       .select(col(idCol), col("hamming"),
@@ -158,7 +162,12 @@ object Similarity {
       .setK(nCells).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("__features").setPredictionCol("cell")
       .fit(featurize(ivfTrainInput(df, idCol, vecCol, trainN)))
-    val assigned = model.transform(featurize(df)).drop("__features")
+    // null embeddings never index: the kmeans predict UDF NPEs on a
+    // null Vector, so one corrupt row would fail the whole build (the
+    // training input already filters; the assign pass must too)
+    val assigned = model
+      .transform(featurize(df.filter(col(vecCol).isNotNull)))
+      .drop("__features")
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 

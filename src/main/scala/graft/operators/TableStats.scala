@@ -33,8 +33,13 @@ object TableStats {
         max(col(c)).cast("string").as(s"${c}__max"))
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // quoted literal + backticked identifiers: ingested column names
+    // routinely carry spaces/dots/quotes, and bare splicing into
+    // selectExpr is a ParseException (or worse) on the first such name
+    import graft.functions.SqlBuilders.{quoteId, sqlLit}
     val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
-      s"'$c', ${c}__nn, ${c}__nd, ${c}__min, ${c}__max").mkString(", ") +
+      s"${sqlLit(c)}, ${quoteId(c + "__nn")}, ${quoteId(c + "__nd")}, " +
+        s"${quoteId(c + "__min")}, ${quoteId(c + "__max")}").mkString(", ") +
       ") AS (column, non_null, n_distinct, min_v, max_v)"
     one.selectExpr("__n AS n_rows", stackExpr)
       .select(col("column"), col("n_rows"), col("non_null"),
@@ -56,9 +61,14 @@ object TableStats {
       df: DataFrame, keyCols: Seq[String], valueCol: String,
       digits: Int = 6): DataFrame = {
     require(keyCols.nonEmpty, "zscore needs at least one key column")
+    // no broadcast() hint: the stats frame is one row PER GROUP, so a
+    // high-cardinality key makes it corpus-proportional — a forced
+    // broadcast would override AQE and OOM the driver (the
+    // leakageSafeAssign rule). AQE still broadcasts the tiny-group case
+    // from runtime sizes.
     val stats = df.groupBy(keyCols.map(col): _*)
       .agg(avg(col(valueCol)).as("__mu"), stddev_pop(col(valueCol)).as("__sd"))
-    df.join(broadcast(stats), keyCols)
+    df.join(stats, keyCols)
       .withColumn("z",
         round((col(valueCol) - col("__mu")) /
           when(col("__sd") === 0.0, lit(null)).otherwise(col("__sd")), digits))
@@ -73,8 +83,9 @@ object TableStats {
     * latency, spend) the mean chases the tail and hides it.
     *
     * Scale shape: two group aggregates (median, then MAD of the
-    * deviations) each collapse to one row per group and broadcast back
-    * — two scans of the source, two tiny broadcasts, zero windows.
+    * deviations) each collapse to one row per group and join back —
+    * two scans of the source, zero windows; AQE broadcasts the
+    * group-stats side when it is actually small.
     * Exact `percentile` keeps the oracle bit-checkable; at 100 TB swap
     * `percentile_approx` into the same plan. The score is rounded to
     * 6dp before the cut comparison so the last double ulp of the two
@@ -86,13 +97,17 @@ object TableStats {
       cut: Double = 3.5): DataFrame = {
     require(keyCols.nonEmpty, "madOutliers needs at least one key column")
     val ks = keyCols.map(col)
+    // backticked identifier (names with spaces/quotes) and no forced
+    // broadcast (one row PER GROUP is corpus-proportional under a
+    // high-cardinality key — let AQE size the join; see zscore)
     val med = df.groupBy(ks: _*)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
-    val dev = df.join(broadcast(med), keyCols)
+      .agg(expr(s"percentile(${graft.functions.SqlBuilders.quoteId(valueCol)}, 0.5)")
+        .as("__med"))
+    val dev = df.join(med, keyCols)
       .withColumn("__ad", abs(col(valueCol) - col("__med")))
     val mad = dev.groupBy(ks: _*)
       .agg(expr("percentile(__ad, 0.5)").as("__mad"))
-    dev.join(broadcast(mad), keyCols)
+    dev.join(mad, keyCols)
       .withColumn("__score",
         round(lit(0.6745) * col("__ad") /
           when(col("__mad") === 0.0, lit(null)).otherwise(col("__mad")), 6))

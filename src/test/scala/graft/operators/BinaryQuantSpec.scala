@@ -55,6 +55,27 @@ class BinaryQuantSpec extends SparkTestBase {
     assert(cos.sameElements(cos.sortBy(-(_: Double))))
   }
 
+  test("binaryTopK: null-vector rows never displace real candidates (NULLS LAST)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 60 null-embedding rows > k*shortlist = 40: under plain asc
+    // (NULLS FIRST) the entire shortlist would be nulls and the top-k
+    // would return no real neighbors
+    val nullSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true)))
+    val nulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1000L until 1060L).map(i => Row(i, null)), 2), nullSchema)
+    val dirty = clustered.unionByName(nulls)
+    val query = Array.fill(64)(5.0f)
+    val top = Similarity.binaryTopK(dirty, "vec_id", "embedding", query, k = 10)
+      .collect()
+    assert(top.length == 10)
+    assert(top.forall(_.getLong(0) < 1000L), top.map(_.getLong(0)).toSeq)
+    assert(top.forall(!_.isNullAt(2)))
+  }
+
   test("hardNegatives excludes self and near-duplicates, ranks by cosine desc") {
     val anchors = clustered.filter(col("vec_id") < 2)
     val out = Similarity.hardNegatives(clustered, anchors,

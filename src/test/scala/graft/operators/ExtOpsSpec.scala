@@ -193,6 +193,11 @@ class ExtOpsSpec extends SparkTestBase {
       "vec_id", "embedding", nCells = 4, trainN = 100)
     assert(index.assigned.count() == 490L)
     assert(index.assigned.select("cell").distinct().count() <= 4L)
+    // and a corpus CONTAINING null embeddings builds instead of NPE-ing
+    // in the kmeans predict UDF — null rows are simply never indexed
+    val dirty = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      nCells = 4, trainN = 100)
+    assert(dirty.assigned.count() == 490L)
   }
 
   test("table profile: null handling, one scan, string-typed extremes") {
@@ -215,6 +220,26 @@ class ExtOpsSpec extends SparkTestBase {
     assert(scans == 1, s"expected 1 leaf scan, got $scans")
   }
 
+  test("profile and funnel survive non-identifier names (quoting, not splicing)") {
+    // column names with spaces/quotes are routine in ingested CSVs;
+    // bare splicing into selectExpr was a ParseException (and an
+    // injection vector through the quoted literal)
+    val odd = Seq((1L, "x"), (2L, "y")).toDF("my col", "it's")
+    val p = TableStats.profile(odd, Seq("my col", "it's"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(p("my col") == 2L && p("it's") == 2L, p)
+
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", "add'l view"),
+      (1L, "2024-01-01 00:00:01", "buy"),
+      (2L, "2024-01-01 00:00:00", "add'l view"))
+      .toDF("user_id", "ts", "etype")
+    val f = Sessionize.funnel(events, "user_id", "ts", "etype",
+      Seq("add'l view", "buy"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f("add'l view") == 2L && f("buy") == 1L, f)
+  }
+
   test("winnowing guarantees a shared fingerprint for long shared substrings") {
     import graft.operators.{TextAnalysis => T}
     val shared = "this exact long passage appears verbatim in both documents of the pair"
@@ -235,6 +260,47 @@ class ExtOpsSpec extends SparkTestBase {
     assert(small.length == 100)
     assert(Multimodal.resizeStub(big, 100).toSeq == small.toSeq)
     assert(Multimodal.resizeStub(small, 200) eq small) // no upscaling
+  }
+
+  test("null-text docs are never LSH candidates (no quadratic null blowup)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // every null doc used to share the identical empty-set signature,
+    // so N nulls produced N²/2 candidate pairs at est_jaccard = 1.0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val withNulls = docs.unionByName(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (100L until 110L).map(i => Row(i, null)), 2), schema))
+    val cands = Dedup.minhashCandidates(withNulls, "doc_id", "text")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!cands.exists { case (a, b) => a >= 100L || b >= 100L },
+      cands.filter { case (a, b) => a >= 100L || b >= 100L }.take(5).toSeq)
+  }
+
+  test("CC driver path picks the same representative as min(label) for every id type") {
+    import spark.implicits._
+    // Double ids: a toString comparison roots {9.0, 10.0} at "10.0"
+    // (lexicographic), diverging from the distributed path's min()
+    val dpairs = Seq((10.0, 9.0), (10.0, 11.0)).toDF("a", "b")
+    val viaDriver = Dedup.connectedComponents(dpairs, "a", "b")
+      .as[(Double, Double)].collect().toMap
+    val viaCluster = Dedup.connectedComponents(dpairs, "a", "b", driverThreshold = 0)
+      .as[(Double, Double)].collect().toMap
+    assert(viaDriver == viaCluster, s"driver=$viaDriver cluster=$viaCluster")
+    assert(viaDriver.values.toSet == Set(9.0))
+
+    // string ids with a supplementary-plane char: UTF-8 binary order
+    // (Spark's min) vs Java UTF-16 compareTo diverge — "𐀀"
+    // (U+10000) is ABOVE "�" in UTF-8 but below it in UTF-16
+    val s1 = "𐀀"; val s2 = "�"
+    val spairs = Seq((s1, s2)).toDF("a", "b")
+    val sd = Dedup.connectedComponents(spairs, "a", "b")
+      .as[(String, String)].collect().toMap
+    val sc = Dedup.connectedComponents(spairs, "a", "b", driverThreshold = 0)
+      .as[(String, String)].collect().toMap
+    assert(sd == sc, s"driver=$sd cluster=$sc")
   }
 
   test("connected components converge to the min id per cluster (both paths)") {
