@@ -47,7 +47,20 @@ object BunnyHopFlow {
 
     val fipsCols = Seq("County_FIPS_Code", "County_Subdivision_FIPS_Code",
       "Place_FIPS_Code", "Consolidated_City_FIPS_Code")
-    val missing = california.filter(!Calc.hasData(fipsCols.map(col))).count()
+    // one pass for both guards. The zero-rows check matters as much as
+    // the missing-FIPS one: a restructured vintage that stores FIPS as
+    // numeric cells ("6", not "06") matches NO California rows, and
+    // counting blank-FIPS rows over an EMPTY frame passes vacuously —
+    // the run would "succeed" with a census branch that attaches NULL
+    // GEOID/PlaceType to every published row.
+    val counts = california.agg(
+      count(lit(1)).as("__total"),
+      count(when(!Calc.hasData(fipsCols.map(col)), 1)).as("__missing")).collect()(0)
+    val (total, missing) = (counts.getLong(0), counts.getLong(1))
+    if (total == 0)
+      throw new IllegalStateException(
+        "census data has ZERO California rows (State_FIPS_Code === '06' " +
+          "matched nothing) — restructured vintage?")
     if (missing > maxMissing)
       throw new IllegalStateException(
         s"census data has $missing all-blank-FIPS rows (> $maxMissing tolerated) — wrong vintage?")
@@ -65,7 +78,13 @@ object BunnyHopFlow {
     * count guard (eager — a deliberate materialization barrier), rename.
     */
   def prepareCdtfa(cdtfa: DataFrame, minRecords: Long = CdtfaMinRecords): DataFrame = {
+    // persist BEFORE the guard count: the count is the deliberate
+    // materialization barrier, so let it double as the cache warm-up —
+    // counting the uncached plan and caching afterwards ran the full
+    // repair scan (st_makevalid on every geometry) twice. Registered
+    // persist (not raw .cache()) so CacheLifecycle.release can drop it.
     val repaired = cdtfa.withColumn("geom", G.st_makevalid(col("geom")))
+      .transform(graft.CacheLifecycle.persist(_))
     val n = repaired.count()
     if (n < minRecords)
       throw new IllegalStateException(
@@ -139,6 +158,14 @@ object BunnyHopFlow {
           KeepFragmentsWkb3857, SliverThresholdM2)
       else prelim
 
+    // NULL-name semantics, adjudicated: a GNIS-miss row carries NULL
+    // LegalPlaceName here where the reference's file-GDB world carries
+    // '' — both bucket with the ''-named water pieces in sliverFix and
+    // both drop under the post-filter when no other name field is set
+    // (NULL || false || false is NULL, which filters exactly like the
+    // reference's all-'' row). Faithful by construction, so NOT
+    // "fixed": making NULLs survive here would diverge from the
+    // reference's published output for the same degenerate input.
     fixedRows
       .drop("__oid")
       .filter((col(LegalPlaceName) =!= "" || col(PlaceType) =!= "" || col(PlaceName) =!= "") &&
@@ -146,33 +173,69 @@ object BunnyHopFlow {
       .withColumn(Coastal, Calc.blankToNull(col(Coastal)))
   }
 
-  /** OP-46 area + OP-32 GUID + OP-45 reproject (`bunny.py:364-391`). */
-  def finalizeLayer(layer: DataFrame, srid: Int = ServiceSrid): DataFrame =
-    layer
-      .withColumn("AREA_SQMI", G.st_area_sqmi(col("geom"), lit(srid)))
-      .withColumn("GlobalID", expr("uuid()"))
-      .withColumn("geom", G.st_transform(col("geom"), lit(srid), lit(OutputSrid)))
+  /** Deterministic GUID in the uuid() wire format, derived from two
+    * independently-salted content hashes of the row. `expr("uuid()")`
+    * is nondeterministic and was stabilized only by the evictable
+    * cache: under memory pressure a recomputed partition re-rolled
+    * fresh GlobalIDs mid-run, so the same feature carried different
+    * ids across two reads of the same Result (the withRowKey rule).
+    * Content-derived ids are stable across recomputation; the driver's
+    * oracle excludes the column either way (OP-32 ledger).
+    */
+  private def contentGuid(df: DataFrame): org.apache.spark.sql.Column = {
+    val cs = df.columns.map(col).toIndexedSeq
+    val x = lpad(lower(hex(xxhash64(cs: _*))), 16, "0")
+    val y = lpad(lower(hex(xxhash64((lit("graft:guid") +: cs): _*))), 16, "0")
+    concat(substring(x, 1, 8), lit("-"), substring(x, 9, 4), lit("-"),
+      substring(x, 13, 4), lit("-"), substring(y, 1, 4), lit("-"),
+      substring(y, 5, 12))
+  }
 
-  /** `generate_unincorporated_areas` (`bunny.py:393-403`). */
-  def unincorporated(counties3310: DataFrame, cities3310: DataFrame): DataFrame =
-    SpatialOps.erase(counties3310, cities3310.select("geom"))
+  /** OP-46 area + OP-32 GUID + OP-45 reproject (`bunny.py:364-391`). */
+  def finalizeLayer(layer: DataFrame, srid: Int = ServiceSrid): DataFrame = {
+    val withArea = layer
+      .withColumn("AREA_SQMI", G.st_area_sqmi(col("geom"), lit(srid)))
+    withArea
+      .withColumn("GlobalID", contentGuid(withArea))
+      .withColumn("geom", G.st_transform(col("geom"), lit(srid), lit(OutputSrid)))
+  }
+
+  /** `generate_unincorporated_areas` (`bunny.py:393-403`). Stamps its
+    * OWN GlobalIDs: the erase output inherits the source county row's
+    * id, and publishing two different features (county and its
+    * unincorporated remainder) under one GUID defeats the point of a
+    * GUID field.
+    */
+  def unincorporated(counties3310: DataFrame, cities3310: DataFrame): DataFrame = {
+    val erased = SpatialOps.erase(counties3310, cities3310.select("geom"))
       .withColumn(City, lit("Unincorporated"))
       .withColumn("AREA_SQMI", G.st_area_sqmi(col("geom"), lit(OutputSrid)))
+    if (erased.columns.contains("GlobalID"))
+      erased.withColumn("GlobalID", contentGuid(erased.drop("GlobalID")))
+    else erased
+  }
 
   /** OP-52 quality gate (`quality_check.py:1-6`, planned in the
     * reference, real here): key-level diff of a new publication against
-    * the previous one.
+    * the previous one. Counts per key, not mere presence: under
+    * duplicate keys (a county's main piece + ocean-buffer piece share
+    * one key triple) a presence-only full-outer matches the surviving
+    * row to BOTH previous rows and reports no change when one of them
+    * vanishes — `count_changed` catches exactly that. The groupBy also
+    * shrinks the join inputs to one row per key before the exchange.
     */
   def qualityDiff(current: DataFrame, previous: DataFrame, keys: Seq[String]): DataFrame = {
-    val cur = current.select(keys.map(col): _*).withColumn("__in_cur", lit(1))
-    val prev = previous.select(keys.map(c => col(c).as(s"__p_$c")): _*)
-      .withColumn("__in_prev", lit(1))
+    val cur = current.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n_cur"))
+    val prev = previous.groupBy(keys.map(c => col(c).as(s"__p_$c")): _*)
+      .agg(count(lit(1)).as("__n_prev"))
     // null-safe key equality: county rows legitimately carry NULL city
     val cond = keys.map(k => cur(k) <=> prev(s"__p_$k")).reduce(_ && _)
     cur.join(prev, cond, "full_outer")
       .withColumn("change",
-        when(col("__in_cur").isNull, "removed")
-          .when(col("__in_prev").isNull, "added"))
+        when(col("__n_cur").isNull, "removed")
+          .when(col("__n_prev").isNull, "added")
+          .when(col("__n_cur") =!= col("__n_prev"), "count_changed"))
       .filter(col("change").isNotNull)
       .select(keys.map(k => coalesce(cur(k), prev(s"__p_$k")).as(k)) :+ col("change"): _*)
   }
@@ -192,7 +255,8 @@ object BunnyHopFlow {
 
     val gnis = processGnis(gnisRaw)
     val census = processCensus(censusRaw, maxCensusMissing)
-    val cdtfa = prepareCdtfa(cdtfaRaw, minCdtfaRecords).cache()
+    // prepareCdtfa registers its own persist (guard count = warm-up)
+    val cdtfa = prepareCdtfa(cdtfaRaw, minCdtfaRecords)
 
     val citiesJoined = runJoins(citiesPathway(cdtfa), census, gnis, dla)
     val countiesJoined = runJoins(countiesPathway(cdtfa), census, gnis, dla)
@@ -207,17 +271,23 @@ object BunnyHopFlow {
     // into and de-parallelize the expensive overlay/sliver stage
     // upstream) adds one tiny one-time exchange and cuts every warm
     // read to a handful of tasks.
+    // registered persists (not raw .cache()): CacheLifecycle.release
+    // must be able to drop these — a consumer releasing between sweeps
+    // would otherwise leak four orphaned cached frames per rebuild
     val cities = finalizeLayer(coastalCut(citiesJoined, coastline))
-      .repartition(CachedLayerPartitions).cache()
+      .repartition(CachedLayerPartitions)
+      .transform(graft.CacheLifecycle.persist(_))
     val counties = finalizeLayer(coastalCut(countiesJoined, coastline))
       .drop(PlaceAbbr)                                        // bunny.py:391
-      .repartition(CachedLayerPartitions).cache()
+      .repartition(CachedLayerPartitions)
+      .transform(graft.CacheLifecycle.persist(_))
 
     // cached too: the erase is recomputed per consumer otherwise, and
     // unincorporated areas are read by both the publish sinks and the
     // unincorporated-layer entry
     val uninc = unincorporated(counties, cities)
-      .repartition(CachedLayerPartitions).cache()
+      .repartition(CachedLayerPartitions)
+      .transform(graft.CacheLifecycle.persist(_))
     val merged = cities.unionByName(counties, allowMissingColumns = true)
 
     Result(cities, counties, uninc, merged)

@@ -44,14 +44,20 @@ object CensusRetrieval {
     while (year >= earliestYear) {
       fetch(year) match {
         case Some(path) =>
-          val raw = BunnySources.readCensusXlsx(spark, path)
-          // processCensus re-applies the reference's validation (the
-          // missing-FIPS guard) and throws on a wrong vintage — that is
-          // exactly the walk-back condition, not a fatal error, until
-          // the floor year is exhausted
-          try return Vintage(BunnyHopFlow.processCensus(raw, maxMissing), year)
-          catch {
-            case e: IllegalStateException =>
+          // the WHOLE vintage attempt — download parse AND validation —
+          // is a walk-back condition, not a fatal error, until the
+          // floor year is exhausted: a URL that HEAD-checks 200 can
+          // still serve a half-written workbook or an HTML error page
+          // (ZipException, "no sheet1"), and a restructured sheet can
+          // fail anywhere in processCensus (AnalysisException on a
+          // renamed column), not only at the missing-FIPS guard. Any of
+          // those on the NEWEST vintage must fall back to the prior
+          // year — that survival is this module's whole purpose.
+          try {
+            val raw = BunnySources.readCensusXlsx(spark, path)
+            return Vintage(BunnyHopFlow.processCensus(raw, maxMissing), year)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
               failures += s"$year: ${e.getMessage}"
           }
         case None =>

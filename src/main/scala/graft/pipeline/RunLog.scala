@@ -108,13 +108,16 @@ final class RunLog(
     * would reach or pass `maxBytes` (`pos + len(msg) >= maxBytes`,
     * `shouldRollover`), roll first (`.1`→`.2`, current→`.1`), then
     * write to a fresh file — a single record longer than `maxBytes`
-    * still lands whole, and an EMPTY file never rolls (CPython
-    * gh-116263).
+    * still lands whole, an EMPTY file never rolls (CPython
+    * gh-116263), and `maxBytes <= 0` DISABLES rotation entirely
+    * (CPython's shouldRollover returns false then; without the guard,
+    * 0 would instead roll on every write, shredding the audit trail
+    * into one-line backups).
     */
   private def writeRotating(line: String): Unit = {
     val bytes = line.getBytes(UTF_8)
     val size = if (Files.exists(logFile)) Files.size(logFile) else 0L
-    if (size > 0 && size + bytes.length >= maxBytes) {
+    if (maxBytes > 0 && size > 0 && size + bytes.length >= maxBytes) {
       var i = backupCount - 1
       while (i >= 1) {
         val src = backup(i)

@@ -155,22 +155,27 @@ object PipelineQueries {
           "GNIS_PLACE_NAME" -> "VARCHAR", "GNIS_ID" -> "BIGINT",
           "CDT_COUNTY_ABBR" -> "VARCHAR", "CDT_NAME_SHORT" -> "VARCHAR",
           "OFFSHORE" -> "VARCHAR", "area_sqmi" -> "DOUBLE"))}),
-         |cur AS (SELECT *, 1 AS in_cur FROM pub),
+         |cur AS (SELECT ${C.County}, ${C.City}, ${C.Coastal},
+         |               count(*) AS n_cur FROM pub GROUP BY 1, 2, 3),
          |prev AS (
-         |  SELECT *, 1 AS in_prev FROM pub
-         |  WHERE NOT (${C.County} IS NOT DISTINCT FROM 'Beta County'
-         |         AND ${C.City} IS NOT DISTINCT FROM 'Shore')
-         |  UNION ALL SELECT 'Zeta County', 'Ghost Town', NULL, 1)
+         |  SELECT ${C.County}, ${C.City}, ${C.Coastal},
+         |         count(*) AS n_prev FROM (
+         |    SELECT * FROM pub
+         |    WHERE NOT (${C.County} IS NOT DISTINCT FROM 'Beta County'
+         |           AND ${C.City} IS NOT DISTINCT FROM 'Shore')
+         |    UNION ALL SELECT 'Zeta County', 'Ghost Town', NULL)
+         |  GROUP BY 1, 2, 3)
          |SELECT coalesce(c.${C.County}, p.${C.County}) AS ${C.County},
          |       coalesce(c.${C.City}, p.${C.City}) AS ${C.City},
          |       coalesce(c.${C.Coastal}, p.${C.Coastal}) AS ${C.Coastal},
-         |       CASE WHEN c.in_cur IS NULL THEN 'removed'
-         |            WHEN p.in_prev IS NULL THEN 'added' END AS change
+         |       CASE WHEN c.n_cur IS NULL THEN 'removed'
+         |            WHEN p.n_prev IS NULL THEN 'added'
+         |            WHEN c.n_cur <> p.n_prev THEN 'count_changed' END AS change
          |FROM cur c FULL OUTER JOIN prev p
          |  ON  c.${C.County} IS NOT DISTINCT FROM p.${C.County}
          |  AND c.${C.City} IS NOT DISTINCT FROM p.${C.City}
          |  AND c.${C.Coastal} IS NOT DISTINCT FROM p.${C.Coastal}
-         |WHERE c.in_cur IS NULL OR p.in_prev IS NULL
+         |WHERE c.n_cur IS NULL OR p.n_prev IS NULL OR c.n_cur <> p.n_prev
          |ORDER BY ${C.County}, ${C.City}, ${C.Coastal}""".stripMargin),
       sparkParity = false)
   }

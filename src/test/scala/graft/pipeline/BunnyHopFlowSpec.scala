@@ -141,6 +141,43 @@ class BunnyHopFlowSpec extends SparkTestBase {
     assert(diff.length == 1 && diff(0).getAs[String]("change") == "removed")
   }
 
+  test("quality gate: losing ONE of several same-key rows is count_changed, not silence") {
+    // Beta County carries two merged rows under key (City=NULL, County)
+    // — main piece + ocean-buffer piece. A presence-only full-outer
+    // matched the surviving row to both previous rows and reported NO
+    // change when one vanished.
+    val key = Seq(City, County)
+    val beta = result.merged.filter(col(County) === "Beta County" && col(City).isNull)
+    assert(beta.count() >= 2, "fixture must carry duplicate keys for this test")
+    // drop exactly one of the Beta rows (the smaller-area piece)
+    val minArea = beta.agg(min(col("AREA_SQMI"))).collect()(0).getDouble(0)
+    val cur = result.merged.filter(
+      !(col(County) <=> "Beta County" && col(City).isNull &&
+        col("AREA_SQMI") === minArea))
+    assert(cur.count() == result.merged.count() - 1)
+    val diff = BunnyHopFlow.qualityDiff(cur, result.merged, key).collect()
+    assert(diff.length == 1, diff.mkString(";"))
+    assert(diff(0).getAs[String]("change") == "count_changed", diff(0))
+  }
+
+  test("GlobalIDs are content-deterministic and distinct across layers") {
+    // uuid() stabilized only by an evictable cache renumbered features
+    // when a partition recomputed; content-derived ids must be equal
+    // across two independent reads and unique within the publication
+    val ids1 = result.merged.select(col("GlobalID")).collect().map(_.getString(0)).sorted
+    val ids2 = result.merged.select(col("GlobalID")).collect().map(_.getString(0)).sorted
+    assert(ids1.sameElements(ids2))
+    assert(ids1.distinct.length == ids1.length, "GlobalIDs must be unique")
+    assert(ids1.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+    // unincorporated stamps its OWN ids, not the source counties'
+    val unincIds = result.unincorporated.select(col("GlobalID"))
+      .collect().map(_.getString(0)).toSet
+    val countyIds = result.counties.select(col("GlobalID"))
+      .collect().map(_.getString(0)).toSet
+    assert(unincIds.intersect(countyIds).isEmpty,
+      "unincorporated rows must not reuse county GlobalIDs")
+  }
+
   test("coastal cut is deterministic under shuffle-partition changes (r2 verdict #1)") {
     import spark.implicits._
     def sq(x0: Double, y0: Double, x1: Double, y1: Double): String =

@@ -39,6 +39,32 @@ class CensusRetrievalSpec extends SparkTestBase {
     assert(e.getMessage.contains("blank-FIPS"))
   }
 
+  test("a corrupt workbook (non-validation failure) walks back instead of aborting") {
+    // HEAD 200 but the body is garbage (half-written file / HTML error
+    // page): the parse throws OUTSIDE the missing-FIPS guard's
+    // exception type, and the walk-back must survive it — the prior
+    // year's good workbook is one probe away
+    val garbage = java.nio.file.Files.createTempFile("census_bad", ".xlsx")
+    java.nio.file.Files.write(garbage, "<html>503 Service Unavailable</html>".getBytes)
+    val v = CensusRetrieval.retrieve(spark, currentYear = 2026,
+      fetch = { y => if (y == 2026) Some(garbage.toString) else Some(fixture) })
+    assert(v.year == 2025)
+    assert(v.census.count() > 0)
+  }
+
+  test("an empty-California vintage is rejected, not vacuously accepted") {
+    // a restructured sheet whose State FIPS codes no longer match '06'
+    // yields ZERO California rows; counting blank-FIPS rows over an
+    // empty frame used to pass and silently publish a NULL census
+    import org.apache.spark.sql.functions.lit
+    val raw = graft.sources.BunnySources.readCensusXlsx(spark, fixture)
+      .withColumn("State FIPS Code", lit("6"))   // numeric-cell style
+    val e = intercept[IllegalStateException] {
+      BunnyHopFlow.processCensus(raw)
+    }
+    assert(e.getMessage.contains("ZERO California rows"), e.getMessage)
+  }
+
   test("nothing published at all reports every probed year") {
     val e = intercept[IllegalStateException] {
       CensusRetrieval.retrieve(spark, currentYear = 2024, fetch = _ => None)

@@ -87,6 +87,16 @@ class RunLogSpec extends AnyFunSuite {
     log3.info("much longer than ten bytes")
     assert(!Files.exists(Paths.get(file3.toString + ".1")))
     assert(Files.size(file3) > 10)
+    // maxBytes = 0 DISABLES rotation (CPython shouldRollover returns
+    // false): it used to roll on every write, shredding the audit
+    // trail into one-line backups
+    val file4 = tempLog()
+    val log4 = new RunLog(file4, _ => (), fixedClock(), maxBytes = 0, backupCount = 1)
+    (1 to 5).foreach(i => log4.info(s"unrotated record $i"))
+    assert(!Files.exists(Paths.get(file4.toString + ".1")),
+      "maxBytes=0 must disable rotation")
+    val content4 = new String(Files.readAllBytes(file4), "UTF-8")
+    assert((1 to 5).forall(i => content4.contains(s"unrotated record $i")))
   }
 
   test("flush on success: issue created closed, no assignee, body carries the log") {
