@@ -40,7 +40,12 @@ object StreamingTwins {
     // cleared): a memo pointing at a deleted dir must re-stage, not
     // fail every later stream with PATH_NOT_FOUND
     staged.get(path).foreach { d =>
-      if (!new java.io.File(d, f.getName).isFile) staged.remove(path)
+      val copy = new java.io.File(d, f.getName)
+      // stale if vanished OR the source was regenerated in place (size
+      // or mtime moved): serving the old snapshot would silently stream
+      // the previous corpus generation while batch oracles read the new
+      if (!copy.isFile || copy.length != f.length ||
+          copy.lastModified < f.lastModified) staged.remove(path)
     }
     staged.getOrElseUpdate(path, {
       // deleteOnExit can't remove a non-empty dir — TempDirs deletes
@@ -63,10 +68,26 @@ object StreamingTwins {
     * wrecking every watermark/window downstream.
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong must be on BEFORE the footer probe (a TIMESTAMP(NANOS)
+    // footer fails the batch probe without it) — but it is session-
+    // global and changes how UNRELATED parquet reads see NANOS columns,
+    // so restore the prior value whenever this file turns out not to
+    // need it. When the file IS nanos the flag must stay set for the
+    // stream's whole lifetime (files are read incrementally), which is
+    // the one case the permanent flip is deliberate.
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    def restore(): Unit = prior match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
     val dir = streamableDir(path)
-    val diskSchema = schemaOf(spark, dir)
+    val diskSchema =
+      try schemaOf(spark, dir)
+      catch { case e: Throwable => restore(); throw e }
     val stream = spark.readStream.schema(diskSchema).parquet(dir)
+    if (diskSchema("ts").dataType != LongType) restore()
     diskSchema("ts").dataType match {
       case LongType =>          // legacy TIMESTAMP(NANOS) as ns-long
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -94,15 +115,30 @@ object StreamingTwins {
 
   /** Q31 twin: watermarked tumbling 1-hour aggregate. Late events
     * beyond 10 minutes are dropped — at scale this bounds state.
+    *
+    * Group by the window STRUCT and extract `start` AFTER the
+    * aggregate: grouping by `window(...).getField("start")` strips the
+    * watermark metadata from the grouping key (verified on this Spark
+    * build — the output attribute loses spark.watermarkDelayMs), so the
+    * aggregation would run UN-watermarked: state never evicted, late
+    * events never dropped, Append mode rejected — the opposite of this
+    * doc's contract.
     */
   def hourlyByType(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("w"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour").as("__w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(col("__w.start").as("w"), col("event_type"), col("n"), col("v"))
 
-  /** Streaming exact dedup: duplicate event_ids dropped within the
-    * watermark horizon (the streaming face of §2.12 exact dedup).
+  /** Streaming exact dedup (the streaming face of §2.12 exact dedup).
+    * State semantics, precisely: `ts` is NOT part of the dedup key, so
+    * Spark's dedup state holds EVERY event_id ever seen and the
+    * watermark evicts nothing — duplicates are dropped forever (an id
+    * arriving days later is still dropped), and state grows with
+    * distinct-id cardinality. That is the exact-dedup contract; the
+    * strictly state-BOUNDED variant for an unbounded stream is
+    * [[dedupEventsWithinWatermark]].
     */
   def dedupEvents(events: DataFrame): DataFrame =
     events
@@ -154,7 +190,17 @@ object StreamingTwins {
     */
   def attribution(
       clicks: DataFrame, purchases: DataFrame,
-      horizon: String = "30 minutes", delay: String = "1 hour"): DataFrame = {
+      horizon: String = "30 minutes", delay: String = "1 hour"): DataFrame =
+    attributionJoin(clicks, purchases, horizon, delay, "inner")
+
+  /** One body for the inner and left-outer attribution variants: their
+    * watermark wiring, join condition, and projection MUST stay
+    * identical (the docs promise identical state/shuffle shape), so a
+    * shared helper instead of two drifting copies.
+    */
+  private def attributionJoin(
+      clicks: DataFrame, purchases: DataFrame,
+      horizon: String, delay: String, joinType: String): DataFrame = {
     val c = clicks
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", delay)
@@ -165,7 +211,8 @@ object StreamingTwins {
     c.join(p,
         col("p_user") === col("user_id") &&
           col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $horizon"))
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"))
   }
 
@@ -186,21 +233,8 @@ object StreamingTwins {
     */
   def attributionOuter(
       clicks: DataFrame, purchases: DataFrame,
-      horizon: String = "30 minutes", delay: String = "1 hour"): DataFrame = {
-    val c = clicks
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", delay)
-    val p = purchases
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", delay)
-    c.join(p,
-        col("p_user") === col("user_id") &&
-          col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $horizon"),
-        "leftOuter")
-      .select(col("click_id"), col("purchase_id"), col("user_id"))
-  }
+      horizon: String = "30 minutes", delay: String = "1 hour"): DataFrame =
+    attributionJoin(clicks, purchases, horizon, delay, "leftOuter")
 
   /** Streaming corpus ingestion — the batch cleaning pipeline's
     * streaming face (§2.12 meets §2.11): exact dedup on the content
@@ -311,11 +345,35 @@ object StreamingTwins {
       watermark: String = "10 minutes",
       stateTtl: java.time.Duration = java.time.Duration.ofHours(1)): DataFrame = {
     import docs.sparkSession.implicits._
+    // fail fast on a non-integral id (the Para encoder needs a Long):
+    // cast("long") on a string GUID yields NULL and the primitive
+    // encoder then kills the QUERY at runtime with an opaque
+    // null-in-non-nullable error — the batch twin handles any id type,
+    // so a migrating caller deserves an analysis-time message
+    require(Set[org.apache.spark.sql.types.DataType](LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType)
+        .contains(docs.schema(idCol).dataType),
+      s"streaming paragraphDedup needs an integral $idCol (got " +
+        s"${docs.schema(idCol).dataType}); the batch twin handles any id type")
     val sepRegex = java.util.regex.Pattern.quote(sep)
     val tsCol = eventTimeCol.map(col).getOrElse(lit(null).cast("timestamp"))
-    val parasDf = docs
+    // coalesce(text, ''): the batch twin's contract is "NULL text also
+    // comes back empty" (its left-join restores the doc) — a streaming
+    // plan cannot join back, so a NULL doc must flow through as the
+    // empty document instead of vanishing (split(NULL) explodes to
+    // zero rows). On the timed path, rows with NULL event time cannot
+    // be placed on the timeline (and NPE'd the state deadline): they
+    // are dropped, the standard watermark-op contract.
+    val timedDocs = eventTimeCol match {
+      case Some(ts) => docs.filter(col(ts).isNotNull)
+      case None => docs
+    }
+    val parasDf = timedDocs
       .select(col(idCol).cast("long").as("pid"), tsCol.as("ts"),
-        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "para")))
+        posexplode(split(coalesce(col(textCol), lit("")), sepRegex))
+          .as(Seq("pos", "para")))
       .withColumn("h", md5(col("para")))
     val paras = (eventTimeCol match {
       case Some(_) => parasDf.withWatermark("ts", watermark)

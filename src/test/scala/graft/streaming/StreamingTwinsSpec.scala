@@ -39,6 +39,33 @@ class StreamingTwinsSpec extends SparkTestBase {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
   }
 
+  test("hourly aggregate keeps its watermark: Append mode is accepted") {
+    // grouping by window(...).getField("start") stripped the watermark
+    // metadata from the key, so Append mode threw
+    // STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION and state was never
+    // evicted — grouping by the window struct must keep it
+    val q = StreamingTwins.hourlyByType(StreamingTwins.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("hourly_append")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // Append emits only watermark-CLOSED windows: the final watermark
+    // (max event time − 10 min) sits inside the last hour window, so
+    // that window legitimately stays open and unemitted. Everything
+    // emitted must match the batch answer exactly; only tail windows
+    // the watermark hasn't passed may be missing.
+    val streamed = spark.table("hourly_append")
+      .select(col("w").cast("timestamp_ntz").as("w"), col("event_type"),
+        col("n"), col("v"))
+      .collect().map(_.toSeq).toSet
+    val batch = CorpusQueries.q31.run(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed.subsetOf(batch),
+      s"${(streamed -- batch).take(3)}")
+    val missing = batch -- streamed
+    val maxW = batch.map(_.head.asInstanceOf[java.time.LocalDateTime]).max
+    assert(missing.forall(_.head == maxW),
+      s"only the final open window may be unemitted; missing: ${missing.take(3)}")
+  }
+
   test("streaming sessionization matches batch q32") {
     import spark.implicits._
     val events = StreamingTwins.readEvents(spark, eventsDir)
@@ -368,6 +395,45 @@ class StreamingTwinsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(streamed.length == batch.length && streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming paragraph dedup: null-text docs come back empty, like the batch twin") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val static = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "alpha\n\nbeta"), Row(2L, null), Row(3L, "alpha\n\ngamma")), 1),
+      schema)
+    val dir = Files.createTempDirectory("paradedup_null").toString
+    static.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingTwins.paragraphDedup(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("paradedup_null")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("paradedup_null").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batch = Dedup.paragraphDedup(static, "doc_id", "text")
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // doc 2 must NOT vanish: both twins return it as the empty document
+    assert(streamed.map(_._1) == Seq(1L, 2L, 3L), streamed)
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
+  test("streaming paragraph dedup fails fast on a non-integral id column") {
+    import spark.implicits._
+    val docs = Seq(("guid-1", "text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingTwins.paragraphDedup(
+        spark.readStream.schema(docs.schema)
+          .parquet(Files.createTempDirectory("nope").toString), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
   test("streaming paragraph dedup: state persists across batches, ages out past the TTL") {
