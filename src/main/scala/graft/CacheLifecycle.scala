@@ -47,7 +47,14 @@ object CacheLifecycle {
     * the release hooks. Entries from other sessions are untouched.
     */
   def release(spark: SparkSession): Unit = {
-    releaseHooks.forEach(h => h(spark))
+    // isolate each hook: a hook that throws must not abort the
+    // unpersist loops below — "releasing never breaks correctness"
+    // includes not silently leaving every tracked frame persisted
+    // because one memo callback failed
+    releaseHooks.forEach { h =>
+      try h(spark)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
     val it = tracked.iterator()
     while (it.hasNext) {
       val df = it.next()
@@ -58,8 +65,12 @@ object CacheLifecycle {
     }
     val rit = trackedRdds.iterator()
     while (rit.hasNext) {
-      val rdd = rit.next()
-      if (rdd.sparkContext eq spark.sparkContext) {
+      val (owner, rdd) = rit.next()
+      // scope by the OWNING SESSION, not the shared SparkContext:
+      // sibling sessions (spark.newSession(), the documented service
+      // case) share one context, and releasing session A must not
+      // unpersist session B's RDDs mid-sweep
+      if (owner eq spark) {
         rdd.unpersist(blocking = false)
         rit.remove()
       }
@@ -67,16 +78,19 @@ object CacheLifecycle {
   }
 
   private val trackedRdds =
-    new ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+    new ConcurrentLinkedQueue[(SparkSession, org.apache.spark.rdd.RDD[_])]()
 
   /** Persist and track a raw RDD (operators below the DataFrame layer,
-    * e.g. the grid kNN join's result) for the next [[release]].
+    * e.g. the grid kNN join's result) for the next [[release]] of
+    * `owner` — RDDs carry only the shared SparkContext, so the owning
+    * session is declared explicitly.
     */
   def persistRdd[T](
+      owner: SparkSession,
       rdd: org.apache.spark.rdd.RDD[T],
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): org.apache.spark.rdd.RDD[T] = {
     rdd.persist(level)
-    trackedRdds.add(rdd)
+    trackedRdds.add((owner, rdd))
     rdd
   }
 
@@ -93,7 +107,7 @@ object CacheLifecycle {
   def trackedCount(spark: SparkSession): Int = {
     var n = 0
     tracked.forEach(df => if (df.sparkSession eq spark) n += 1)
-    trackedRdds.forEach(r => if (r.sparkContext eq spark.sparkContext) n += 1)
+    trackedRdds.forEach { case (owner, _) => if (owner eq spark) n += 1 }
     n
   }
 }

@@ -17,7 +17,9 @@ object PlanCheck {
       println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
     }
     for (q <- Seq("q01", "q14", "q15", "q30"))
-      show(q, CorpusQueries.all.find(_.name == q).get.run(spark, d))
+      show(q, CorpusQueries.all.find(_.name == q).getOrElse(
+        sys.error(s"unknown query $q; known: " +
+          CorpusQueries.all.map(_.name).sorted.mkString(", "))).run(spark, d))
     show("x22_asof", ExtQueries.x22_asof.run(spark, d))
     show("x23_rangejoin", ExtQueries.x23_rangejoin.run(spark, d))
 

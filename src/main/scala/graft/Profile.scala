@@ -22,6 +22,7 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS=$reps must be >= 1")
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
@@ -35,10 +36,16 @@ object Profile {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      // reps/2 is Bench's median convention — keep the two comparable
       println(f"[profile] $name median=${times.sorted.apply(reps / 2)}%.3f s  runs=${times.map(t => f"$t%.3f").mkString(",")}")
       if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
         println(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
+      // release between queries, like Bench between groups: one query's
+      // persisted intermediates (a gram-instance-sized span index)
+      // otherwise squat on storage memory and skew the NEXT query's
+      // timed reps — Profile's numbers must stay comparable to Bench's
+      graft.CacheLifecycle.release(spark)
     }
     spark.stop()
   }

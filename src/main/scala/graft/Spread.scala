@@ -27,8 +27,23 @@ object Spread {
   def ensure(df: DataFrame, key: Column*): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val cores = sc.defaultParallelism
-    // physical partition count of the compiled plan; no job is run
-    if (df.rdd.getNumPartitions >= cores) df
+    // Shuffle-bearing plans pass through untouched, for two reasons:
+    // their parallelism is already governed by
+    // spark.sql.shuffle.partitions, and — the sharp edge — probing
+    // df.rdd.getNumPartitions on such a plan under AQE EXECUTES every
+    // upstream shuffle stage (getFinalPhysicalPlan materializes them
+    // just to answer the partition count), running the upstream twice
+    // once the frame is re-planned inside the caller's larger query.
+    // The scan-only frames this guard exists for contain none of these.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffles = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort => true
+      case _: RepartitionOperation => true
+      case _ => false
+    }
+    if (shuffles) df
+    // exchange-free plan: the rdd probe compiles without running a job
+    else if (df.rdd.getNumPartitions >= cores) df
     else if (key.nonEmpty) df.repartition(cores, key: _*)
     else df.repartition(cores)
   }

@@ -26,8 +26,8 @@ object Tables {
     // files don't stay pinned through a long-lived JVM
     if (memo.size > 64) memo.clear()
     memo.getOrElseUpdate((spark, sfDir, table),
-      if (table == "events") events(spark, sfDir)
-      else spark.read.parquet(s"$sfDir/$table.parquet"))
+      if (table == "events") eventsImpl(spark, sfDir)
+      else rawLoad(spark, sfDir, table))
   }
 
   private def rawLoad(spark: SparkSession, sfDir: String, table: String): DataFrame =
@@ -41,16 +41,37 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** `events.ts` normalization to microsecond TIMESTAMP_NTZ — naive
-    * timestamp semantics aligned with the DuckDB oracle. The physical
-    * parquet type has varied across driver testdata generations:
-    * TIMESTAMP(NANOS) (unreadable natively; surfaces as a nanosecond
-    * long under `nanosAsLong`) and plain TIMESTAMP(MICROS) (reads as
-    * timestamp_ntz directly). Dispatch on the inferred type so either
-    * generation loads.
+    * timestamp semantics aligned with the DuckDB oracle. Routed through
+    * the memo like every other table (the footer read + schema
+    * inference this file exists to avoid repeating was re-paid on every
+    * direct call to the old public impl).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = rawLoad(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+
+  /** The physical parquet type has varied across driver testdata
+    * generations: TIMESTAMP(NANOS) (unreadable natively; surfaces as a
+    * nanosecond long under `nanosAsLong`) and plain TIMESTAMP(MICROS)
+    * (reads as timestamp_ntz directly). Dispatch on the inferred type
+    * so either generation loads. The nanosAsLong conf must be on for
+    * the footer probe; it is RESTORED when the file turns out not to
+    * need it (the flip is session-global and changes how unrelated
+    * parquet reads see NANOS columns) and stays set only for the
+    * nanos generation, whose lazy plan re-reads the conf at every
+    * action.
+    */
+  private def eventsImpl(s: SparkSession, d: String): DataFrame = {
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(confKey)
+    s.conf.set(confKey, "true")
+    def restore(): Unit = prior match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+    val raw =
+      try rawLoad(s, d, "events")
+      catch { case e: Throwable => restore(); throw e }
+    if (raw.schema("ts").dataType !=
+        org.apache.spark.sql.types.LongType) restore()
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {

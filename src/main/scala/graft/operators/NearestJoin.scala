@@ -336,7 +336,7 @@ object NearestJoin {
 
     // materialize the result, then drop the loop's internal persists —
     // the returned plan must not depend on them
-    val out = graft.CacheLifecycle.persistRdd(
+    val out = graft.CacheLifecycle.persistRdd(spark,
       if (resolvedParts.isEmpty) spark.sparkContext.emptyRDD[Row]
       else spark.sparkContext.union(resolvedParts.toSeq))
     out.count()

@@ -60,6 +60,35 @@ class CacheLifecycleSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("releasing one session leaves a sibling session's tracked RDD persisted") {
+    import spark.implicits._
+    spark.catalog.clearCache(); CacheLifecycle.release(spark)
+    val sibling = spark.newSession()
+    val rdd = CacheLifecycle.persistRdd(sibling,
+      spark.sparkContext.parallelize(1 to 10, 2))
+    rdd.count()
+    assert(rdd.getStorageLevel.useMemory)
+    // the sessions share one SparkContext: releasing `spark` must not
+    // unpersist the SIBLING's RDD (the old context-scoped filter did)
+    CacheLifecycle.release(spark)
+    assert(rdd.getStorageLevel.useMemory,
+      "sibling session's RDD was unpersisted by another session's release")
+    CacheLifecycle.release(sibling)
+    assert(!rdd.getStorageLevel.useMemory)
+  }
+
+  test("a throwing release hook does not abort the unpersist loop") {
+    import spark.implicits._
+    spark.catalog.clearCache(); CacheLifecycle.release(spark)
+    CacheLifecycle.onRelease(_ => throw new RuntimeException("hook boom"))
+    val df = CacheLifecycle.persist(Seq(1, 2, 3).toDF("v"))
+    df.count()
+    assert(CacheLifecycle.trackedCount(spark) >= 1)
+    CacheLifecycle.release(spark)   // must not throw, must still unpersist
+    assert(CacheLifecycle.trackedCount(spark) == 0)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("release hooks evict the ExtQueries candidate memo with its persist") {
     spark.catalog.clearCache()
     CacheLifecycle.release(spark)
