@@ -23,9 +23,6 @@ object GeomQueries {
   private def sq(x0: Double, y0: Double, x1: Double, y1: Double): String =
     s"POLYGON(($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))"
 
-  private def noOracle(name: String)(body: (SparkSession, String) => DataFrame): QuerySpec =
-    QuerySpec(name, body, None)
-
   private def q(name: String, oracle: String)(
       body: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, body, Some(oracle))

@@ -20,8 +20,12 @@ object Goldens {
   def rows(resource: String): Seq[Array[String]] = {
     val in = getClass.getResourceAsStream(s"/goldens/$resource")
     require(in != null, s"missing golden resource $resource")
+    // split limit -1: the default drops TRAILING empty fields, so a
+    // golden row whose last column is an empty string would lose
+    // columns and break the VALUES arity (or, single-column, vanish
+    // into the nonEmpty filter) — misread as an engine regression
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).map(_.split('\t')).toIndexedSeq
+      .filter(_.nonEmpty).map(_.split("\t", -1)).toIndexedSeq
     finally in.close()
   }
 

@@ -22,7 +22,10 @@ object PipelineQueries {
     require(in != null, s"missing fixture $name")
     val suffix = name.substring(name.lastIndexOf('.'))
     val tmp = Files.createTempFile("bunnyhop_", suffix)
-    Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+    // Files.copy does not close its SOURCE — without this every flow
+    // build leaked five open jar/resource handles
+    try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
     tmp.toFile.deleteOnExit()
     tmp.toString
   }
@@ -50,27 +53,24 @@ object PipelineQueries {
   // every later consumer an UNCACHED Result and each bench rep would
   // silently rebuild the whole flow (measured: the p-group tripled,
   // 3.5 s → 8.3 s, when r12 first added p* to warmup).
-  @volatile private var memo: Option[(SparkSession, BunnyHopFlow.Result)] = None
+  // keyed per SESSION (not a single slot): two live sessions
+  // alternating runFlow calls would otherwise overwrite each other's
+  // memo, rebuilding the whole flow per call and stacking each
+  // rebuild's four tracked branch persists until release
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, BunnyHopFlow.Result]
 
-  graft.CacheLifecycle.onRelease { s =>
-    memo match {
-      case Some((sess, _)) if sess eq s => memo = None
-      case _ => ()
-    }
-  }
+  graft.CacheLifecycle.onRelease(s => memo.remove(s))
 
   /** Full merged layer (with geometry) for publish sinks. */
   def mergedWithGeom(s: SparkSession): org.apache.spark.sql.DataFrame =
     runFlow(s).merged
 
+  // synchronized: TrieMap.getOrElseUpdate may evaluate a contended
+  // builder twice, and buildFlow registers persists as a side effect —
+  // a losing duplicate would stay tracked-but-unreachable until release
   private def runFlow(s: SparkSession): BunnyHopFlow.Result = synchronized {
-    memo match {
-      case Some((sess, r)) if sess eq s => r
-      case _ =>
-        val r = buildFlow(s)
-        memo = Some((s, r))
-        r
-    }
+    memo.getOrElseUpdate(s, buildFlow(s))
   }
 
   private def buildFlow(s: SparkSession): BunnyHopFlow.Result =
@@ -112,15 +112,19 @@ object PipelineQueries {
   val p02_bunnyhop_unincorporated: QuerySpec =
     QuerySpec("p02_bunnyhop_unincorporated", (s, _) => {
       val r = runFlow(s)
+      // ORDER BY must be TOTAL (the corpus contract): the layer holds
+      // two Beta County rows distinguished only by area, and the
+      // driver compare is order-sensitive — a County-only sort left
+      // the tie order to shuffle/AQE whim
       r.unincorporated
         .select(col(C.City), col(C.County), col(C.Copri),
           round(col("AREA_SQMI"), 4).as("area_sqmi"))
-        .orderBy(col(C.County))
+        .orderBy(col(C.County), col("area_sqmi"))
     },
       Some(s"""SELECT * FROM ${Goldens.valuesTable("p02_bunnyhop_unincorporated.tsv", Seq(
           "CDTFA_CITY" -> "VARCHAR", "CDTFA_COUNTY" -> "VARCHAR",
           "CDTFA_COPRI" -> "VARCHAR", "area_sqmi" -> "DOUBLE"))}
-         |ORDER BY CDTFA_COUNTY""".stripMargin),
+         |ORDER BY CDTFA_COUNTY, area_sqmi""".stripMargin),
       sparkParity = false)
 
   /** OP-52 quality gate (`quality_check.py:1-6`) as a driver-visible

@@ -21,12 +21,13 @@ class SqlParitySpec extends SparkTestBase {
 
   test("all oracle SQL runs via spark.sql and matches the DataFrame results") {
     registerTables()
-    // ASOF JOIN oracles use DuckDB's native operator on purpose (an
-    // independent implementation of the semantics) — no Spark SQL twin
+    // DuckDB-dialect-only oracles (ASOF JOIN, VALUES goldens) declare
+    // sparkParity=false at the spec — no string sniffing here, so a
+    // reworded oracle can neither dodge the exclusion nor be silently
+    // dropped from parity coverage by a stray substring
     val specs = (CorpusQueries.all ++ ExtQueries.all)
       .filter(_.oracle.isDefined)
       .filter(_.sparkParity)
-      .filterNot(_.oracle.get.contains("ASOF "))
     assert(specs.nonEmpty)
     val failures = specs.flatMap { spec =>
       try {
