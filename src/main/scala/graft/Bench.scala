@@ -107,14 +107,19 @@ object Bench {
       refIsTask: Boolean = true): Seq[String] = {
     def effCpu(s: Sample): Double =
       if (refIsTask && s.taskCpu >= 0) s.taskCpu else s.cpu
+    // reference == 0 (an entry whose baseline rounds to 0.00 at the
+    // serialization precision) still gates: the ABSOLUTE floors alone
+    // decide then — a near-zero-baseline entry that suddenly costs
+    // > floorCpu task-seconds is precisely the blowup shape the gate
+    // exists for, and `c > 0 && ...` used to exempt it entirely
     cur.collect {
       case (k, Some(s))
           if (if (streaming(k))
             s.wall > floorWall &&
-              prev.get(k).exists { case (w, _) => w > 0 && s.wall > factor * w }
+              prev.get(k).exists { case (w, _) => w <= 0 || s.wall > factor * w }
           else
             effCpu(s) > floorCpu && s.wall > floorWallCompute &&
-              prev.get(k).exists { case (_, c) => c > 0 && effCpu(s) > factor * c }) => k
+              prev.get(k).exists { case (_, c) => c <= 0 || effCpu(s) > factor * c }) => k
     }
   }
 
@@ -172,7 +177,13 @@ object Bench {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper
       val root = mapper.readTree(java.nio.file.Files.readAllBytes(path))
       val entries = root.get("entries")
-      val sameSf = root.get("sf") != null && root.get("sf").asText == sfDir
+      // trailing-slash-normalized: a driver config drift from
+      // ".../sf0.1" to ".../sf0.1/" names the SAME data — a raw string
+      // compare would silently stand the gate down (no reference) and
+      // then rewrite the baseline under the new spelling
+      def normSf(s: String): String = s.replaceAll("/+$", "")
+      val sameSf = root.get("sf") != null &&
+        normSf(root.get("sf").asText) == normSf(sfDir)
       val tainted = rejectTainted &&
         root.get("regressed") != null && root.get("regressed").size > 0
       // the task-cpu column landed with the r12 format; its presence
@@ -242,23 +253,36 @@ object Bench {
   private def f(v: Double, dec: Int): String =
     s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** JSON string escape (the Verify.q pattern): sfDir/detailPath come
+    * from env/filesystem and entry names from authors — an unescaped
+    * quote or backslash in any of them would corrupt BOTH artifacts
+    * and cost the round its perf signal.
+    */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** The full per-entry detail JSON written to `bench_detail.json`. */
   private[graft] def renderDetail(
       results: Seq[(String, Option[Sample])], sfDir: String, reps: Int,
       regressed: Seq[String] = Nil): String = {
     val detail = results.map { case (k, s) =>
-      s""""$k":${s.map(x =>
+      s"${jstr(k)}:${s.map(x =>
         s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs},${x.jitMs},${x.evict},${x.storMb},${f(x.taskCpu, 2)}]")
-        .getOrElse("null")}"""
+        .getOrElse("null")}"
     }.mkString("{", ",", "}")
-    val reg = regressed.map(n => s""""$n"""").mkString("[", ",", "]")
+    val reg = regressed.map(jstr).mkString("[", ",", "]")
     // heap_gb: JVM max-heap provenance. The r14 reconciliation found the
     // tracked baseline silently swapped between an 8g local sweep and the
     // driver's ~90g sweep with nothing in the file saying which; recording
     // the heap makes every future baseline/detail self-describing (the
     // r10-r12 ghost hunts all began by NOT knowing a reference's heap).
     val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
-    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s]","sf":"$sfDir","reps":$reps,"heap_gb":$heapGb,""" +
+    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s]","sf":${jstr(sfDir)},"reps":$reps,"heap_gb":$heapGb,""" +
       s""""code_cache_mb":$codeCacheJson,"regressed":$reg,""" +
       s""""total":${totalTriple(results)},"entries":$detail}"""
   }
@@ -280,7 +304,13 @@ object Bench {
   private[graft] def renderSummaryLine(
       results: Seq[(String, Option[Sample])], sfDir: String, detailPath: String,
       regressed: Seq[String] = Nil): String = {
-    val failed = results.collect { case (k, None) => s""""$k"""" }.mkString("[", ",", "]")
+    // capped like `regressed`: a systemic breakage fails ~100 entries,
+    // and an uncapped array alone overflows the driver's ~2000-char
+    // stdout tail — the round-7 truncation this line exists to avoid.
+    // n_failed carries the true count; the detail file names the rest.
+    val failedAll = results.collect { case (k, None) => k }
+    val failed = failedAll.take(8).map(jstr).mkString("[", ",", "]")
+    val nFailed = failedAll.size
     def groupTriple(prefix: String): String = {
       val ss = results.collect { case (k, Some(s)) if k.startsWith(prefix) => s }
       s"[${f(ss.map(_.wall).sum, 4)},${f(ss.map(_.cpu).sum, 2)},${ss.map(_.gcMs).sum}]"
@@ -291,14 +321,14 @@ object Bench {
     // triples and spelled out in the detail file
     val slow = results.collect { case (k, Some(s)) => (k, s) }
       .sortBy(-_._2.wall).take(18).sortBy(_._1)
-    val qs = slow.map { case (k, s) => s""""$k":[${f(s.wall, 2)},${f(s.cpu, 2)}]""" }
+    val qs = slow.map { case (k, s) => s"${jstr(k)}:[${f(s.wall, 2)},${f(s.cpu, 2)}]" }
       .mkString("{", ",", "}")
     val groups =
       s"""{"corpus_q01_q34":${groupTriple("q")},"geometry":${groupTriple("g")},"extension":${groupTriple("x")},"pipeline":${groupTriple("p")}}"""
     // regression gate + code-cache occupancy, compact: the regressed
     // list is capped (the gate's job is to flag, the detail file has
     // the rest) and cc_mb is one number — total used MB across pools
-    val reg = regressed.take(8).map(n => s""""$n"""").mkString("[", ",", "]")
+    val reg = regressed.take(8).map(jstr).mkString("[", ",", "]")
     val ccUsed = codeCacheMb.map(_._2).sum
     // evict: cached-block evictions summed over TIMED reps only (the
     // deliberate between-group releases don't count) — nonzero here
@@ -307,8 +337,8 @@ object Bench {
     val evictTotal = results.flatMap(_._2).map(_.evict.max(0L)).sum
     s"""{"metric":"corpus_sweep","value":${f(corpus, 4)},"unit":"sec",""" +
       s""""fmt":"[wall_s,cpu_s,gc_ms]","total":${totalTriple(results)},""" +
-      s""""groups":$groups,"failed":$failed,"regressed":$reg,"cc_mb":$ccUsed,""" +
-      s""""evict":$evictTotal,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}"""
+      s""""groups":$groups,"failed":$failed,"n_failed":$nFailed,"regressed":$reg,"cc_mb":$ccUsed,""" +
+      s""""evict":$evictTotal,"queries":$qs,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -410,7 +440,6 @@ object Bench {
     // identical code). The priming run still happens, so both timed
     // reps are warm like every other entry's.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    def isStreaming(name: String): Boolean = Bench.isStreaming(name)
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         reps: Int, reportMin: Boolean = false): Option[Sample] = {
       // one untimed priming execution first: BASELINE.md budgets are
@@ -480,15 +509,20 @@ object Bench {
     // skipped
     if (warmOnly.isEmpty) java.nio.file.Files.write(detailPath, detailJson)
     // refresh the tracked per-sf baseline (same content) ONLY when the
-    // sweep is clean: a flagged sweep must not become the reference the
-    // next sweep gates against, or the gate is one-shot — the flagged
-    // values pass silently ever after (the r11 driver sweep overwrote
-    // the baseline with its own flagged x77 numbers exactly this way;
-    // gateBaseline also rejects regressed-tainted files on read, so
-    // legacy tainted baselines stand the gate down rather than lie).
-    // Committing the clean baseline pins the gate's cross-round
-    // reference past workspace restores and different-sf smoke runs.
-    if (regressed.isEmpty && warmOnly.isEmpty)
+    // sweep is CLEAN, all three BASELINE.md legs: zero regressed (a
+    // flagged sweep must not become the reference the next sweep gates
+    // against, or the gate is one-shot — the r11 driver sweep overwrote
+    // the baseline with its own flagged x77 numbers exactly that way),
+    // zero FAILED entries (a broken run used to count as clean because
+    // regressions() never flags a None — one bad sf dir would null the
+    // committed reference for every entry and stand the gate down
+    // permanently), and zero evictions (a storage-pressured sweep's
+    // numbers carry recompute). gateBaseline also rejects
+    // regressed-tainted files on read.
+    val clean = regressed.isEmpty &&
+      results.forall(_._2.isDefined) &&
+      results.flatMap(_._2).map(_.evict.max(0L)).sum == 0
+    if (clean && warmOnly.isEmpty)
       java.nio.file.Files.write(baselinePath, detailJson)
     println(renderSummaryLine(results, sfDir, detailPath.toString, regressed))
     spark.stop()

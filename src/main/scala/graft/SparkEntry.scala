@@ -31,16 +31,25 @@ object SparkEntry {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  private def specs =
-    CorpusQueries.all ++ GeomQueries.all ++ ExtQueries.all ++ PipelineQueries.all
+  // lazy val, and name-uniqueness asserted ONCE: toMap silently
+  // collapses duplicate keys, so two specs accidentally sharing a name
+  // would drop one query from bench, verify, AND the oracle set with
+  // no error — coverage shrinking invisibly
+  private lazy val specs = {
+    val all =
+      CorpusQueries.all ++ GeomQueries.all ++ ExtQueries.all ++ PipelineQueries.all
+    val dups = all.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map(sp => sp.name -> sp.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     specs.flatMap(sp => sp.oracle.map(sp.name -> _)).toMap
 }

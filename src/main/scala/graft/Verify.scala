@@ -20,11 +20,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = Seq.newBuilder[String]
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name
+        // delete any PREVIOUS run's output for this query: a reused
+        // outDir would otherwise hand the DuckDB compare stale-but-
+        // matching parquet and report a green round on broken code
+        val dir = new java.io.File(s"$outDir/$name")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        if (dir.exists()) rm(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +52,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable failure manifest next to the outputs (stderr
+    // alone can scroll away; exit stays 0 so the driver's compare still
+    // runs and reports the missing outputs per query)
+    val failed = failures.result()
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+      failed.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -116,6 +116,52 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.regressions(Map.empty, cur).isEmpty)  // first run: no gate
   }
 
+  test("a zero-valued reference still gates via the absolute floors") {
+    // the committed baseline serializes task-cpu at 2 decimals, so a
+    // sub-5ms entry's reference is exactly 0.0 — `c > 0 && ...` used to
+    // exempt such entries from the gate no matter how large the blowup
+    val prev = Map("g10" -> (0.01, 0.0), "x71s" -> (0.0, 0.0))
+    val cur = Seq(
+      "g10" -> Some(Bench.Sample(3.0, 60.0, 0L, 0L, 0L, 0L, taskCpu = 50.0)),
+      "x71s" -> Some(Bench.Sample(5.0, 1.0, 0L)))
+    assert(Bench.regressions(prev, cur) == Seq("g10"))
+    assert(Bench.regressions(prev, cur, streaming = _ == "x71s")
+      .contains("x71s"))
+  }
+
+  test("summary caps the failed list and carries the true count; names escape") {
+    // a systemic breakage fails ~100 entries — uncapped, the failed
+    // array alone overflowed the driver's ~2000-char stdout tail
+    val manyFailed: Seq[(String, Option[Bench.Sample])] =
+      (1 to 100).map(i => f"x$i%02d_some_entry_name_padding" -> None)
+    val line = Bench.renderSummaryLine(
+      manyFailed, "/root/testdata/sf0.1", "/root/repo/bench_detail.json")
+    assert(line.length < 1900, s"${line.length} chars")
+    val root = mapper.readTree(line)
+    assert(root.get("failed").size == 8)
+    assert(root.get("n_failed").asInt == 100)
+    // env-controlled strings must not corrupt the JSON
+    val odd = Bench.renderSummaryLine(
+      Seq("q01" -> Some(Bench.Sample(1.0, 1.0, 0L))),
+      "/data/\"quoted\"/sf\\dir", "/tmp/detail.json")
+    assert(mapper.readTree(odd).get("sf").asText == "/data/\"quoted\"/sf\\dir")
+    val oddDetail = Bench.renderDetail(
+      Seq("q01" -> Some(Bench.Sample(1.0, 1.0, 0L))), "/data/\"q\"/sf", 3)
+    assert(mapper.readTree(oddDetail).get("sf").asText == "/data/\"q\"/sf")
+  }
+
+  test("sf reference compare tolerates trailing-slash drift") {
+    val p = java.nio.file.Files.createTempFile("bench_detail", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s]",
+        |"sf":"/root/testdata/sf0.1","regressed":[],
+        |"entries":{"q01":[1.0,2.0,0,0,0,1,1.5]}}""".stripMargin.replace("\n", ""))
+    // same data spelled with a trailing slash must still serve as the
+    // gate reference (a raw string compare stood the gate down)
+    assert(Bench.previousCpu(p, "/root/testdata/sf0.1/").nonEmpty)
+    assert(Bench.previousCpu(p, "/root/testdata/sf0.01").isEmpty)
+  }
+
   test("streaming lifecycle rows gate on wall, not cpu (micro-batch-split noise)") {
     val streaming = Set("x71_streaming_dedup", "x95_tws_sessionize")
     val prev = Map(
