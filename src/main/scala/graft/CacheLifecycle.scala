@@ -53,7 +53,15 @@ object CacheLifecycle {
     // because one memo callback failed
     releaseHooks.forEach { h =>
       try h(spark)
-      catch { case scala.util.control.NonFatal(_) => }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // visible, never silent: a failing memo-eviction hook means
+          // memoized plans may outlive their persists (the silent-
+          // recompute trap) — the unpersist loops below still run, but
+          // the operator owning the hook needs to know
+          System.err.println(
+            s"[CacheLifecycle] release hook failed (continuing): $e")
+      }
     }
     val it = tracked.iterator()
     while (it.hasNext) {

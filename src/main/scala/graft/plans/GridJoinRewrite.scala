@@ -54,6 +54,16 @@ object GridOps {
     // the cap this check exists to enforce
     val spanX = x1 - x0 + 1
     val spanY = y1 - y0 + 1
+    // a valid envelope has span >= 1; a non-positive span only arises
+    // when floor(coord/cellSize).toLong SATURATED on an astronomically
+    // large coordinate and the subtraction wrapped — without this check
+    // the wrapped span sails under the cap and the exec path iterates
+    // (x0 to x1) across ~2^63 cells for the one corrupt row
+    if (spanX <= 0 || spanY <= 0) throw new IllegalArgumentException(
+      s"geometry envelope [${env.getMinX},${env.getMinY} .. ${env.getMaxX},${env.getMaxY}] " +
+        s"has a non-finite or astronomically large coordinate at cellSize=$cellSize " +
+        "(cell index saturated 64 bits) — repair the geometry or raise " +
+        s"${SpatialJoinStrategy.GridCellKey}")
     if (spanX > MaxCellsPerRow || spanY > MaxCellsPerRow ||
         spanX * spanY > MaxCellsPerRow) throw new IllegalArgumentException(
       s"geometry envelope [${env.getMinX},${env.getMinY} .. ${env.getMaxX},${env.getMaxY}] " +

@@ -112,19 +112,20 @@ object PipelineQueries {
   val p02_bunnyhop_unincorporated: QuerySpec =
     QuerySpec("p02_bunnyhop_unincorporated", (s, _) => {
       val r = runFlow(s)
-      // ORDER BY must be TOTAL (the corpus contract): the layer holds
-      // two Beta County rows distinguished only by area, and the
-      // driver compare is order-sensitive — a County-only sort left
-      // the tie order to shuffle/AQE whim
+      // ORDER BY must be genuinely TOTAL (the corpus contract): the
+      // layer holds two Beta County rows distinguished only by area,
+      // the driver compare is order-sensitive, City is the constant
+      // 'Unincorporated', and 4dp-rounded areas can collide — so sort
+      // by County, Copri AND area
       r.unincorporated
         .select(col(C.City), col(C.County), col(C.Copri),
           round(col("AREA_SQMI"), 4).as("area_sqmi"))
-        .orderBy(col(C.County), col("area_sqmi"))
+        .orderBy(col(C.County), col(C.Copri), col("area_sqmi"))
     },
       Some(s"""SELECT * FROM ${Goldens.valuesTable("p02_bunnyhop_unincorporated.tsv", Seq(
           "CDTFA_CITY" -> "VARCHAR", "CDTFA_COUNTY" -> "VARCHAR",
           "CDTFA_COPRI" -> "VARCHAR", "area_sqmi" -> "DOUBLE"))}
-         |ORDER BY CDTFA_COUNTY, area_sqmi""".stripMargin),
+         |ORDER BY CDTFA_COUNTY, CDTFA_COPRI, area_sqmi""".stripMargin),
       sparkParity = false)
 
   /** OP-52 quality gate (`quality_check.py:1-6`) as a driver-visible

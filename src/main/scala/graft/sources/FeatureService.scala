@@ -61,17 +61,22 @@ object FeatureService {
       out ++= page
       prevSig = Some(sig)
       pages += 1
-      // hitting the page cap with a NON-empty page in hand means rows
-      // remain — returning the prefix would silently truncate the layer
-      // (and loadCached would persist the truncation forever), the exact
-      // failure mode the short-page rule above exists to prevent
-      if (pages >= maxPages && page.nonEmpty)
-        throw new IllegalStateException(
-          s"$baseUrl still returning rows after maxPages=$maxPages pages " +
-            s"(${out.size} rows so far) — raise maxPages or pageSize; " +
-            "refusing to return a silently truncated layer")
-      more = page.nonEmpty && pages < maxPages
       offset += page.size
+      // hitting the page cap with a NON-empty page in hand: probe ONE
+      // page further before deciding. A non-empty final page does not
+      // prove rows remain (the data may be exactly exhausted at the
+      // cap); only a non-empty page PAST the cap does — and returning
+      // that prefix would silently truncate the layer (which loadCached
+      // then persists forever)
+      if (pages >= maxPages && page.nonEmpty) {
+        val probe = parsePage(fetch(queryUrl(baseUrl, offset, pageSize)))
+        if (probe.nonEmpty)
+          throw new IllegalStateException(
+            s"$baseUrl still returning rows after maxPages=$maxPages pages " +
+              s"(${out.size} rows so far) — raise maxPages or pageSize; " +
+              "refusing to return a silently truncated layer")
+        more = false
+      } else more = page.nonEmpty
     }
     out.toSeq
   }

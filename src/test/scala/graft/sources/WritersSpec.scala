@@ -81,6 +81,16 @@ class WritersSpec extends SparkTestBase {
       FeatureService.fetchAll(fetch, "http://svc/layer/0", maxPages = 3)
     }
     assert(e.getMessage.contains("maxPages"), e.getMessage)
+
+    // but data EXACTLY exhausted at the cap is complete, not truncated:
+    // the guard must probe one page further before throwing
+    val exact: String => String = url => {
+      val off = "resultOffset=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+      if (off < 3) onePage.replace("\"A\"", s""""A$off"""")
+      else """{"type":"FeatureCollection","features":[]}"""
+    }
+    val rows = FeatureService.fetchAll(exact, "http://svc/layer/0", maxPages = 3)
+    assert(rows.size == 3, rows.size)
   }
 
   test("feature-service schema is the UNION of property keys, not the first feature's") {

@@ -39,10 +39,10 @@ class GateToolingSpec extends AnyFunSuite {
     assert(rc == 0, s"selftest.sh exited $rc:\n$out")
     val passed = "selftest: (\\d+) checks pass".r
       .findFirstMatchIn(out.toString).map(_.group(1).toInt)
-    // 19 = sections A+B (always-hermetic); C+D add 11 when testdata is
+    // 20 = sections A+B (always-hermetic); C+D add 11 when testdata is
     // present. Pin the floor, not the exact count, so the spec holds in
     // an environment without /root/testdata.
-    assert(passed.exists(_ >= 19),
-      s"expected >=19 checks, got $passed:\n${out.toString.linesIterator.toSeq.takeRight(8).mkString("\n")}")
+    assert(passed.exists(_ >= 20),
+      s"expected >=20 checks, got $passed:\n${out.toString.linesIterator.toSeq.takeRight(8).mkString("\n")}")
   }
 }

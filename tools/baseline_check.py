@@ -110,9 +110,14 @@ def main():
     # must never auto-adopt. A deliberate entry-set change needs a
     # human-committed re-measure, not this adjudicator.
     wt_keys, co_keys = set(wt['entries']), set(co['entries'])
-    if wt_keys != co_keys or wt.get('sf') != co.get('sf'):
+    # trailing-slash-normalized, same as Bench.gateBaseline's normSf: a
+    # driver config drift from .../sf0.1 to .../sf0.1/ names the same
+    # data and must not read as "different work"
+    def norm_sf(v):
+        return v.rstrip('/') if isinstance(v, str) else v
+    if wt_keys != co_keys or norm_sf(wt.get('sf')) != norm_sf(co.get('sf')):
         diff = []
-        if wt.get('sf') != co.get('sf'):
+        if norm_sf(wt.get('sf')) != norm_sf(co.get('sf')):
             diff.append(f"sf {wt.get('sf')!r} vs {co.get('sf')!r}")
         if wt_keys - co_keys:
             diff.append(f"extra entries {sorted(wt_keys - co_keys)[:5]}")

@@ -97,6 +97,9 @@ mk 8 34.0 '[]' 0 ok /x q99 > "$FIX/bench.json"
 check "A10 entry-set mismatch -> keep"  0 "INCOMPARABLE.*extra entries" run_bc
 mk 8 34.0 '[]' 0 ok /other-sf > "$FIX/bench.json"
 check "A11 sf mismatch -> keep"         0 "INCOMPARABLE.*sf"      run_bc
+# trailing-slash drift names the SAME data — must still adopt, not refuse
+mk 8 34.0 '[]' 0 ok /x/ > "$FIX/bench.json"
+check "A12 sf slash drift -> ADOPT"     2 "SHOULD become"         run_bc
 mk 89 40.0 '[]' 0 ok > "$FIX/bench.json"
 git -C "$FIX" add bench.json && git -C "$FIX" commit -qm oops-driver-refresh
 check "A9 committed is refresh -> 3"    3 "COMMITTED file is not a valid canonical" run_bc
