@@ -158,6 +158,24 @@ object Bench {
     else previousMetricsImpl(baseline, sfDir, rejectTainted = true)
   }
 
+  /** Where a CLEAN sweep's baseline refresh lands. The tracked
+    * canonical (`bench_baseline_<sf>.json`) accepts refreshes only
+    * from a <= 16 GiB heap: big-heap driver sweeps measure
+    * systematically different CPU (page-zeroing, concurrent-GC share)
+    * and twice (r15, r16) a driver round-close `git add -A` committed
+    * such a refresh over the canonical. Big-heap clean sweeps route to
+    * an untracked `.bigheap` side file (`.gitignore`'s
+    * `bench_baseline_*.json` pattern excludes it), so the tracked file
+    * never changes in the working tree unless a small-heap sweep
+    * earned it.
+    */
+  private[graft] def refreshTarget(
+      baselinePath: java.nio.file.Path, sfDir: String,
+      heapGb: Long): java.nio.file.Path =
+    if (heapGb <= 16) baselinePath
+    else java.nio.file.Paths.get(
+      s"bench_baseline_${sfSlug(sfDir)}.bigheap.json").toAbsolutePath
+
   /** `/root/testdata/sf0.1` → `sf0.1` (baseline-file suffix). Trailing
     * slashes are stripped first — `"/t/sf0.1/"` must not degenerate to
     * the empty slug, whose baseline file would collide across scale
@@ -522,8 +540,23 @@ object Bench {
     val clean = regressed.isEmpty &&
       results.forall(_._2.isDefined) &&
       results.flatMap(_._2).map(_.evict.max(0L)).sum == 0
-    if (clean && warmOnly.isEmpty)
-      java.nio.file.Files.write(baselinePath, detailJson)
+    // ... and ONLY from a small (<= 16 GiB) heap. The tracked canonical
+    // must stay comparable sweep-to-sweep; big-heap driver runs measure
+    // systematically different CPU (page-zeroing, concurrent-GC share —
+    // see the heap_gb scaladoc above) and twice now a driver round-close
+    // `git add -A` committed such a refresh over the canonical (r15 and
+    // r16 incidents, each costing a restore-from-history). Routing
+    // big-heap clean sweeps to an untracked `.bigheap` side file makes
+    // that slip structurally impossible: the tracked file never changes
+    // in the working tree unless a small-heap sweep earned it.
+    if (clean && warmOnly.isEmpty) {
+      val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+      val target = refreshTarget(baselinePath, sfDir, heapGb)
+      java.nio.file.Files.write(target, detailJson)
+      if (target != baselinePath)
+        println(s"[bench] clean sweep on a ${heapGb}g heap: baseline refresh " +
+          s"routed to $target (canonical untouched; see BASELINE.md)")
+    }
     println(renderSummaryLine(results, sfDir, detailPath.toString, regressed))
     spark.stop()
   }

@@ -20,15 +20,22 @@ object Tables {
   // query, which adds up over a 60-query sweep.
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // TrieMap.getOrElseUpdate may evaluate a contended builder twice,
+  // and eventsImpl has session-global side effects (the nanosAsLong
+  // set/restore): two racing threads could interleave set/restore so
+  // the conf stays permanently flipped for a micros-generation file.
+  // Same pattern as ExtQueries.cacheLock.
+  private val memoLock = new Object
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    // bounded: clear on overflow so stopped sessions / regenerated
-    // files don't stay pinned through a long-lived JVM
-    if (memo.size > 64) memo.clear()
-    memo.getOrElseUpdate((spark, sfDir, table),
-      if (table == "events") eventsImpl(spark, sfDir)
-      else rawLoad(spark, sfDir, table))
-  }
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    memoLock.synchronized {
+      // bounded: clear on overflow so stopped sessions / regenerated
+      // files don't stay pinned through a long-lived JVM
+      if (memo.size > 64) memo.clear()
+      memo.getOrElseUpdate((spark, sfDir, table),
+        if (table == "events") eventsImpl(spark, sfDir)
+        else rawLoad(spark, sfDir, table))
+    }
 
   private def rawLoad(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")

@@ -118,16 +118,16 @@ object GramAgg {
     * `array<struct<_1:int,_2:int,_3:double>>` of upper-triangle
     * (i, j, cov) entries, 1-based dimensions.
     *
-    * Right-length vectors carrying a NULL element are EXCLUDED via a
-    * native `vec_is_clean` pre-guard (same convention as the encode
-    * pipelines): without it a single null element either kills the task
-    * inside the primitive `Seq[Float]` deserializer or silently folds
-    * as 0.0 into every covariance entry — at 100 TB one corrupt row
-    * must not fail the pass. Ragged vectors still fail LOUDLY (the
-    * dim-mismatch `require`): a whole corpus at the wrong declared dim
-    * is a caller error, not row corruption. The guard keeps the unboxed
-    * fast path for clean rows; run the `vec_is_clean` census first if
-    * the corrupt count matters.
+    * Vectors carrying a NULL ELEMENT — at any length — are EXCLUDED
+    * via an `exists(_.isNull)` pre-guard (same convention as the
+    * encode pipelines): without it a single null element either kills
+    * the task inside the primitive `Seq[Float]` deserializer or
+    * silently folds as 0.0 into every covariance entry — at 100 TB one
+    * corrupt row must not fail the pass. Null-FREE ragged vectors
+    * still fail LOUDLY (the dim-mismatch `require`): a whole corpus at
+    * the wrong declared dim is a caller error, not row corruption. The
+    * guard keeps the unboxed fast path for clean rows; run the
+    * `vec_is_clean` census first if the corrupt count matters.
     *
     * CANONICALIZATION CAVEAT: unlike top_k/kmv/cms, plans containing
     * this aggregate never canonicalize equal across invocations — the
@@ -141,8 +141,14 @@ object GramAgg {
     val f = cache.computeIfAbsent((dim, roundTo),
       _ => udaf(GramAgg(dim, roundTo), ExpressionEncoder[Array[Float]]()))
     vec => {
-      import org.apache.spark.sql.functions.{size, when}
-      f(when(size(vec) === dim && !VectorFunctions.vec_is_clean(vec, dim),
+      import org.apache.spark.sql.functions.{exists, when}
+      // exclude on "carries a null ELEMENT" regardless of length — a
+      // ragged vector that ALSO has a null element must not reach the
+      // primitive Array[Float] deserializer (opaque task death); only
+      // null-free ragged vectors fall through to the loud dim-mismatch
+      // require. For right-length vectors this is exactly the old
+      // !vec_is_clean condition (size == dim makes them equivalent).
+      f(when(exists(vec, _.isNull),
         org.apache.spark.sql.functions.lit(null)).otherwise(vec))
     }
   }

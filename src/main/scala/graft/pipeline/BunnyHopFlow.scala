@@ -184,8 +184,25 @@ object BunnyHopFlow {
     */
   private def contentGuid(df: DataFrame): org.apache.spark.sql.Column = {
     val cs = df.columns.map(col).toIndexedSeq
-    val x = lpad(lower(hex(xxhash64(cs: _*))), 16, "0")
-    val y = lpad(lower(hex(xxhash64((lit("graft:guid") +: cs): _*))), 16, "0")
+    val xh = xxhash64(cs: _*)
+    val yh = xxhash64((lit("graft:guid") +: cs): _*)
+    // Byte-identical rows (same attributes AND geometry — plausible
+    // after an overlay that emits duplicate pieces) would hash to the
+    // SAME GlobalID, and a published layer must not carry duplicate
+    // GUIDs. Disambiguate with a row_number over identical-content
+    // groups (the two 64-bit hashes ARE the content identity here),
+    // perturbing only the duplicates: singletons (the overwhelmingly
+    // common case) keep the plain content hash, and the MULTISET of
+    // emitted GUIDs is recompute-stable because identical rows are
+    // interchangeable — any rank permutation yields the same set.
+    // Costs one shuffle on (xh, yh); published layers are dimension-
+    // sized, far below the corpus tables this would matter for.
+    val dup = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(xh, yh).orderBy(xh))
+    val ySalted = when(dup === 1, yh)
+      .otherwise(xxhash64(lit("graft:guid:dup"), yh, dup.cast("long")))
+    val x = lpad(lower(hex(xh)), 16, "0")
+    val y = lpad(lower(hex(ySalted)), 16, "0")
     concat(substring(x, 1, 8), lit("-"), substring(x, 9, 4), lit("-"),
       substring(x, 13, 4), lit("-"), substring(y, 1, 4), lit("-"),
       substring(y, 5, 12))

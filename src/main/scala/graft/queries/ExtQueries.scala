@@ -223,14 +223,14 @@ object ExtQueries {
   }
 
   private def verifiedPairsOverExact(s: SparkSession, d: String): DataFrame =
-    verified16Cache.getOrElseUpdate((s, d),
+    cacheLock.synchronized { verified16Cache.getOrElseUpdate((s, d),
       Dedup.ngramJaccard(
           Dedup.exact(Tables.documents(s, d), "text", "doc_id"),
           "doc_id", "text",
           minhashCands(s, d).filter(col("est_jaccard") >= 0.65), 5)
         .filter(col("jaccard") >= 0.8)
         .repartition(4)
-        .transform(graft.CacheLifecycle.persist(_)))
+        .transform(graft.CacheLifecycle.persist(_))) }
 
   /** MinHash+LSH near-dup candidate pairs. Oracle: VALUES golden from
     * the from-spec Python reimplementation (tools/golden_ext.py —

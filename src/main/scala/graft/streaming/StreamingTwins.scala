@@ -33,7 +33,7 @@ object StreamingTwins {
     * staged (copied once) into a temp directory. Only a local-harness
     * adapter — a production stream tails a landing directory anyway.
     */
-  private def streamableDir(path: String): String = {
+  private[graft] def streamableDir(path: String): String = {
     val f = new java.io.File(path)
     if (!f.isFile) return path
     // self-heal a vanished stage (external tmp cleanup, RAM-backed tmp
@@ -42,10 +42,14 @@ object StreamingTwins {
     staged.get(path).foreach { d =>
       val copy = new java.io.File(d, f.getName)
       // stale if vanished OR the source was regenerated in place (size
-      // or mtime moved): serving the old snapshot would silently stream
-      // the previous corpus generation while batch oracles read the new
+      // or mtime CHANGED): serving the old snapshot would silently
+      // stream the previous corpus generation while batch oracles read
+      // the new. The copy preserves the source's mtime (COPY_ATTRIBUTES
+      // below), so != catches a restored snapshot / rsync'd file whose
+      // preserved timestamp is equal-or-OLDER than the staging-time
+      // source — the case a < comparison waves through.
       if (!copy.isFile || copy.length != f.length ||
-          copy.lastModified < f.lastModified) staged.remove(path)
+          copy.lastModified != f.lastModified) staged.remove(path)
     }
     staged.getOrElseUpdate(path, {
       // deleteOnExit can't remove a non-empty dir — TempDirs deletes
@@ -53,7 +57,8 @@ object StreamingTwins {
       val dir = graft.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft_stream_"))
       val dst = dir.resolve(f.getName)
-      java.nio.file.Files.copy(f.toPath, dst)
+      java.nio.file.Files.copy(f.toPath, dst,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
       dir.toString
     })
   }

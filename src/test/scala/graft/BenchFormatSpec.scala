@@ -217,6 +217,19 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.gateBaseline(detail, baseline, "/t/sf0.1")._1.isEmpty)
   }
 
+  test("baseline refresh routes big-heap sweeps away from the tracked canonical") {
+    val canonical = java.nio.file.Paths.get("/t/bench_baseline_sf0.1.json")
+    // small heap: the tracked canonical is the refresh target
+    assert(Bench.refreshTarget(canonical, "/root/testdata/sf0.1", 8L) == canonical)
+    assert(Bench.refreshTarget(canonical, "/root/testdata/sf0.1", 16L) == canonical)
+    // big heap (the r15/r16 driver round-close incident shape): the
+    // refresh lands in the untracked .bigheap side file, never the
+    // canonical — a driver `git add -A` then has nothing to commit
+    val big = Bench.refreshTarget(canonical, "/root/testdata/sf0.1", 89L)
+    assert(big != canonical)
+    assert(big.getFileName.toString == "bench_baseline_sf0.1.bigheap.json")
+  }
+
   test("sf slug strips the path and keeps the sf name file-safe") {
     assert(Bench.sfSlug("/root/testdata/sf0.1") == "sf0.1")
     assert(Bench.sfSlug("sf0.001") == "sf0.001")

@@ -38,4 +38,26 @@ class ConcurrencySpec extends SparkTestBase {
       }
     } finally pool.shutdown()
   }
+
+  test("concurrent events loads leave the nanosAsLong conf exactly where a serial load does") {
+    // eventsImpl sets and restores the session-global nanosAsLong conf;
+    // Tables.memoLock serializes builders so two racing loads cannot
+    // interleave set/restore and leave the conf permanently flipped for
+    // a micros-generation file. Distinct trailing-slash spellings defeat
+    // the memo so each thread really runs the builder.
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val serialFrame = Tables.events(spark, dir)
+    val expectedConf = spark.conf.getOption(confKey)
+    val expectedType = serialFrame.schema("ts").dataType
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val dirs = (1 to 8).map(i => dir + "/" * i)
+      val frames = Await.result(
+        Future.sequence(dirs.map(d => Future(Tables.events(spark, d)))), 5.minutes)
+      frames.foreach(f => assert(f.schema("ts").dataType == expectedType))
+      assert(spark.conf.getOption(confKey) == expectedConf,
+        "a racing events build left the session conf in a different state than a serial build")
+    } finally pool.shutdown()
+  }
 }

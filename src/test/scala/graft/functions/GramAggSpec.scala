@@ -57,6 +57,9 @@ class GramAggSpec extends SparkTestBase {
       Seq[java.lang.Float](2f, 4f, 1f),
       Seq[java.lang.Float](0f, 1f, 5f),
       Seq[java.lang.Float](0f, null, 5f),    // corrupt: null element, right length
+      Seq[java.lang.Float](1f, null),        // corrupt: null element AND ragged —
+                                             // must be excluded, not die in the
+                                             // Array[Float] deserializer
       null,                                  // null vector
       Seq[java.lang.Float](3f, 3f, 3f),
       Seq[java.lang.Float](-1f, 0f, 2f))

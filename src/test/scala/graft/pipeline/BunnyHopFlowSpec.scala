@@ -178,6 +178,25 @@ class BunnyHopFlowSpec extends SparkTestBase {
       "unincorporated rows must not reuse county GlobalIDs")
   }
 
+  test("byte-identical rows still receive distinct GlobalIDs") {
+    // an overlay can emit two fully identical pieces (same attributes
+    // AND geometry); a pure content hash would stamp them with ONE
+    // GlobalID. The row_number disambiguation must keep the ids unique
+    // while staying recompute-stable as a multiset.
+    import spark.implicits._
+    val wkt = "POLYGON((0 0, 1000 0, 1000 1000, 0 1000, 0 0))"
+    val df = Seq(("Dup", wkt), ("Dup", wkt), ("Dup", wkt), ("Other", wkt))
+      .toDF("NAME", "wkt")
+      .withColumn("geom", G.st_geomfromwkt(col("wkt"))).drop("wkt")
+    val out = BunnyHopFlow.finalizeLayer(df)
+    val ids1 = out.select("GlobalID").collect().map(_.getString(0)).sorted
+    val ids2 = out.select("GlobalID").collect().map(_.getString(0)).sorted
+    assert(ids1.length == 4 && ids1.distinct.length == 4,
+      s"identical-content rows must get distinct GlobalIDs, got ${ids1.mkString(",")}")
+    assert(ids1.sameElements(ids2), "GUID multiset must be stable across reads")
+    assert(ids1.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+  }
+
   test("coastal cut is deterministic under shuffle-partition changes (r2 verdict #1)") {
     import spark.implicits._
     def sq(x0: Double, y0: Double, x1: Double, y1: Double): String =

@@ -582,4 +582,34 @@ class StreamingTwinsSpec extends SparkTestBase {
       .select("event_id").distinct().count()
     assert(total == distinct)
   }
+
+  test("staging re-stages a source regenerated with identical size and an OLDER mtime") {
+    // restored snapshot / rsync with preserved timestamps: same byte
+    // length, mtime equal-or-older than the staged copy observed. A
+    // '<' staleness comparison served the previous corpus generation;
+    // the COPY_ATTRIBUTES + '!=' pair must re-stage.
+    val src = Files.createTempFile("graft_stage_src_", ".parquet")
+    try {
+      Files.write(src, Array.fill[Byte](64)(1))
+      val d1 = StreamingTwins.streamableDir(src.toString)
+      val staged1 = Paths.get(d1, src.getFileName.toString)
+      assert(Files.exists(staged1))
+      // millis granularity: File.lastModified (what the staleness check
+      // reads) truncates to ms, and COPY_ATTRIBUTES may drop sub-µs
+      assert(Files.getLastModifiedTime(staged1).toMillis ==
+        Files.getLastModifiedTime(src).toMillis,
+        "staged copy must preserve the source mtime (COPY_ATTRIBUTES)")
+      // same dir while the source is untouched
+      assert(StreamingTwins.streamableDir(src.toString) == d1)
+      // regenerate in place: same length, mtime pushed OLDER
+      Files.write(src, Array.fill[Byte](64)(2))
+      Files.setLastModifiedTime(src,
+        java.nio.file.attribute.FileTime.fromMillis(
+          Files.getLastModifiedTime(src).toMillis - 60000))
+      val d2 = StreamingTwins.streamableDir(src.toString)
+      assert(d2 != d1, "an older-mtime regeneration must re-stage, not serve the old snapshot")
+      val staged2 = Paths.get(d2, src.getFileName.toString)
+      assert(Files.readAllBytes(staged2).forall(_ == 2), "re-stage must carry the NEW bytes")
+    } finally Files.deleteIfExists(src)
+  }
 }
