@@ -1505,9 +1505,8 @@ object ExtQueries {
     import graft.streaming.StreamingTwins
     val sink = "x51_sessions_sink"
     s.catalog.dropTempView(sink)   // reps re-run the stream; stale sink view must go
-    val events = StreamingTwins.readEvents(s, s"$d/events.parquet")
-      .select(col("event_id"), col("ts"), col("user_id"))
-      .as[StreamingTwins.EventRow]
+    val events = StreamingTwins.typedEvents(
+      StreamingTwins.readEvents(s, s"$d/events.parquet"))
     withStateParts(s, 8) {
       val query = StreamingTwins.sessionize(events).toDF()
         .writeStream.format("memory").queryName(sink)
@@ -1563,9 +1562,10 @@ object ExtQueries {
     import graft.streaming.StreamingTwins
     val sink = "x53_topk_sink"
     s.catalog.dropTempView(sink)
-    val rows = StreamingTwins.readEvents(s, s"$d/events.parquet")
-      .select(col("event_type").as("g"), col("value").as("score"), col("event_id").as("id"))
-      .as[StreamingTwins.ScoredRow]
+    val rows = StreamingTwins.typedScored(
+      StreamingTwins.readEvents(s, s"$d/events.parquet")
+        .select(col("event_type").as("g"), col("value").as("score"),
+          col("event_id").as("id")))
     withStateParts(s, 8) {
       val query = StreamingTwins.topKPerGroup(rows, 3).toDF()
         .writeStream.format("memory").queryName(sink)
@@ -2976,9 +2976,8 @@ object ExtQueries {
     import graft.streaming.StreamingTwins
     val sink = "x95_tws_sessions_sink"
     s.catalog.dropTempView(sink)
-    val events = StreamingTwins.readEvents(s, s"$d/events.parquet")
-      .select(col("event_id"), col("ts"), col("user_id"))
-      .as[StreamingTwins.EventRow]
+    val events = StreamingTwins.typedEvents(
+      StreamingTwins.readEvents(s, s"$d/events.parquet"))
     StreamingTwins.withRocksDbProvider(s) {
       withStateParts(s, 8) {
         val query = StreamingTwins.sessionizeTws(events).toDF()
@@ -3113,6 +3112,11 @@ object ExtQueries {
     val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z
     val prefix = Tables.events(s, d)
       .filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+      // same corrupt-row policy as typedEvents on the stream side: a
+      // null user_id becomes a NULL snapshot group whose (Long,
+      // SessionState) encoder kills the query; null ts is already
+      // dropped by the cutoff comparison above
+      .na.drop("any", Seq("user_id"))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     // persisted: feeds BOTH the streaming query's initial-state relation
     // and the final readout join — without it the prefix scan + window
@@ -3130,10 +3134,9 @@ object ExtQueries {
       .select(col("user_id"),
         struct(col("lastTsMicros"), col("sessions")).as("state"))
       .as[(Long, StreamingTwins.SessionState)]
-    val stream = StreamingTwins.readEvents(s, s"$d/events.parquet")
-      .filter(col("ts") >= timestamp_micros(lit(cutoffUs)))
-      .select(col("event_id"), col("ts"), col("user_id"))
-      .as[StreamingTwins.EventRow]
+    val stream = StreamingTwins.typedEvents(
+      StreamingTwins.readEvents(s, s"$d/events.parquet")
+        .filter(col("ts") >= timestamp_micros(lit(cutoffUs))))
     StreamingTwins.withRocksDbProvider(s) {
       withStateParts(s, 8) {
         val query = StreamingTwins.sessionizeTwsBootstrap(stream, snapshot).toDF()

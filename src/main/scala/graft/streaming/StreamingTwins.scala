@@ -465,6 +465,30 @@ object StreamingTwins {
   final case class UserSessions(user_id: Long, sessions: Long)
   final case class SessionState(lastTsMicros: Long, sessions: Long)
 
+  /** Typed event projection for the sessionize family: rows missing
+    * event id, event time, or user id are DROPPED. An event with no
+    * user or no time cannot be sessionized, and the primitive-field
+    * `EventRow` encoder otherwise kills the whole stream with an opaque
+    * `NOT_NULL_ASSERT_VIOLATION` task error on the FIRST corrupt row —
+    * at 100 TB/day one bad record must not take down the query
+    * (StreamChaosSpec pins both the drop and the clean-data identity).
+    */
+  def typedEvents(events: DataFrame): Dataset[EventRow] =
+    events.select(col("event_id"), col("ts"), col("user_id"))
+      .na.drop("any", Seq("event_id", "ts", "user_id"))
+      .as[EventRow](org.apache.spark.sql.Encoders.product[EventRow])
+
+  /** Typed projection for [[topKPerGroup]] over columns (g, score, id):
+    * rows with a null score or id are DROPPED (a null score cannot
+    * rank; the primitive encoder would otherwise kill the stream). A
+    * null GROUP is kept — `g` is a reference field, and the batch
+    * aggregate it twins groups nulls together the same way.
+    */
+  def typedScored(rows: DataFrame): Dataset[ScoredRow] =
+    rows.select(col("g"), col("score"), col("id"))
+      .na.drop("any", Seq("score", "id"))
+      .as[ScoredRow](org.apache.spark.sql.Encoders.product[ScoredRow])
+
   /** Q32 twin: stateful sessionization with a 30-minute gap via
     * `flatMapGroupsWithState`. State per user is (last-seen ts, session
     * count); emits the updated count every batch (Update mode).

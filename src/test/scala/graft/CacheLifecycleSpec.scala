@@ -77,6 +77,24 @@ class CacheLifecycleSpec extends SparkTestBase {
     assert(!rdd.getStorageLevel.useMemory)
   }
 
+  test("release runs hooks BEFORE unpersisting (memos evict while their persists still live)") {
+    // ordering contract the ExtQueries/PipelineQueries hooks rely on:
+    // when a hook clears a memo, the frames the memo handed out are
+    // still tracked/persisted — so no window exists where a memo serves
+    // a frame whose persist is already gone
+    import spark.implicits._
+    spark.catalog.clearCache()
+    CacheLifecycle.release(spark)
+    var seenAtHookTime = -1
+    CacheLifecycle.onRelease(s => if (seenAtHookTime < 0)
+      seenAtHookTime = CacheLifecycle.trackedCount(s))
+    CacheLifecycle.persist(Seq(1, 2, 3).toDF("v"))
+    CacheLifecycle.release(spark)
+    assert(seenAtHookTime == 1,
+      s"hook must observe the tracked persist (ran before the unpersist loop), saw $seenAtHookTime")
+    assert(CacheLifecycle.trackedCount(spark) == 0)
+  }
+
   test("a throwing release hook does not abort the unpersist loop") {
     import spark.implicits._
     spark.catalog.clearCache(); CacheLifecycle.release(spark)
