@@ -903,7 +903,9 @@ object Dedup {
     * semantics for RAGGED vectors zero-pad to the centroid dimension
     * (the PQ-encoder convention — the old UDF was partial there,
     * indexing past short centroids); equal-length vectors, i.e.
-    * every golden and every real corpus, assign identically.
+    * every golden and every real corpus, assign identically. A ragged
+    * vector that lands in the TRAINING sample fails loudly instead
+    * (trainSample's mixed-dimension require — BatchChaosProbe, r17).
     */
   private def semDedupCells(
       df: DataFrame, idCol: String, vecCol: String,

@@ -428,14 +428,32 @@ object Similarity {
     * streams through the encode pass.
     */
   private[operators] def trainSample(
-      df: DataFrame, idCol: String, vecCol: String, trainN: Int): Array[Array[Double]] =
+      df: DataFrame, idCol: String, vecCol: String, trainN: Int): Array[Array[Double]] = {
     // null vectors are skipped (not encoded to a codeword) by
     // pqEncode/ivfPqEncode, so they must not reach training either —
     // without the filter, getSeq returns null and .toArray throws.
-    // tools/golden_ext.py mirrors the filter in its corpus query.
-    df.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(trainN)
+    // Vectors CARRYING a null element are skipped the same way (the
+    // encode kernels zero-pad them; training would NPE unboxing the
+    // null). tools/golden_ext.py mirrors the null filter in its corpus
+    // query; clean corpora carry neither, so goldens are unaffected.
+    val rows = df
+      .filter(col(vecCol).isNotNull &&
+        !org.apache.spark.sql.functions.exists(col(vecCol), _.isNull))
+      .orderBy(col(idCol)).limit(trainN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // RAGGED (null-free, mixed-length) vectors are a CALLER error —
+    // a quantizer trained on mixed dims is meaningless, and letting
+    // them through used to die deep in k-means accumulation with an
+    // opaque ArrayIndexOutOfBounds (BatchChaosProbe finding, r17).
+    // Same loud-require policy as GramAgg's dim mismatch.
+    val dims = rows.iterator.map(_.length).toSet
+    require(dims.size <= 1,
+      s"training sample mixes vector dimensions ${dims.toSeq.sorted.mkString("/")} - " +
+        "a mixed-dimension embedding column cannot train one quantizer; " +
+        "repair or filter the column first")
+    rows
+  }
 
   /** Train PQ codebooks: split each vector into `m` subvectors of
     * dim/m dims; per subspace, deterministic k-means (see

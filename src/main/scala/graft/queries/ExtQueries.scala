@@ -1125,7 +1125,7 @@ object ExtQueries {
   val x33_mix_weights: QuerySpec = duck("x33_mix_weights",
     """WITH d AS (SELECT source, doc_id,
       |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS toks,
-      |    (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) + 1 AS w
+      |    (CAST(NULLIF(regexp_extract(source, '(\d+)', 1), '') AS INT) % 4) + 1 AS w
       |  FROM documents),
       |c AS (SELECT *, coalesce(sum(toks) OVER (PARTITION BY source
       |    ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id
@@ -1143,8 +1143,13 @@ object ExtQueries {
     // row-local in the same scan — a config-table variant would
     // broadcast-join a literal dim, never re-scan the corpus for it
     docs
+      // nullif: a source label with NO digit extracts '' — the ANSI
+      // cast would kill the whole pass on one junk label; NULL weight
+      // excludes the source's rows instead (cum_before < NULL is never
+      // true). Oracle mirrors the NULLIF.
       .withColumn("w",
-        (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1).cast("long"))
+        (nullif(regexp_extract(col("source"), "(\\d+)", 1), lit("")).cast("int")
+          % 4 + 1).cast("long"))
       .withColumn("toks",
         regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")).cast("bigint"))
       .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
