@@ -141,14 +141,15 @@ object GramAgg {
     val f = cache.computeIfAbsent((dim, roundTo),
       _ => udaf(GramAgg(dim, roundTo), ExpressionEncoder[Array[Float]]()))
     vec => {
-      import org.apache.spark.sql.functions.{exists, when}
+      import org.apache.spark.sql.functions.when
       // exclude on "carries a null ELEMENT" regardless of length — a
       // ragged vector that ALSO has a null element must not reach the
       // primitive Array[Float] deserializer (opaque task death); only
       // null-free ragged vectors fall through to the loud dim-mismatch
-      // require. For right-length vectors this is exactly the old
-      // !vec_is_clean condition (size == dim makes them equivalent).
-      f(when(exists(vec, _.isNull),
+      // require. Native vec_has_null, not exists(_.isNull): higher-
+      // order functions are CodegenFallback and would run the lambda
+      // interpreted on every scanned row.
+      f(when(VectorFunctions.vec_has_null(vec),
         org.apache.spark.sql.functions.lit(null)).otherwise(vec))
     }
   }

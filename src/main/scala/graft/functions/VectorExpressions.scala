@@ -76,6 +76,21 @@ object VecOps {
     * `df.filter(!vec_is_clean(col, dim))` isolates the corrupt rows,
     * `sum(when(...))` counts them for a data-quality gate.
     */
+  /** Length-agnostic null-element scan: true iff the vector carries at
+    * least one null element. The corrupt-row guard for consumers that
+    * must also let RAGGED null-free vectors through to their own loud
+    * dim check (GramAgg) — [[isClean]] conflates the two conditions.
+    */
+  def hasNullElement(v: ArrayData): Boolean = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   def isClean(v: ArrayData, dim: Int): Boolean = {
     if (v.numElements() != dim) return false
     var i = 0
@@ -276,6 +291,43 @@ case class VecIsCleanExpr(child: Expression, dim: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): VecIsCleanExpr =
+    copy(child = newChild)
+}
+
+/** `vec_has_null(v)` — see [[VecOps.hasNullElement]]. Codegen'd
+  * replacement for `exists(v, _.isNull)` on hot aggregate guards
+  * (higher-order functions are CodegenFallback — the lambda would run
+  * interpreted per row and split whole-stage codegen). NOT
+  * null-intolerant: a NULL vector has no null ELEMENT, so it reports
+  * `false` and lets the consumer's own null handling decide.
+  */
+case class VecHasNullExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_has_null"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && VecOps.hasNullElement(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+          boolean ${ev.value} =
+            !${c.isNull} && graft.functions.VecOps.hasNullElement(${c.value});
+        """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecHasNullExpr =
     copy(child = newChild)
 }
 
@@ -868,6 +920,9 @@ object VectorFunctions {
 
   def vec_is_clean(v: Column, dim: Int): Column =
     GraftColumnBridge.column(VecIsCleanExpr(GraftColumnBridge.expression(v), dim))
+
+  def vec_has_null(v: Column): Column =
+    GraftColumnBridge.column(VecHasNullExpr(GraftColumnBridge.expression(v)))
 
   def sig_eqcount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SigEqCountExpr(

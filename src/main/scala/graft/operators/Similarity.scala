@@ -134,10 +134,15 @@ object Similarity {
     * `trainN` non-null vectors in `idCol` order. Factored out so the
     * spec can count the rows that actually reach the fit — the 100 TB
     * guarantee is that this count is ≤ trainN regardless of table size.
+    * Same corrupt-row policy as [[trainSample]]: vectors carrying a
+    * null ELEMENT are excluded (array_to_vector would die on them);
+    * ragged null-free vectors reach MLlib's own loud dimension require.
     */
   private[operators] def ivfTrainInput(
       df: DataFrame, idCol: String, vecCol: String, trainN: Int): DataFrame =
-    df.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(trainN)
+    df.filter(col(vecCol).isNotNull &&
+        !graft.functions.VectorFunctions.vec_has_null(col(vecCol)))
+      .orderBy(col(idCol)).limit(trainN)
 
   def ivfBuild(
       df: DataFrame, idCol: String, vecCol: String,
@@ -164,9 +169,14 @@ object Similarity {
       .fit(featurize(ivfTrainInput(df, idCol, vecCol, trainN)))
     // null embeddings never index: the kmeans predict UDF NPEs on a
     // null Vector, so one corrupt row would fail the whole build (the
-    // training input already filters; the assign pass must too)
+    // training input already filters; the assign pass must too). A
+    // null ELEMENT dies the same way inside array_to_vector — excluded
+    // here like everywhere vectors reach a primitive kernel
+    // (BatchChaosProbe policy, r17); ragged null-free vectors hit
+    // MLlib's loud dimension require by design.
     val assigned = model
-      .transform(featurize(df.filter(col(vecCol).isNotNull)))
+      .transform(featurize(df.filter(col(vecCol).isNotNull &&
+        !graft.functions.VectorFunctions.vec_has_null(col(vecCol)))))
       .drop("__features")
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
@@ -438,7 +448,7 @@ object Similarity {
     // query; clean corpora carry neither, so goldens are unaffected.
     val rows = df
       .filter(col(vecCol).isNotNull &&
-        !org.apache.spark.sql.functions.exists(col(vecCol), _.isNull))
+        !graft.functions.VectorFunctions.vec_has_null(col(vecCol)))
       .orderBy(col(idCol)).limit(trainN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))

@@ -3117,11 +3117,13 @@ object ExtQueries {
     val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z
     val prefix = Tables.events(s, d)
       .filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
-      // same corrupt-row policy as typedEvents on the stream side: a
-      // null user_id becomes a NULL snapshot group whose (Long,
-      // SessionState) encoder kills the query; null ts is already
-      // dropped by the cutoff comparison above
-      .na.drop("any", Seq("user_id"))
+      // same corrupt-row policy as typedEvents on the stream side —
+      // including the null event_id drop, so a corrupt row is treated
+      // identically on WHICHEVER side of the bootstrap cutoff it lands
+      // (a null user_id would also become a NULL snapshot group whose
+      // (Long, SessionState) encoder kills the query); null ts is
+      // already dropped by the cutoff comparison above
+      .na.drop("any", Seq("event_id", "user_id"))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     // persisted: feeds BOTH the streaming query's initial-state relation
     // and the final readout join — without it the prefix scan + window

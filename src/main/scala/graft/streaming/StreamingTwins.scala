@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
 object StreamingTwins {
 
   // single-file inputs staged into their own directory, memoized per
-  // source path so bench reps don't re-copy
+  // source path so bench reps don't re-copy; the value records the
+  // source (dir, length, mtime) OBSERVED at staging time so the
+  // staleness check does not depend on the temp filesystem preserving
+  // attributes on copy
   private val staged =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long)]
 
   // footer-probed schema memoized per staged dir for the same reason:
   // the probe is a batch read (file listing + footer parse) that the
@@ -39,17 +42,19 @@ object StreamingTwins {
     // self-heal a vanished stage (external tmp cleanup, RAM-backed tmp
     // cleared): a memo pointing at a deleted dir must re-stage, not
     // fail every later stream with PATH_NOT_FOUND
-    staged.get(path).foreach { d =>
+    staged.get(path).foreach { case (d, srcLen, srcMtime) =>
       val copy = new java.io.File(d, f.getName)
       // stale if vanished OR the source was regenerated in place (size
-      // or mtime CHANGED): serving the old snapshot would silently
-      // stream the previous corpus generation while batch oracles read
-      // the new. The copy preserves the source's mtime (COPY_ATTRIBUTES
-      // below), so != catches a restored snapshot / rsync'd file whose
-      // preserved timestamp is equal-or-OLDER than the staging-time
-      // source — the case a < comparison waves through.
-      if (!copy.isFile || copy.length != f.length ||
-          copy.lastModified != f.lastModified) staged.remove(path)
+      // or mtime CHANGED vs what staging OBSERVED): serving the old
+      // snapshot would silently stream the previous corpus generation
+      // while batch oracles read the new. Comparing against the
+      // recorded source stats (not the copy's own mtime) catches a
+      // restored snapshot / rsync'd file whose preserved timestamp is
+      // equal-or-OLDER than the staging-time source — the case a <
+      // comparison waves through — without depending on the temp
+      // filesystem preserving attributes on copy.
+      if (!copy.isFile || srcLen != f.length ||
+          srcMtime != f.lastModified) staged.remove(path)
     }
     staged.getOrElseUpdate(path, {
       // deleteOnExit can't remove a non-empty dir — TempDirs deletes
@@ -57,10 +62,13 @@ object StreamingTwins {
       val dir = graft.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft_stream_"))
       val dst = dir.resolve(f.getName)
-      java.nio.file.Files.copy(f.toPath, dst,
-        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-      dir.toString
-    })
+      // record the source stats BEFORE the copy: a source regenerated
+      // mid-copy then reads as changed on the next call and re-stages
+      val len = f.length
+      val mtime = f.lastModified
+      java.nio.file.Files.copy(f.toPath, dst)
+      (dir.toString, len, mtime)
+    })._1
   }
 
   /** Open the events table as a stream, `ts` normalized to a µs

@@ -117,8 +117,10 @@ object StreamChaosProbe {
     // empty part into an existing dir directly)
     val side = root.resolve("__empty_side")
     events.limit(0).coalesce(1).write.mode("overwrite").parquet(side.toString)
-    val part = java.nio.file.Files.list(side).filter(p =>
-      p.getFileName.toString.startsWith("part-")).findFirst.get
+    val listing = java.nio.file.Files.list(side)
+    val part =
+      try listing.filter(p => p.getFileName.toString.startsWith("part-")).findFirst.get
+      finally listing.close()
     java.nio.file.Files.move(part, evDir.resolve("part-empty.parquet"))
     val docs = spark.createDataFrame(
       spark.sparkContext.parallelize(hostileDocuments, 1), documentsSchema)

@@ -133,9 +133,11 @@ object StreamScaleProbe {
       val sink = s"tws_sink_$k"
       implicit val sq: SparkSession = spark
       import sq.implicits._
-      val events = spark.readStream
-        .schema(spark.read.parquet(dir).schema).parquet(dir)
-        .as[StreamingTwins.EventRow]
+      // typedEvents, not a raw .as[EventRow]: the probe's fixture is
+      // clean, but the helper keeps this the same corrupt-row-safe
+      // path the driver entries use (StreamChaosSpec policy)
+      val events = StreamingTwins.typedEvents(spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir))
       val q = StreamingTwins.withRocksDbProvider(spark) {
         val query = StreamingTwins.sessionizeTws(events).toDF()
           .writeStream.format("memory").queryName(sink)
