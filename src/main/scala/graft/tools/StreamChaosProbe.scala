@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   *  - out-of-order rows hours older than the stream's head (beyond
   *    every entry's watermark delay — though the staged single-file
   *    source drains in ONE micro-batch, so in-batch disorder is what
-  *    is actually exercised; watermark-late DROPS need a multi-batch
-  *    source and are pinned separately in StreamingTwinsSpec);
+  *    is actually exercised; the multi-batch watermark-late DROP is
+  *    pinned in StreamingTwinsSpec "multi-batch late event", which
+  *    also documents that COMPLETE-mode entries like x54 aggregate
+  *    late rows rather than drop them);
   *  - a ZERO-ROW parquet part file alongside the data part (an empty
   *    landing-dir file every production tailer eventually meets).
   *

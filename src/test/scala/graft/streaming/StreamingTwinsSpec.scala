@@ -148,6 +148,44 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(got == Set((100L, 200L), (100L, 201L)))
   }
 
+  test("watermarked aggregation DROPS a multi-batch late event (update mode)") {
+    // The chaos probe's staged single-file sources drain in ONE
+    // micro-batch, where in-batch disorder is always aggregated; the
+    // DROP the watermark promises needs a multi-batch source — pinned
+    // here. (x54's driver entry runs COMPLETE mode, where Spark does
+    // not filter late rows — the sink is replaced wholesale; update/
+    // append are the modes with the drop semantics.)
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(min: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    spark.catalog.dropTempView("hourly_late")
+    val q = StreamingTwins.hourlyByType(mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hourly_late")
+      .outputMode("update").start()
+    try {
+      // batch 1: one event in the 00:00 window, head at 02:00
+      // → watermark advances to 01:50 (10-minute delay)
+      mem.addData((ts(10), "click", 1.0), (ts(120), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE row for the 00:00 window (00:20 < watermark)
+      // plus an on-time row so the batch emits something
+      mem.addData((ts(20), "click", 1.0), (ts(125), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val w0 = spark.table("hourly_late")
+      .filter(col("w") === lit(ts(0)).cast("timestamp_ntz"))
+      .select("n").collect().map(_.getLong(0))
+    assert(w0.nonEmpty && w0.max == 1L,
+      s"late event must be dropped, not aggregated: 00:00-window counts ${w0.mkString(",")}")
+    // the on-time 02:00-window row DID re-emit with the updated count
+    val w2 = spark.table("hourly_late")
+      .filter(col("w") === lit(ts(120)).cast("timestamp_ntz"))
+      .select("n").collect().map(_.getLong(0))
+    assert(w2.max == 2L, s"on-time rows must aggregate: ${w2.mkString(",")}")
+  }
+
   test("transformWithState sessionization matches the flatMapGroupsWithState twin") {
     import spark.implicits._
     val events = StreamingTwins.readEvents(spark, eventsDir)
