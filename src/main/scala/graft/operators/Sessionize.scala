@@ -104,7 +104,13 @@ object Sessionize {
     val agg = udaf(new FunnelAgg(stages.size),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Long)]())
     val depth = df
-      .where(idx >= 0)
+      // null-time rows must be DROPPED, not aggregated: the (Int, Long)
+      // input encoder silently folds a NULL unix_micros to 0, placing
+      // the event at epoch 0 — which COUNTS as (and can fabricate)
+      // funnel progression (measured r17: a null-ts stage-0 row
+      // advanced a user's depth). An event with no time cannot order
+      // in a funnel — the typedEvents corrupt-row policy.
+      .where(idx >= 0 && col(tsCol).isNotNull)
       .groupBy(col(userCol))
       .agg(agg(idx, unix_micros(col(tsCol).cast("timestamp"))).as("depth"))
     // one-row conditional aggregate + stack, not a join against a stage

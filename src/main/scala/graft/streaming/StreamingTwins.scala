@@ -379,9 +379,14 @@ object StreamingTwins {
     // zero rows). On the timed path, rows with NULL event time cannot
     // be placed on the timeline (and NPE'd the state deadline): they
     // are dropped, the standard watermark-op contract.
+    // ... and a NULL id VALUE (legal in an integral column) would die
+    // the same way in the Para encoder: dropped, the typedEvents
+    // corrupt-row policy — a document with no id cannot be
+    // reassembled, and one corrupt row must not kill the stream
+    val idDocs = docs.filter(col(idCol).isNotNull)
     val timedDocs = eventTimeCol match {
-      case Some(ts) => docs.filter(col(ts).isNotNull)
-      case None => docs
+      case Some(ts) => idDocs.filter(col(ts).isNotNull)
+      case None => idDocs
     }
     val parasDf = timedDocs
       .select(col(idCol).cast("long").as("pid"), tsCol.as("ts"),

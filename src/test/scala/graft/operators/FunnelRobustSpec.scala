@@ -29,6 +29,23 @@ class FunnelRobustSpec extends SparkTestBase {
       Seq(("view", 3L), ("click", 2L), ("purchase", 1L)))
   }
 
+  test("funnel: a NULL-time event is dropped, never epoch-0 progression") {
+    // the (Int, Long) udaf input encoder silently folds a NULL
+    // unix_micros to 0 — pre-r17, a null-ts stage-0 row placed the
+    // event at epoch 0 and FABRICATED funnel progression for the user
+    val ev = Seq(
+      (1L, None: Option[Timestamp], "view"),  // corrupt: no event time
+      (1L, Some(ts(2)), "click"),
+      (2L, Some(ts(1)), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Sessionize.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .orderBy("stage").collect()
+      .map(r => (r.getAs[String]("stage_name"), r.getAs[Long]("users"))).toSeq
+    // user 1's view vanished with its null time: no progression to click
+    assert(out == Seq(("view", 1L), ("click", 0L)), out.toString)
+  }
+
   test("funnel: same-timestamp stage transition counts (ts >= bound)") {
     val ev = Seq((1L, ts(5), "view"), (1L, ts(5), "click"))
       .toDF("user_id", "ts", "event_type")

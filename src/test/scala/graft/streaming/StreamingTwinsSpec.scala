@@ -621,6 +621,29 @@ class StreamingTwinsSpec extends SparkTestBase {
     assert(total == distinct)
   }
 
+  test("streaming paragraph dedup drops a NULL doc id instead of dying in the encoder") {
+    // a NULL VALUE in an integral id column passes the analysis-time
+    // type require but would kill the Para(pid: Long) encoder at
+    // runtime — the typedEvents corrupt-row policy applies: dropped
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(java.lang.Long, String)](spark)
+    spark.catalog.dropTempView("paradedup_nullid")
+    val q = StreamingTwins.paragraphDedup(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("paradedup_nullid")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (java.lang.Long.valueOf(1L), "A\n\nB"),
+        (null.asInstanceOf[java.lang.Long], "A\n\nC"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("paradedup_nullid")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L), s"null-id doc must be dropped, got ids $ids")
+  }
+
   test("staging re-stages a source regenerated with identical size and an OLDER mtime") {
     // restored snapshot / rsync with preserved timestamps: same byte
     // length, mtime equal-or-older than what staging observed. A '<'
