@@ -3122,8 +3122,9 @@ object ExtQueries {
       // identically on WHICHEVER side of the bootstrap cutoff it lands
       // (a null user_id would also become a NULL snapshot group whose
       // (Long, SessionState) encoder kills the query); null ts is
-      // already dropped by the cutoff comparison above
-      .na.drop("any", Seq("event_id", "user_id"))
+      // already dropped by the cutoff comparison above. Explicit
+      // isNotNull (pushable), not na.drop (AtLeastNNonNulls is not)
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull)
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     // persisted: feeds BOTH the streaming query's initial-state relation
     // and the final readout join — without it the prefix scan + window

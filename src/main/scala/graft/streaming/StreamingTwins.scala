@@ -488,7 +488,12 @@ object StreamingTwins {
     */
   def typedEvents(events: DataFrame): Dataset[EventRow] =
     events.select(col("event_id"), col("ts"), col("user_id"))
-      .na.drop("any", Seq("event_id", "ts", "user_id"))
+      // explicit per-column isNotNull, NOT na.drop: na.drop compiles to
+      // AtLeastNNonNulls, which parquet cannot push (DataFilters only);
+      // the conjunction reaches PushedFilters, so at 100 TB row-group
+      // null-count stats can skip and the scan stays minimal
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull)
       .as[EventRow](org.apache.spark.sql.Encoders.product[EventRow])
 
   /** Typed projection for [[topKPerGroup]] over columns (g, score, id):
@@ -499,7 +504,8 @@ object StreamingTwins {
     */
   def typedScored(rows: DataFrame): Dataset[ScoredRow] =
     rows.select(col("g"), col("score"), col("id"))
-      .na.drop("any", Seq("score", "id"))
+      // explicit isNotNull for pushdown — see typedEvents
+      .filter(col("score").isNotNull && col("id").isNotNull)
       .as[ScoredRow](org.apache.spark.sql.Encoders.product[ScoredRow])
 
   /** Q32 twin: stateful sessionization with a 30-minute gap via

@@ -46,6 +46,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("ReadSchema") && !plan.contains("l_shipdate"), plan)
   }
 
+  test("typedEvents null-key filters PUSH into the parquet scan (not AtLeastNNonNulls)") {
+    // na.drop would compile to AtLeastNNonNulls — a DataFilter parquet
+    // cannot push; the explicit isNotNull conjunction reaches
+    // PushedFilters, so at 100 TB row-group null-count stats can skip
+    val plan = graft.streaming.StreamingTwins.typedEvents(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .toDF().queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), IsNotNull(ts), IsNotNull(user_id)]"), plan)
+    assert(!plan.contains("atleastnnonnulls"), plan)
+    // pruning: only the three projected columns are read
+    assert(!plan.contains("event_type") && !plan.contains("props"), plan)
+  }
+
   test("q14 lookup joins broadcast; the fact side never exchanges before joining") {
     val plan = CorpusQueries.q14.run(spark, sfDir)
       .queryExecution.executedPlan.toString
