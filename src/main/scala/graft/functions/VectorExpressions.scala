@@ -219,13 +219,30 @@ case class VecCosineExpr(left: Expression, right: Expression) extends BinaryExpr
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_cosine"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // A non-finite cosine (a NaN or Infinity ELEMENT in either vector)
+  // returns NULL, never NaN: Spark orders NaN ABOVE every real double,
+  // so one corrupt embedding would otherwise HIJACK rank 1 of every
+  // desc top-k that scans it (measured r17: hostile rows topped
+  // x07/x84/x86). NULL under desc ordering lands last by default —
+  // corrupt rows sink instead of surfacing. Zero-norm vectors stay 0.0
+  // (defined in VecOps.cosine); clean corpora are unaffected.
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val d = VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) null else d
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosine($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         ${ev.value} = graft.functions.VecOps.cosine($a, $b);
+         if (Double.isNaN(${ev.value}) || Double.isInfinite(${ev.value})) {
+           ${ev.isNull} = true;
+           ${ev.value} = 0.0;
+         }
+       """)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosineExpr =
     copy(left = l, right = r)

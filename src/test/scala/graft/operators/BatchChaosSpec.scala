@@ -81,6 +81,26 @@ class BatchChaosSpec extends SparkTestBase {
       s"unexpectedly empty on hostile input: ${empty.map(_.name).mkString(",")}")
   }
 
+  test("a NaN/Infinity embedding can never hijack a cosine top-k") {
+    // Spark orders NaN ABOVE every real double, so a corrupt vector's
+    // NaN cosine used to TOP x07/x84/x86 (measured pre-fix: hostile
+    // ids 204/205 at ranks 1-2). vec_cosine now returns NULL for
+    // non-finite results; desc ordering sinks them below every match.
+    Seq("x07_ann_bruteforce", "x84_matryoshka", "x86_binary_quantize").foreach { n =>
+      val rows = graft.SparkEntry.queries(n)(spark, dir).collect()
+      assert(rows.nonEmpty, s"$n returned nothing")
+      val ids = rows.map(_.getLong(0)).toSeq
+      assert(!ids.take(3).exists(Set(204L, 205L, 206L)),
+        s"$n: corrupt vectors rank in the top 3: $ids")
+      rows.foreach { r =>
+        (1 until r.length).foreach { i =>
+          assert(r.isNullAt(i) || !r.get(i).isInstanceOf[Double] ||
+            !r.getDouble(i).isNaN, s"$n emitted NaN: $r")
+        }
+      }
+    }
+  }
+
   test("x33 excludes digitless source labels instead of dying in the ANSI cast") {
     val out = graft.SparkEntry.queries("x33_mix_weights")(spark, dir).collect()
     // hostile sources are 'web'/'crawl'/null - no digits anywhere, so
