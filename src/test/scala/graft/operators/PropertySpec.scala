@@ -316,4 +316,38 @@ class PropertySpec extends SparkTestBase {
           s"cos ${r.getDouble(0)} vs normalized dot ${r.getDouble(1)}")
       }
   }
+
+  test("vec_cosine corrupt-row contract: finite OR NULL, never NaN/Infinity") {
+    import graft.functions.VectorFunctions._
+    // random clean vectors crossed with every corruption shape the
+    // chaos fixture carries: NaN element, Infinity element, null
+    // element, ragged, all-zero. The r17 no-hijack guarantee rests on
+    // exactly this: the expression output is a finite double or NULL.
+    val gen = Gen.listOfN(8, Gen.choose(-5.0f, 5.0f))
+    val params = Gen.Parameters.default
+    val clean: Seq[Seq[java.lang.Float]] =
+      (0 until 10).map(i => gen.pureApply(params, rng.Seed(7 + i)).map(
+        java.lang.Float.valueOf).toSeq)
+    def corrupt(base: Seq[java.lang.Float], kind: Int): Seq[java.lang.Float] = kind match {
+      case 0 => base.updated(3, java.lang.Float.valueOf(Float.NaN))
+      case 1 => base.updated(5, java.lang.Float.valueOf(Float.PositiveInfinity))
+      case 2 => base.updated(1, null.asInstanceOf[java.lang.Float])
+      case 3 => base.take(3)
+      case 4 => Seq.fill(8)(java.lang.Float.valueOf(0f))
+    }
+    val pairs = for {
+      a <- clean; k <- 0 until 5
+    } yield (a, corrupt(clean((k * 3) % clean.size), k))
+    val rows = pairs.toDF("va", "vb")
+      .select(vec_cosine($"va", $"vb").as("c")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) ||
+        (!r.getDouble(0).isNaN && !r.getDouble(0).isInfinite),
+        s"vec_cosine emitted a non-finite non-null: $r")
+    }
+    // and clean x clean stays non-null (the guard fires only on corruption)
+    val cleanRows = clean.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+      .toDF("va", "vb").select(vec_cosine($"va", $"vb")).collect()
+    assert(cleanRows.forall(!_.isNullAt(0)), "clean pairs must keep a real cosine")
+  }
 }
