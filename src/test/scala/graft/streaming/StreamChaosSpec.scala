@@ -35,6 +35,16 @@ class StreamChaosSpec extends SparkTestBase {
   private lazy val dir = StreamChaosProbe.hostileDir(spark)
   private def run(name: String) = graft.SparkEntry.queries(name)(spark, dir)
 
+  test("the probe's entry list tracks the real streaming surface (no drift)") {
+    // StreamChaosProbe.entries is static; a future streaming entry
+    // must join the chaos program or be explicitly excluded here
+    val streaming = graft.SparkEntry.queries.keys
+      .filter(graft.Bench.isStreaming).toSet - "x58_streaming_geofence" // own fixture, ignores $d
+    assert(StreamChaosProbe.entries.toSet == streaming,
+      s"probe-only: ${StreamChaosProbe.entries.toSet.diff(streaming)}; " +
+        s"unprobed: ${streaming.diff(StreamChaosProbe.entries.toSet)}")
+  }
+
   test("every $d-reading streaming entry survives the hostile source") {
     val outcomes = StreamChaosProbe.entries.map(n => StreamChaosProbe.run(spark, dir, n))
     val failed = outcomes.filter(_.error.isDefined)
