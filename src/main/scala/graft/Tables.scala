@@ -20,22 +20,30 @@ object Tables {
   // query, which adds up over a 60-query sweep.
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-  // TrieMap.getOrElseUpdate may evaluate a contended builder twice,
-  // and eventsImpl has session-global side effects (the nanosAsLong
-  // set/restore): two racing threads could interleave set/restore so
-  // the conf stays permanently flipped for a micros-generation file.
-  // Same pattern as ExtQueries.cacheLock.
-  private val memoLock = new Object
+  /** Serializes EVERY session-global `nanosAsLong` set/restore in the
+    * JVM: `eventsImpl` here and `StreamingTwins.readEvents` both probe
+    * parquet footers under the flag and restore it — two racing
+    * threads (from either component) could interleave set/restore so
+    * the conf stays permanently flipped for a micros-generation file.
+    * One shared lock closes the cross-component pair the per-object
+    * locks missed (r17 review finding).
+    */
+  private[graft] val nanosConfLock = new Object
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    memoLock.synchronized {
-      // bounded: clear on overflow so stopped sessions / regenerated
-      // files don't stay pinned through a long-lived JVM
-      if (memo.size > 64) memo.clear()
-      memo.getOrElseUpdate((spark, sfDir, table),
-        if (table == "events") eventsImpl(spark, sfDir)
-        else rawLoad(spark, sfDir, table))
-    }
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    // bounded: clear on overflow so stopped sessions / regenerated
+    // files don't stay pinned through a long-lived JVM
+    if (memo.size > 64) memo.clear()
+    if (table == "events")
+      // the only builder with a session-global side effect — lock it;
+      // TrieMap may double-evaluate a contended rawLoad builder, but a
+      // duplicate LAZY plan is harmless and unrelated first-time table
+      // loads should not queue behind one another's footer reads
+      nanosConfLock.synchronized {
+        memo.getOrElseUpdate((spark, sfDir, table), eventsImpl(spark, sfDir))
+      }
+    else memo.getOrElseUpdate((spark, sfDir, table), rawLoad(spark, sfDir, table))
+  }
 
   private def rawLoad(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")

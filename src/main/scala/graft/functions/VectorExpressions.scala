@@ -91,6 +91,26 @@ object VecOps {
     false
   }
 
+  /** True iff the vector has NO null element and every element is
+    * finite (no NaN/Infinity) — the quantizer-training admission test.
+    * A single NaN coordinate entering Lloyd accumulation poisons the
+    * centroid mean, and NaN distance comparisons then collapse every
+    * point into cluster 0 — the whole codebook silently degenerates
+    * (r17 review finding); Infinity degenerates the same way through
+    * the mean.
+    */
+  def allFinite(v: ArrayData): Boolean = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return false
+      val x = v.getFloat(i)
+      if (java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x)) return false
+      i += 1
+    }
+    true
+  }
+
   def isClean(v: ArrayData, dim: Int): Boolean = {
     if (v.numElements() != dim) return false
     var i = 0
@@ -345,6 +365,41 @@ case class VecHasNullExpr(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): VecHasNullExpr =
+    copy(child = newChild)
+}
+
+/** `vec_is_finite(v)` — see [[VecOps.allFinite]]. NOT null-intolerant:
+  * a NULL vector is not finite, so it reports `false` (the filter
+  * `vec_is_finite(v)` therefore excludes null vectors too — one
+  * admission test for quantizer training).
+  */
+case class VecIsFiniteExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_is_finite"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && VecOps.allFinite(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+          boolean ${ev.value} =
+            !${c.isNull} && graft.functions.VecOps.allFinite(${c.value});
+        """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecIsFiniteExpr =
     copy(child = newChild)
 }
 
@@ -940,6 +995,9 @@ object VectorFunctions {
 
   def vec_has_null(v: Column): Column =
     GraftColumnBridge.column(VecHasNullExpr(GraftColumnBridge.expression(v)))
+
+  def vec_is_finite(v: Column): Column =
+    GraftColumnBridge.column(VecIsFiniteExpr(GraftColumnBridge.expression(v)))
 
   def sig_eqcount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SigEqCountExpr(

@@ -134,14 +134,14 @@ object Similarity {
     * `trainN` non-null vectors in `idCol` order. Factored out so the
     * spec can count the rows that actually reach the fit — the 100 TB
     * guarantee is that this count is ≤ trainN regardless of table size.
-    * Same corrupt-row policy as [[trainSample]]: vectors carrying a
-    * null ELEMENT are excluded (array_to_vector would die on them);
+    * Same corrupt-row policy as [[trainSample]]: only finite vectors
+    * train (null elements die in array_to_vector; NaN/Infinity poison
+    * MLlib's centroid means the same way they poison the local Lloyd);
     * ragged null-free vectors reach MLlib's own loud dimension require.
     */
   private[operators] def ivfTrainInput(
       df: DataFrame, idCol: String, vecCol: String, trainN: Int): DataFrame =
-    df.filter(col(vecCol).isNotNull &&
-        !graft.functions.VectorFunctions.vec_has_null(col(vecCol)))
+    df.filter(graft.functions.VectorFunctions.vec_is_finite(col(vecCol)))
       .orderBy(col(idCol)).limit(trainN)
 
   def ivfBuild(
@@ -439,16 +439,19 @@ object Similarity {
     */
   private[operators] def trainSample(
       df: DataFrame, idCol: String, vecCol: String, trainN: Int): Array[Array[Double]] = {
-    // null vectors are skipped (not encoded to a codeword) by
-    // pqEncode/ivfPqEncode, so they must not reach training either —
-    // without the filter, getSeq returns null and .toArray throws.
-    // Vectors CARRYING a null element are skipped the same way (the
-    // encode kernels zero-pad them; training would NPE unboxing the
-    // null). tools/golden_ext.py mirrors the null filter in its corpus
-    // query; clean corpora carry neither, so goldens are unaffected.
+    // Training admits only FINITE vectors (vec_is_finite: non-null, no
+    // null element, no NaN/Infinity). Null vectors are skipped (not
+    // encoded to a codeword) by pqEncode/ivfPqEncode, so they must not
+    // reach training either — without the filter, getSeq returns null
+    // and .toArray throws; a null ELEMENT would NPE unboxing. A
+    // NaN/Infinity element is worse: its distances compare false, so
+    // the vector joins cluster 0, its coords poison the centroid mean,
+    // and the next Lloyd iteration collapses EVERY point into the
+    // NaN cluster — the whole codebook silently degenerates.
+    // tools/golden_ext.py mirrors the null filter in its corpus query;
+    // clean corpora carry none of these, so goldens are unaffected.
     val rows = df
-      .filter(col(vecCol).isNotNull &&
-        !graft.functions.VectorFunctions.vec_has_null(col(vecCol)))
+      .filter(graft.functions.VectorFunctions.vec_is_finite(col(vecCol)))
       .orderBy(col(idCol)).limit(trainN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))

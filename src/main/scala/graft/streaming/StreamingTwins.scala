@@ -53,7 +53,10 @@ object StreamingTwins {
       // equal-or-OLDER than the staging-time source — the case a <
       // comparison waves through — without depending on the temp
       // filesystem preserving attributes on copy.
-      if (!copy.isFile || srcLen != f.length ||
+      // copy.length != srcLen is the COPY-integrity leg: a staged file
+      // truncated in place (RAM-backed tmp pressure) still exists but
+      // must re-stage, not silently stream a torn snapshot
+      if (!copy.isFile || copy.length != srcLen || srcLen != f.length ||
           srcMtime != f.lastModified) staged.remove(path)
     }
     staged.getOrElseUpdate(path, {
@@ -88,19 +91,27 @@ object StreamingTwins {
     // need it. When the file IS nanos the flag must stay set for the
     // stream's whole lifetime (files are read incrementally), which is
     // the one case the permanent flip is deliberate.
+    // Tables.nanosConfLock serializes the set/probe/restore with
+    // eventsImpl's identical section: without the SHARED lock, a
+    // readEvents racing a Tables.events on the same session could
+    // capture prior=Some("true") mid-flight and "restore" the flag to
+    // permanently set for a micros-generation file.
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "true")
-    def restore(): Unit = prior match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
+    val (dir, diskSchema) = graft.Tables.nanosConfLock.synchronized {
+      val prior = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, "true")
+      def restore(): Unit = prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+      val d = streamableDir(path)
+      val s =
+        try schemaOf(spark, d)
+        catch { case e: Throwable => restore(); throw e }
+      if (s("ts").dataType != LongType) restore()
+      (d, s)
     }
-    val dir = streamableDir(path)
-    val diskSchema =
-      try schemaOf(spark, dir)
-      catch { case e: Throwable => restore(); throw e }
     val stream = spark.readStream.schema(diskSchema).parquet(dir)
-    if (diskSchema("ts").dataType != LongType) restore()
     diskSchema("ts").dataType match {
       case LongType =>          // legacy TIMESTAMP(NANOS) as ns-long
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))

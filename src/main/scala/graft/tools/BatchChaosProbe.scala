@@ -29,19 +29,16 @@ import org.apache.spark.sql.types._
   */
 object BatchChaosProbe {
 
-  private val documentsSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = true),
-    StructField("text", StringType, nullable = true),
-    StructField("lang", StringType, nullable = true),
-    StructField("source", StringType, nullable = true),
-    StructField("n_chars", LongType, nullable = true)))
+  // documents schema + Long boxing shared with StreamChaosProbe — the
+  // two probes build one coupled fixture and must not drift
+  private def documentsSchema = StreamChaosProbe.documentsSchema
+  private def L(v: Long): java.lang.Long = StreamChaosProbe.L(v)
 
   private val embeddingsSchema = StructType(Seq(
     StructField("vec_id", LongType, nullable = true),
     StructField("embedding", ArrayType(FloatType, containsNull = true), nullable = true),
     StructField("label", IntegerType, nullable = true)))
 
-  private def L(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
   private def I(v: Int): java.lang.Integer = java.lang.Integer.valueOf(v)
 
   /** 50 well-formed docs with enough shared vocabulary that the

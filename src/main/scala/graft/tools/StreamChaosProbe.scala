@@ -52,14 +52,15 @@ object StreamChaosProbe {
     StructField("value", DoubleType, nullable = true),
     StructField("props", StringType, nullable = true)))
 
-  private val documentsSchema = StructType(Seq(
+  // shared with BatchChaosProbe (it rebuilds documents over this dir)
+  private[tools] val documentsSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = true),
     StructField("text", StringType, nullable = true),
     StructField("lang", StringType, nullable = true),
     StructField("source", StringType, nullable = true),
     StructField("n_chars", LongType, nullable = true)))
 
-  private def L(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+  private[tools] def L(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
   private def D(v: Double): java.lang.Double = java.lang.Double.valueOf(v)
 
   /** Hostile event rows. Timeline base 2024-01-01T06:00 ("head"); the
@@ -140,8 +141,9 @@ object StreamChaosProbe {
       Outcome(name, Some(df.count()), None)
     } catch {
       case e: Throwable =>
+        // bounded walk: a cyclic cause chain must not hang the probe
         val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-          .foldLeft(e)((_, c) => c)
+          .take(20).foldLeft(e)((_, c) => c)
         Outcome(name, None, Some(
           s"${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("").linesIterator.take(2).mkString(" / ")}"))
     }

@@ -123,4 +123,23 @@ class SimilarityPqSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Similarity.pqTrain(clustered.limit(3), "vec_id", "embedding", dim, m = 4, k = 8))
   }
+
+  test("training admits only FINITE vectors - a NaN embedding cannot poison the codebook") {
+    // a NaN coordinate entering Lloyd accumulation turns centroid 0
+    // all-NaN and the next iteration collapses EVERY point into it
+    // (NaN distance comparisons are all false) - the codebook silently
+    // degenerates. vec_is_finite admission must exclude the row.
+    import spark.implicits._
+    val clean = (1 to 20).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat)))
+    val poisoned = clean ++ Seq(
+      (0L, Seq(Float.NaN) ++ Seq.fill(7)(1f)),               // id 0: FIRST in id order
+      (21L, Seq(Float.PositiveInfinity) ++ Seq.fill(7)(2f))) // Infinity variant
+    val a = Similarity.trainSample(clean.toDF("id", "v"), "id", "v", 64)
+    val b = Similarity.trainSample(poisoned.toDF("id", "v"), "id", "v", 64)
+    assert(b.length == a.length &&
+      b.zip(a).forall { case (x, y) => x.sameElements(y) },
+      "corrupt vectors must not enter (or displace) the training sample")
+    assert(b.forall(_.forall(d => !d.isNaN && !d.isInfinite)))
+  }
 }
