@@ -173,8 +173,11 @@ object Bench {
       baselinePath: java.nio.file.Path, sfDir: String,
       heapGb: Long): java.nio.file.Path =
     if (heapGb <= 16) baselinePath
-    else java.nio.file.Paths.get(
-      s"bench_baseline_${sfSlug(sfDir)}.bigheap.json").toAbsolutePath
+    // resolveSibling, not CWD: the side file must land NEXT TO the
+    // canonical it shields, even if bench ever runs from another
+    // working directory (r17 advisor finding)
+    else baselinePath.toAbsolutePath
+      .resolveSibling(s"bench_baseline_${sfSlug(sfDir)}.bigheap.json")
 
   /** `/root/testdata/sf0.1` → `sf0.1` (baseline-file suffix). Trailing
     * slashes are stripped first — `"/t/sf0.1/"` must not degenerate to

@@ -119,7 +119,7 @@ object GramAgg {
     * (i, j, cov) entries, 1-based dimensions.
     *
     * Vectors carrying a NULL ELEMENT — at any length — are EXCLUDED
-    * via an `exists(_.isNull)` pre-guard (same convention as the
+    * via the native `vec_has_null` pre-guard (same convention as the
     * encode pipelines): without it a single null element either kills
     * the task inside the primitive `Seq[Float]` deserializer or
     * silently folds as 0.0 into every covariance entry — at 100 TB one

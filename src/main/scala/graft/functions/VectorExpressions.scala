@@ -68,14 +68,6 @@ object VecOps {
       .fromPrimitiveArray(out)
   }
 
-  /** True iff `v` is exactly `dim` long with no null elements. The
-    * encode/normalize kernels deliberately absorb corrupt rows (null
-    * elements and ragged vectors zero-pad — a total function beats a
-    * mid-job task failure at 100 TB), which means corruption is
-    * otherwise INVISIBLE; this predicate is the observability hook —
-    * `df.filter(!vec_is_clean(col, dim))` isolates the corrupt rows,
-    * `sum(when(...))` counts them for a data-quality gate.
-    */
   /** Length-agnostic null-element scan: true iff the vector carries at
     * least one null element. The corrupt-row guard for consumers that
     * must also let RAGGED null-free vectors through to their own loud
@@ -111,6 +103,14 @@ object VecOps {
     true
   }
 
+  /** True iff `v` is exactly `dim` long with no null elements. The
+    * encode/normalize kernels deliberately absorb corrupt rows (null
+    * elements and ragged vectors zero-pad — a total function beats a
+    * mid-job task failure at 100 TB), which means corruption is
+    * otherwise INVISIBLE; this predicate is the observability hook —
+    * `df.filter(!vec_is_clean(col, dim))` isolates the corrupt rows,
+    * `sum(when(...))` counts them for a data-quality gate.
+    */
   def isClean(v: ArrayData, dim: Int): Boolean = {
     if (v.numElements() != dim) return false
     var i = 0

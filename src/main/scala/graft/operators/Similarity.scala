@@ -505,12 +505,31 @@ object Similarity {
     * UDF this replaced was the same trap class as r12's signature
     * builders). StableKernelsSpec pins bit-equality with the old UDF
     * body and the sameResult property.
+    *
+    * Non-FINITE vectors (null, null element, NaN/Inf coordinate) get a
+    * NULL code: NaN distances compare false in the argmin, so an
+    * unguarded encode would hand a corrupt row an arbitrary valid
+    * codeword and a FINITE ADC score — the one corruption class that
+    * surfaces in top-k with no error (r17 advisor finding). A null
+    * code sinks under `asc_nulls_last` in [[pqTopK]], same policy as
+    * `vec_cosine` and quantizer-training admission.
     */
   def pqEncode(
-      df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame =
+      df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+    val vec = finiteOrNull(col(vecCol))
     df.select(col(idCol),
-      graft.functions.VectorFunctions.pq_encode(col(vecCol),
+      graft.functions.VectorFunctions.pq_encode(vec,
         model.codebooks.map(_.map(_.toSeq).toSeq).toSeq, model.dim).as("code"))
+  }
+
+  /** The corrupt-vector admission guard shared by the encode passes:
+    * the vector itself when finite, NULL otherwise — null-intolerant
+    * downstream kernels then yield null codes/cells that every top-k
+    * in the family already sinks (`asc_nulls_last`) or prunes
+    * (`cell IN (...)`).
+    */
+  private def finiteOrNull(vec: Column): Column =
+    when(graft.functions.VectorFunctions.vec_is_finite(vec), vec)
 
   /** ADC (asymmetric distance) top-k over PQ codes: precompute the
     * m×k table of squared L2 distances from the query's subvectors to
@@ -579,12 +598,16 @@ object Similarity {
     * m-byte codes, the double pruning (cells × code size) that makes
     * billion-vector ANN page-cache-resident.
     *
-    * Corrupt rows (null elements, ragged vectors) encode under the
-    * kernels' zero-pad convention — total, never a task failure — so
-    * corruption is deliberately absorbed here; a pipeline that must
-    * OBSERVE it censuses with
-    * `VectorFunctions.vec_is_clean(col, dim)` before (or alongside)
-    * the encode.
+    * Corrupt rows get a NULL cell and NULL code (the [[finiteOrNull]]
+    * admission guard, same policy as [[pqEncode]]): a NaN coordinate
+    * would otherwise argmin into an arbitrary cell with a finite ADC
+    * score and surface in top-k with no error, and null-element /
+    * ragged rows previously zero-padded into real codes — silently
+    * wrong under the r17 corruption policy (corrupt row ≠ fabricated
+    * data). Null cells are pruned by the `cell IN (...)` probe filter,
+    * never scored; a pipeline that must OBSERVE corruption censuses
+    * with `VectorFunctions.vec_is_clean(col, dim)` before (or
+    * alongside) the encode.
     */
   def ivfPqEncode(
       df: DataFrame, idCol: String, vecCol: String, model: IvfPqModel): DataFrame = {
@@ -602,7 +625,8 @@ object Similarity {
     // (StableKernelsSpec pins against the UDF body; x48 unchanged).
     val coarse = model.coarse.map(_.toSeq).toSeq
     val cbs = model.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq
-    df.select(col(idCol), col(vecCol),
+    df.select(col(idCol), finiteOrNull(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol),
         graft.functions.VectorFunctions
           .ivf_cell(col(vecCol), coarse, model.dim).as("cell"))
       .select(col(idCol), col("cell"),

@@ -228,6 +228,10 @@ class BenchFormatSpec extends AnyFunSuite {
     val big = Bench.refreshTarget(canonical, "/root/testdata/sf0.1", 89L)
     assert(big != canonical)
     assert(big.getFileName.toString == "bench_baseline_sf0.1.bigheap.json")
+    // the side file lands NEXT TO the canonical it shields, not in the
+    // process CWD (r17 advisor finding): a bench run from another
+    // working directory must not scatter .bigheap files elsewhere
+    assert(big.getParent == canonical.toAbsolutePath.getParent)
   }
 
   test("sf slug strips the path and keeps the sf name file-safe") {

@@ -41,7 +41,7 @@ class ConcurrencySpec extends SparkTestBase {
 
   test("concurrent events loads leave the nanosAsLong conf exactly where a serial load does") {
     // eventsImpl sets and restores the session-global nanosAsLong conf;
-    // Tables.memoLock serializes builders so two racing loads cannot
+    // Tables.nanosConfLock serializes builders so two racing loads cannot
     // interleave set/restore and leave the conf permanently flipped for
     // a micros-generation file. Distinct trailing-slash spellings defeat
     // the memo so each thread really runs the builder.

@@ -142,4 +142,41 @@ class SimilarityPqSpec extends SparkTestBase {
       "corrupt vectors must not enter (or displace) the training sample")
     assert(b.forall(_.forall(d => !d.isNaN && !d.isInfinite)))
   }
+
+  test("non-finite vectors get NULL codes and never surface in PQ / IVF-PQ top-k") {
+    // the r17 advisor scenario: a corpus whose ONLY corruption is a
+    // NaN/Inf coordinate. NaN distances compare false in the encode
+    // argmin, so an unguarded encode hands the row an arbitrary VALID
+    // codeword and a finite ADC score - it surfaces in top-k with no
+    // error. The finiteOrNull admission guard must null the code (and
+    // the IVF cell) instead; asc_nulls_last / the cell IN probe filter
+    // then keep it out of every result.
+    import spark.implicits._
+    val corrupt = Seq(
+      (100L, Array(Float.NaN) ++ Array.fill(dim - 1)(5.0f)),
+      (101L, Array(Float.PositiveInfinity) ++ Array.fill(dim - 1)(5.0f)))
+    val corpus = clustered.union(corrupt.toDF("vec_id", "embedding"))
+
+    val model = Similarity.pqTrain(clustered, "vec_id", "embedding", dim,
+      m = 4, k = 8, trainN = 64)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", model)
+    assert(codes.filter(col("vec_id") >= 100L && col("code").isNull).count() == 2,
+      "corrupt rows must encode to NULL codes")
+    assert(codes.filter(col("vec_id") < 100L && col("code").isNull).count() == 0)
+    // k larger than the clean +cluster: nulls must still sink, not rank
+    val top = Similarity.pqTopK(codes, "vec_id", model,
+      Array.fill(dim)(5.0f), k = 33).collect().map(_.getLong(0))
+    assert(!top.exists(_ >= 100L), s"corrupt id surfaced in top-k: ${top.toSeq}")
+
+    val ivf = Similarity.ivfPqTrain(clustered, "vec_id", "embedding", dim,
+      nCells = 4, m = 4, k = 8, trainN = 64)
+    val enc = Similarity.ivfPqEncode(corpus, "vec_id", "embedding", ivf)
+    assert(enc.filter(col("vec_id") >= 100L)
+      .filter(col("cell").isNull && col("code").isNull).count() == 2,
+      "corrupt rows must get NULL cell and NULL code")
+    val ivfTop = Similarity.ivfPqTopK(enc, "vec_id", ivf,
+      Array.fill(dim)(5.0f), k = 33, nprobe = 4).collect().map(_.getLong(0))
+    assert(!ivfTop.exists(_ >= 100L),
+      s"corrupt id surfaced in ivfpq top-k: ${ivfTop.toSeq}")
+  }
 }
