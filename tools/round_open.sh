@@ -1,0 +1,110 @@
+#!/usr/bin/env bash
+# Round-open gate (r17 verdict task 4) — run FIRST THING every round,
+# before building anything on top of the inherited tree:
+#
+#   tools/round_open.sh
+#
+# The r16→r17 handoff survived the driver committing a contaminated
+# bench canonical only because the builder happened to check by hand.
+# This makes the check mechanical. Four legs, fail-fast, each one a
+# failure mode that has actually occurred or nearly occurred:
+#   1. baseline_check.py — the committed bench canonical is a valid
+#      small-heap clean sweep (exit 3 = the r15 incident shape: a
+#      big-heap driver refresh got committed over it).
+#   2. leak grep — src/tools/build.sbt carry no non-public imports,
+#      URLs, bucket schemes, chat links, API-key shapes, or
+#      unexpected env-var reads (mirrors the driver's seven-category
+#      LEAKCHECK, conservatively).
+#   3. sbt test on HEAD — the inherited tree is green before any
+#      round-N change lands on it.
+#   4. entry-list drift — SparkEntry.queries names vs the latest
+#      CORRECTNESS_r*.json keys, BOTH directions (a contract query the
+#      driver never verified, or a verified name that vanished from
+#      the contract), plus oracleSql ⊆ queries.
+# Exits nonzero on the first failing leg.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== leg 1/4: bench-canonical provenance (baseline_check.py) =="
+rc=0
+python3 tools/baseline_check.py || rc=$?
+case "$rc" in
+  0) ;;
+  2) echo "NOTE: working tree holds a faster clean sweep — commit it when ready (not a gate failure)" ;;
+  *) echo "FATAL: committed canonical invalid (exit $rc)"; exit 1 ;;
+esac
+
+echo "== leg 2/4: leak grep (src/ tools/ build.sbt) =="
+# Conservative mirror of the driver's LEAKCHECK categories. Patterns
+# are shape-based (key prefixes, chat-archive links, bucket schemes,
+# non-public-looking hosts), so a clean repo stays clean without the
+# gate having to name anything non-public itself.
+leak_fail=0
+scan() { # scan <label> <pattern>
+  local label="$1" pat="$2" hits
+  hits="$(grep -rInE "$pat" src tools build.sbt 2>/dev/null | grep -v 'round_open.sh' || true)"
+  if [ -n "$hits" ]; then
+    echo "LEAK[$label]:"; echo "$hits" | sed 's/^/    /'; leak_fail=1
+  fi
+}
+scan api-key      'AKIA[0-9A-Z]{16}|xox[baprs]-[0-9A-Za-z-]{8,}|-----BEGIN [A-Z ]*PRIVATE KEY|sk-[A-Za-z0-9_-]{24,}'
+scan chat-link    'slack\.com/|/archives/C[A-Z0-9]{6,}'
+# require a non-empty authority: bare "s3a://" scheme mentions in
+# scaladoc (scheme-agnostic path discussions) are not bucket names
+scan bucket       '(s3|s3a|gs|abfss?|wasbs?)://[A-Za-z0-9]'
+scan intra-host   'https?://[A-Za-z0-9.-]*\b(corp|internal|intranet)\b'
+# URL allowlist: public spec/docs/package hosts the scaladoc cites
+url_hits="$(grep -rIhoE 'https?://[A-Za-z0-9.-]+' src tools build.sbt 2>/dev/null | sort -u | \
+  grep -vE '://(localhost|127\.0\.0\.1)' | \
+  grep -E '://[^/]*\.' | \
+  grep -vE '(apache\.org|github\.com|githubusercontent\.com|scala-lang\.org|scalatest\.org|duckdb\.org|python\.org|arcgis\.com|esri\.com|census\.gov|ca\.gov|epsg\.(io|org)|opengeospatial\.org|locationtech\.org|osgeo\.org|wikipedia\.org|arxiv\.org|ietf\.org|w3\.org|unicode\.org|json\.org|example\.(com|org)|xlsx?$)' || true)"
+if [ -n "$url_hits" ]; then
+  echo "LEAK[url-unknown] (hosts not on the public allowlist — extend the allowlist if legitimately public):"
+  echo "$url_hits" | sed 's/^/    /'; leak_fail=1
+fi
+# env-var reads outside the project/JVM/standard families
+env_hits="$(grep -rInE 'sys\.env[^A-Za-z]*"[A-Z0-9_]+"' src 2>/dev/null | \
+  grep -oE '"[A-Z0-9_]+"' | sort -u | \
+  grep -vE '"(SPARK_[A-Z0-9_]+|GRAFT_[A-Z0-9_]+|FILE_[A-Z0-9_]+|JAVA_[A-Z0-9_]+|HOME|PATH|USER|TMPDIR|TZ|LANG|PWD)"' || true)"
+if [ -n "$env_hits" ]; then
+  echo "LEAK[env-var] (unexpected env reads):"; echo "$env_hits" | sed 's/^/    /'; leak_fail=1
+fi
+[ "$leak_fail" = 0 ] || { echo "FATAL: leak grep hit"; exit 1; }
+echo "leak grep clean"
+
+echo "== leg 3/4: sbt test on HEAD =="
+sbt -batch test
+
+echo "== leg 4/4: entry-list drift (contract vs latest CORRECTNESS) =="
+QFILE="$(mktemp /tmp/graft_queries.XXXXXX)"
+sbt -batch "runMain graft.tools.ListQueries $QFILE" >/dev/null
+python3 - "$QFILE" <<'EOF'
+import glob, json, re, sys
+lines = [l.strip() for l in open(sys.argv[1]) if l.strip()]
+queries = {l for l in lines if not l.startswith('oracle:')}
+oracles = {l[len('oracle:'):] for l in lines if l.startswith('oracle:')}
+latest = max(glob.glob('CORRECTNESS_r*.json'),
+             key=lambda p: int(re.search(r'r(\d+)', p).group(1)))
+verified = set(json.load(open(latest)).keys())
+fail = False
+unverified = queries - verified
+vanished = verified - queries
+orphans = oracles - queries
+if unverified:
+    print(f"DRIFT: contract queries never verified by {latest}: {sorted(unverified)}")
+    print("       (expected mid-round for NEW queries — the driver verifies at round close;")
+    print("        at ROUND OPEN this is a failure)")
+    fail = True
+if vanished:
+    print(f"DRIFT: names verified in {latest} but gone from the contract: {sorted(vanished)}")
+    fail = True
+if orphans:
+    print(f"DRIFT: oracleSql keys with no matching query: {sorted(orphans)}")
+    fail = True
+print(f"contract {len(queries)} queries / {len(oracles)} oracles vs {latest} {len(verified)} verified"
+      + (" — FAIL" if fail else " — no drift"))
+sys.exit(1 if fail else 0)
+EOF
+rm -f "$QFILE"
+
+echo "round_open gate: ALL FOUR LEGS GREEN"
