@@ -16,11 +16,49 @@ object StreamingTwins {
 
   // single-file inputs staged into their own directory, memoized per
   // source path so bench reps don't re-copy; the value records the
-  // source (dir, length, mtime) OBSERVED at staging time so the
-  // staleness check does not depend on the temp filesystem preserving
-  // attributes on copy
+  // source (dir, length, mtime, content fingerprint) OBSERVED at
+  // staging time so the staleness check does not depend on the temp
+  // filesystem preserving attributes on copy
   private val staged =
-    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long)]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long, Long)]
+
+  /** Cheap content fingerprint for the staging staleness check: FNV-1a
+    * over the FIRST and LAST 64 KiB blocks, mixed with the length —
+    * two page-cache reads, independent of file size. First+last is the
+    * right pair for parquet specifically: the footer (last block)
+    * carries the row-group offsets and column statistics, so any
+    * regeneration that changes row content perturbs it even when the
+    * byte LENGTH happens to coincide. Closes the one staleness case
+    * the (length, mtime) pair waves through — a source regenerated at
+    * identical byte length with its timestamp restored (r17 advisor
+    * residual). Not cryptographic and not full-content: a collision
+    * needs identical length, identical first and last 64 KiB, AND a
+    * restored mtime — at that point the snapshot is the same file for
+    * every purpose this harness adapter has.
+    */
+  private[graft] def contentFingerprint(f: java.io.File): Long = {
+    val block = 64 * 1024
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val len = raf.length
+      var h = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis
+      val buf = new Array[Byte](block)
+      def mix(n: Int): Unit = {
+        var i = 0
+        while (i < n) { h ^= (buf(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      }
+      val n1 = raf.read(buf)
+      if (n1 > 0) mix(n1)
+      // last block, overlapping the first when len <= 2 blocks (full
+      // coverage of small files); skip when the first read saw it all
+      if (len > n1 && n1 > 0) {
+        raf.seek(math.max(0L, len - block))
+        val n2 = raf.read(buf)
+        if (n2 > 0) mix(n2)
+      }
+      h ^ len
+    } finally raf.close()
+  }
 
   // footer-probed schema memoized per staged dir for the same reason:
   // the probe is a batch read (file listing + footer parse) that the
@@ -42,7 +80,7 @@ object StreamingTwins {
     // self-heal a vanished stage (external tmp cleanup, RAM-backed tmp
     // cleared): a memo pointing at a deleted dir must re-stage, not
     // fail every later stream with PATH_NOT_FOUND
-    staged.get(path).foreach { case (d, srcLen, srcMtime) =>
+    staged.get(path).foreach { case (d, srcLen, srcMtime, srcFp) =>
       val copy = new java.io.File(d, f.getName)
       // stale if vanished OR the source was regenerated in place (size
       // or mtime CHANGED vs what staging OBSERVED): serving the old
@@ -55,9 +93,14 @@ object StreamingTwins {
       // filesystem preserving attributes on copy.
       // copy.length != srcLen is the COPY-integrity leg: a staged file
       // truncated in place (RAM-backed tmp pressure) still exists but
-      // must re-stage, not silently stream a torn snapshot
+      // must re-stage, not silently stream a torn snapshot.
+      // contentFingerprint is the LAST leg (short-circuit: two 64 KiB
+      // reads only when every cheap leg passes) and closes the
+      // identical-length + restored-mtime regeneration the stat pair
+      // cannot see (r17 advisor residual).
       if (!copy.isFile || copy.length != srcLen || srcLen != f.length ||
-          srcMtime != f.lastModified) staged.remove(path)
+          srcMtime != f.lastModified ||
+          contentFingerprint(f) != srcFp) staged.remove(path)
     }
     staged.getOrElseUpdate(path, {
       // deleteOnExit can't remove a non-empty dir — TempDirs deletes
@@ -69,8 +112,9 @@ object StreamingTwins {
       // mid-copy then reads as changed on the next call and re-stages
       val len = f.length
       val mtime = f.lastModified
+      val fp = contentFingerprint(f)
       java.nio.file.Files.copy(f.toPath, dst)
-      (dir.toString, len, mtime)
+      (dir.toString, len, mtime, fp)
     })._1
   }
 

@@ -670,4 +670,53 @@ class StreamingTwinsSpec extends SparkTestBase {
       assert(Files.readAllBytes(staged2).forall(_ == 2), "re-stage must carry the NEW bytes")
     } finally Files.deleteIfExists(src)
   }
+
+  test("staging re-stages a source regenerated at IDENTICAL length with a RESTORED mtime") {
+    // the r17 advisor residual: a snapshot-restore / rsync that lands
+    // the new generation at exactly the old byte length AND puts the
+    // old timestamp back. Both stat legs (length, mtime) then read
+    // unchanged and only the content fingerprint can see the swap —
+    // without it the stream silently serves the previous corpus
+    // generation while batch oracles read the new one.
+    val src = Files.createTempFile("graft_stage_fp_", ".parquet")
+    try {
+      Files.write(src, Array.fill[Byte](64)(1))
+      val mtime0 = Files.getLastModifiedTime(src)
+      val d1 = StreamingTwins.streamableDir(src.toString)
+      // regenerate: SAME length, DIFFERENT bytes, mtime restored
+      Files.write(src, Array.fill[Byte](64)(2))
+      Files.setLastModifiedTime(src, mtime0)
+      val d2 = StreamingTwins.streamableDir(src.toString)
+      assert(d2 != d1,
+        "identical-length + restored-mtime regeneration must re-stage (fingerprint leg)")
+      val staged2 = Paths.get(d2, src.getFileName.toString)
+      assert(Files.readAllBytes(staged2).forall(_ == 2), "re-stage must carry the NEW bytes")
+      // and an untouched source still memo-hits (the fingerprint leg
+      // must not thrash the stage on every call)
+      assert(StreamingTwins.streamableDir(src.toString) == d2)
+    } finally Files.deleteIfExists(src)
+  }
+
+  test("content fingerprint sees changes in the first block, the last block, and the length") {
+    val f = Files.createTempFile("graft_fp_", ".bin")
+    try {
+      def fpOf(bytes: Array[Byte]): Long = {
+        Files.write(f, bytes)
+        StreamingTwins.contentFingerprint(f.toFile)
+      }
+      val block = 64 * 1024
+      // large enough that first and last blocks don't overlap
+      val base = Array.tabulate[Byte](3 * block)(i => (i % 251).toByte)
+      val fp0 = fpOf(base)
+      assert(fpOf(base) == fp0, "fingerprint must be deterministic")
+      val firstFlip = base.clone; firstFlip(10) = (firstFlip(10) + 1).toByte
+      assert(fpOf(firstFlip) != fp0, "first-block change must move the fingerprint")
+      val lastFlip = base.clone; lastFlip(3 * block - 10) = (lastFlip(3 * block - 10) + 1).toByte
+      assert(fpOf(lastFlip) != fp0, "last-block change must move the fingerprint")
+      assert(fpOf(base ++ Array[Byte](0)) != fp0, "length change must move the fingerprint")
+      // small files (< one block) are covered end to end
+      assert(fpOf(Array[Byte](1, 2, 3)) != fpOf(Array[Byte](1, 2, 4)))
+      assert(fpOf(Array.empty[Byte]) == fpOf(Array.empty[Byte]))
+    } finally Files.deleteIfExists(f)
+  }
 }
