@@ -39,16 +39,42 @@ object Archive {
     * `config.py:109`). Returns the extraction path.
     */
   def extractZipMember(zipPath: String, memberName: String, destDir: Path): Path = {
-    val zf = new ZipFile(zipPath)
+    // Hostile-file policy (SourceChaosProbe): a truncated download or a
+    // zip whose central directory disagrees with its local headers must
+    // fail LOUDLY with the path — and must never leave a TORN
+    // extraction behind for the next pipeline step to silently ingest
+    // (the decompressor only detects the mismatch mid-stream, after
+    // bytes are already written).
+    val zf =
+      try new ZipFile(zipPath)
+      catch {
+        case e: java.util.zip.ZipException => throw new IllegalArgumentException(
+          s"$zipPath: not a readable zip archive (${e.getMessage})", e)
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"$zipPath: cannot open archive: ${e.getMessage}", e)
+      }
     try {
       val entry = Option(zf.getEntry(memberName)).getOrElse(
         throw new IllegalArgumentException(
           s"$zipPath has no member $memberName (members: " +
             zf.stream().limit(20).map[String](_.getName).toArray.mkString(", ") + ")"))
       val dest = destDir.resolve(Paths.get(memberName).getFileName)
-      val in = zf.getInputStream(entry)
-      try Files.copy(in, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      finally in.close()
+      // extract to a sibling temp file, promote atomically: a corrupt
+      // deflate stream then aborts with the temp deleted, never a
+      // partial file at the published path
+      val tmp = Files.createTempFile(destDir, dest.getFileName.toString, ".extracting")
+      try {
+        val in = zf.getInputStream(entry)
+        try Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        catch {
+          case e: java.util.zip.ZipException => throw new IllegalArgumentException(
+            s"$zipPath!$memberName: corrupt member (${e.getMessage}) — " +
+              "local header or deflate stream disagrees with the central directory", e)
+        }
+        finally in.close()
+        Files.move(tmp, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
       dest
     } finally zf.close()
   }

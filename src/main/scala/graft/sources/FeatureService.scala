@@ -41,8 +41,16 @@ object FeatureService {
     var more = true
     var pages = 0
     var prevSig: Option[Seq[(Map[String, String], Seq[Byte])]] = None
+    // page-parse failures (truncated JSON, error page, non-collection
+    // body, corrupt geometry) name the URL and offset they struck at —
+    // "malformed JSON" without the page that produced it is undebuggable
+    // on a 100k-page fetch
+    def parsedPage(off: Int): Seq[(Map[String, String], Array[Byte])] =
+      try parsePage(fetch(queryUrl(baseUrl, off, pageSize)))
+      catch { case e: IllegalArgumentException => throw new IllegalArgumentException(
+        s"$baseUrl at resultOffset=$off: ${e.getMessage}", e) }
     while (more) {
-      val page = parsePage(fetch(queryUrl(baseUrl, offset, pageSize)))
+      val page = parsedPage(offset)
       // a server that ignores resultOffset (supportsPagination=false)
       // returns the same page for every offset — detect the lack of
       // progress instead of looping forever. The comparison covers the
@@ -69,7 +77,7 @@ object FeatureService {
       // that prefix would silently truncate the layer (which loadCached
       // then persists forever)
       if (pages >= maxPages && page.nonEmpty) {
-        val probe = parsePage(fetch(queryUrl(baseUrl, offset, pageSize)))
+        val probe = parsedPage(offset)
         if (probe.nonEmpty)
           throw new IllegalStateException(
             s"$baseUrl still returning rows after maxPages=$maxPages pages " +
@@ -81,10 +89,36 @@ object FeatureService {
     out.toSeq
   }
 
-  /** One GeoJSON FeatureCollection page → (properties, WKB) pairs. */
+  /** One GeoJSON FeatureCollection page → (properties, WKB) pairs.
+    *
+    * Hostile-page policy (SourceChaosProbe): ArcGIS servers return
+    * HTTP 200 with an `{"error": …}` JSON body on failure, and a page
+    * that is valid JSON but NOT a FeatureCollection has no `features`
+    * array — both previously read as size-0 and TERMINATED the
+    * pagination loop, silently truncating the layer to the pages
+    * fetched so far (which loadCached then persists forever). Only a
+    * real FeatureCollection with an empty `features` ARRAY means
+    * end-of-layer; anything else fails loudly. Malformed JSON
+    * (truncated mid-pagination) and per-feature geometry corruption
+    * carry the feature index so [[fetchAll]] can add the URL + offset.
+    */
   def parsePage(json: String): Seq[(Map[String, String], Array[Byte])] = {
-    val root = mapper.readTree(json)
+    val root =
+      try mapper.readTree(json)
+      catch { case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new IllegalArgumentException(
+          s"malformed page: not parseable JSON (${e.getOriginalMessage})", e) }
+    val err = root.path("error")
+    if (!err.isMissingNode)
+      throw new IllegalArgumentException(
+        s"service returned an error page: ${err.toString.take(300)}")
     val features = root.path("features")
+    if (!features.isArray)
+      throw new IllegalArgumentException(
+        "malformed page: no 'features' array (not a GeoJSON FeatureCollection; " +
+          s"top-level fields: ${
+            scala.jdk.CollectionConverters.IteratorHasAsScala(root.fieldNames())
+              .asScala.take(8).mkString(", ")})")
     (0 until features.size()).map { i =>
       val f = features.get(i)
       val props = f.path("properties")
@@ -93,7 +127,11 @@ object FeatureService {
         val v = props.get(n)
         attrs(n) = if (v.isNull) null else v.asText()
       }
-      (attrs.toMap, GeomCodec.write(parseGeometry(f.path("geometry"))))
+      val wkb =
+        try GeomCodec.write(parseGeometry(f.path("geometry")))
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"feature $i: corrupt geometry (${e.getMessage})", e) }
+      (attrs.toMap, wkb)
     }
   }
 

@@ -123,17 +123,52 @@ object Shapefile {
     */
   def readShp(path: String, conf: HadoopConf = new HadoopConf()): Seq[Geometry] = {
     val bytes = readFully(path, conf)
+    // Hostile-file policy (SourceChaosProbe): a corrupt FILE — unlike a
+    // corrupt row — is a whole ingestion unit; it must fail LOUDLY with
+    // the path and offset, never parse garbage into the pipeline and
+    // never surface as an opaque IndexOutOfBounds from ByteBuffer.
+    require(bytes.length >= 100,
+      s"$path: ${bytes.length} bytes — shorter than the 100-byte shapefile header")
     val buf = ByteBuffer.wrap(bytes)
     buf.order(ByteOrder.BIG_ENDIAN)
     require(buf.getInt(0) == 9994, s"$path: not a shapefile (bad magic)")
     val fileWords = buf.getInt(24)                      // length in 16-bit words
+    // the header's declared length is authoritative (ESRI spec) — a
+    // mismatch in EITHER direction is corruption: longer = truncated
+    // download, shorter = trailing bytes the declared length would
+    // silently drop records from
+    val declared = fileWords.toLong * 2
+    require(declared == bytes.length,
+      s"$path: header declares $declared bytes but the file has " +
+        s"${bytes.length} — ${if (declared > bytes.length) "truncated file"
+          else "trailing bytes past the declared length"}")
     val out = new ArrayBuffer[Geometry]
     var pos = 100
-    while (pos < fileWords * 2) {
+    while (pos < bytes.length) {
+      require(pos + 8 <= bytes.length,
+        s"$path: truncated record header at offset $pos (record ${out.length + 1})")
       val contentWords = buf.getInt(pos + 4)            // record header: num, length (BE)
+      // minimum record content is the 4-byte shape type (2 words); a
+      // negative or overrunning length is a torn or doctored file
+      require(contentWords >= 2 &&
+          pos + 8 + contentWords.toLong * 2 <= bytes.length,
+        s"$path: record ${out.length + 1} at offset $pos declares " +
+          s"$contentWords content words — overruns the ${bytes.length}-byte file")
       val content = ByteBuffer.wrap(bytes, pos + 8, contentWords * 2)
         .order(ByteOrder.LITTLE_ENDIAN)
-      out += parseRecord(content)
+      // context wrapper: a record whose bounded view is too short for
+      // its own shape type dies inside a coordinate read
+      // (BufferUnderflow) — surface the file, record number and offset
+      out += (try parseRecord(content) catch {
+        case e: IllegalArgumentException if e.getMessage != null &&
+            e.getMessage.contains("corrupt shapefile record") =>
+          throw new IllegalArgumentException(
+            s"$path: record ${out.length + 1} at offset $pos: ${e.getMessage}", e)
+        case e: java.nio.BufferUnderflowException =>
+          throw new IllegalArgumentException(
+            s"$path: record ${out.length + 1} at offset $pos: content " +
+              s"($contentWords words) too short for its shape type", e)
+      })
       pos += 8 + contentWords * 2
     }
     out.toSeq
@@ -144,6 +179,16 @@ object Shapefile {
     b.position(b.position() + 32)                       // skip bbox
     val numParts = b.getInt
     val numPoints = b.getInt
+    // negative counts would make Array.fill return EMPTY silently and
+    // the remaining content parse as garbage coordinates — the bounded
+    // record view can't catch that (everything stays in-bounds); the
+    // size check below turns an overrunning count into a loud error
+    // instead of a BufferUnderflow deep in a coordinate read
+    require(numParts >= 0 && numPoints >= 0,
+      s"corrupt shapefile record: negative counts numParts=$numParts numPoints=$numPoints")
+    require(4L * numParts + 16L * numPoints <= b.remaining(),
+      s"corrupt shapefile record: numParts=$numParts numPoints=$numPoints need " +
+        s"${4L * numParts + 16L * numPoints} bytes but only ${b.remaining()} remain")
     val parts = Array.fill(numParts)(b.getInt)
     val pts = Array.fill(numPoints)(new Coordinate(b.getDouble, b.getDouble))
     (parts, pts)
@@ -158,6 +203,9 @@ object Shapefile {
       case 8 =>                                         // MultiPoint
         b.position(b.position() + 32)                   // skip bbox
         val n = b.getInt
+        require(n >= 0 && 16L * n <= b.remaining(),
+          s"corrupt shapefile record: numPoints=$n needs ${16L * n} bytes " +
+            s"but only ${b.remaining()} remain")
         val pts = Array.fill(n)(new Coordinate(b.getDouble, b.getDouble))
         if (n == 1) gf.createPoint(pts(0))
         else gf.createMultiPoint(pts.map(gf.createPoint))
@@ -472,6 +520,12 @@ object Shapefile {
     val fields = new ArrayBuffer[DbfField]
     var fp = 32
     while (fp < headerSize - 1 && bytes(fp) != 0x0d) {
+      // a header size that is not 32 + 32·k + 1 leaves a partial
+      // descriptor before the terminator — reading it would index past
+      // the header (opaque AIOOBE on a doctored file)
+      require(fp + 32 <= headerSize - 1,
+        s"malformed dBASE header: partial field descriptor at offset $fp " +
+          s"(header size $headerSize)")
       val name = new String(bytes, fp, 11, "ISO-8859-1").takeWhile(_ != 0).trim
       val typ = bytes(fp + 11).toChar
       val len = bytes(fp + 16) & 0xff
@@ -493,12 +547,19 @@ object Shapefile {
     */
   def readDbfSchema(path: String, conf: HadoopConf = new HadoopConf()): Seq[StructField] = {
     val p = new HPath(path)
+    val fileLen = p.getFileSystem(conf).getFileStatus(p).getLen
+    require(fileLen >= 33,
+      s"$path: $fileLen bytes — shorter than the minimal dBASE header")
     val in = p.getFileSystem(conf).open(p)
     try {
       val pro = new Array[Byte](32)
       in.readFully(0, pro)
       val headerSize =
         (pro(8) & 0xff) | ((pro(9) & 0xff) << 8)   // LE unsigned short
+      // a doctored header size would otherwise surface as an opaque
+      // negative-length or EOF error from readFully
+      require(headerSize >= 33 && headerSize <= fileLen,
+        s"$path: header size $headerSize out of range for a $fileLen-byte file")
       val header = new Array[Byte](headerSize)
       System.arraycopy(pro, 0, header, 0, 32)
       in.readFully(32, header, 32, headerSize - 32)
@@ -513,13 +574,36 @@ object Shapefile {
   private def readDbfRaw(
       path: String, conf: HadoopConf): (Seq[StructField], Seq[Seq[Any]], Seq[Boolean]) = {
     val bytes = readFully(path, conf)
+    // Hostile-file policy (SourceChaosProbe): doctored header counts
+    // must fail loudly with the numbers that disagree — unguarded, an
+    // overrunning declared record size is an opaque
+    // ArrayIndexOutOfBounds, and an UNDER-declared one silently reads
+    // field bytes from the NEXT record (in-bounds garbage, the worst
+    // case: no error at all).
+    require(bytes.length >= 33,
+      s"$path: ${bytes.length} bytes — shorter than the minimal dBASE header")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val numRecords = buf.getInt(4)
     val headerSize = buf.getShort(8) & 0xffff
     val recordSize = buf.getShort(10) & 0xffff
+    require(numRecords >= 0, s"$path: negative record count $numRecords")
+    require(headerSize >= 33 && headerSize <= bytes.length,
+      s"$path: header size $headerSize out of range for a ${bytes.length}-byte file")
+    require(recordSize >= 1,
+      s"$path: record size $recordSize — a record is at least the deletion flag")
+    // Long arithmetic: a hostile numRecords×recordSize overflows Int
+    // and a wrapped product could pass a naive <= check
+    require(headerSize + numRecords.toLong * recordSize <= bytes.length,
+      s"$path: $numRecords records × $recordSize bytes + $headerSize-byte header " +
+        s"overruns the ${bytes.length}-byte file (truncated or doctored count)")
 
     val fields = new ArrayBuffer[DbfField]
     fields ++= parseFieldDescriptors(bytes, headerSize)
+    // descriptors wider than the declared record size would read each
+    // row's tail from the FOLLOWING record — silent corruption
+    require(1 + fields.map(_.len).sum <= recordSize,
+      s"$path: field widths sum to ${fields.map(_.len).sum} + 1 flag byte " +
+        s"> declared record size $recordSize — descriptors and records disagree")
 
     val schema = fields.map(f => StructField(f.name, sparkType(f.typ), nullable = true)).toSeq
 

@@ -22,17 +22,41 @@ import org.apache.spark.sql.Row
   */
 object XlsxReader {
 
-  /** Parse sheet1 into rows of (possibly null) strings. */
+  /** Parse sheet1 into rows of (possibly null) strings.
+    *
+    * Hostile-file policy (SourceChaosProbe): a torn or doctored
+    * workbook — truncated zip, corrupt shared-strings XML, a cell
+    * indexing past the shared-string table — fails LOUDLY with the
+    * path and which part is corrupt; it must never surface as a
+    * pathless ZipException/SAXParseException or an opaque
+    * IndexOutOfBounds, and never parse garbage cells.
+    */
   def readRows(path: String): Seq[Seq[String]] = {
-    val zip = new ZipFile(path)
+    val zip =
+      try new ZipFile(path)
+      catch {
+        case e: java.util.zip.ZipException => throw new IllegalArgumentException(
+          s"$path: not a readable xlsx (zip container rejected: ${e.getMessage})", e)
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"$path: cannot open xlsx: ${e.getMessage}", e)
+      }
     try {
       val shared: IndexedSeq[String] = Option(zip.getEntry("xl/sharedStrings.xml")) match {
-        case Some(e) => parseSharedStrings(zip.getInputStream(e))
+        case Some(e) =>
+          try parseSharedStrings(zip.getInputStream(e))
+          catch { case ex: Exception => throw new IllegalArgumentException(
+            s"$path: corrupt xl/sharedStrings.xml: ${ex.getMessage}", ex) }
         case None    => IndexedSeq.empty
       }
       val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
         .getOrElse(throw new IllegalArgumentException(s"no sheet1 in $path"))
-      parseSheet(zip.getInputStream(sheetEntry), shared)
+      try parseSheet(zip.getInputStream(sheetEntry), shared)
+      catch {
+        case ex: IllegalArgumentException => throw new IllegalArgumentException(
+          s"$path: ${ex.getMessage}", ex)
+        case ex: Exception => throw new IllegalArgumentException(
+          s"$path: corrupt xl/worksheets/sheet1.xml: ${ex.getMessage}", ex)
+      }
     } finally zip.close()
   }
 
@@ -76,7 +100,18 @@ object XlsxReader {
         val t = c.getAttribute("t")
         val v = children(c, "v").headOption.map(_.getTextContent)
         val text = t match {
-          case "s"         => v.map(i => shared(i.toInt)).orNull
+          case "s" => v.map { i =>
+            // a shared-string index past the table (or non-numeric) is
+            // a corrupt workbook — name the cell instead of throwing an
+            // opaque IndexOutOfBounds/NumberFormat from deep inside
+            val idx = try i.toInt catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"cell ${c.getAttribute("r")}: non-numeric shared-string index '$i'") }
+            if (idx < 0 || idx >= shared.length) throw new IllegalArgumentException(
+              s"cell ${c.getAttribute("r")}: shared-string index $idx out of " +
+                s"range (table has ${shared.length} strings — corrupt workbook)")
+            shared(idx)
+          }.orNull
           case "inlineStr" => children(c, "t").map(_.getTextContent).mkString
           case "b"         => v.map(x => if (x == "1") "True" else "False").orNull
           case _           => v.map(trimNumeric).orNull
