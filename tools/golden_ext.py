@@ -231,6 +231,45 @@ def five_grams(t):
     return {s[i - 1:i + 4] for i in range(1, max(len(s) - 3, 2))}
 
 
+def brute_recall_verify(docs, cands, max_docs=600):
+    """Second, fully INDEPENDENT recall leg (r17 verdict task 5): a
+    from-scratch all-pairs enumeration with its own shingler and plain
+    set Jaccard — shares NO helper with minhash_candidates or the
+    matrix-based audit above (five_grams / shingle_hashes / numpy all
+    unused), so a definition bug common to the mirror's shared helpers
+    cannot forgive itself. Pure-python set sweep, so it only runs at
+    the smallest scale (sf0.001, ~500 docs = ~125k pairs, < 1 s); at
+    bigger scales it returns None and the matrix audit remains the
+    guarantee. Exits nonzero on a missed pair (explicit exit, never
+    assert — must survive python3 -O)."""
+    if len(docs) > max_docs:
+        return None
+    # deliberately re-derived from the DEFINITION (lowercased stripped
+    # text, character 5-grams, whole string when shorter than 5):
+    def grams(t):
+        s = t.strip().lower()
+        return {s[j:j + 5] for j in range(max(len(s) - 4, 1))}
+    g = [(i, grams(t)) for i, t in docs]
+    missed = []
+    true_pairs = 0
+    for x in range(len(g)):
+        ia, ga = g[x]
+        for y in range(x + 1, len(g)):
+            ib, gb = g[y]
+            un = len(ga | gb)
+            j = (len(ga & gb) / un) if un else 0.0
+            if j >= 0.8:
+                true_pairs += 1
+                a, b = (ia, ib) if ia <= ib else (ib, ia)
+                if cands.get((a, b), 0.0) < 0.65:
+                    missed.append((a, b, j))
+    if missed:
+        sys.exit(f"brute recall verify: banded candidates MISSED true "
+                 f">=0.8 pairs (independent enumeration): {missed[:5]}")
+    return (f"brute-verified at n={len(docs)} "
+            f"({len(g) * (len(g) - 1) // 2} pairs, {true_pairs} true)")
+
+
 def recall_audit(docs, cands, flop_cap=5e11, allow_skip=False):
     """Generation-time recall guarantee for the candidate-restricted
     verified-edge oracles (x14/x16/x25/x77): every TRUE all-pairs raw
@@ -592,6 +631,12 @@ def main():
     flop_cap = float(os.environ.get('GRAFT_AUDIT_FLOP_CAP', 5e11))
     audit_rec = recall_audit(docs, cands, flop_cap=flop_cap,
                              allow_skip=allow_skip)
+    # the independent brute leg runs only at the smallest scale (pure
+    # python, no shared helpers); its record rides in the same line
+    brute_rec = brute_recall_verify(docs, cands)
+    if brute_rec:
+        audit_rec = f"{audit_rec}; {brute_rec}"
+        print(f"recall audit: {brute_rec}")
     with open(os.path.join(outdir, 'recall_audit.txt'), 'w') as f:
         f.write(f"{os.path.basename(sfdir.rstrip('/'))}: {audit_rec}\n")
     # x03: est_jaccard >= 0.5; doubles are k/64 so repr() round-trips

@@ -128,6 +128,19 @@ elif case == "skip":
     rec = recall_audit(docs, full, flop_cap=1, allow_skip=True)
     if not rec.startswith("skipped"):
         raise SystemExit(f"bad skip record: {rec}")
+elif case == "brute_ok":
+    from golden_ext import brute_recall_verify
+    rec = brute_recall_verify(docs, full)
+    if not (rec and rec.startswith("brute-verified at n=3")):
+        raise SystemExit(f"bad brute record: {rec}")
+elif case == "brute_missed":
+    from golden_ext import brute_recall_verify
+    brute_recall_verify(docs, {})   # independent leg must catch it too
+elif case == "brute_at_scale":
+    from golden_ext import brute_recall_verify
+    # past max_docs the brute leg stands down (matrix audit remains)
+    if brute_recall_verify([(i, "x" * 10) for i in range(601)], {}) is not None:
+        raise SystemExit("brute leg must return None past max_docs")
 print("CASE_DONE")
 EOF
 for PY in "python3" "python3 -O"; do
@@ -136,6 +149,9 @@ for PY in "python3" "python3 -O"; do
   check "B2 $tag missed -> die"  1 "MISSED"     $PY "$AUDIT_PY" missed
   check "B3 $tag refuse skip"    1 "REFUSING"   $PY "$AUDIT_PY" refuse
   check "B4 $tag allowed skip"   0 "CASE_DONE"  $PY "$AUDIT_PY" skip
+  check "B5 $tag brute ok"       0 "CASE_DONE"  $PY "$AUDIT_PY" brute_ok
+  check "B6 $tag brute missed"   1 "MISSED"     $PY "$AUDIT_PY" brute_missed
+  check "B7 $tag brute at scale" 0 "CASE_DONE"  $PY "$AUDIT_PY" brute_at_scale
 done
 
 # ---------- C. end-to-end flop-cap hook on the real generator ----------
