@@ -506,30 +506,42 @@ object Similarity {
     * builders). StableKernelsSpec pins bit-equality with the old UDF
     * body and the sameResult property.
     *
-    * Non-FINITE vectors (null, null element, NaN/Inf coordinate) get a
-    * NULL code: NaN distances compare false in the argmin, so an
+    * INADMISSIBLE vectors (null, null element, NaN/Inf coordinate, or
+    * a length other than `model.dim`) get a NULL code: NaN distances
+    * compare false in the argmin and RAGGED vectors zero-pad, so an
     * unguarded encode would hand a corrupt row an arbitrary valid
     * codeword and a FINITE ADC score — the one corruption class that
-    * surfaces in top-k with no error (r17 advisor finding). A null
-    * code sinks under `asc_nulls_last` in [[pqTopK]], same policy as
-    * `vec_cosine` and quantizer-training admission.
+    * surfaces in top-k with no error (r17 advisor + r18 review
+    * findings). A null code sinks under `asc_nulls_last` in
+    * [[pqTopK]], same null-out policy as `vec_cosine`; NOTE it is
+    * stricter than quantizer-training admission (`vec_is_finite`),
+    * where a ragged sample instead hits the loud mixed-dimensions
+    * require — at encode time the scan is distributed and one corrupt
+    * row must not kill the pass.
     */
   def pqEncode(
       df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
-    val vec = finiteOrNull(col(vecCol))
+    val vec = finiteOrNull(col(vecCol), model.dim)
     df.select(col(idCol),
       graft.functions.VectorFunctions.pq_encode(vec,
         model.codebooks.map(_.map(_.toSeq).toSeq).toSeq, model.dim).as("code"))
   }
 
   /** The corrupt-vector admission guard shared by the encode passes:
-    * the vector itself when finite, NULL otherwise — null-intolerant
-    * downstream kernels then yield null codes/cells that every top-k
-    * in the family already sinks (`asc_nulls_last`) or prunes
-    * (`cell IN (...)`).
+    * the vector itself when it is exactly `dim` FINITE floats, NULL
+    * otherwise — null-intolerant downstream kernels then yield null
+    * codes/cells that every top-k in the family already sinks
+    * (`asc_nulls_last`) or prunes (`cell IN (...)`). The length leg
+    * matters as much as finiteness: `vec_is_finite` is length-agnostic
+    * and the kernels zero-pad, so a RAGGED finite vector would encode
+    * to a real codeword with a finite ADC score — the same
+    * silent-surface class as NaN (r18 review finding). `size(null)`
+    * is null under the non-legacy conf, so null vectors fall through
+    * to NULL either way.
     */
-  private def finiteOrNull(vec: Column): Column =
-    when(graft.functions.VectorFunctions.vec_is_finite(vec), vec)
+  private def finiteOrNull(vec: Column, dim: Int): Column =
+    when(graft.functions.VectorFunctions.vec_is_finite(vec) &&
+      size(vec) === lit(dim), vec)
 
   /** ADC (asymmetric distance) top-k over PQ codes: precompute the
     * m×k table of squared L2 distances from the query's subvectors to
@@ -625,7 +637,7 @@ object Similarity {
     // (StableKernelsSpec pins against the UDF body; x48 unchanged).
     val coarse = model.coarse.map(_.toSeq).toSeq
     val cbs = model.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq
-    df.select(col(idCol), finiteOrNull(col(vecCol)).as(vecCol))
+    df.select(col(idCol), finiteOrNull(col(vecCol), model.dim).as(vecCol))
       .select(col(idCol), col(vecCol),
         graft.functions.VectorFunctions
           .ivf_cell(col(vecCol), coarse, model.dim).as("cell"))

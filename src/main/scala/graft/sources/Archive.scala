@@ -65,9 +65,13 @@ object Archive {
       val tmp = Files.createTempFile(destDir, dest.getFileName.toString, ".extracting")
       try {
         val in = zf.getInputStream(entry)
+        // IOException, not just ZipException: a deflate stream that
+        // ends prematurely surfaces as EOFException ("Unexpected end
+        // of ZLIB input stream") — same corruption class, and it must
+        // carry the zipPath!member context too (r18 review)
         try Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         catch {
-          case e: java.util.zip.ZipException => throw new IllegalArgumentException(
+          case e: java.io.IOException => throw new IllegalArgumentException(
             s"$zipPath!$memberName: corrupt member (${e.getMessage}) — " +
               "local header or deflate stream disagrees with the central directory", e)
         }

@@ -156,18 +156,20 @@ object Shapefile {
           s"$contentWords content words — overruns the ${bytes.length}-byte file")
       val content = ByteBuffer.wrap(bytes, pos + 8, contentWords * 2)
         .order(ByteOrder.LITTLE_ENDIAN)
-      // context wrapper: a record whose bounded view is too short for
-      // its own shape type dies inside a coordinate read
-      // (BufferUnderflow) — surface the file, record number and offset
+      // context wrapper for EVERY record-parse failure — unsupported
+      // shape type, JTS ring rejection, count guards, a bounded view
+      // too short for its own shape type (BufferUnderflow): the loud
+      // policy requires the file, record number and offset, whatever
+      // the inner error class (r18 review: a token-filtered wrapper
+      // let 'unsupported shape type' and JTS errors escape pathless)
       out += (try parseRecord(content) catch {
-        case e: IllegalArgumentException if e.getMessage != null &&
-            e.getMessage.contains("corrupt shapefile record") =>
-          throw new IllegalArgumentException(
-            s"$path: record ${out.length + 1} at offset $pos: ${e.getMessage}", e)
         case e: java.nio.BufferUnderflowException =>
           throw new IllegalArgumentException(
             s"$path: record ${out.length + 1} at offset $pos: content " +
               s"($contentWords words) too short for its shape type", e)
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"$path: record ${out.length + 1} at offset $pos: ${e.getMessage}", e)
       })
       pos += 8 + contentWords * 2
     }

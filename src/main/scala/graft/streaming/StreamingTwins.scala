@@ -47,13 +47,26 @@ object StreamingTwins {
         var i = 0
         while (i < n) { h ^= (buf(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
       }
-      val n1 = raf.read(buf)
+      // fill loop, not one read(): a single read may legally return
+      // short (network mounts), and a fingerprint that depends on read
+      // sizes would spuriously invalidate the stage on every check
+      // (r18 review). Returns bytes actually read (EOF-safe).
+      def readBlock(from: Long): Int = {
+        raf.seek(from)
+        var got = 0
+        var n = 0
+        while (got < block && n >= 0) {
+          n = raf.read(buf, got, block - got)
+          if (n > 0) got += n
+        }
+        got
+      }
+      val n1 = readBlock(0L)
       if (n1 > 0) mix(n1)
       // last block, overlapping the first when len <= 2 blocks (full
       // coverage of small files); skip when the first read saw it all
       if (len > n1 && n1 > 0) {
-        raf.seek(math.max(0L, len - block))
-        val n2 = raf.read(buf)
+        val n2 = readBlock(math.max(0L, len - block))
         if (n2 > 0) mix(n2)
       }
       h ^ len

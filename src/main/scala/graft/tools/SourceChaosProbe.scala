@@ -55,7 +55,7 @@ object SourceChaosProbe {
   // readers implement, then doctored per scenario --------------------
 
   /** 100-byte header + one Point record (128 bytes, spec-exact). */
-  private[tools] def validShp(): Array[Byte] = {
+  private[graft] def validShp(): Array[Byte] = {
     val b = ByteBuffer.allocate(128)
     b.order(ByteOrder.BIG_ENDIAN)
     b.putInt(0, 9994)                 // magic
@@ -106,7 +106,7 @@ object SourceChaosProbe {
   }
 
   /** 32-byte prologue + one 'NAME' C(4) descriptor + 0x0d + records. */
-  private[tools] def validDbf(numRecords: Int = 2): Array[Byte] = {
+  private[graft] def validDbf(numRecords: Int = 2): Array[Byte] = {
     val headerSize = 32 + 32 + 1
     val recordSize = 1 + 4
     val b = ByteBuffer.allocate(headerSize + numRecords * recordSize + 1)
@@ -221,6 +221,15 @@ object SourceChaosProbe {
         Shapefile.readShp(write(dir, "negpts.shp", polyShp(1, -4, 4)))),
       Scenario("shp", "polygon numPoints overruns its record", "remain", () =>
         Shapefile.readShp(write(dir, "ptsover.shp", polyShp(1, 1000, 4)))),
+      Scenario("shp", "unsupported shape type carries file+record context",
+        "record 1 at offset 100", () =>
+        Shapefile.readShp(write(dir, "badtype.shp",
+          doctored(shp)(_.putInt(108, 99))))),
+      Scenario("shp", "polygon ring JTS rejection carries file+record context",
+        "record 1 at offset 100", () =>
+        // 2-point ring: sizes all consistent, JTS refuses the ring —
+        // the wrapper must still name the file/record/offset
+        Shapefile.readShp(write(dir, "shortring.shp", polyShp(1, 2, 2)))),
       Scenario("shp", "record too short for its shape type", "too short", () => {
         // Point record with only the 4-byte type (contentWords=2):
         // sizes consistent at file level, content lies about its type

@@ -229,7 +229,12 @@ class StableKernelsSpec extends SparkTestBase {
       nCells = 4, trainN = 64)
 
     // the real corpus, including its null embeddings, plus ragged and
-    // empty vectors (the zero-pad edge the UDFs were total over)
+    // empty vectors (the zero-pad edge the UDFs were total over).
+    // Bit-equality is pinned at the raw KERNEL level: since r18 the
+    // Similarity operators sit an admission guard ABOVE the kernels
+    // (inadmissible vectors -> NULL code, see the operator assertions
+    // below), but the kernels themselves stay total/zero-pad — that
+    // totality is what guarantees no mid-job task death at 100 TB.
     val odd = Seq(
       (9001L, Array(0.5f, -2f, 3f)), (9002L, Array.empty[Float]),
       (9003L, null.asInstanceOf[Array[Float]])
@@ -238,7 +243,9 @@ class StableKernelsSpec extends SparkTestBase {
     val raw = input.collect()
       .map(r => r.getLong(0) -> Option(r.getSeq[Float](1)).orNull).toMap
 
-    val gotPq = Similarity.pqEncode(input, "vec_id", "embedding", model)
+    val cbsSeq = model.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    val gotPq = input.select(col("vec_id"),
+        VectorFunctions.pq_encode(col("embedding"), cbsSeq, model.dim).as("code"))
       .collect()
       .map(r => r.getLong(0) -> Option(r.getSeq[Int](1)).map(_.toArray).orNull)
     gotPq.foreach { case (id, code) =>
@@ -247,7 +254,14 @@ class StableKernelsSpec extends SparkTestBase {
         s"pq_encode mismatch on vec $id")
     }
 
-    val gotIvf = Similarity.ivfPqEncode(input, "vec_id", "embedding", ivfModel)
+    val coarseSeq = ivfModel.coarse.map(_.toSeq).toSeq
+    val ivfCbsSeq = ivfModel.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    val gotIvf = input.select(col("vec_id"),
+        VectorFunctions.ivf_cell(col("embedding"), coarseSeq, ivfModel.dim).as("cell"),
+        col("embedding"))
+      .select(col("vec_id"), col("cell"),
+        VectorFunctions.ivfpq_code_at(col("embedding"), col("cell"),
+          coarseSeq, ivfCbsSeq, ivfModel.dim).as("code"))
       .collect()
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
@@ -259,6 +273,17 @@ class StableKernelsSpec extends SparkTestBase {
       assert((code == null && refCode == null) || code.sameElements(refCode),
         s"ivfpq_code mismatch on vec $id")
     }
+
+    // operator level: the SAME odd rows (ragged, empty, null) are
+    // inadmissible and must come back NULL from the guarded operators
+    // (full policy matrix incl. NaN/Inf in SimilarityPqSpec)
+    val oddIds = Set(9001L, 9002L, 9003L)
+    val opPq = Similarity.pqEncode(input, "vec_id", "embedding", model).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(oddIds.forall(opPq(_)), "operator must NULL inadmissible codes")
+    val opIvf = Similarity.ivfPqEncode(input, "vec_id", "embedding", ivfModel)
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1) && r.isNullAt(2))).toMap
+    assert(oddIds.forall(opIvf(_)), "operator must NULL inadmissible cell+code")
   }
 
   test("PQ kernels read null array ELEMENTS as 0.0 on both ArrayData paths") {

@@ -154,13 +154,17 @@ class SimilarityPqSpec extends SparkTestBase {
     import spark.implicits._
     val corrupt = Seq(
       (100L, Array(Float.NaN) ++ Array.fill(dim - 1)(5.0f)),
-      (101L, Array(Float.PositiveInfinity) ++ Array.fill(dim - 1)(5.0f)))
+      (101L, Array(Float.PositiveInfinity) ++ Array.fill(dim - 1)(5.0f)),
+      // RAGGED finite vector (r18 review): length-agnostic vec_is_finite
+      // admits it and the kernel would zero-pad it into a REAL codeword
+      // near the +cluster — the admission guard must also check length
+      (102L, Array.fill(dim - 1)(5.0f)))
     val corpus = clustered.union(corrupt.toDF("vec_id", "embedding"))
 
     val model = Similarity.pqTrain(clustered, "vec_id", "embedding", dim,
       m = 4, k = 8, trainN = 64)
     val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", model)
-    assert(codes.filter(col("vec_id") >= 100L && col("code").isNull).count() == 2,
+    assert(codes.filter(col("vec_id") >= 100L && col("code").isNull).count() == 3,
       "corrupt rows must encode to NULL codes")
     assert(codes.filter(col("vec_id") < 100L && col("code").isNull).count() == 0)
     // k larger than the clean +cluster: nulls must still sink, not rank
@@ -172,7 +176,7 @@ class SimilarityPqSpec extends SparkTestBase {
       nCells = 4, m = 4, k = 8, trainN = 64)
     val enc = Similarity.ivfPqEncode(corpus, "vec_id", "embedding", ivf)
     assert(enc.filter(col("vec_id") >= 100L)
-      .filter(col("cell").isNull && col("code").isNull).count() == 2,
+      .filter(col("cell").isNull && col("code").isNull).count() == 3,
       "corrupt rows must get NULL cell and NULL code")
     val ivfTop = Similarity.ivfPqTopK(enc, "vec_id", ivf,
       Array.fill(dim)(5.0f), k = 33, nprobe = 4).collect().map(_.getLong(0))

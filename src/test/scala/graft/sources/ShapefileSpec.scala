@@ -190,4 +190,31 @@ class ShapefileSpec extends SparkTestBase {
     val area = dissolved.select(G.st_area(col("geom"))).collect()(0).getDouble(0)
     assert(math.abs(area - 97.0) < 1e-9) // 96 + 1, disjoint multipart union
   }
+
+  test("shp/dbf record-count mismatch names both files and counts") {
+    // the cross-file consistency require in the row builder: a .dbf
+    // whose (valid) record count disagrees with its .shp twin — both
+    // parsers succeed on their own file, only the pairing check can
+    // see the disagreement. Fixtures from the hostile-source probe
+    // (1 shp point record vs 2 dbf records). Lives here, not in
+    // SourceChaosSpec: this is the one scenario needing the SHARED
+    // test SparkSession (a probe-local local[2] getOrCreate would
+    // hijack the JVM-wide session config for every later suite).
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcchaos_pair_")
+    try {
+      java.nio.file.Files.write(dir.resolve("t.shp"),
+        graft.tools.SourceChaosProbe.validShp())
+      java.nio.file.Files.write(dir.resolve("t.dbf"),
+        graft.tools.SourceChaosProbe.validDbf(2))
+      val e = intercept[Exception] {
+        Shapefile.read(spark, dir.resolve("t").toString).collect()
+      }
+      val m = e.getMessage
+      assert(m.contains("1 records") && m.contains("2"),
+        s"mismatch message must carry both counts: $m")
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
 }

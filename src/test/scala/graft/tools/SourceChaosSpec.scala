@@ -27,26 +27,4 @@ class SourceChaosSpec extends AnyFunSuite {
     }
   }
 
-  test("shp/dbf record-count mismatch names both files and counts") {
-    // the cross-file consistency require in Shapefile.read's row
-    // builder — corrupt the .dbf record count to a SMALLER still-valid
-    // value so both parsers succeed and only the pairing check can
-    // catch the disagreement. Exercised via the probe fixtures.
-    val dir = java.nio.file.Files.createTempDirectory("graft_srcchaos_pair_")
-    try {
-      java.nio.file.Files.write(dir.resolve("t.shp"), SourceChaosProbe.validShp())
-      java.nio.file.Files.write(dir.resolve("t.dbf"), SourceChaosProbe.validDbf(2))
-      val spark = graft.GraftSession.builder("srcchaos-pair")
-        .master("local[2]").getOrCreate()
-      val e = intercept[Exception] {
-        graft.sources.Shapefile.read(spark, dir.resolve("t").toString).collect()
-      }
-      val m = e.getMessage
-      assert(m.contains("1 records") && m.contains("2"),
-        s"mismatch message must carry both counts: $m")
-    } finally {
-      dir.toFile.listFiles().foreach(_.delete())
-      java.nio.file.Files.deleteIfExists(dir)
-    }
-  }
 }

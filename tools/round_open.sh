@@ -40,9 +40,12 @@ echo "== leg 2/4: leak grep (src/ tools/ build.sbt) =="
 # non-public-looking hosts), so a clean repo stays clean without the
 # gate having to name anything non-public itself.
 leak_fail=0
+# self-exclusion by PATH (--exclude), never by content match: a grep -v
+# on the script's name would also exempt any leaky line that merely
+# mentions it
 scan() { # scan <label> <pattern>
   local label="$1" pat="$2" hits
-  hits="$(grep -rInE "$pat" src tools build.sbt 2>/dev/null | grep -v 'round_open.sh' || true)"
+  hits="$(grep -rInE --exclude=round_open.sh "$pat" src tools build.sbt 2>/dev/null || true)"
   if [ -n "$hits" ]; then
     echo "LEAK[$label]:"; echo "$hits" | sed 's/^/    /'; leak_fail=1
   fi
@@ -62,10 +65,16 @@ if [ -n "$url_hits" ]; then
   echo "LEAK[url-unknown] (hosts not on the public allowlist — extend the allowlist if legitimately public):"
   echo "$url_hits" | sed 's/^/    /'; leak_fail=1
 fi
-# env-var reads outside the project/JVM/standard families
-env_hits="$(grep -rInE 'sys\.env[^A-Za-z]*"[A-Z0-9_]+"' src 2>/dev/null | \
-  grep -oE '"[A-Z0-9_]+"' | sort -u | \
-  grep -vE '"(SPARK_[A-Z0-9_]+|GRAFT_[A-Z0-9_]+|FILE_[A-Z0-9_]+|JAVA_[A-Z0-9_]+|HOME|PATH|USER|TMPDIR|TZ|LANG|PWD)"' || true)"
+# env-var reads outside the project/JVM/standard families — same
+# src/tools/build.sbt scope as every other leg, and the extraction
+# keeps only the key ADJACENT to the env accessor (a bare
+# quoted-uppercase grab would flag unrelated string literals on the
+# same line, e.g. a .getOrElse default)
+env_hits="$(grep -rIhoE --exclude=round_open.sh \
+    'sys\.env(\.get(OrElse)?)?[^"]{0,10}"[A-Z0-9_]+"|os\.environ(\.get)?[\(\[][^"'"'"']{0,5}["'"'"'][A-Z0-9_]+' \
+    src tools build.sbt 2>/dev/null | \
+  grep -oE '["'"'"'][A-Z0-9_]+"?' | tr -d '"'"'"'' | sort -u | \
+  grep -vE '^(SPARK_[A-Z0-9_]+|GRAFT_[A-Z0-9_]+|FILE_[A-Z0-9_]+|JAVA_[A-Z0-9_]+|PYTHONOPTIMIZE|COURSIER_[A-Z0-9_]+|HOME|PATH|USER|TMPDIR|TZ|LANG|PWD|PROBE_(SF|REPS|PLAN)|PERSIST_SPEC_SF)$' || true)"
 if [ -n "$env_hits" ]; then
   echo "LEAK[env-var] (unexpected env reads):"; echo "$env_hits" | sed 's/^/    /'; leak_fail=1
 fi
@@ -77,14 +86,19 @@ sbt -batch test
 
 echo "== leg 4/4: entry-list drift (contract vs latest CORRECTNESS) =="
 QFILE="$(mktemp /tmp/graft_queries.XXXXXX)"
+trap 'rm -f "$QFILE"' EXIT   # survives the set -e abort on drift
 sbt -batch "runMain graft.tools.ListQueries $QFILE" >/dev/null
 python3 - "$QFILE" <<'EOF'
 import glob, json, re, sys
 lines = [l.strip() for l in open(sys.argv[1]) if l.strip()]
 queries = {l for l in lines if not l.startswith('oracle:')}
 oracles = {l[len('oracle:'):] for l in lines if l.startswith('oracle:')}
-latest = max(glob.glob('CORRECTNESS_r*.json'),
-             key=lambda p: int(re.search(r'r(\d+)', p).group(1)))
+files = glob.glob('CORRECTNESS_r*.json')
+if not files:
+    sys.exit("DRIFT leg cannot run: no CORRECTNESS_r*.json in the repo "
+             "root (fresh repo before any driver round-close?) — "
+             "fail-closed, verify the entry list by other means")
+latest = max(files, key=lambda p: int(re.search(r'r(\d+)', p).group(1)))
 verified = set(json.load(open(latest)).keys())
 fail = False
 unverified = queries - verified
