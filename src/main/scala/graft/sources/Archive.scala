@@ -65,15 +65,20 @@ object Archive {
       val tmp = Files.createTempFile(destDir, dest.getFileName.toString, ".extracting")
       try {
         val in = zf.getInputStream(entry)
-        // IOException, not just ZipException: a deflate stream that
-        // ends prematurely surfaces as EOFException ("Unexpected end
-        // of ZLIB input stream") — same corruption class, and it must
-        // carry the zipPath!member context too (r18 review)
+        // ZipException | EOFException are the CORRUPTION classes (a
+        // deflate stream ending prematurely surfaces as EOFException
+        // "Unexpected end of ZLIB input stream") and get the corrupt-
+        // member diagnosis with zipPath!member context; other
+        // IOExceptions (disk full, permissions on destDir) are
+        // environment failures and propagate untranslated — labeling
+        // them zip corruption would send the operator at the wrong
+        // problem (r18 review, second pass)
         try Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         catch {
-          case e: java.io.IOException => throw new IllegalArgumentException(
-            s"$zipPath!$memberName: corrupt member (${e.getMessage}) — " +
-              "local header or deflate stream disagrees with the central directory", e)
+          case e @ (_: java.util.zip.ZipException | _: java.io.EOFException) =>
+            throw new IllegalArgumentException(
+              s"$zipPath!$memberName: corrupt member (${e.getMessage}) — " +
+                "local header or deflate stream disagrees with the central directory", e)
         }
         finally in.close()
         Files.move(tmp, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING,

@@ -168,8 +168,11 @@ object Shapefile {
             s"$path: record ${out.length + 1} at offset $pos: content " +
               s"($contentWords words) too short for its shape type", e)
         case e: Exception =>
+          // e.toString when the message is null: "record 1 at offset
+          // 100: null" would carry the context but erase the defect
           throw new IllegalArgumentException(
-            s"$path: record ${out.length + 1} at offset $pos: ${e.getMessage}", e)
+            s"$path: record ${out.length + 1} at offset $pos: " +
+              (if (e.getMessage != null) e.getMessage else e.toString), e)
       })
       pos += 8 + contentWords * 2
     }
