@@ -172,6 +172,38 @@ class ShapefileSpec extends SparkTestBase {
       Option(err.getCause).exists(_.getMessage.contains("differs from")))
   }
 
+  test("readDir: a corrupt member fails the JOB loudly, naming the file") {
+    // the hostile-file guards run INSIDE executor tasks on the
+    // distributed path — the file/offset context must survive Spark's
+    // task-failure wrapping (SparkException with the guard as cause),
+    // or a 100k-file lake scan dies with an unlocatable error
+    val dir = java.nio.file.Files.createTempDirectory("shp_lake_chaos").toString
+    Shapefile.write(Shapefile.read(spark, base), s"$dir/good")
+    val shpBytes = graft.tools.SourceChaosProbe.validShp()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bad.shp"), shpBytes.take(110)) // truncated
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bad.dbf"), graft.tools.SourceChaosProbe.validDbf(1))
+    // members must share a schema: give bad.dbf the good schema? No —
+    // schema probe reads bad.dbf (NAME C4) vs good's; use the probe
+    // fixture for BOTH members so only the .shp corruption can fire.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/good2.shp"), shpBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/good2.dbf"), graft.tools.SourceChaosProbe.validDbf(1))
+    // drop the real 'good' pair (different schema than the fixtures)
+    new java.io.File(s"$dir/good.shp").delete()
+    new java.io.File(s"$dir/good.dbf").delete()
+    new java.io.File(s"$dir/good.shx").delete()
+    val err = intercept[org.apache.spark.SparkException] {
+      Shapefile.readDir(spark, dir).count()
+    }
+    val all = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    assert(all.contains("bad.shp") && all.contains("truncated"),
+      s"corrupt-member context lost in task failure: $all")
+  }
+
   test("shx index matches the shp records") {
     val tmp = java.nio.file.Files.createTempDirectory("shp_shx").toString + "/x"
     Shapefile.write(Shapefile.read(spark, base), tmp)
