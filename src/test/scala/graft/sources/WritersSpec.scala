@@ -68,6 +68,35 @@ class WritersSpec extends SparkTestBase {
     assert(fetches > fetchesAfterFirst)
   }
 
+  test("loadCached never caches a failed fetch: a mid-pagination error page leaves no snapshot") {
+    // the hostile-file policy's cache corollary: a pagination that dies
+    // on an ArcGIS HTTP-200 error page must not leave ANY cache entry —
+    // loadCached persists the layer forever, so a partial snapshot here
+    // would silently truncate every future read of this service
+    val page = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{"NAME":"A"},
+       "geometry":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}}]}"""
+    var healthy = false
+    val fetch: String => String = url =>
+      if (url.contains("resultOffset=0")) page
+      else if (!healthy) """{"error":{"code":500,"message":"transient"}}"""
+      else """{"type":"FeatureCollection","features":[]}"""
+    val cacheDir = java.nio.file.Files.createTempDirectory("fs_cache_fail").toString
+    val e = intercept[IllegalArgumentException] {
+      FeatureService.loadCached(spark, fetch, "http://svc/layer/9", cacheDir)
+    }
+    assert(e.getMessage.contains("error page") &&
+      e.getMessage.contains("resultOffset="), e.getMessage)
+    // no _SUCCESS-marked snapshot may exist after the failure
+    val leftovers = new java.io.File(cacheDir).listFiles()
+      .filter(d => new java.io.File(d, "_SUCCESS").exists())
+    assert(leftovers.isEmpty, s"failed fetch left a cache snapshot: ${leftovers.toSeq}")
+    // once the service recovers, the SAME key fetches and caches fine
+    healthy = true
+    assert(FeatureService.loadCached(spark, fetch, "http://svc/layer/9", cacheDir)
+      .count() == 1)
+  }
+
   test("feature-service: hitting maxPages with rows in hand throws, never truncates") {
     val onePage = """{"type":"FeatureCollection","features":[
       {"type":"Feature","properties":{"NAME":"A"},
