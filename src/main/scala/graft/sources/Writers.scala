@@ -123,8 +123,14 @@ object Writers {
     * design (the 100 TB interchange format is parquet).
     */
   def readGeoJson(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val features = FeatureService.parsePage(new String(
-      Files.readAllBytes(Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+    // parsePage's hostile-input diagnostics (malformed JSON, error
+    // body, non-FeatureCollection, corrupt geometry) are page-generic —
+    // reading from a FILE they must carry the path instead
+    val features =
+      try FeatureService.parsePage(new String(
+        Files.readAllBytes(Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"$path: ${e.getMessage}", e) }
     val columns = features.flatMap(_._1.keys).distinct.sorted
     FeatureService.toDataFrame(spark, features, columns)
   }

@@ -44,6 +44,27 @@ class WritersSpec extends SparkTestBase {
     assert(graft.geom.GeomCodec.read(row.getAs[Array[Byte]]("geom")).getArea == 9.0)
   }
 
+  test("readGeoJson names the FILE on a corrupt artifact") {
+    // same parser as the feature-service page scan, so it inherits the
+    // hostile-input diagnostics — but from a file they must carry the
+    // path, not a page-generic message
+    val p = java.nio.file.Files.createTempFile("corrupt_", ".geojson")
+    try {
+      java.nio.file.Files.write(p, """{"features":[{""".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        Writers.readGeoJson(spark, p.toString)
+      }
+      assert(e.getMessage.contains(p.getFileName.toString) &&
+        e.getMessage.contains("not parseable JSON"), e.getMessage)
+      java.nio.file.Files.write(p, """{"error":{"code":403}}""".getBytes("UTF-8"))
+      val e2 = intercept[IllegalArgumentException] {
+        Writers.readGeoJson(spark, p.toString)
+      }
+      assert(e2.getMessage.contains(p.getFileName.toString) &&
+        e2.getMessage.contains("error page"), e2.getMessage)
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
+
   test("feature-service cache is idempotent: second load makes zero fetches (OP-09)") {
     val page = """{"type":"FeatureCollection","features":[
       {"type":"Feature","properties":{"NAME":"A"},
