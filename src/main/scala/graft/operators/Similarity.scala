@@ -62,15 +62,17 @@ object Similarity {
       query.take(64).zipWithIndex.foreach { case (x, i) => if (x > 0f) b |= (1L << i) }
       b
     }
-    // asc_nulls_last (the pqTopK rule): sign_pack is null-intolerant,
-    // so null-vector rows carry null hamming — plain asc is NULLS
-    // FIRST and a few null rows would displace every real candidate
-    // from the shortlist
+    // null-hamming rows (sign_pack is null-intolerant, so null-vector
+    // rows carry null hamming) are FILTERED like pqTopK's null adc:
+    // nulls-last ordering alone still admits them to the shortlist
+    // when k*shortlist exceeds the admissible-row count (r18 advisor
+    // finding on pqTopK, same class here)
     val short = df
       .select(col(idCol), col(vecCol),
         bit_count(sign_pack(col(vecCol)).bitwiseXOR(lit(qbits)))
           .cast("long").as("hamming"))
-      .orderBy(col("hamming").asc_nulls_last, col(idCol))
+      .filter(col("hamming").isNotNull)
+      .orderBy(col("hamming").asc, col(idCol))
       .limit(k * shortlist)
     short
       .select(col(idCol), col("hamming"),
@@ -512,8 +514,10 @@ object Similarity {
     * unguarded encode would hand a corrupt row an arbitrary valid
     * codeword and a FINITE ADC score — the one corruption class that
     * surfaces in top-k with no error (r17 advisor + r18 review
-    * findings). A null code sinks under `asc_nulls_last` in
-    * [[pqTopK]], same null-out policy as `vec_cosine`; NOTE it is
+    * findings). A null code yields a null ADC score that [[pqTopK]]
+    * filters out entirely (r19 — nulls-last alone still surfaced
+    * corrupt rows when k exceeded the admissible count), same
+    * null-out policy as `vec_cosine`; NOTE it is
     * stricter than quantizer-training admission (`vec_is_finite`),
     * where a ragged sample instead hits the loud mixed-dimensions
     * require — at encode time the scan is distributed and one corrupt
@@ -563,11 +567,16 @@ object Similarity {
       val q = Array.tabulate(dsub)(d => query(j * dsub + d).toDouble)
       Seq.tabulate(kk)(c => dist2(q, model.codebooks(j)(c)))
     }
-    // asc_nulls_last: a null code (null embedding) must not outrank
-    // real neighbors — Spark's plain asc is NULLS FIRST
+    // Inadmissible rows (null code from the encode guard → null adc)
+    // are FILTERED, not just sunk: asc_nulls_last alone still surfaces
+    // them when k exceeds the admissible-row count, unlike ivfPqTopK
+    // where the `cell IN (...)` probe truly prunes them (r18 advisor).
+    // The filter keeps the TakeOrderedAndProject plan — it folds into
+    // the scan's predicate, not a separate stage.
     encoded.select(col(idCol),
         graft.functions.VectorFunctions.adc_score(col("code"), typedLit(tab)).as("adc"))
-      .orderBy(col("adc").asc_nulls_last, col(idCol))
+      .filter(col("adc").isNotNull)
+      .orderBy(col("adc").asc, col(idCol))
       .limit(k)
   }
 

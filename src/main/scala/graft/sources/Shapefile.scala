@@ -133,27 +133,34 @@ object Shapefile {
     buf.order(ByteOrder.BIG_ENDIAN)
     require(buf.getInt(0) == 9994, s"$path: not a shapefile (bad magic)")
     val fileWords = buf.getInt(24)                      // length in 16-bit words
-    // the header's declared length is authoritative (ESRI spec) — a
-    // mismatch in EITHER direction is corruption: longer = truncated
-    // download, shorter = trailing bytes the declared length would
-    // silently drop records from
+    // the header's declared length is authoritative (ESRI spec).
+    // LONGER than the file = truncated download, fatal. SHORTER =
+    // trailing bytes past the declared length: real-world exporters
+    // occasionally pad, and lenient readers (and this one before r19)
+    // stop at the declared length — downgrade to a logged warning and
+    // parse exactly the declared extent, so benign padding neither
+    // kills ingestion nor gets parsed as phantom records (r18 advisor)
     val declared = fileWords.toLong * 2
-    require(declared == bytes.length,
+    require(declared <= bytes.length,
       s"$path: header declares $declared bytes but the file has " +
-        s"${bytes.length} — ${if (declared > bytes.length) "truncated file"
-          else "trailing bytes past the declared length"}")
+        s"${bytes.length} — truncated file")
+    if (declared < bytes.length)
+      org.slf4j.LoggerFactory.getLogger("graft.sources.Shapefile").warn(
+        s"$path: ${bytes.length - declared} trailing bytes past the " +
+          s"header-declared $declared — ignored (benign padding policy)")
+    val end = declared.toInt
     val out = new ArrayBuffer[Geometry]
     var pos = 100
-    while (pos < bytes.length) {
-      require(pos + 8 <= bytes.length,
+    while (pos < end) {
+      require(pos + 8 <= end,
         s"$path: truncated record header at offset $pos (record ${out.length + 1})")
       val contentWords = buf.getInt(pos + 4)            // record header: num, length (BE)
       // minimum record content is the 4-byte shape type (2 words); a
       // negative or overrunning length is a torn or doctored file
       require(contentWords >= 2 &&
-          pos + 8 + contentWords.toLong * 2 <= bytes.length,
+          pos + 8 + contentWords.toLong * 2 <= end,
         s"$path: record ${out.length + 1} at offset $pos declares " +
-          s"$contentWords content words — overruns the ${bytes.length}-byte file")
+          s"$contentWords content words — overruns the $end-byte declared extent")
       val content = ByteBuffer.wrap(bytes, pos + 8, contentWords * 2)
         .order(ByteOrder.LITTLE_ENDIAN)
       // context wrapper for EVERY record-parse failure — unsupported

@@ -41,21 +41,37 @@ object XlsxReader {
           s"$path: cannot open xlsx: ${e.getMessage}", e)
       }
     try {
+      // Corruption vs environment (the Archive.extractZipMember
+      // policy, r18 advisor): only PARSE-error classes earn the
+      // "corrupt part" diagnosis — SAXException (malformed XML) and
+      // ZipException/EOFException (torn deflate stream mid-member).
+      // Any other IOException (disk error mid-read) is an environment
+      // failure and propagates as an IOException carrying only the
+      // path prefix, so the operator is sent at the disk, not the file.
+      def classified[A](part: String)(body: => A): A =
+        try body
+        catch {
+          case ex @ (_: org.xml.sax.SAXException |
+              _: java.util.zip.ZipException | _: java.io.EOFException) =>
+            throw new IllegalArgumentException(
+              s"$path: corrupt $part: ${ex.getMessage}", ex)
+          case ex: java.io.IOException =>
+            throw new java.io.IOException(
+              s"$path: I/O error reading $part: ${ex.getMessage}", ex)
+        }
       val shared: IndexedSeq[String] = Option(zip.getEntry("xl/sharedStrings.xml")) match {
-        case Some(e) =>
-          try parseSharedStrings(zip.getInputStream(e))
-          catch { case ex: Exception => throw new IllegalArgumentException(
-            s"$path: corrupt xl/sharedStrings.xml: ${ex.getMessage}", ex) }
+        case Some(e) => classified("xl/sharedStrings.xml")(
+          parseSharedStrings(zip.getInputStream(e)))
         case None    => IndexedSeq.empty
       }
       val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
         .getOrElse(throw new IllegalArgumentException(s"no sheet1 in $path"))
-      try parseSheet(zip.getInputStream(sheetEntry), shared)
+      try classified("xl/worksheets/sheet1.xml")(
+        parseSheet(zip.getInputStream(sheetEntry), shared))
       catch {
-        case ex: IllegalArgumentException => throw new IllegalArgumentException(
-          s"$path: ${ex.getMessage}", ex)
-        case ex: Exception => throw new IllegalArgumentException(
-          s"$path: corrupt xl/worksheets/sheet1.xml: ${ex.getMessage}", ex)
+        case ex: IllegalArgumentException if !ex.getMessage.startsWith(path) =>
+          // parseSheet's own cell-level diagnoses: prefix the path once
+          throw new IllegalArgumentException(s"$path: ${ex.getMessage}", ex)
       }
     } finally zip.close()
   }

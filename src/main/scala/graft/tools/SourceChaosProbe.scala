@@ -209,8 +209,20 @@ object SourceChaosProbe {
         Shapefile.readShp(write(dir, "tiny.shp", shp.take(60)))),
       Scenario("shp", "truncated mid-record (declared > actual)", "truncated", () =>
         Shapefile.readShp(write(dir, "trunc.shp", shp.take(110)))),
-      Scenario("shp", "trailing bytes past the declared length", "trailing", () =>
-        Shapefile.readShp(write(dir, "trail.shp", shp ++ Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))),
+      // r19 policy change (r18 advisor): benign trailing padding past
+      // the header-declared length is TOLERATED (warn + parse exactly
+      // the declared extent) — exporters pad, and the old both-ways
+      // strictness rejected real-world files. The padding must neither
+      // kill the parse nor be read as phantom records.
+      Scenario("shp", "trailing bytes past the declared length parse (warn, ignored)",
+        "IMPOSSIBLE", () => {
+        val g = Shapefile.readShp(
+          write(dir, "trail.shp", shp ++ Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+        require(g.length == 1 && g.head.toText.startsWith("POINT"),
+          s"padding policy broken: $g")
+        throw new IllegalArgumentException(
+          "IMPOSSIBLE (padding ignored, 1 point parsed)")
+      }),
       Scenario("shp", "record content words overrun the file", "overruns", () =>
         Shapefile.readShp(write(dir, "overrun.shp",
           doctored(shp)(_.order(ByteOrder.BIG_ENDIAN).putInt(104, 5000))))),

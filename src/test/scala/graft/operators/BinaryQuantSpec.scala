@@ -74,6 +74,13 @@ class BinaryQuantSpec extends SparkTestBase {
     assert(top.length == 10)
     assert(top.forall(_.getLong(0) < 1000L), top.map(_.getLong(0)).toSeq)
     assert(top.forall(!_.isNullAt(2)))
+    // k exceeding the admissible-row count (r19, the pqTopK advisor
+    // class): null rows must be FILTERED, not padded in from the
+    // nulls-last tail — exactly the 64 clean rows come back
+    val all = Similarity.binaryTopK(dirty, "vec_id", "embedding", query, k = 200)
+      .collect()
+    assert(all.length == 64, s"expected only clean rows, got ${all.length}")
+    assert(all.forall(_.getLong(0) < 1000L))
   }
 
   test("hardNegatives excludes self and near-duplicates, ranks by cosine desc") {

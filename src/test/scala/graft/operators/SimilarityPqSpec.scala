@@ -171,6 +171,14 @@ class SimilarityPqSpec extends SparkTestBase {
     val top = Similarity.pqTopK(codes, "vec_id", model,
       Array.fill(dim)(5.0f), k = 33).collect().map(_.getLong(0))
     assert(!top.exists(_ >= 100L), s"corrupt id surfaced in top-k: ${top.toSeq}")
+    // k larger than the WHOLE admissible corpus (r19 advisor finding):
+    // null-code rows must be filtered out, never padded in from the
+    // nulls-last tail — the result is exactly the clean corpus
+    val padded = Similarity.pqTopK(codes, "vec_id", model,
+      Array.fill(dim)(5.0f), k = 500).collect().map(_.getLong(0))
+    assert(!padded.exists(_ >= 100L),
+      s"corrupt id padded into over-k top-k: ${padded.toSeq}")
+    assert(padded.length == corpus.count() - 3)
 
     val ivf = Similarity.ivfPqTrain(clustered, "vec_id", "embedding", dim,
       nCells = 4, m = 4, k = 8, trainN = 64)
