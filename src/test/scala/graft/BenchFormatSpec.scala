@@ -116,6 +116,39 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.regressions(Map.empty, cur).isEmpty)  // first run: no gate
   }
 
+  test("ratio leg flags a sub-wall-floor task-CPU blowup; near-misses stay out") {
+    // the r18 driver shape the wall floor hid: x68 at 3.53 task-CPU-s
+    // vs canonical 0.32 (x11) inside 0.40 s of wall — a 32-core burst
+    // recompute under floorWallCompute. The ratio leg must flag it.
+    val prev = Map(
+      "x68_dup_spans" -> (0.24, 0.32), "q15" -> (0.19, 0.14),
+      "x01" -> (0.5, 0.4), "x71s" -> (1.5, 1.0))
+    val cur = Seq(
+      "x68_dup_spans" -> Some(Bench.Sample(0.40, 3.99, 0L, 66L, 0L, 247L,
+        taskCpu = 3.53)),
+      // the q15 companion reading: x5.5 at 0.77 task-CPU-s — under
+      // BOTH the ratio factor and its CPU floor, stays out (it was
+      // adjudicated environment: flat plan, no persist, jit 402 ms)
+      "q15" -> Some(Bench.Sample(1.10, 3.21, 81L, 402L, 0L, 70L,
+        taskCpu = 0.77)),
+      // x9 ratio but only 0.9 CPU-s of substance: sub-ratioFloorCpu
+      // flutter on a tiny entry, stays out
+      "x01" -> Some(Bench.Sample(0.2, 4.0, 0L, 0L, 0L, 0L, taskCpu = 0.9)),
+      // streaming row at x10 CPU on flat wall: micro-batch-split
+      // noise, the ratio leg must NOT apply to streaming rows
+      "x71s" -> Some(Bench.Sample(1.6, 11.0, 0L, 0L, 0L, 0L, taskCpu = 10.0)))
+    assert(Bench.regressions(prev, cur, streaming = _ == "x71s") ==
+      Seq("x68_dup_spans"))
+    // both sides of each ratio-leg predicate: just over the factor at
+    // just over the CPU floor flags; at/under either side does not
+    val p2 = Map("a" -> (0.3, 0.2), "b" -> (0.3, 0.2), "c" -> (0.3, 0.2))
+    def s(task: Double) =
+      Some(Bench.Sample(0.3, task * 2, 0L, 0L, 0L, 0L, taskCpu = task))
+    assert(Bench.regressions(p2, Seq("a" -> s(1.7))) == Seq("a"))   // x8.5, 1.7 CPU-s
+    assert(Bench.regressions(p2, Seq("b" -> s(1.5))).isEmpty)       // x7.5: under factor
+    assert(Bench.regressions(p2, Seq("c" -> s(0.99))).isEmpty)      // under CPU floor
+  }
+
   test("a zero-valued reference still gates via the absolute floors") {
     // the committed baseline serializes task-cpu at 2 decimals, so a
     // sub-5ms entry's reference is exactly 0.0 — `c > 0 && ...` used to
