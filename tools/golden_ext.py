@@ -231,19 +231,35 @@ def five_grams(t):
     return {s[i - 1:i + 4] for i in range(1, max(len(s) - 3, 2))}
 
 
-def brute_recall_verify(docs, cands, max_docs=600):
+def brute_recall_verify(docs, cands, max_docs=600, sample_n=2000):
     """Second, fully INDEPENDENT recall leg (r17 verdict task 5): a
     from-scratch all-pairs enumeration with its own shingler and plain
     set Jaccard — shares NO helper with minhash_candidates or the
     matrix-based audit above (five_grams / shingle_hashes / numpy all
     unused), so a definition bug common to the mirror's shared helpers
-    cannot forgive itself. Pure-python set sweep, so it only runs at
-    the smallest scale (sf0.001, ~500 docs = ~125k pairs, < 1 s); at
-    bigger scales it returns None and the matrix audit remains the
-    guarantee. Exits nonzero on a missed pair (explicit exit, never
-    assert — must survive python3 -O)."""
+    cannot forgive itself. Pure-python set sweep: below max_docs the
+    WHOLE corpus is enumerated (sf0.001 and the committed-golden
+    sf0.01 are both ~500 docs = ~125k pairs, < 3 s).
+
+    r19 (r18 verdict task 3): past max_docs the leg no longer
+    disappears — it runs on a deterministic content-independent SAMPLE
+    of sample_n docs, selected by md5 of the doc id (a hash no
+    candidate-generation path uses, so the selection cannot correlate
+    with what banding found or missed). True pairs wholly inside the
+    sample are verified exactly as before; the record reports the
+    sample size and in-sample true-pair count so a vacuous run (no
+    true pairs sampled) is visible in the audit line rather than
+    silently green. Cost is O(sample_n^2) regardless of corpus size
+    (~45 s at 2000). Exits nonzero on a missed pair (explicit exit,
+    never assert — must survive python3 -O)."""
+    label = f"n={len(docs)}"
     if len(docs) > max_docs:
-        return None
+        import hashlib
+        docs = sorted(
+            sorted(docs, key=lambda it: hashlib.md5(
+                str(it[0]).encode()).hexdigest())[:sample_n],
+            key=lambda it: it[0])
+        label = f"sample {len(docs)} of {label}"
     # deliberately re-derived from the DEFINITION (lowercased stripped
     # text, character 5-grams, whole string when shorter than 5):
     def grams(t):
@@ -266,8 +282,27 @@ def brute_recall_verify(docs, cands, max_docs=600):
     if missed:
         sys.exit(f"brute recall verify: banded candidates MISSED true "
                  f">=0.8 pairs (independent enumeration): {missed[:5]}")
-    return (f"brute-verified at n={len(docs)} "
+    return (f"brute-verified at {label} "
             f"({len(g) * (len(g) - 1) // 2} pairs, {true_pairs} true)")
+
+
+def brute_selftest():
+    """The brute leg's FAILURE path, exercised before every real run: a
+    planted near-dup pair against an empty candidate map must exit
+    nonzero. A recall gate whose miss branch never executes is itself
+    unverified (the same principle as GRAFT_AUDIT_FLOP_CAP=1 for the
+    matrix audit)."""
+    planted = [(1, "the quick brown fox jumps over the lazy dog " * 20),
+               (2, "the quick brown fox jumps over the lazy dog " * 20 +
+                   "tail"),
+               (3, "completely unrelated content about spark engines")]
+    try:
+        brute_recall_verify(planted, cands={})
+    except SystemExit:
+        return "brute selftest: miss branch fires"
+    sys.exit("brute recall verify SELFTEST FAILED: a planted >=0.8 pair "
+             "with an empty candidate list did not trip the miss exit — "
+             "the leg would silently forgive every engine recall loss")
 
 
 def recall_audit(docs, cands, flop_cap=5e11, allow_skip=False):
@@ -631,8 +666,10 @@ def main():
     flop_cap = float(os.environ.get('GRAFT_AUDIT_FLOP_CAP', 5e11))
     audit_rec = recall_audit(docs, cands, flop_cap=flop_cap,
                              allow_skip=allow_skip)
-    # the independent brute leg runs only at the smallest scale (pure
-    # python, no shared helpers); its record rides in the same line
+    # the independent brute leg (no shared helpers): whole-corpus below
+    # ~600 docs, a deterministic 2k md5-sample above (r19); its miss
+    # branch is self-tested first, and its record rides in the same line
+    print(f"recall audit: {brute_selftest()}")
     brute_rec = brute_recall_verify(docs, cands)
     if brute_rec:
         audit_rec = f"{audit_rec}; {brute_rec}"

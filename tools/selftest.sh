@@ -138,9 +138,23 @@ elif case == "brute_missed":
     brute_recall_verify(docs, {})   # independent leg must catch it too
 elif case == "brute_at_scale":
     from golden_ext import brute_recall_verify
-    # past max_docs the brute leg stands down (matrix audit remains)
-    if brute_recall_verify([(i, "x" * 10) for i in range(601)], {}) is not None:
-        raise SystemExit("brute leg must return None past max_docs")
+    # r19: past max_docs the leg SAMPLES (md5-of-id selection) instead
+    # of standing down; sha256-derived texts are pairwise gram-disjoint
+    # (hex 5-grams from a 16^5 space), so an empty candidate map is
+    # still a clean run, labeled as a sample
+    import hashlib
+    docs601 = [(i, " ".join(hashlib.sha256(str(i).encode()).hexdigest()
+                            [k:k + 8] for k in range(0, 64, 8)))
+               for i in range(601)]
+    rec = brute_recall_verify(docs601, {}, sample_n=50)
+    if not (rec and rec.startswith("brute-verified at sample 50 of n=601")):
+        raise SystemExit(f"bad sampled brute record: {rec}")
+elif case == "brute_scale_missed":
+    from golden_ext import brute_recall_verify
+    # identical docs: every sampled pair is true at jaccard 1.0 — the
+    # SAMPLED miss branch must fire exactly like the whole-corpus one
+    brute_recall_verify([(i, "same text " * 30) for i in range(601)], {},
+                        sample_n=10)
 print("CASE_DONE")
 EOF
 for PY in "python3" "python3 -O"; do
@@ -152,6 +166,7 @@ for PY in "python3" "python3 -O"; do
   check "B5 $tag brute ok"       0 "CASE_DONE"  $PY "$AUDIT_PY" brute_ok
   check "B6 $tag brute missed"   1 "MISSED"     $PY "$AUDIT_PY" brute_missed
   check "B7 $tag brute at scale" 0 "CASE_DONE"  $PY "$AUDIT_PY" brute_at_scale
+  check "B8 $tag brute at scale missed" 1 "MISSED" $PY "$AUDIT_PY" brute_scale_missed
 done
 
 # ---------- C. end-to-end flop-cap hook on the real generator ----------
