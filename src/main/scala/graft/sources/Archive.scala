@@ -81,21 +81,9 @@ object Archive {
                 "local header or deflate stream disagrees with the central directory", e)
         }
         finally in.close()
-        // Per the Files.move contract, when ATOMIC_MOVE is given the
-        // other options are IGNORED and replacing an existing target
-        // is implementation-specific: Linux rename(2) replaces, but
-        // other filesystems may throw FileAlreadyExistsException on a
-        // re-extraction over a published file (r18 advisor). Try the
-        // atomic rename alone first; when the filesystem refuses it,
-        // fall back to a non-atomic REPLACE_EXISTING move — the torn-
-        // artifact guarantee degrades only where the platform offers
-        // no atomic replace at all.
-        try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-              _: java.nio.file.AtomicMoveNotSupportedException =>
-            Files.move(tmp, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
+        // atomic-where-possible promote with the REPLACE_EXISTING
+        // portability fallback (r18 advisor) — the shared sink idiom
+        AtomicFiles.promote(tmp, dest)
       } finally Files.deleteIfExists(tmp)
       dest
     } finally zf.close()

@@ -318,8 +318,21 @@ object Shapefile {
     }
 
     val contents = geoms.map(g => if (g == null) nullRecord() else recordBytes(g, shapeType))
-    writeShpShx(base, shapeType, geoms, contents)
-    writeDbf(s"$base.dbf", schema.fields.zipWithIndex.filter(_._1.name != geomCol), rows)
+    // ALL THREE members are built in memory before ANY file is written
+    // (r19 writer-side no-torn-artifact contract): a validation failure
+    // in the .dbf builder (field width, record size) used to land AFTER
+    // .shp/.shx were already on disk — a torn trio at the published
+    // base. Each member then promotes via sibling-temp + atomic rename,
+    // so a mid-write kill can tear no individual file either. (A kill
+    // BETWEEN promotes can still leave a mixed old/new trio when
+    // overwriting an existing base — full trio atomicity needs a
+    // directory swap, out of scope; each file is individually complete.)
+    val (shpBytes, shxBytes) = buildShpShx(shapeType, geoms, contents)
+    val dbfBytes = buildDbf(
+      schema.fields.zipWithIndex.filter(_._1.name != geomCol), rows)
+    AtomicFiles.write(Paths.get(s"$base.shp"), shpBytes)
+    AtomicFiles.write(Paths.get(s"$base.shx"), shxBytes)
+    AtomicFiles.write(Paths.get(s"$base.dbf"), dbfBytes)
   }
 
   private def nullRecord(): Array[Byte] = {
@@ -376,9 +389,9 @@ object Shapefile {
     }
   }
 
-  private def writeShpShx(
-      base: String, shapeType: Int,
-      geoms: Array[Geometry], contents: Array[Array[Byte]]): Unit = {
+  private def buildShpShx(
+      shapeType: Int,
+      geoms: Array[Geometry], contents: Array[Array[Byte]]): (Array[Byte], Array[Byte]) = {
     val totalContent = contents.map(_.length).sum
     val shpLen = 100 + 8 * contents.length + totalContent
     val shp = ByteBuffer.allocate(shpLen)
@@ -413,14 +426,12 @@ object Shapefile {
       shx.order(ByteOrder.BIG_ENDIAN).putInt(offsetWords).putInt(c.length / 2)
       offsetWords += 4 + c.length / 2
     }
-    Files.write(Paths.get(s"$base.shp"), shp.array())
-    Files.write(Paths.get(s"$base.shx"), shx.array())
+    (shp.array(), shx.array())
   }
 
-  private def writeDbf(
-      path: String,
+  private def buildDbf(
       fields: Array[(StructField, Int)],
-      rows: Array[org.apache.spark.sql.Row]): Unit = {
+      rows: Array[org.apache.spark.sql.Row]): Array[Byte] = {
     final case class Fld(name: String, typ: Char, len: Int, dec: Int, idx: Int)
     def numText(v: Any, dec: Int): String = v match {
       case null => ""
@@ -514,7 +525,7 @@ object Shapefile {
       }
     }
     out.put(0x1a.toByte)                                 // EOF
-    Files.write(Paths.get(path), out.array())
+    out.array()
   }
 
   /** .dbf: dBASE III — 32-byte field descriptors, fixed-width ASCII

@@ -75,7 +75,13 @@ object Writers {
     val fragments = df.select(
       (props.map(col) :+ col(geomCol).as("__geom")): _*)
 
-    val out = Files.newBufferedWriter(Paths.get(path),
+    // stream to a sibling temp, promote on success (r19 writer-side
+    // no-torn-artifact contract): a corrupt WKB row or an unsupported
+    // geometry type surfaces MID-STREAM, after bytes are written — the
+    // published path must hold either the previous complete artifact
+    // or nothing, never a truncated FeatureCollection
+    AtomicFiles.writeVia(Paths.get(path)) { tmp =>
+    val out = Files.newBufferedWriter(tmp,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
       out.write("""{"type":"FeatureCollection","features":[""")
@@ -114,6 +120,7 @@ object Writers {
       }
       out.write("]}")
     } finally out.close()
+    }
   }
 
   /** Read a GeoJSON FeatureCollection file back as a DataFrame (every
@@ -182,7 +189,9 @@ object Writers {
       }
       n.putObject("editingInfo").putNull("lastEditDate")
     }
-    Files.write(Paths.get(path),
+    // bytes are fully materialized before any I/O; the atomic write
+    // keeps a mid-write kill from leaving a torn manifest (r19)
+    AtomicFiles.write(Paths.get(path),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
   }
 
