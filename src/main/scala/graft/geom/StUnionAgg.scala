@@ -10,17 +10,28 @@ import scala.collection.mutable.ArrayBuffer
 /** Geometric union aggregate — the dissolve kernel (OP-38,
   * `bunny.py:264-270`; SURVEY §7.4 hard-part #2).
   *
-  * Buffers WKBs and unions them in batches of [[StUnionAgg.CompactAt]]
-  * via JTS `UnaryUnionOp` (cascaded union): memory per group stays
-  * bounded, partial aggregation (map-side combine) works — `merge`
-  * concatenates two partial buffers and compacts — and the cascaded
-  * union is O(n log n) rather than the O(n²) of naive incremental
-  * union. This is what makes dissolve survive a 100 TB shuffle: each
-  * map task pre-unions its local slice of every key, so the shuffle
-  * carries one compacted geometry per key per task, not every input row.
+  * Buffers (level, WKB) entries and compacts them TIERED, like an LSM
+  * tree / binary counter: raw inputs enter at level 0; when a level
+  * accumulates [[StUnionAgg.FanIn]] entries they are cascaded-unioned
+  * (JTS `UnaryUnionOp`) into ONE entry at the next level, cascading
+  * upward. Every coordinate therefore passes through O(log₆₄ n)
+  * unions — O(n log n) total work per group.
+  *
+  * The r19 GeomScaleProbe measured why the tiers matter: the previous
+  * single-threshold compaction ("≥ 64 entries → union ALL into one")
+  * re-unioned the whole accumulated geometry every 63 rows — O(n²/64)
+  * coordinate work per group, ×617 task-CPU at 64× the features in
+  * the fixed-group-count leg (`dissolve_grow`), the exact shape a
+  * continental dissolve at 100 TB would hit. With tiers the same leg
+  * is ~linear (each level's unions see geometry once per tier).
+  *
+  * Partial aggregation (map-side combine) works unchanged — `merge`
+  * pushes one buffer's entries into the other at their levels — so
+  * the shuffle still carries at most FanIn·levels compacted entries
+  * per key per map task, not every input row.
   */
-object StUnionAgg extends Aggregator[Array[Byte], ArrayBuffer[Array[Byte]], Array[Byte]] {
-  val CompactAt = 64
+object StUnionAgg extends Aggregator[Array[Byte], ArrayBuffer[(Int, Array[Byte])], Array[Byte]] {
+  val FanIn = 64
 
   /** Cascaded union with the SURVEY §7.4 robustness ladder: plain union
     * first; on TopologyException fix invalid inputs and retry; as the
@@ -52,25 +63,43 @@ object StUnionAgg extends Aggregator[Array[Byte], ArrayBuffer[Array[Byte]], Arra
     }
   }
 
-  private def compact(b: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] =
-    if (b.length < CompactAt) b
-    else ArrayBuffer(GeomCodec.write(unionAll(b.toSeq)))
-
-  override def zero: ArrayBuffer[Array[Byte]] = ArrayBuffer.empty
-
-  override def reduce(b: ArrayBuffer[Array[Byte]], a: Array[Byte]): ArrayBuffer[Array[Byte]] = {
-    if (a != null) b += a
-    compact(b)
+  /** Add one entry at `level`, cascading any FanIn-full level into a
+    * single next-level union. The buffer never exceeds
+    * FanIn × (levels+1) entries (levels = log₆₄ of the group size).
+    */
+  private def push(
+      b: ArrayBuffer[(Int, Array[Byte])], level: Int,
+      wkb: Array[Byte]): ArrayBuffer[(Int, Array[Byte])] = {
+    b += ((level, wkb))
+    var l = level
+    while (b.count(_._1 == l) >= FanIn) {
+      val (same, rest) = b.partition(_._1 == l)
+      b.clear()
+      b ++= rest
+      b += ((l + 1, GeomCodec.write(unionAll(same.map(_._2).toSeq))))
+      l += 1
+    }
+    b
   }
 
-  override def merge(a: ArrayBuffer[Array[Byte]], b: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] =
-    compact(a ++= b)
+  override def zero: ArrayBuffer[(Int, Array[Byte])] = ArrayBuffer.empty
 
-  override def finish(b: ArrayBuffer[Array[Byte]]): Array[Byte] =
-    if (b.isEmpty) null else GeomCodec.write(unionAll(b.toSeq))
+  override def reduce(
+      b: ArrayBuffer[(Int, Array[Byte])], a: Array[Byte]): ArrayBuffer[(Int, Array[Byte])] =
+    if (a == null) b else push(b, 0, a)
 
-  override def bufferEncoder: Encoder[ArrayBuffer[Array[Byte]]] =
-    Encoders.kryo[ArrayBuffer[Array[Byte]]]
+  override def merge(
+      a: ArrayBuffer[(Int, Array[Byte])],
+      b: ArrayBuffer[(Int, Array[Byte])]): ArrayBuffer[(Int, Array[Byte])] = {
+    b.foreach { case (l, w) => push(a, l, w) }
+    a
+  }
+
+  override def finish(b: ArrayBuffer[(Int, Array[Byte])]): Array[Byte] =
+    if (b.isEmpty) null else GeomCodec.write(unionAll(b.map(_._2).toSeq))
+
+  override def bufferEncoder: Encoder[ArrayBuffer[(Int, Array[Byte])]] =
+    Encoders.kryo[ArrayBuffer[(Int, Array[Byte])]]
 
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 
