@@ -132,7 +132,13 @@ object Bench {
       val c = effCpu(s)
       val floors = c > floorCpu && s.wall > floorWallCompute &&
         prev.get(k).exists { case (_, p) => p <= 0 || c > factor * p }
-      val ratio = c > ratioFloorCpu &&
+      // the ratio leg fires only on TASK-cpu comparisons: under the
+      // legacy process-CPU fallback (refIsTask=false) process CPU is
+      // documented to swing up to 10x on identical code (heap paging /
+      // concurrent-GC attribution), and without a wall guard those
+      // phantom bursts would false-flag and block the clean-sweep
+      // baseline refresh during exactly the fallback path (r19 review)
+      val ratio = refIsTask && s.taskCpu >= 0 && c > ratioFloorCpu &&
         prev.get(k).exists { case (_, p) => p > 0 && c > ratioFactor * p }
       floors || ratio
     }

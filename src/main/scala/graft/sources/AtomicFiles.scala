@@ -20,14 +20,37 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   */
 object AtomicFiles {
 
-  /** Rename `tmp` over `dest` (atomic where the platform allows). */
+  /** Rename `tmp` over `dest` (atomic where the platform allows).
+    *
+    * The fallback catches IOException broadly, not just
+    * FileAlreadyExists/AtomicMoveNotSupported: the Files.move javadoc
+    * says an ATOMIC_MOVE over an existing target fails with an
+    * IMPLEMENTATION-SPECIFIC IOException (a generic FileSystemException
+    * on some NFS/Windows stacks) — the narrow catch would turn every
+    * re-publish over an existing artifact into a hard failure there
+    * (r19 review). Guarded on the temp still existing: if the rename
+    * already consumed it, the failure is not a refused-replace.
+    */
   def promote(tmp: Path, dest: Path): Unit =
     try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-          _: java.nio.file.AtomicMoveNotSupportedException =>
+      case _: java.io.IOException if Files.exists(tmp) =>
         Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING)
     }
+
+  /** `Files.createTempFile` creates 0600 on POSIX; published artifacts
+    * must stay world-readable like the direct writes they replaced
+    * (a web server or group-shared pipeline dir reading the .geojson /
+    * manifest would EACCES otherwise — r19 review). rw-r--r--, the
+    * conventional publish mode; non-POSIX filesystems keep their
+    * defaults.
+    */
+  private def publishPerms(tmp: Path): Path = {
+    try Files.setPosixFilePermissions(tmp,
+      java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
+    catch { case _: UnsupportedOperationException => }
+    tmp
+  }
 
   /** Write `bytes` at `dest` via a sibling temp + atomic promote. The
     * temp is created NEXT TO the destination (same directory, so the
@@ -37,7 +60,8 @@ object AtomicFiles {
   def write(dest: Path, bytes: Array[Byte]): Unit = {
     val dir = Option(dest.toAbsolutePath.getParent).getOrElse(
       throw new IllegalArgumentException(s"$dest has no parent directory"))
-    val tmp = Files.createTempFile(dir, dest.getFileName.toString, ".writing")
+    val tmp = publishPerms(
+      Files.createTempFile(dir, dest.getFileName.toString, ".writing"))
     try {
       Files.write(tmp, bytes)
       promote(tmp, dest)
@@ -52,7 +76,8 @@ object AtomicFiles {
   def writeVia[A](dest: Path)(body: Path => A): A = {
     val dir = Option(dest.toAbsolutePath.getParent).getOrElse(
       throw new IllegalArgumentException(s"$dest has no parent directory"))
-    val tmp = Files.createTempFile(dir, dest.getFileName.toString, ".writing")
+    val tmp = publishPerms(
+      Files.createTempFile(dir, dest.getFileName.toString, ".writing"))
     try {
       val r = body(tmp)
       promote(tmp, dest)

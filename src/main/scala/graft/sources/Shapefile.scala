@@ -141,6 +141,13 @@ object Shapefile {
     // parse exactly the declared extent, so benign padding neither
     // kills ingestion nor gets parsed as phantom records (r18 advisor)
     val declared = fileWords.toLong * 2
+    // a declared length below the header's own 100 bytes (incl. a
+    // negative fileWords) is corruption, not padding — without this
+    // leg a doctored fileWords=0 would silently parse ZERO records
+    // under the lenient policy (r19 review finding)
+    require(declared >= 100,
+      s"$path: header declares $declared bytes — less than the 100-byte " +
+        "header itself (corrupt length field)")
     require(declared <= bytes.length,
       s"$path: header declares $declared bytes but the file has " +
         s"${bytes.length} — truncated file")

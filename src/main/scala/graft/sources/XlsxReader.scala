@@ -58,6 +58,14 @@ object XlsxReader {
           case ex: java.io.IOException =>
             throw new java.io.IOException(
               s"$path: I/O error reading $part: ${ex.getMessage}", ex)
+          // any OTHER runtime blowup a hostile workbook drives the
+          // parser into (NegativeArraySize, DOM errors) is corruption
+          // too — it must carry the path, never escape pathless (r19
+          // review: the narrowed classifier dropped the old catch-all)
+          case scala.util.control.NonFatal(ex)
+              if !ex.isInstanceOf[IllegalArgumentException] =>
+            throw new IllegalArgumentException(
+              s"$path: corrupt $part: ${ex.getClass.getSimpleName}: ${ex.getMessage}", ex)
         }
       val shared: IndexedSeq[String] = Option(zip.getEntry("xl/sharedStrings.xml")) match {
         case Some(e) => classified("xl/sharedStrings.xml")(
@@ -69,7 +77,8 @@ object XlsxReader {
       try classified("xl/worksheets/sheet1.xml")(
         parseSheet(zip.getInputStream(sheetEntry), shared))
       catch {
-        case ex: IllegalArgumentException if !ex.getMessage.startsWith(path) =>
+        case ex: IllegalArgumentException
+            if ex.getMessage == null || !ex.getMessage.startsWith(path) =>
           // parseSheet's own cell-level diagnoses: prefix the path once
           throw new IllegalArgumentException(s"$path: ${ex.getMessage}", ex)
       }

@@ -107,35 +107,21 @@ object GeomScaleProbe {
     // background C2 compile bursts to whatever runs — the session's
     // startup JIT tail lands in the k=1 (first) cells and fakes
     // sublinear curves at every later k
-    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null)
-          taskCpuNs.addAndGet(e.taskMetrics.executorCpuTime)
-    })
-    def settle(): Unit = {
-      var last = taskCpuNs.get(); var i = 0
-      while (i < 20) {
-        Thread.sleep(20)
-        val cur = taskCpuNs.get()
-        if (cur == last) i = 20 else { last = cur; i += 1 }
-      }
-    }
+    val meter = new TaskCpuMeter(spark.sparkContext)
 
     val cpuBy = scala.collection.mutable.LinkedHashMap.empty[(String, Int), Double]
     def time(op: String, k: Int, rows: Long)(body: => Long): Unit = {
       body // warm pass (JIT + codegen), the ScaleProbe protocol
       graft.CacheLifecycle.release(spark)
       spark.catalog.clearCache()
-      settle()
+      meter.settle()
       val w0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
-      val t0 = taskCpuNs.get()
+      val t0 = meter.now
       val out = body
       val wall = (System.nanoTime() - w0) / 1e9
       val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-      settle()
-      val task = (taskCpuNs.get() - t0) / 1e9
+      meter.settle()
+      val task = (meter.now - t0) / 1e9
       graft.CacheLifecycle.release(spark)
       spark.catalog.clearCache()
       cpuBy((op, k)) = task

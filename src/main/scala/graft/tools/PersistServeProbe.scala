@@ -34,21 +34,7 @@ object PersistServeProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null)
-          taskCpuNs.addAndGet(e.taskMetrics.executorCpuTime)
-    })
-    def settle(): Unit = {
-      var last = taskCpuNs.get(); var i = 0
-      while (i < 20) {
-        Thread.sleep(20)
-        val cur = taskCpuNs.get()
-        if (cur == last) i = 20 else { last = cur; i += 1 }
-      }
-    }
+    val meter = new TaskCpuMeter(spark.sparkContext)
     val osBean = ManagementFactory.getOperatingSystemMXBean
     def procCpuNs: Long = osBean match {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
@@ -67,12 +53,12 @@ object PersistServeProbe {
       println(s"== $name (fresh cache) ==")
       val nReps = sys.env.getOrElse("PROBE_REPS", "4").toInt
       (1 to nReps).foreach { rep =>
-        settle()
-        val w0 = System.nanoTime(); val t0 = taskCpuNs.get(); val c0 = procCpuNs
+        meter.settle()
+        val w0 = System.nanoTime(); val t0 = meter.now; val c0 = procCpuNs
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - w0) / 1e9
-        settle()
-        val task = (taskCpuNs.get() - t0) / 1e9
+        meter.settle()
+        val task = (meter.now - t0) / 1e9
         val proc = (procCpuNs - c0) / 1e9
         val rdds = spark.sparkContext.getPersistentRDDs
         // per-RDD cached-partition/byte detail separates LATE CACHE

@@ -66,13 +66,18 @@ object SinkChaosProbe {
       spark.sparkContext.parallelize(rows.map { case (i, g) => Row(i, g) }, 2),
       geomSchema)
 
-  /** Temp-file residue left by a failed sink next to `dest`. */
-  private def residue(dest: Path): Seq[String] = {
-    val dir = dest.toAbsolutePath.getParent
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith(dest.getFileName.toString) && n.endsWith(".writing"))
-      .toSeq
+  /** Temp-file residue left by a failed sink next to `dest`. The
+    * Files.list stream holds an open DirectoryStream — closed
+    * explicitly, or every scenario leaks a directory fd (r19 review).
+    */
+  private def residue(dest: Path): Seq[String] =
+    listNames(dest.toAbsolutePath.getParent,
+      n => n.startsWith(dest.getFileName.toString) && n.endsWith(".writing"))
+
+  private def listNames(dir: Path, keep: String => Boolean): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).filter(keep).toSeq
+    finally s.close()
   }
 
   /** Adjudicate a FAILING publish over `dest`: the run must throw, the
@@ -168,9 +173,8 @@ object SinkChaosProbe {
         val threw = try { s.run(null); false } catch { case _: Throwable => true }
         val left = Seq(".shp", ".shx", ".dbf").filter(e =>
           Files.exists(java.nio.file.Paths.get(base + e)))
-        val res = Files.list(dir).iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(n => n.startsWith("wide") && n.endsWith(".writing")).toSeq
+        val res = listNames(dir,
+          n => n.startsWith("wide") && n.endsWith(".writing"))
         if (!threw) Outcome(s, "TORN", "width overflow did not fail")
         else if (left.nonEmpty) Outcome(s, "TORN", s"members survived: $left")
         else if (res.nonEmpty) Outcome(s, "RESIDUE", s"temp survived: $res")
@@ -202,9 +206,18 @@ object SinkChaosProbe {
             "cities", "Cities", "sum", "desc", Seq("a"),
             Map("csv" -> "cities.csv"), Some(("blue", "green")))), d.toString)
           val back = Writers.readManifest(d.toString)
-          if (back.length == 1 && back.head.name == "cities" && residue(d).isEmpty)
-            Outcome(s, "CLEAN", "manifest round-trips, no residue")
-          else Outcome(s, "TORN", s"round-trip broken: $back")
+          // the promoted artifact must stay world-readable: the temp
+          // route creates 0600 and a web server / group pipeline
+          // reading the publish dir would EACCES (r19 review)
+          val readable =
+            try Files.getPosixFilePermissions(d).contains(
+              java.nio.file.attribute.PosixFilePermission.OTHERS_READ)
+            catch { case _: UnsupportedOperationException => true }
+          if (back.length == 1 && back.head.name == "cities" &&
+              residue(d).isEmpty && readable)
+            Outcome(s, "CLEAN", "manifest round-trips, world-readable, no residue")
+          else Outcome(s, "TORN",
+            s"round-trip broken or perms wrong (readable=$readable): $back")
         } catch { case e: Throwable => Outcome(s, "TORN", s"manifest failed: $e") }
       },
       // ---------------- the shared idiom itself ----------------

@@ -223,6 +223,12 @@ object SourceChaosProbe {
         throw new IllegalArgumentException(
           "IMPOSSIBLE (padding ignored, 1 point parsed)")
       }),
+      Scenario("shp", "declared length below the 100-byte header", "corrupt length field", () =>
+        // fileWords=10 → declared 20 bytes: under the lenient padding
+        // policy this must stay FATAL (a zeroed length field would
+        // otherwise silently parse zero records — r19 review finding)
+        Shapefile.readShp(write(dir, "shortlen.shp",
+          doctored(shp)(_.order(ByteOrder.BIG_ENDIAN).putInt(24, 10))))),
       Scenario("shp", "record content words overrun the file", "overruns", () =>
         Shapefile.readShp(write(dir, "overrun.shp",
           doctored(shp)(_.order(ByteOrder.BIG_ENDIAN).putInt(104, 5000))))),

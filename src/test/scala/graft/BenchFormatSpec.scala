@@ -147,6 +147,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.regressions(p2, Seq("a" -> s(1.7))) == Seq("a"))   // x8.5, 1.7 CPU-s
     assert(Bench.regressions(p2, Seq("b" -> s(1.5))).isEmpty)       // x7.5: under factor
     assert(Bench.regressions(p2, Seq("c" -> s(0.99))).isEmpty)      // under CPU floor
+    // legacy process-CPU reference (refIsTask=false): the ratio leg
+    // must stand down — process CPU swings up to x10 on identical code
+    // (heap paging / GC attribution) and a sub-wall-floor phantom burst
+    // must not block the fallback path's baseline refresh
+    assert(Bench.regressions(p2,
+      Seq("a" -> Some(Bench.Sample(0.3, 1.9, 0L))), refIsTask = false).isEmpty)
+    // ... and a sample WITHOUT task cpu (taskCpu = -1) can't ratio-gate
+    // even under a task reference
+    assert(Bench.regressions(p2,
+      Seq("a" -> Some(Bench.Sample(0.3, 1.9, 0L)))).isEmpty)
   }
 
   test("a zero-valued reference still gates via the absolute floors") {
