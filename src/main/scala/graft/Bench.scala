@@ -121,8 +121,11 @@ object Bench {
       floorWall: Double = 1.0, floorWallCompute: Double = 0.5,
       refIsTask: Boolean = true,
       ratioFactor: Double = 8.0, ratioFloorCpu: Double = 1.0): Seq[String] = {
-    def effCpu(s: Sample): Double =
-      if (refIsTask && s.taskCpu >= 0) s.taskCpu else s.cpu
+    // one predicate decides BOTH which metric effCpu reads and whether
+    // the ratio leg is armed — a drifted second copy would silently
+    // re-arm the ratio leg on process-CPU comparisons (r19 review)
+    def isTaskSample(s: Sample): Boolean = refIsTask && s.taskCpu >= 0
+    def effCpu(s: Sample): Double = if (isTaskSample(s)) s.taskCpu else s.cpu
     // reference == 0 (an entry whose baseline rounds to 0.00 at the
     // serialization precision) still gates: the ABSOLUTE floors alone
     // decide then — a near-zero-baseline entry that suddenly costs
@@ -138,7 +141,7 @@ object Bench {
       // concurrent-GC attribution), and without a wall guard those
       // phantom bursts would false-flag and block the clean-sweep
       // baseline refresh during exactly the fallback path (r19 review)
-      val ratio = refIsTask && s.taskCpu >= 0 && c > ratioFloorCpu &&
+      val ratio = isTaskSample(s) && c > ratioFloorCpu &&
         prev.get(k).exists { case (_, p) => p > 0 && c > ratioFactor * p }
       floors || ratio
     }

@@ -61,8 +61,11 @@ object Archive {
       val dest = destDir.resolve(Paths.get(memberName).getFileName)
       // extract to a sibling temp file, promote atomically: a corrupt
       // deflate stream then aborts with the temp deleted, never a
-      // partial file at the published path
-      val tmp = Files.createTempFile(destDir, dest.getFileName.toString, ".extracting")
+      // partial file at the published path. publishTemp (not a raw
+      // createTempFile) so the extracted artifact keeps default-umask
+      // perms — createTempFile's 0600 was the r19 review's publish-
+      // perms regression, fixed once for every promote site
+      val tmp = AtomicFiles.publishTemp(dest)
       try {
         val in = zf.getInputStream(entry)
         // ZipException | EOFException are the CORRUPTION classes (a

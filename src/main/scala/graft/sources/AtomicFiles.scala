@@ -30,25 +30,57 @@ object AtomicFiles {
     * re-publish over an existing artifact into a hard failure there
     * (r19 review). Guarded on the temp still existing: if the rename
     * already consumed it, the failure is not a refused-replace.
+    *
+    * The fallback itself stays within the absent-or-complete contract:
+    * delete dest, then retry the ATOMIC rename — never a non-atomic
+    * REPLACE_EXISTING, whose delete-then-copy window on such platforms
+    * could leave a PARTIAL dest if the second step dies (r19 review,
+    * second pass). The artifact is momentarily absent, which the
+    * contract explicitly allows; where the platform offers no atomic
+    * rename at all the final plain move may degrade, as documented.
     */
   def promote(tmp: Path, dest: Path): Unit =
     try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     catch {
       case _: java.io.IOException if Files.exists(tmp) =>
-        Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.deleteIfExists(dest)
+        try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            Files.move(tmp, dest)
+        }
     }
 
-  /** `Files.createTempFile` creates 0600 on POSIX; published artifacts
-    * must stay world-readable like the direct writes they replaced
-    * (a web server or group-shared pipeline dir reading the .geojson /
-    * manifest would EACCES otherwise — r19 review). rw-r--r--, the
-    * conventional publish mode; non-POSIX filesystems keep their
-    * defaults.
+  /** Default-creation permissions (0666 & ~umask), probed once: what a
+    * direct `Files.write` to the destination would have produced.
+    * `Files.createTempFile` forces 0600 on POSIX, so without this the
+    * atomic route silently publishes owner-only artifacts (EACCES for
+    * a web server / group pipeline reading the publish dir — r19
+    * review); forcing a fixed rw-r--r-- instead would WIDEN perms
+    * under a restrictive umask (second-pass finding). None on
+    * non-POSIX filesystems — they keep their defaults.
     */
-  private def publishPerms(tmp: Path): Path = {
-    try Files.setPosixFilePermissions(tmp,
-      java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--"))
-    catch { case _: UnsupportedOperationException => }
+  private lazy val defaultCreatePerms
+      : Option[java.util.Set[java.nio.file.attribute.PosixFilePermission]] =
+    try {
+      val dir = Files.createTempDirectory("graft_perm_probe")
+      try {
+        val f = Files.createFile(dir.resolve("probe")) // default attrs, umask-honoring
+        try Some(Files.getPosixFilePermissions(f))
+        finally Files.deleteIfExists(f)
+      } finally Files.deleteIfExists(dir)
+    } catch { case _: UnsupportedOperationException => None }
+
+  /** Create a `.writing` sibling temp for `dest` carrying the
+    * default-creation permissions (see [[defaultCreatePerms]]) — the
+    * single temp-creation path for every sink, so no promote site can
+    * reintroduce the 0600 publish regression.
+    */
+  def publishTemp(dest: Path): Path = {
+    val dir = Option(dest.toAbsolutePath.getParent).getOrElse(
+      throw new IllegalArgumentException(s"$dest has no parent directory"))
+    val tmp = Files.createTempFile(dir, dest.getFileName.toString, ".writing")
+    defaultCreatePerms.foreach(Files.setPosixFilePermissions(tmp, _))
     tmp
   }
 
@@ -58,10 +90,7 @@ object AtomicFiles {
     * failure.
     */
   def write(dest: Path, bytes: Array[Byte]): Unit = {
-    val dir = Option(dest.toAbsolutePath.getParent).getOrElse(
-      throw new IllegalArgumentException(s"$dest has no parent directory"))
-    val tmp = publishPerms(
-      Files.createTempFile(dir, dest.getFileName.toString, ".writing"))
+    val tmp = publishTemp(dest)
     try {
       Files.write(tmp, bytes)
       promote(tmp, dest)
@@ -74,10 +103,7 @@ object AtomicFiles {
     * (writeGeoJson's feature iterator).
     */
   def writeVia[A](dest: Path)(body: Path => A): A = {
-    val dir = Option(dest.toAbsolutePath.getParent).getOrElse(
-      throw new IllegalArgumentException(s"$dest has no parent directory"))
-    val tmp = publishPerms(
-      Files.createTempFile(dir, dest.getFileName.toString, ".writing"))
+    val tmp = publishTemp(dest)
     try {
       val r = body(tmp)
       promote(tmp, dest)
