@@ -285,7 +285,7 @@ object Bench {
     */
   final case class Sample(wall: Double, cpu: Double, gcMs: Long,
       jitMs: Long = -1L, evict: Long = -1L, storMb: Long = -1L,
-      taskCpu: Double = -1.0)
+      taskCpu: Double = -1.0, primes: Int = 1)
 
   /** Streaming entries get fewer reps, min-reporting, and the
     * lifecycle-floor adjudication (BASELINE.md; StreamFloorProbe
@@ -324,7 +324,7 @@ object Bench {
       regressed: Seq[String] = Nil): String = {
     val detail = results.map { case (k, s) =>
       s"${jstr(k)}:${s.map(x =>
-        s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs},${x.jitMs},${x.evict},${x.storMb},${f(x.taskCpu, 2)}]")
+        s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs},${x.jitMs},${x.evict},${x.storMb},${f(x.taskCpu, 2)},${x.primes}]")
         .getOrElse("null")}"
     }.mkString("{", ",", "}")
     val reg = regressed.map(jstr).mkString("[", ",", "]")
@@ -334,7 +334,11 @@ object Bench {
     // the heap makes every future baseline/detail self-describing (the
     // r10-r12 ghost hunts all began by NOT knowing a reference's heap).
     val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
-    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s]","sf":${jstr(sfDir)},"reps":$reps,"heap_gb":$heapGb,""" +
+    // `primes` (r20): how many untimed priming executions the entry
+    // got — 2 when the persist-detection fired, 1 otherwise. Makes the
+    // double-prime decision readable from the driver artifact itself
+    // (the r19 x68 adjudication had to assume it).
+    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s,primes]","sf":${jstr(sfDir)},"reps":$reps,"heap_gb":$heapGb,""" +
       s""""code_cache_mb":$codeCacheJson,"regressed":$reg,""" +
       s""""total":${totalTriple(results)},"entries":$detail}"""
   }
@@ -515,7 +519,14 @@ object Bench {
       // from the build action, reps converge to ~0.5 s by the third
       // post-build execution). The second priming run eats that
       // transient so every timed rep measures steady state.
-      if (CacheLifecycle.trackedFrames(spark).size > persistedBefore)
+      // the decision is RECORDED in the artifact (Sample.primes, the
+      // detail row's 8th column): the r19 driver sweep flagged x68
+      // while the local adjudication could only ASSUME the
+      // double-prime had engaged there — one artifact column replaces
+      // a round of that guesswork
+      val primedTwice =
+        CacheLifecycle.trackedFrames(spark).size > persistedBefore
+      if (primedTwice)
         try fn(spark, sfDir).count() catch { case _: Throwable => }
       val samples = (1 to reps).flatMap { _ =>
         settleListenerCounters()
@@ -536,7 +547,8 @@ object Bench {
           settleListenerCounters()
           Some(Sample(wall, cpu, gc, jit,
             evictedBlocks.get() - e0, storageMb,
-            (taskCpuNs.get() - t0) / 1e9))
+            (taskCpuNs.get() - t0) / 1e9,
+            primes = if (primedTwice) 2 else 1))
         } catch { case _: Throwable => None }
       }
       if (samples.size != reps) None

@@ -247,8 +247,19 @@ object Dedup {
     // the span index just to rediscover it.
     val census = graft.CacheLifecycle.persist(spans
       .groupBy(col("__g")).agg(count(col(idCol)).as("__docs")))
+    // SHUFFLE_HASH, not the planner's default broadcast: both sides
+    // are the persisted __g-clustered caches, so the join is already
+    // co-partitioned with ZERO exchange, and the census side is the
+    // (small) build side per partition. The default plan instead
+    // re-collects and re-BROADCASTS the census on EVERY execution —
+    // a per-rep driver collect + broadcast rebuild that (a) is dead
+    // cost on a co-located join, (b) accumulates executor storage
+    // until ContextCleaner GC (+6 MB/rep measured, r19), and (c) at
+    // real scale is impossible anyway (the census is
+    // span-cardinality-sized — co-location IS the scale plan, this
+    // hint just makes the executed plan match it at bench SF).
     spans
-      .join(census, Seq("__g"), "inner")
+      .join(census.hint("shuffle_hash"), Seq("__g"), "inner")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("bigint").as("n_spans"),
         sum(when(col("__docs") > 1, lit(1L)).otherwise(lit(0L)))

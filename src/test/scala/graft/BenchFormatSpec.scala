@@ -53,13 +53,23 @@ class BenchFormatSpec extends AnyFunSuite {
     // stor_mb + task_cpu_s since r12 (storage-eviction and
     // background-JVM-CPU attribution — the r10/r11 "regressed on
     // identical code" driver anomalies)
+    // ... + primes since r20 (was the double-prime decision readable
+    // from the driver artifact? — the r19 x68 adjudication had to
+    // assume it fired)
     assert(root.get("fmt").asText ==
-      "[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s]")
+      "[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s,primes]")
     // heap_gb since r15 (baseline provenance: an 8g local sweep and the
     // driver's ~90g sweep must be distinguishable from the file alone)
     assert(root.get("heap_gb").isNumber && root.get("heap_gb").asLong >= 1)
     val okName = worstCase.collectFirst { case (n, Some(_)) => n }.get
-    assert(root.get("entries").get(okName).size == 7)
+    assert(root.get("entries").get(okName).size == 8)
+    // the primes column defaults to 1 and renders 2 when the
+    // persist-detection fired — both spellings must round-trip
+    val primed = Bench.renderDetail(Seq(
+      "a" -> Some(Bench.Sample(1.0, 1.0, 0L)),
+      "b" -> Some(Bench.Sample(1.0, 1.0, 0L, primes = 2))), "sf", 3)
+    val pr = mapper.readTree(primed).get("entries")
+    assert(pr.get("a").get(7).asInt == 1 && pr.get("b").get(7).asInt == 2)
   }
 
   test("summary and detail carry the regression gate + code-cache fields") {
