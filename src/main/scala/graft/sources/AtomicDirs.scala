@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Directory analog of [[AtomicFiles]] for the Spark-native sinks
+  * (r20, extending the r19 writer-side no-torn-artifact contract):
+  * `DataFrameWriter.mode("overwrite")` DELETES the destination before
+  * the job commits, so a mid-job failure leaves the previous dataset
+  * destroyed and nothing in its place — the exact loss the driver-side
+  * sinks were hardened against, and doubly wrong for compaction, whose
+  * whole point is rewriting a LIVE table.
+  *
+  * Idiom: the job writes to a hidden sibling staging directory
+  * (`.{name}.writing-{tag}` — the dot prefix keeps Spark/Hadoop
+  * listings of the PARENT from picking it up as data), then the swap
+  * renames previous → `.{name}.replaced-{tag}`, staging → dest, and
+  * deletes the stash. Failure anywhere in the job leaves dest
+  * untouched; failure between the two renames restores the previous
+  * directory before propagating, so the only absence window is the
+  * sub-millisecond pair of metadata renames — the same
+  * absent-or-complete contract [[AtomicFiles.promote]] documents.
+  *
+  * Rename atomicity is the filesystem's: local and HDFS renames are
+  * atomic metadata ops; object stores that fake renames by
+  * copy-and-delete (plain S3A without a committer) degrade exactly as
+  * the file-level idiom does there, and should publish through a
+  * manifest/committer layer instead.
+  */
+object AtomicDirs {
+
+  /** Run `body` against a staging directory path, swapping it over
+    * `dest` only if body completes. The staging dir lives NEXT TO the
+    * destination (same parent, so renames never cross a filesystem
+    * boundary) and is deleted on any failure.
+    */
+  def writeVia[A](spark: SparkSession, dest: String)(body: String => A): A = {
+    val fs = new HPath(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qDest = fs.makeQualified(new HPath(dest))
+    val parent = Option(qDest.getParent).getOrElse(
+      throw new IllegalArgumentException(s"$dest has no parent directory"))
+    fs.mkdirs(parent)
+    // unique tag per publish: two concurrent writers to the same dest
+    // race the final rename (last one wins whole) instead of writing
+    // into each other's staging directory
+    val tag = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val staging = new HPath(parent, s".${qDest.getName}.writing-$tag")
+    val replaced = new HPath(parent, s".${qDest.getName}.replaced-$tag")
+    try {
+      val r = body(staging.toString)
+      // a body that wrote nothing is a broken sink, not an empty
+      // dataset — an empty DataFrame still writes a dir with _SUCCESS
+      require(fs.exists(staging),
+        s"sink body completed without writing anything at $staging")
+      val hadDest = fs.exists(qDest)
+      if (hadDest && !fs.rename(qDest, replaced))
+        throw new java.io.IOException(
+          s"atomic publish: could not stash previous $qDest aside")
+      try {
+        if (!fs.rename(staging, qDest))
+          throw new java.io.IOException(
+            s"atomic publish: could not promote $staging over $qDest")
+      } catch {
+        case e: Throwable =>
+          // restore the previous dataset before propagating: the
+          // promote failed, but the stash is the complete prior content
+          if (hadDest) fs.rename(replaced, qDest)
+          throw e
+      }
+      if (hadDest) fs.delete(replaced, true)
+      r
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+  }
+}

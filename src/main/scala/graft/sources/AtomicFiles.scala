@@ -38,16 +38,34 @@ object AtomicFiles {
     * second pass). The artifact is momentarily absent, which the
     * contract explicitly allows; where the platform offers no atomic
     * rename at all the final plain move may degrade, as documented.
+    *
+    * Two guards keep the fallback from converting TRANSIENT errors
+    * into data loss (r19 advisor): the atomic rename is retried once
+    * BEFORE dest is touched (an EIO/NFS hiccup that clears on retry
+    * never reaches the delete), and the delete-dest path is taken only
+    * when dest actually EXISTS — a refused replace requires an
+    * existing target; any other failure shape propagates with the
+    * previous artifact intact.
     */
   def promote(tmp: Path, dest: Path): Unit =
     try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     catch {
       case _: java.io.IOException if Files.exists(tmp) =>
-        Files.deleteIfExists(dest)
         try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
         catch {
-          case _: java.nio.file.AtomicMoveNotSupportedException =>
+          // no atomic rename on this platform and nothing to replace:
+          // the documented plain-move degradation
+          case _: java.nio.file.AtomicMoveNotSupportedException
+              if Files.exists(tmp) && !Files.exists(dest) =>
             Files.move(tmp, dest)
+          case _: java.io.IOException
+              if Files.exists(tmp) && Files.exists(dest) =>
+            Files.deleteIfExists(dest)
+            try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.AtomicMoveNotSupportedException =>
+                Files.move(tmp, dest)
+            }
         }
     }
 
@@ -80,7 +98,13 @@ object AtomicFiles {
     val dir = Option(dest.toAbsolutePath.getParent).getOrElse(
       throw new IllegalArgumentException(s"$dest has no parent directory"))
     val tmp = Files.createTempFile(dir, dest.getFileName.toString, ".writing")
-    defaultCreatePerms.foreach(Files.setPosixFilePermissions(tmp, _))
+    // the probe ran in java.io.tmpdir; the DESTINATION filesystem may
+    // be non-POSIX even when tmpdir is POSIX — fall back to the temp's
+    // own default perms instead of failing every publish (r19 advisor)
+    defaultCreatePerms.foreach { perms =>
+      try Files.setPosixFilePermissions(tmp, perms)
+      catch { case _: UnsupportedOperationException => () }
+    }
     tmp
   }
 

@@ -16,17 +16,38 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  // Every directory sink below publishes through
+  // [[AtomicDirs.writeVia]] (r20): a bare mode("overwrite") deletes
+  // the destination BEFORE the job commits, so a mid-job failure
+  // destroyed the previous dataset — the staging-dir + rename swap
+  // keeps the previous content readable until the new one is complete.
+
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    AtomicDirs.writeVia(df.sparkSession, path) { staging =>
+      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging)
+    }
 
   def writeBucketed(
       df: DataFrame, table: String,
       bucketCols: Seq[String], buckets: Int,
       sortCols: Seq[String] = Seq.empty): Unit = {
+    // catalog-level staging swap (the table analog of the AtomicDirs
+    // idiom): a direct mode("overwrite").saveAsTable DROPS the live
+    // table before writing, so a mid-job failure left neither old nor
+    // new data. Writing to a staging table first keeps the live table
+    // fully readable for the whole job; the swap is two catalog
+    // metadata ops (drop + rename), and a failure between them leaves
+    // the complete staging table to recover from, never partial data.
+    val spark = df.sparkSession
+    def quoted(name: String): String =
+      name.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
+    val staging = table + "__writing"
     val w = df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
-    sorted.format("parquet").saveAsTable(table)
+    sorted.format("parquet").saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
+    spark.sql(s"ALTER TABLE ${quoted(staging)} RENAME TO ${quoted(table)}")
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
@@ -64,9 +85,11 @@ object Layout {
       df: DataFrame, path: String, a: String, b: String,
       files: Int, bits: Int = 16): Unit = {
     val z = zValue(col(a), col(b), bits)
-    df.repartitionByRange(files, z)
-      .sortWithinPartitions(z)
-      .write.mode("overwrite").parquet(path)
+    AtomicDirs.writeVia(df.sparkSession, path) { staging =>
+      df.repartitionByRange(files, z)
+        .sortWithinPartitions(z)
+        .write.mode("overwrite").parquet(staging)
+    }
   }
 
   /** Small-file compaction: rewrite a parquet directory into
@@ -98,8 +121,15 @@ object Layout {
       if (st.isFile && !st.getPath.getName.startsWith("_")) bytes += st.getLen
     }
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inDir).repartition(n)
-      .write.mode("overwrite").parquet(outDir)
+    // the staging swap also makes IN-PLACE compaction (outDir == inDir)
+    // safe: the job only READS inDir while writing to the staging
+    // sibling, and the live directory is replaced wholesale after the
+    // job commits — which is the actual maintenance shape (rewriting a
+    // LIVE table, not producing a copy)
+    AtomicDirs.writeVia(spark, outDir) { staging =>
+      spark.read.parquet(inDir).repartition(n)
+        .write.mode("overwrite").parquet(staging)
+    }
     n
   }
 }

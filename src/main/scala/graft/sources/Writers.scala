@@ -17,8 +17,13 @@ import graft.geom.GeomCodec
   */
 object Writers {
 
+  // the directory sinks publish via [[AtomicDirs.writeVia]] (r20):
+  // mode("overwrite") alone deletes the destination before the job
+  // commits, so a mid-job failure destroyed the previous dataset
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    AtomicDirs.writeVia(df.sparkSession, path) { staging =>
+      df.write.mode("overwrite").option("header", "true").csv(staging)
+    }
 
   /** Single-file CSV (reference parity). The coalesce(1) funnels the
     * whole frame through ONE task — correct for small publish tables,
@@ -57,11 +62,15 @@ object Writers {
       s"writeCsvSingle: input exceeds maxRows=$maxRows rows — a single-file " +
         "CSV writes through one task. Use writeCsv (one file per partition) " +
         "for bulk data, or raise maxRows if the table genuinely fits.")
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    AtomicDirs.writeVia(df.sparkSession, path) { staging =>
+      df.coalesce(1).write.mode("overwrite").option("header", "true").csv(staging)
+    }
   }
 
   def writeParquet(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").parquet(path)
+    AtomicDirs.writeVia(df.sparkSession, path) { staging =>
+      df.write.mode("overwrite").parquet(staging)
+    }
 
   /** GeoJSON FeatureCollection: geometry from WKB, all other columns as
     * properties. Executors render feature fragments in parallel

@@ -232,6 +232,173 @@ object SinkChaosProbe {
             sys.error("mid-write kill")
           })
         failedPublish(s, d, before = Some(Array[Byte](1, 2, 3)))
+      }) ++ sparkDirScenarios(spark, dir)
+  }
+
+  // --- Spark-native directory sinks (r20: the mode("overwrite")
+  // delete-before-commit loss class — Layout/Writers now publish via
+  // AtomicDirs' staging-dir + rename swap) -----------------------------
+
+  /** Recursive (relative-name → size) listing of a directory sink —
+    * the dir analog of the byte compare: after a failed publish the
+    * destination must hold exactly its previous files, byte sizes
+    * included, or be absent.
+    */
+  private def dirState(dir: Path): Option[Map[String, Long]] =
+    if (!Files.exists(dir)) None
+    else {
+      val s = Files.walk(dir)
+      try Some(s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => dir.relativize(p).toString -> Files.size(p)).toMap)
+      finally s.close()
+    }
+
+  /** Staging/stash residue next to a directory sink: the AtomicDirs
+    * idiom names them `.{name}.writing-{tag}` / `.{name}.replaced-{tag}`.
+    */
+  private def dirResidue(dest: Path): Seq[String] =
+    listNames(dest.toAbsolutePath.getParent, n =>
+      n.startsWith("." + dest.getFileName.toString + ".") &&
+        (n.contains(".writing-") || n.contains(".replaced-")))
+
+  /** Adjudicate a FAILING directory publish: must throw, dest must
+    * hold exactly `before` (None = absent), no staging/stash residue.
+    */
+  private def failedDirPublish(
+      s: Scenario, dest: Path, before: Option[Map[String, Long]]): Outcome = {
+    val threw =
+      try { s.run(dest); false }
+      catch { case _: Throwable => true }
+    val res = dirResidue(dest)
+    val after = dirState(dest)
+    if (!threw)
+      Outcome(s, "TORN", "scenario did not fail — injection broken")
+    else if (res.nonEmpty)
+      Outcome(s, "RESIDUE", s"staging/stash survived: ${res.mkString(",")}")
+    else if (after == before) Outcome(s, "CLEAN",
+      if (before.isEmpty) "failed, dest absent, no residue"
+      else "failed, previous dataset intact, no residue")
+    else (before, after) match {
+      case (None, Some(a)) =>
+        Outcome(s, "TORN", s"partial dataset survived (${a.size} files)")
+      case (Some(_), None) =>
+        Outcome(s, "TORN", "previous dataset DESTROYED by failed publish")
+      case _ =>
+        Outcome(s, "TORN", s"previous dataset MUTATED by failed publish")
+    }
+  }
+
+  private def sparkDirScenarios(
+      spark: SparkSession, dir: Path): Seq[() => Outcome] = {
+    import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
+    import graft.sources.Layout
+
+    // plain (id, s) frame — CSV-writable; `poisoned` raises INSIDE the
+    // write job on one mid-frame row (semantic injection: the same
+    // interruption point a task crash hits, with a deterministic
+    // trigger — constant-folding can't lift it, the condition is data)
+    def plain = spark.range(0, 20, 1, 2)
+      .select(col("id"), concat(lit("row"), col("id")).as("s"),
+        (col("id") % 7).as("k"))
+    def poisoned = plain.withColumn("s",
+      when(col("id") === 13L, raise_error(lit("mid-job chaos")))
+        .otherwise(col("s")))
+
+    Seq(
+      () => {
+        // sanity: the staging swap still publishes a readable dataset
+        val d = dir.resolve("pq_sanity")
+        val s = Scenario("parquet-dir", "writeParquet publishes through the swap (sanity)",
+          dest => Writers.writeParquet(plain, dest.toString))
+        try {
+          s.run(d)
+          val n = spark.read.parquet(d.toString).count()
+          if (n == 20 && dirResidue(d).isEmpty)
+            Outcome(s, "CLEAN", "20 rows round-trip, no staging residue")
+          else Outcome(s, "TORN", s"round-trip $n rows, residue ${dirResidue(d)}")
+        } catch { case e: Throwable => Outcome(s, "TORN", s"sanity failed: $e") }
+      },
+      () => {
+        // the r19 verdict's loss class, pinned: mid-JOB failure over a
+        // LIVE dataset must leave the previous files byte-identical
+        val d = dir.resolve("pq_over")
+        Writers.writeParquet(plain, d.toString)
+        failedDirPublish(
+          Scenario("parquet-dir", "mid-job failure over existing dataset",
+            dest => Writers.writeParquet(poisoned, dest.toString)),
+          d, before = dirState(d))
+      },
+      () => failedDirPublish(
+        Scenario("parquet-dir", "mid-job failure, fresh dest stays absent",
+          dest => Writers.writeParquet(poisoned, dest.toString)),
+        dir.resolve("pq_fresh"), before = None),
+      () => {
+        val d = dir.resolve("part_over")
+        Layout.writePartitioned(plain, d.toString, Seq("k"))
+        failedDirPublish(
+          Scenario("partitioned-dir", "mid-job failure over hive-partitioned dataset",
+            dest => Layout.writePartitioned(poisoned, dest.toString, Seq("k"))),
+          d, before = dirState(d))
+      },
+      () => {
+        val d = dir.resolve("csv_over")
+        Writers.writeCsvSingle(plain, d.toString)
+        failedDirPublish(
+          Scenario("csv-dir", "mid-job failure over single-file CSV",
+            dest => Writers.writeCsvSingle(poisoned, dest.toString)),
+          d, before = dirState(d))
+      },
+      () => {
+        val d = dir.resolve("zorder_over")
+        Layout.writeZOrdered(plain, d.toString, "id", "k", files = 2, bits = 8)
+        failedDirPublish(
+          Scenario("zorder-dir", "mid-job failure over z-ordered dataset",
+            dest => Layout.writeZOrdered(
+              poisoned, dest.toString, "id", "k", files = 2, bits = 8)),
+          d, before = dirState(d))
+      },
+      () => {
+        // IN-PLACE compaction (outDir == inDir): the maintenance shape
+        // the swap exists for — same rows back, previous files gone
+        val d = dir.resolve("compact_live")
+        Writers.writeParquet(plain.repartition(8), d.toString)
+        val s = Scenario("compact", "in-place compaction rewrites a live dir (sanity)",
+          dest => { Layout.compact(spark, dest.toString, dest.toString); () })
+        try {
+          s.run(d)
+          val back = spark.read.parquet(d.toString)
+          val rows = back.count()
+          val files = dirState(d).get.keys.count(_.endsWith(".parquet"))
+          if (rows == 20 && files == 1 && dirResidue(d).isEmpty)
+            Outcome(s, "CLEAN", s"20 rows in $files file after in-place compact")
+          else Outcome(s, "TORN", s"rows=$rows files=$files residue=${dirResidue(d)}")
+        } catch { case e: Throwable => Outcome(s, "TORN", s"compact failed: $e") }
+      },
+      () => {
+        // in-place compaction over a dir holding one CORRUPT member:
+        // the rewrite job fails mid-read — the live dir (corrupt file
+        // included) must survive untouched for diagnosis
+        val d = dir.resolve("compact_corrupt")
+        Writers.writeParquet(plain.repartition(4), d.toString)
+        Files.write(d.resolve("part-junk.parquet"), Array[Byte](80, 65, 82, 49, 9, 9))
+        failedDirPublish(
+          Scenario("compact", "corrupt member fails compaction, live dir intact",
+            dest => { Layout.compact(spark, dest.toString, dest.toString); () }),
+          d, before = dirState(d))
+      },
+      () => {
+        // the dir primitive pinned directly (the AtomicFiles.writeVia
+        // analog): body failure preserves dest, no staging residue
+        val d = dir.resolve("dirvia")
+        Writers.writeParquet(plain, d.toString)
+        failedDirPublish(
+          Scenario("atomicdirs", "writeVia body failure preserves dest dir",
+            dest => graft.sources.AtomicDirs.writeVia(spark, dest.toString) {
+              staging =>
+                plain.limit(3).write.parquet(staging)
+                sys.error("mid-publish kill")
+            }),
+          d, before = dirState(d))
       })
   }
 
