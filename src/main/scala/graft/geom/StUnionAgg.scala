@@ -7,31 +7,19 @@ import org.locationtech.jts.geom.Geometry
 import org.locationtech.jts.operation.union.UnaryUnionOp
 import scala.collection.mutable.ArrayBuffer
 
-/** Geometric union aggregate — the dissolve kernel (OP-38,
-  * `bunny.py:264-270`; SURVEY §7.4 hard-part #2).
-  *
-  * Buffers (level, WKB) entries and compacts them TIERED, like an LSM
-  * tree / binary counter: raw inputs enter at level 0; when a level
-  * accumulates [[StUnionAgg.FanIn]] entries they are cascaded-unioned
-  * (JTS `UnaryUnionOp`) into ONE entry at the next level, cascading
-  * upward. Every coordinate therefore passes through O(log₆₄ n)
-  * unions — O(n log n) total work per group.
-  *
-  * The r19 GeomScaleProbe measured why the tiers matter: the previous
-  * single-threshold compaction ("≥ 64 entries → union ALL into one")
-  * re-unioned the whole accumulated geometry every 63 rows — O(n²/64)
-  * coordinate work per group, ×617 task-CPU at 64× the features in
-  * the fixed-group-count leg (`dissolve_grow`), the exact shape a
-  * continental dissolve at 100 TB would hit. With tiers the same leg
-  * is ~linear (each level's unions see geometry once per tier).
-  *
-  * Partial aggregation (map-side combine) works unchanged — `merge`
-  * pushes one buffer's entries into the other at their levels — so
-  * the shuffle still carries at most FanIn·levels compacted entries
-  * per key per map task, not every input row.
+/** Tiered geometric-union aggregation, parameterized on fan-in so the
+  * scaling probe can measure the fan-in trade directly (r20 — the
+  * production aggregate is [[StUnionAgg]], pinned at 64). A smaller
+  * fan-in trades more union passes (depth log_f n instead of log₆₄ n)
+  * for a smaller per-call working set; the r19 remainder question —
+  * is the ×178-vs-~117 gap at 64× a fan-in artifact? — is answered by
+  * running the same leg at several fan-ins (GeomScaleProbe
+  * `dissolve_grow_f*` legs, BASELINE.md r20).
   */
-object StUnionAgg extends Aggregator[Array[Byte], ArrayBuffer[(Int, Array[Byte])], Array[Byte]] {
-  val FanIn = 64
+class TieredUnionAgg(val fanIn: Int)
+    extends Aggregator[Array[Byte], ArrayBuffer[(Int, Array[Byte])], Array[Byte]]
+    with Serializable {
+  require(fanIn >= 2, s"fanIn must be >= 2, got $fanIn")
 
   /** Cascaded union with the SURVEY §7.4 robustness ladder: plain union
     * first; on TopologyException fix invalid inputs and retry; as the
@@ -63,16 +51,16 @@ object StUnionAgg extends Aggregator[Array[Byte], ArrayBuffer[(Int, Array[Byte])
     }
   }
 
-  /** Add one entry at `level`, cascading any FanIn-full level into a
+  /** Add one entry at `level`, cascading any fanIn-full level into a
     * single next-level union. The buffer never exceeds
-    * FanIn × (levels+1) entries (levels = log₆₄ of the group size).
+    * fanIn × (levels+1) entries (levels = log_fanIn of the group size).
     */
   private def push(
       b: ArrayBuffer[(Int, Array[Byte])], level: Int,
       wkb: Array[Byte]): ArrayBuffer[(Int, Array[Byte])] = {
     b += ((level, wkb))
     var l = level
-    while (b.count(_._1 == l) >= FanIn) {
+    while (b.count(_._1 == l) >= fanIn) {
       val (same, rest) = b.partition(_._1 == l)
       b.clear()
       b ++= rest
@@ -102,6 +90,37 @@ object StUnionAgg extends Aggregator[Array[Byte], ArrayBuffer[(Int, Array[Byte])
     Encoders.kryo[ArrayBuffer[(Int, Array[Byte])]]
 
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Geometric union aggregate — the dissolve kernel (OP-38,
+  * `bunny.py:264-270`; SURVEY §7.4 hard-part #2).
+  *
+  * Buffers (level, WKB) entries and compacts them TIERED, like an LSM
+  * tree / binary counter: raw inputs enter at level 0; when a level
+  * accumulates [[StUnionAgg.FanIn]] entries they are cascaded-unioned
+  * (JTS `UnaryUnionOp`) into ONE entry at the next level, cascading
+  * upward. Every coordinate therefore passes through O(log₆₄ n)
+  * unions — O(n log n) total work per group.
+  *
+  * The r19 GeomScaleProbe measured why the tiers matter: the previous
+  * single-threshold compaction ("≥ 64 entries → union ALL into one")
+  * re-unioned the whole accumulated geometry every 63 rows — O(n²/64)
+  * coordinate work per group, ×617 task-CPU at 64× the features in
+  * the fixed-group-count leg (`dissolve_grow`), the exact shape a
+  * continental dissolve at 100 TB would hit. With tiers the same leg
+  * is ~linear (each level's unions see geometry once per tier).
+  *
+  * FanIn = 64 is a measured choice, not a guess: the r20 fan-in
+  * sensitivity legs (`dissolve_grow_f8`/`_f16` vs `_f64`,
+  * BASELINE.md) ran the growing-group leg at fan-ins 8/16/64.
+  *
+  * Partial aggregation (map-side combine) works unchanged — `merge`
+  * pushes one buffer's entries into the other at their levels — so
+  * the shuffle still carries at most FanIn·levels compacted entries
+  * per key per map task, not every input row.
+  */
+object StUnionAgg extends TieredUnionAgg(64) {
+  val FanIn = 64
 
   /** Column form: `df.groupBy(keys).agg(st_union_agg($"geom"))`. */
   lazy val asUdaf: org.apache.spark.sql.expressions.UserDefinedFunction = udaf(StUnionAgg)

@@ -151,10 +151,23 @@ object Shapefile {
     require(declared <= bytes.length,
       s"$path: header declares $declared bytes but the file has " +
         s"${bytes.length} — truncated file")
-    if (declared < bytes.length)
+    // the tolerated slack is BOUNDED below one minimal record (8-byte
+    // record header + 4-byte shape type = 12 bytes): real exporter
+    // padding is a few alignment bytes, while a corrupted/doctored
+    // length field that cuts off whole trailing records produces
+    // record-sized slack — unbounded leniency would silently DROP that
+    // data with only a log line (r19 advisor). At 12+ bytes of slack
+    // the mismatch is corruption, not padding, and stays fatal.
+    val slack = bytes.length - declared
+    require(slack < 12,
+      s"$path: header declares $declared bytes but the file has " +
+        s"${bytes.length} — the $slack trailing bytes are at least one " +
+        "whole record; the declared length cuts off trailing records " +
+        "(corrupt length field, not exporter padding)")
+    if (slack > 0)
       org.slf4j.LoggerFactory.getLogger("graft.sources.Shapefile").warn(
-        s"$path: ${bytes.length - declared} trailing bytes past the " +
-          s"header-declared $declared — ignored (benign padding policy)")
+        s"$path: $slack trailing bytes past the header-declared " +
+          s"$declared — ignored (benign sub-record padding policy)")
     val end = declared.toInt
     val out = new ArrayBuffer[Geometry]
     var pos = 100

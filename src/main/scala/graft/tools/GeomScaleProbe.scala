@@ -109,8 +109,17 @@ object GeomScaleProbe {
     // sublinear curves at every later k
     val meter = new TaskCpuMeter(spark.sparkContext)
 
+    // leg filter (comma-separated name prefixes): a sensitivity study
+    // re-measures ONE family in minutes instead of the whole battery.
+    // Empty/unset = run everything (the official battery shape).
+    val legOnly = sys.env.get("PROBE_LEGS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    def legSelected(op: String): Boolean =
+      legOnly.forall(_.exists(op.startsWith))
+
     val cpuBy = scala.collection.mutable.LinkedHashMap.empty[(String, Int), Double]
-    def time(op: String, k: Int, rows: Long)(body: => Long): Unit = {
+    def time(op: String, k: Int, rows: Long)(body: => Long): Unit = if (legSelected(op)) {
       body // warm pass (JIT + codegen), the ScaleProbe protocol
       graft.CacheLifecycle.release(spark)
       spark.catalog.clearCache()
@@ -174,6 +183,42 @@ object GeomScaleProbe {
         SpatialOps.dissolve(
           valid.withColumn("place", col("cell_id") % 64), Seq("place"))
           .agg(sum(length(col("geom")))).collect().head.getLong(0)
+      }
+
+      // r20 remainder isolation (the ×178-vs-~117 question): the same
+      // 64 fixed groups with input count ∝ k, but every group is two
+      // overlapping squares repeated — union OUTPUT stays
+      // constant-size while inputs grow, so tier entries never fatten.
+      // ~linear here while dissolve_grow reads above its n·log n model
+      // pins the excess on the growing accumulated MULTIPOLYGON each
+      // tier must traverse (coordinate volume ∝ level), not on tier
+      // mechanics or fan-in bookkeeping.
+      val cstRows = (0 until k).flatMap { copy =>
+        (0 until n * n).map { c =>
+          val id = copy.toLong * n * n + c
+          val p = id % 64
+          (id, p, GeomCodec.write(square(p * 3.0 + (id % 2) * 0.5, 0.0)))
+        }
+      }
+      val cst = stage(cstRows.toDF("cell_id", "place", "geom")
+        .repartition(32), s"cst_$k")
+      time("grow_const_out", k, nRows) {
+        SpatialOps.dissolve(cst, Seq("place"))
+          .agg(sum(length(col("geom")))).collect().head.getLong(0)
+      }
+
+      // fan-in sensitivity on the growing-output leg: is FanIn=64 the
+      // right constant for coordinate-heavy groups? A smaller fan-in
+      // doubles tier depth (more unions) but shrinks the per-call
+      // working set — if cache effects dominate, f8/f16 should WIN at
+      // 64×; if union-pass count dominates, f64 wins.
+      Seq(8, 16).foreach { f =>
+        val u = udaf(new graft.geom.TieredUnionAgg(f))
+        time(s"dissolve_grow_f$f", k, nRows) {
+          valid.withColumn("place", col("cell_id") % 64)
+            .groupBy(col("place")).agg(u(col("geom")).as("geom"))
+            .agg(sum(length(col("geom")))).collect().head.getLong(0)
+        }
       }
 
       // full planar overlay vs a half-offset coarse grid: ≤ 4 partners

@@ -223,6 +223,14 @@ object SourceChaosProbe {
         throw new IllegalArgumentException(
           "IMPOSSIBLE (padding ignored, 1 point parsed)")
       }),
+      Scenario("shp", "declared length cuts off a whole record (record-sized slack)",
+        "cuts off trailing records", () =>
+        // fileWords=50 → declared 100 bytes on a 128-byte file: the 28
+        // bytes of slack are a whole record — under the BOUNDED
+        // padding policy (r20, r19 advisor) record-sized slack is a
+        // corrupt length field dropping data, and must stay fatal
+        Shapefile.readShp(write(dir, "cutlen.shp",
+          doctored(shp)(_.order(ByteOrder.BIG_ENDIAN).putInt(24, 50))))),
       Scenario("shp", "declared length below the 100-byte header", "corrupt length field", () =>
         // fileWords=10 → declared 20 bytes: under the lenient padding
         // policy this must stay FATAL (a zeroed length field would
