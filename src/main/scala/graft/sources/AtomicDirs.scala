@@ -42,8 +42,10 @@ object AtomicDirs {
       throw new IllegalArgumentException(s"$dest has no parent directory"))
     fs.mkdirs(parent)
     // unique tag per publish: two concurrent writers to the same dest
-    // race the final rename (last one wins whole) instead of writing
-    // into each other's staging directory
+    // never write into each other's STAGING directory; the publish
+    // rename itself re-checks dest (below) so a lost race fails loudly
+    // instead of nesting one writer's staging inside the other's
+    // published dataset
     val tag = java.util.UUID.randomUUID().toString.substring(0, 8)
     val staging = new HPath(parent, s".${qDest.getName}.writing-$tag")
     val replaced = new HPath(parent, s".${qDest.getName}.replaced-$tag")
@@ -58,17 +60,48 @@ object AtomicDirs {
         throw new java.io.IOException(
           s"atomic publish: could not stash previous $qDest aside")
       try {
+        // Hadoop rename onto an EXISTING directory moves the source
+        // INTO it (silently nesting the staging dir inside someone
+        // else's published dataset) — if dest reappeared since the
+        // stash-out, a concurrent publish won the race: fail loudly,
+        // never rename onto an existing dir
+        if (fs.exists(qDest))
+          throw new java.io.IOException(
+            s"atomic publish: $qDest reappeared mid-swap (concurrent " +
+              "publish?) — refusing to nest the staging directory into it")
         if (!fs.rename(staging, qDest))
           throw new java.io.IOException(
             s"atomic publish: could not promote $staging over $qDest")
       } catch {
         case e: Throwable =>
           // restore the previous dataset before propagating: the
-          // promote failed, but the stash is the complete prior content
-          if (hadDest) fs.rename(replaced, qDest)
+          // promote failed, but the stash is the complete prior
+          // content. A restore that can't happen (dest occupied by a
+          // concurrent winner, or the rename itself fails) must NOT
+          // pass silently — the data would sit invisible in the stash
+          // while the error only described the promote.
+          if (hadDest) {
+            val restored = !fs.exists(qDest) && fs.rename(replaced, qDest)
+            if (!restored)
+              throw new java.io.IOException(
+                s"atomic publish: promote failed AND the previous " +
+                  s"dataset could not be restored — recover it manually " +
+                  s"from $replaced", e)
+          }
           throw e
       }
-      if (hadDest) fs.delete(replaced, true)
+      // stash cleanup is best-effort: the new dataset is fully live at
+      // dest, so a transient delete failure must not report the
+      // publish itself as failed — the stash is inert (hidden name)
+      if (hadDest) {
+        try fs.delete(replaced, true)
+        catch {
+          case e: java.io.IOException =>
+            org.slf4j.LoggerFactory.getLogger("graft.sources.AtomicDirs")
+              .warn(s"publish succeeded but the previous-dataset stash " +
+                s"$replaced could not be deleted: $e")
+        }
+      }
       r
     } finally {
       if (fs.exists(staging)) fs.delete(staging, true)

@@ -34,20 +34,55 @@ object Layout {
     // catalog-level staging swap (the table analog of the AtomicDirs
     // idiom): a direct mode("overwrite").saveAsTable DROPS the live
     // table before writing, so a mid-job failure left neither old nor
-    // new data. Writing to a staging table first keeps the live table
-    // fully readable for the whole job; the swap is two catalog
-    // metadata ops (drop + rename), and a failure between them leaves
-    // the complete staging table to recover from, never partial data.
+    // new data. Writing to a per-publish-tagged staging table first
+    // keeps the live table fully readable for the whole job (and two
+    // concurrent publishes never share a staging table); the swap then
+    // mirrors AtomicDirs — live → stash, staging → live, drop stash —
+    // so the previous data is NEVER dropped before the new table is
+    // in place: a failure between the renames restores the stash, and
+    // a restore that can't happen propagates with the stash named for
+    // manual recovery. Managed-table RENAME moves data with the
+    // definition (bucket spec included), so the published table keeps
+    // its Exchange-free join/agg planning.
     val spark = df.sparkSession
     def quoted(name: String): String =
       name.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
-    val staging = table + "__writing"
+    def exists(name: String): Boolean = spark.catalog.tableExists(name)
+    val tag = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val staging = s"${table}__writing_$tag"
+    val stash = s"${table}__replaced_$tag"
     val w = df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
-    sorted.format("parquet").saveAsTable(staging)
-    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
-    spark.sql(s"ALTER TABLE ${quoted(staging)} RENAME TO ${quoted(table)}")
+    try {
+      sorted.format("parquet").saveAsTable(staging)
+      val hadDest = exists(table)
+      if (hadDest)
+        spark.sql(s"ALTER TABLE ${quoted(table)} RENAME TO ${quoted(stash)}")
+      try spark.sql(s"ALTER TABLE ${quoted(staging)} RENAME TO ${quoted(table)}")
+      catch {
+        case e: Throwable =>
+          if (hadDest) {
+            val restored =
+              try {
+                if (!exists(table)) {
+                  spark.sql(
+                    s"ALTER TABLE ${quoted(stash)} RENAME TO ${quoted(table)}")
+                  true
+                } else false
+              } catch { case _: Throwable => false }
+            if (!restored)
+              throw new java.io.IOException(
+                s"table publish: promote failed AND the previous table " +
+                  s"could not be restored — recover it manually from " +
+                  s"$stash", e)
+          }
+          throw e
+      }
+      if (hadDest) spark.sql(s"DROP TABLE IF EXISTS ${quoted(stash)}")
+    } finally {
+      if (exists(staging)) spark.sql(s"DROP TABLE IF EXISTS ${quoted(staging)}")
+    }
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

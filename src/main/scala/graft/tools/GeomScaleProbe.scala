@@ -193,18 +193,27 @@ object GeomScaleProbe {
       // pins the excess on the growing accumulated MULTIPOLYGON each
       // tier must traverse (coordinate volume ∝ level), not on tier
       // mechanics or fan-in bookkeeping.
-      val cstRows = (0 until k).flatMap { copy =>
-        (0 until n * n).map { c =>
-          val id = copy.toLong * n * n + c
-          val p = id % 64
-          (id, p, GeomCodec.write(square(p * 3.0 + (id % 2) * 0.5, 0.0)))
+      if (legSelected("grow_const_out")) {
+        // the overlap offset must be INDEPENDENT of p = id % 64 (an
+        // id % 2 offset is fully determined by p since 2 | 64 — every
+        // group would hold one identical square repeated, a JTS
+        // coincident-geometry fast path instead of real overlap
+        // noding; r20 review finding): (id / 64) % 2 alternates WITHIN
+        // each group, so every group unions two genuinely overlapping
+        // distinct squares, each repeated k·n²/128 times
+        val cstRows = (0 until k).flatMap { copy =>
+          (0 until n * n).map { c =>
+            val id = copy.toLong * n * n + c
+            val p = id % 64
+            (id, p, GeomCodec.write(square(p * 3.0 + ((id / 64) % 2) * 0.5, 0.0)))
+          }
         }
-      }
-      val cst = stage(cstRows.toDF("cell_id", "place", "geom")
-        .repartition(32), s"cst_$k")
-      time("grow_const_out", k, nRows) {
-        SpatialOps.dissolve(cst, Seq("place"))
-          .agg(sum(length(col("geom")))).collect().head.getLong(0)
+        val cst = stage(cstRows.toDF("cell_id", "place", "geom")
+          .repartition(32), s"cst_$k")
+        time("grow_const_out", k, nRows) {
+          SpatialOps.dissolve(cst, Seq("place"))
+            .agg(sum(length(col("geom")))).collect().head.getLong(0)
+        }
       }
 
       // fan-in sensitivity on the growing-output leg: is FanIn=64 the
@@ -224,54 +233,60 @@ object GeomScaleProbe {
       // full planar overlay vs a half-offset coarse grid: ≤ 4 partners
       // per a-row, pair count ∝ k. Attribute names disjoint by
       // construction (overlayUnion contract).
-      val bRows = (0 until k).flatMap { copy =>
-        val x0 = copy * tileW
-        (0 until (n / 2) * (n / 2)).map { c =>
-          val (cx, cy) = (c % (n / 2), c / (n / 2))
-          (copy.toLong * n * n + c,
-            GeomCodec.write(square(x0 + 2 * cx + 0.5, 2 * cy + 0.5, 2.0)))
+      if (legSelected("overlay_union")) {
+  val bRows = (0 until k).flatMap { copy =>
+          val x0 = copy * tileW
+          (0 until (n / 2) * (n / 2)).map { c =>
+            val (cx, cy) = (c % (n / 2), c / (n / 2))
+            (copy.toLong * n * n + c,
+              GeomCodec.write(square(x0 + 2 * cx + 0.5, 2 * cy + 0.5, 2.0)))
+          }
         }
-      }
-      val b = stage(bRows.toDF("b_id", "geom").repartition(32), s"coarse_$k")
-      time("overlay_union", k, nRows) {
-        SpatialOps.overlayUnion(
-          valid.select(col("cell_id").as("a_id"), col("geom")), b).count()
+        val b = stage(bRows.toDF("b_id", "geom").repartition(32), s"coarse_$k")
+        time("overlay_union", k, nRows) {
+          SpatialOps.overlayUnion(
+            valid.select(col("cell_id").as("a_id"), col("geom")), b).count()
+        }
       }
 
       // erase: one central rectangle per tile (eraser rows ∝ k, hits
       // per target row constant) — the broadcast-eraser OP-42 shape
-      val erasers = (0 until k).map { copy =>
-        val x0 = copy * tileW
-        (copy.toLong, GeomCodec.write(
-          square(x0 + n / 4.0, n / 4.0, n / 2.0)))
-      }
-      val e = stage(erasers.toDF("e_id", "geom").repartition(4), s"erasers_$k")
-      time("erase", k, nRows) {
-        SpatialOps.erase(valid.select(col("cell_id"), col("geom")),
-          e.select(col("geom"))).count()
+      if (legSelected("erase")) {
+  val erasers = (0 until k).map { copy =>
+          val x0 = copy * tileW
+          (copy.toLong, GeomCodec.write(
+            square(x0 + n / 4.0, n / 4.0, n / 2.0)))
+        }
+        val e = stage(erasers.toDF("e_id", "geom").repartition(4), s"erasers_$k")
+        time("erase", k, nRows) {
+          SpatialOps.erase(valid.select(col("cell_id"), col("geom")),
+            e.select(col("geom"))).count()
+        }
       }
 
       // sliverFix: buckets ∝ k, 2 rows per place — a big square and a
       // partner whose multipart carries a sub-threshold sliver touching
       // it (the reference's coastal shape); flatMapGroups per bucket
-      val sliverRows = (0 until k).flatMap { copy =>
-        val x0 = copy * tileW
-        (0 until n * n / 4).flatMap { p =>
-          val (px, py) = (p % (n / 2), p / (n / 2))
-          val (bx, by) = (x0 + 2 * px, 2 * py.toDouble)
-          val id0 = (copy.toLong * n * n + p) * 2
-          val big = square(bx, by)
-          val sliver = square(bx, by + 1.0, 0.05) // touches big's top edge
-          val partner = square(bx + 1, by).union(sliver)
-          Seq((s"s${copy}_$p", id0, GeomCodec.write(big)),
-            (s"s${copy}_$p", id0 + 1, GeomCodec.write(partner)))
+      if (legSelected("sliver_fix")) {
+  val sliverRows = (0 until k).flatMap { copy =>
+          val x0 = copy * tileW
+          (0 until n * n / 4).flatMap { p =>
+            val (px, py) = (p % (n / 2), p / (n / 2))
+            val (bx, by) = (x0 + 2 * px, 2 * py.toDouble)
+            val id0 = (copy.toLong * n * n + p) * 2
+            val big = square(bx, by)
+            val sliver = square(bx, by + 1.0, 0.05) // touches big's top edge
+            val partner = square(bx + 1, by).union(sliver)
+            Seq((s"s${copy}_$p", id0, GeomCodec.write(big)),
+              (s"s${copy}_$p", id0 + 1, GeomCodec.write(partner)))
+          }
         }
-      }
-      val sliverDf = stage(
-        sliverRows.toDF("place", "oid", "geom").repartition(32), s"sliver_$k")
-      time("sliver_fix", k, nRows / 2) {
-        SpatialOps.sliverFix(sliverDf, "place", "oid", "geom",
-          keepFragments = Seq.empty, thresholdArea = 0.01).count()
+        val sliverDf = stage(
+          sliverRows.toDF("place", "oid", "geom").repartition(32), s"sliver_$k")
+        time("sliver_fix", k, nRows / 2) {
+          SpatialOps.sliverFix(sliverDf, "place", "oid", "geom",
+            keepFragments = Seq.empty, thresholdArea = 0.01).count()
+        }
       }
 
       // grid kNN join: cell-center points, right side offset by 0.3 —

@@ -399,6 +399,42 @@ object SinkChaosProbe {
                 sys.error("mid-publish kill")
             }),
           d, before = dirState(d))
+      },
+      () => {
+        // the catalog analog: a mid-job failure while re-publishing a
+        // bucketed TABLE must leave the live table fully readable and
+        // no staging/stash table behind (pre-r20, overwrite-saveAsTable
+        // DROPPED the live table before writing)
+        val t = "chaos_bucketed"
+        val s = Scenario("bucketed-table", "mid-job failure over live bucketed table", _ => ())
+        try {
+          // cross-JVM fixture hygiene: the in-memory catalog forgets
+          // tables between runs while the shared warehouse KEEPS their
+          // managed locations — an orphan dir makes the next
+          // saveAsTable/rename fail with LOCATION_ALREADY_EXISTS
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          val wh = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"))
+          val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+            if (st.getPath.getName.startsWith(t))
+              fs.delete(st.getPath, true)
+          }
+          Layout.writeBucketed(plain, t, Seq("k"), buckets = 2)
+          val threw =
+            try { Layout.writeBucketed(poisoned, t, Seq("k"), buckets = 2); false }
+            catch { case _: Throwable => true }
+          val rows = spark.table(t).count()
+          val leftovers = spark.catalog.listTables().collect()
+            .map(_.name).filter(n =>
+              n.startsWith(t + "__writing") || n.startsWith(t + "__replaced"))
+          if (!threw) Outcome(s, "TORN", "injection did not fail")
+          else if (rows != 20)
+            Outcome(s, "TORN", s"live table read $rows rows after failed publish")
+          else if (leftovers.nonEmpty)
+            Outcome(s, "RESIDUE", s"staging/stash tables survived: ${leftovers.mkString(",")}")
+          else Outcome(s, "CLEAN", "failed, live table intact (20 rows), no residue")
+        } catch { case e: Throwable => Outcome(s, "TORN", s"scenario broke: $e") }
       })
   }
 

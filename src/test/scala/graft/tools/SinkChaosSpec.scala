@@ -15,9 +15,9 @@ class SinkChaosSpec extends graft.SparkTestBase {
 
   // the scenario LIST is stable, so the test names can enumerate it —
   // but outcomes compute lazily inside the tests, after spark is up
-  // 8 driver-side file sinks (r19) + 9 Spark-native directory sinks
+  // 8 driver-side file sinks (r19) + 10 Spark-native directory+table sinks
   // (r20: the mode("overwrite") delete-before-commit loss class)
-  (0 until 17).foreach { i =>
+  (0 until 18).foreach { i =>
     test(s"sink chaos scenario $i upholds the no-torn-artifact contract") {
       val o = outcomes(i)
       assert(o.ok,
@@ -26,6 +26,6 @@ class SinkChaosSpec extends graft.SparkTestBase {
   }
 
   test("scenario count matches the pinned battery") {
-    assert(outcomes.size == 17, s"expected 17 sink scenarios, got ${outcomes.size}")
+    assert(outcomes.size == 18, s"expected 18 sink scenarios, got ${outcomes.size}")
   }
 }
