@@ -154,6 +154,52 @@ object Bench {
     }
   }
 
+  /** Streaming retry leg (r20). The streaming gate compares WALL
+    * (the lifecycle constant), and wall is exposed to one-shot JVM
+    * housekeeping in a way task-CPU is not: the r20 90 GiB preflight
+    * sweep read x52 at 6.90 s wall / 19.9 process-CPU-s (canonical
+    * 0.73 / 1.83) with a 4,997 ms JIT delta in the same row — a C2
+    * compile burst landing on both timed reps — and a filtered
+    * re-run three minutes later read 1.14 s on identical code. The
+    * r11 x69 adjudication documented the same class on process CPU;
+    * the wall gate had no defense. So: each flagged STREAMING entry
+    * is re-measured once, and the min of old/new readings (the
+    * estimator streaming rows already use — their wall is a constant
+    * plus one-sided noise) replaces the entry before the gate
+    * recomputes. A real regression reproduces on the retry and keeps
+    * its flag; a burst costs ~3 extra lifecycles and clears. The
+    * discarded first reading is recorded in the detail artifact's
+    * `retried` field so the burst stays auditable. Compute rows are
+    * NOT retried: they gate on task-CPU, which background compile
+    * threads never touch.
+    *
+    * Returns (updated results, recomputed flags, discarded originals).
+    */
+  private[graft] def retryStreamingFlags(
+      gateRef: Map[String, (Double, Double)],
+      results: Seq[(String, Option[Sample])],
+      flagged: Seq[String],
+      streaming: String => Boolean,
+      refIsTask: Boolean,
+      remeasure: String => Option[Sample])
+      : (Seq[(String, Option[Sample])], Seq[String], Seq[(String, Sample)]) = {
+    val candidates = flagged.filter(streaming)
+    if (candidates.isEmpty) (results, flagged, Nil)
+    else {
+      val re = candidates.flatMap(n => remeasure(n).map(n -> _)).toMap
+      val retried = Seq.newBuilder[(String, Sample)]
+      val updated = results.map {
+        case (n, Some(orig)) if re.get(n).exists(_.wall < orig.wall) =>
+          retried += n -> orig
+          (n, Some(re(n)))
+        case r => r
+      }
+      (updated,
+        regressions(gateRef, updated, streaming, refIsTask = refIsTask),
+        retried.result())
+    }
+  }
+
   /** Previous round's per-entry (wall, cpu) from an existing detail
     * file — empty on first run, unreadable/failed entries, or when the
     * prior sweep ran a DIFFERENT scale factor (`sfDir` mismatch):
@@ -318,15 +364,27 @@ object Bench {
       case c => c.toString
     } + "\""
 
-  /** The full per-entry detail JSON written to `bench_detail.json`. */
+  private def sampleRow(x: Sample): String =
+    s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs},${x.jitMs},${x.evict},${x.storMb},${f(x.taskCpu, 2)},${x.primes}]"
+
+  /** The full per-entry detail JSON written to `bench_detail.json`.
+    *
+    * `retried` carries the DISCARDED first reading of any streaming
+    * entry whose flag was cleared by the retry leg (see
+    * [[retryStreamingFlags]]), same 8-column row shape as `entries` — the
+    * burst stays auditable even though the steady-state reading is
+    * what `entries` (and any future gate reference) records.
+    */
   private[graft] def renderDetail(
       results: Seq[(String, Option[Sample])], sfDir: String, reps: Int,
-      regressed: Seq[String] = Nil): String = {
+      regressed: Seq[String] = Nil,
+      retried: Seq[(String, Sample)] = Nil): String = {
     val detail = results.map { case (k, s) =>
-      s"${jstr(k)}:${s.map(x =>
-        s"[${f(x.wall, 4)},${f(x.cpu, 4)},${x.gcMs},${x.jitMs},${x.evict},${x.storMb},${f(x.taskCpu, 2)},${x.primes}]")
-        .getOrElse("null")}"
+      s"${jstr(k)}:${s.map(sampleRow).getOrElse("null")}"
     }.mkString("{", ",", "}")
+    val retryJson = retried
+      .map { case (k, s) => s"${jstr(k)}:${sampleRow(s)}" }
+      .mkString("{", ",", "}")
     val reg = regressed.map(jstr).mkString("[", ",", "]")
     // heap_gb: JVM max-heap provenance. The r14 reconciliation found the
     // tracked baseline silently swapped between an 8g local sweep and the
@@ -339,7 +397,7 @@ object Bench {
     // double-prime decision readable from the driver artifact itself
     // (the r19 x68 adjudication had to assume it).
     s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s,primes]","sf":${jstr(sfDir)},"reps":$reps,"heap_gb":$heapGb,""" +
-      s""""code_cache_mb":$codeCacheJson,"regressed":$reg,""" +
+      s""""code_cache_mb":$codeCacheJson,"regressed":$reg,"retried":$retryJson,""" +
       s""""total":${totalTriple(results)},"entries":$detail}"""
   }
 
@@ -579,9 +637,19 @@ object Bench {
     val baselinePath =
       java.nio.file.Paths.get(s"bench_baseline_${sfSlug(sfDir)}.json").toAbsolutePath
     val (gateRef, gateRefIsTask) = gateBaseline(detailPath, baselinePath, sfDir)
-    val regressed = regressions(gateRef, results, isStreaming,
+    val firstPass = regressions(gateRef, results, isStreaming,
       refIsTask = gateRefIsTask)
-    val detailJson = renderDetail(results, sfDir, reps, regressed).getBytes("UTF-8")
+    // flagged streaming entries get one re-measure before the flag
+    // stands (see retryStreamingFlags: the wall gate vs one-shot C2
+    // compile bursts). The remeasure runs post-release like any
+    // fresh group start; a slower retry never replaces the original.
+    val queriesByName = SparkEntry.queries
+    val (resultsFinal, regressed, retried) = retryStreamingFlags(
+      gateRef, results, firstPass, isStreaming, gateRefIsTask,
+      n => queriesByName.get(n)
+        .flatMap(fn => measure(fn, 2 min reps, reportMin = true)))
+    val detailJson =
+      renderDetail(resultsFinal, sfDir, reps, regressed, retried).getBytes("UTF-8")
     // a filtered dev run never overwrites the reference files: a
     // partial entry set would stand the gate down for everything it
     // skipped
@@ -598,8 +666,8 @@ object Bench {
     // numbers carry recompute). gateBaseline also rejects
     // regressed-tainted files on read.
     val clean = regressed.isEmpty &&
-      results.forall(_._2.isDefined) &&
-      results.flatMap(_._2).map(_.evict.max(0L)).sum == 0
+      resultsFinal.forall(_._2.isDefined) &&
+      resultsFinal.flatMap(_._2).map(_.evict.max(0L)).sum == 0
     // ... and ONLY from a small (<= 16 GiB) heap. The tracked canonical
     // must stay comparable sweep-to-sweep; big-heap driver runs measure
     // systematically different CPU (page-zeroing, concurrent-GC share —
@@ -617,7 +685,7 @@ object Bench {
         println(s"[bench] clean sweep on a ${heapGb}g heap: baseline refresh " +
           s"routed to $target (canonical untouched; see BASELINE.md)")
     }
-    println(renderSummaryLine(results, sfDir, detailPath.toString, regressed))
+    println(renderSummaryLine(resultsFinal, sfDir, detailPath.toString, regressed))
     spark.stop()
   }
 }

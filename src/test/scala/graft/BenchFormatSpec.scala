@@ -233,6 +233,71 @@ class BenchFormatSpec extends AnyFunSuite {
       Seq("x95_tws_sessionize", "x68"))
   }
 
+  test("streaming retry leg: a non-reproducing burst clears, a real regression stands") {
+    // the r20 90g preflight shape: x52 at 6.90 s wall (canonical 0.73)
+    // purely from a C2 compile burst (jit 4997 ms in the same row) that
+    // a re-run three minutes later did not reproduce
+    val streaming = Set("x52s", "x95s", "x71s")
+    val prev = Map(
+      "x52s" -> (0.73, 1.83), "x95s" -> (1.0, 2.0),
+      "x71s" -> (1.5, 4.5), "x68" -> (0.24, 0.32))
+    val results = Seq(
+      "x52s" -> Some(Bench.Sample(6.90, 19.9, 0L, 4997L)),  // burst: flagged
+      "x95s" -> Some(Bench.Sample(4.1, 9.0, 0L)),           // real: flagged
+      "x71s" -> Some(Bench.Sample(1.6, 5.0, 0L)),           // fine
+      "x68" -> Some(Bench.Sample(0.40, 3.99, 0L, 0L, 0L, 0L,
+        taskCpu = 3.53)))                                   // compute ratio flag
+    val flagged = Bench.regressions(prev, results, streaming)
+    assert(flagged.toSet == Set("x52s", "x95s", "x68"))
+    val remeasured = scala.collection.mutable.ArrayBuffer[String]()
+    val (updated, finalFlags, retried) = Bench.retryStreamingFlags(
+      prev, results, flagged, streaming, refIsTask = true,
+      remeasure = { n =>
+        remeasured += n
+        n match {
+          case "x52s" => Some(Bench.Sample(1.14, 4.26, 0L, 180L))  // burst gone
+          case "x95s" => Some(Bench.Sample(4.3, 9.1, 0L))          // reproduces
+          case other => fail(s"compute entry $other must not be retried")
+        }
+      })
+    // only the flagged STREAMING entries were re-measured — never x68
+    assert(remeasured.sorted == Seq("x52s", "x95s"))
+    // the burst clears; the reproducing regression and the compute
+    // flag both stand
+    assert(finalFlags.toSet == Set("x95s", "x68"))
+    // x52s now reports the steady-state retry (any future gate
+    // reference built from this detail carries 1.14, not the burst)
+    assert(updated.collectFirst { case ("x52s", Some(s)) => s.wall }
+      .contains(1.14))
+    // x95s keeps its ORIGINAL min (the retry was slower)
+    assert(updated.collectFirst { case ("x95s", Some(s)) => s.wall }
+      .contains(4.1))
+    // the discarded burst reading stays auditable
+    assert(retried == Seq("x52s" -> Bench.Sample(6.90, 19.9, 0L, 4997L)))
+    // a failed remeasure keeps the flag (conservative)
+    val (_, keptFlags, kept) = Bench.retryStreamingFlags(
+      prev, results, flagged, streaming, refIsTask = true, _ => None)
+    assert(keptFlags.toSet == Set("x52s", "x95s", "x68") && kept.isEmpty)
+    // nothing streaming flagged: zero remeasures, results untouched
+    val (same, sameFlags, none) = Bench.retryStreamingFlags(
+      prev, results, Seq("x68"), streaming, refIsTask = true,
+      _ => fail("must not remeasure"))
+    assert(same == results && sameFlags == Seq("x68") && none.isEmpty)
+  }
+
+  test("detail JSON carries the retried audit field") {
+    val detail = mapper.readTree(Bench.renderDetail(
+      Seq("x52s" -> Some(Bench.Sample(1.14, 4.26, 0L))), "sf", 3,
+      retried = Seq("x52s" -> Bench.Sample(6.90, 19.9, 0L, 4997L))))
+    val row = detail.get("retried").get("x52s")
+    assert(row.isArray && row.size == 8)
+    assert(row.get(0).asDouble == 6.90 && row.get(3).asLong == 4997L)
+    // absent by default — an empty object, parsers need no special case
+    val plain = mapper.readTree(Bench.renderDetail(
+      Seq("a" -> Some(Bench.Sample(1.0, 1.0, 0L))), "sf", 3))
+    assert(plain.get("retried").size == 0)
+  }
+
   test("previousCpu reads a detail file's per-entry wall+cpu, same-sf only") {
     val dir = java.nio.file.Files.createTempDirectory("bench_gate_")
     val p = dir.resolve("bench_detail.json")
