@@ -120,7 +120,11 @@ class TieredUnionAgg(val fanIn: Int)
   * per key per map task, not every input row.
   */
 object StUnionAgg extends TieredUnionAgg(64) {
-  val FanIn = 64
+  // alias of the constructor argument, never a second literal: a
+  // future retune that edits one spelling but not the other would
+  // leave the spec's buffer-bound assertion checking a fan-in that
+  // isn't running
+  val FanIn: Int = fanIn
 
   /** Column form: `df.groupBy(keys).agg(st_union_agg($"geom"))`. */
   lazy val asUdaf: org.apache.spark.sql.expressions.UserDefinedFunction = udaf(StUnionAgg)

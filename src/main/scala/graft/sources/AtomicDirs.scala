@@ -94,9 +94,14 @@ object AtomicDirs {
       // dest, so a transient delete failure must not report the
       // publish itself as failed — the stash is inert (hidden name)
       if (hadDest) {
+        // NonFatal, not just IOException: Hadoop FS implementations
+        // surface RuntimeException wrappers (S3A client errors,
+        // IllegalArgumentException), and any of them escaping here
+        // would report a COMPLETED publish as failed — the exact
+        // inversion this block exists to prevent
         try fs.delete(replaced, true)
         catch {
-          case e: java.io.IOException =>
+          case scala.util.control.NonFatal(e) =>
             org.slf4j.LoggerFactory.getLogger("graft.sources.AtomicDirs")
               .warn(s"publish succeeded but the previous-dataset stash " +
                 s"$replaced could not be deleted: $e")

@@ -79,8 +79,26 @@ object Layout {
           }
           throw e
       }
-      if (hadDest) spark.sql(s"DROP TABLE IF EXISTS ${quoted(stash)}")
+      // stash cleanup is best-effort, mirroring AtomicDirs: the new
+      // table is fully live, so a transient metastore/FS hiccup on the
+      // drop must not report a completed publish as failed — the stash
+      // is inert under its tagged name and can be dropped manually
+      if (hadDest) {
+        try spark.sql(s"DROP TABLE IF EXISTS ${quoted(stash)}")
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger("graft.sources.Layout")
+              .warn(s"table publish succeeded but the previous-table " +
+                s"stash $stash could not be dropped: $e")
+        }
+      }
     } finally {
+      // in-JVM failure cleanup. A JVM CRASH mid-saveAsTable can still
+      // orphan the staging table's warehouse DIRECTORY without a
+      // catalog entry (nothing here can drop it later); residue is
+      // name-tagged (`__writing_<tag>`) for an out-of-band sweep — an
+      // automatic sweep at publish time would race a CONCURRENT
+      // publisher's live staging table, which the tags exist to protect
       if (exists(staging)) spark.sql(s"DROP TABLE IF EXISTS ${quoted(staging)}")
     }
   }

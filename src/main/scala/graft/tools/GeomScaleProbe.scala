@@ -117,6 +117,20 @@ object GeomScaleProbe {
       .filter(_.nonEmpty)
     def legSelected(op: String): Boolean =
       legOnly.forall(_.exists(op.startsWith))
+    // a typo'd PROBE_LEGS must fail loudly at startup: a prefix that
+    // matches no leg would otherwise run an EMPTY battery — staging
+    // fixtures for minutes, timing nothing, and printing a header-only
+    // GROWTH table (the repo's "no silent caps" norm, r20 review)
+    val allLegs = Seq("makevalid", "area_sqmi", "dissolve",
+      "dissolve_grow", "grow_const_out", "dissolve_grow_f8",
+      "dissolve_grow_f16", "overlay_union", "erase", "sliver_fix",
+      "grid_knn")
+    legOnly.foreach { sel =>
+      val dead = sel.filterNot(p => allLegs.exists(_.startsWith(p)))
+      require(dead.isEmpty,
+        s"PROBE_LEGS prefixes match no leg: ${dead.mkString(", ")} " +
+          s"(legs: ${allLegs.mkString(", ")})")
+    }
 
     val cpuBy = scala.collection.mutable.LinkedHashMap.empty[(String, Int), Double]
     def time(op: String, k: Int, rows: Long)(body: => Long): Unit = if (legSelected(op)) {
@@ -140,10 +154,16 @@ object GeomScaleProbe {
 
     val tileW = n + 4.0 // gap keeps copies disjoint: density constant
     scales.foreach { k =>
-      val rows = (0 until k).flatMap(tileRows(_, n, tileW))
-      val nRows = rows.size.toLong
-      val raw = stage(rows.toDF("cell_id", "place", "geom")
-        .repartition(32), s"grid_$k")
+      val nRows = k.toLong * n * n
+      // LAZY fixtures: `time` guards every body with legSelected, so a
+      // filtered sensitivity run (PROBE_LEGS=grow_const_out) pays for
+      // NO shared staging it doesn't touch — the first cut staged
+      // raw/valid/pts at every scale regardless, most of the battery's
+      // fixture cost (r20 review)
+      lazy val raw = stage(
+        (0 until k).flatMap(tileRows(_, n, tileW))
+          .toDF("cell_id", "place", "geom")
+          .repartition(32), s"grid_$k")
 
       // OP-44 repair over the salted grid (the bowtie rows do real
       // make-valid work); sum(length) forces the kernel — a bare
@@ -155,7 +175,7 @@ object GeomScaleProbe {
 
       // every constructive operator consumes repaired geometry, like
       // the pipeline (OP-44 before OP-38/42/43)
-      val valid = stage(raw.select(col("cell_id"), col("place"),
+      lazy val valid = stage(raw.select(col("cell_id"), col("place"),
         G.st_makevalid(col("geom")).as("geom")), s"valid_$k")
 
       // planar-math scan: area in mi² through the native 3310 path
@@ -292,13 +312,13 @@ object GeomScaleProbe {
       // grid kNN join: cell-center points, right side offset by 0.3 —
       // both sides ∝ k, constant density, so the cell-cogroup rounds
       // must stay linear
-      val pts = stage(valid.select(col("cell_id"),
+      lazy val pts = stage(valid.select(col("cell_id"),
         G.st_point(
           (col("cell_id") % lit(n)).cast("double") +
             (col("cell_id") / lit(n.toLong * n)).cast("long").cast("double") * tileW + 0.5,
           ((col("cell_id") % lit(n.toLong * n)) / lit(n)).cast("long").cast("double") + 0.5)
           .as("geom")), s"pts_$k")
-      val ptsR = stage(pts.select((col("cell_id") + lit(1_000_000_000L)).as("r_id"),
+      lazy val ptsR = stage(pts.select((col("cell_id") + lit(1_000_000_000L)).as("r_id"),
         G.st_point(G.st_x(col("geom")) + lit(0.3), G.st_y(col("geom")) + lit(0.3))
           .as("r_geom")), s"pts_r_$k")
       time("grid_knn", k, nRows) {
