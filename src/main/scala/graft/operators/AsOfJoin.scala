@@ -57,7 +57,13 @@ object AsOfJoin {
       (leftCols.map(col) :+
         lit(null).cast(packType).as("__asof_s") :+
         lit(1).as("__tag")).toIndexedSeq: _*)
-    val rSel = right.select(
+    // a NULL-timestamp right row can never legitimately match (the
+    // direction predicate right.ts <= / >= left.ts is unknowable), but
+    // it sorts NULLS FIRST under ts asc with a NON-null struct, so the
+    // backward sweep would hand it to every left row that lacks an
+    // earlier real match — fabricated asof_* values where native ASOF
+    // JOIN (the DuckDB oracle) returns NULL. Drop them before the union.
+    val rSel = right.filter(col(tsCol).isNotNull).select(
       (leftCols.map { c =>
         if (keys.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
@@ -104,10 +110,15 @@ object AsOfJoin {
           .drop("__b", "__f")
     }
 
+    // a NULL-timestamp LEFT row gets NULL attach columns for the same
+    // reason (in forward/nearest it sorts to the front where the sweep
+    // would hand it the earliest right row)
     withHit
       .select(
         ((leftCols.map(col) :+ col("__tag")) ++
-          attach.map(c => col(s"__asof_hit.$c").as(s"asof_$c"))).toIndexedSeq: _*)
+          attach.map(c =>
+            when(col(tsCol).isNotNull, col(s"__asof_hit.$c"))
+              .as(s"asof_$c"))).toIndexedSeq: _*)
       .filter(col("__tag") === 1).drop("__tag")
   }
 }

@@ -37,8 +37,15 @@ object Cooccur {
   def frequentPairs(
       df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long, digits: Int = 6): DataFrame = {
+    // NULL basket ids and NULL items are excluded up front: groupBy
+    // would otherwise merge every NULL-basket row into ONE giant
+    // basket (spurious pairs + a k² blowout in a single task), while
+    // countDistinct skips NULL in N — overstating lift for exactly
+    // the pairs that basket fabricated. SQL equi-join semantics (the
+    // oracle's shape) never match NULL baskets either (r20 review).
     val items = graft.CacheLifecycle.persist(
-      df.select(col(basketCol).as("ok"), col(itemCol).as("item")).distinct())
+      df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+        .select(col(basketCol).as("ok"), col(itemCol).as("item")).distinct())
     // freq (Apriori L1) and the basket count are persisted too (r14):
     // they are the only subtrees a re-execution still recomputed from
     // the items cache once the pair census below was persisted —

@@ -32,6 +32,14 @@ object Dedup {
   /** Keep the first row (min id) per normalized content key. `idCol`
     * must be unique per row (every corpus id is).
     *
+    * NULL-text rows share ONE content key (md5(NULL) is NULL and
+    * groupBy treats NULL as a single group), so all-but-one of them
+    * are dropped — deliberately: this matches SQL GROUP BY semantics,
+    * which the DuckDB oracle pins. Callers who must preserve
+    * failed-extraction rows should filter `textCol.isNull` out before
+    * deduping and union them back (paragraphDedup, by contrast,
+    * preserves NULL-text rows — its reassembly contract).
+    *
     * Shape: `groupBy(key).agg(min(id))` + semi-join back, NOT a
     * `row_number` window. The two-phase aggregate collapses duplicate
     * mass MAP-SIDE (partial min before the exchange, pinned by
@@ -149,6 +157,23 @@ object Dedup {
   def paragraphDedup(
       df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
+    // the rank arithmetic requires an integral/decimal id (the
+    // decimal(26,0) cast): a string/UUID id would throw mid-job under
+    // ANSI (Spark 4 default) — or worse, with ANSI off the cast yields
+    // NULL for every row, min(NULL) never matches the semi-join, and
+    // EVERY document comes back as empty text. Fail loudly at plan
+    // time instead (sibling exact()/keepLatest take any id type; this
+    // operator's contract is narrower by design — see the rank note).
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.DecimalType => ()
+      case other => throw new IllegalArgumentException(
+        s"paragraphDedup requires an integral or decimal id column; " +
+          s"$idCol is $other (hash non-numeric ids to long first)")
+    }
     val sepRegex = java.util.regex.Pattern.quote(sep)
     val paras = df
       .select(col(idCol).as("__pid"),

@@ -248,8 +248,6 @@ object NearestJoin {
           case ((cx, cy), (ls, rs)) =>
             if (ls.isEmpty || rs.isEmpty) Iterator.empty
             else {
-              val cellMinX = cx * cs; val cellMaxX = cellMinX + cs
-              val cellMinY = cy * cs; val cellMaxY = cellMinY + cs
               val tree = new STRtree()
               rs.foreach { case (rid, wkb, row) =>
                 val g = GeomCodec.read(wkb)
@@ -263,12 +261,20 @@ object NearestJoin {
                 val cands = tree.query(lEnv).asScala.iterator
                   .map(_.asInstanceOf[(Long, Geometry, Row)])
                   .filter { case (_, rg, _) =>
-                    // reference-point pair ownership (see class doc)
+                    // reference-point pair ownership (see class doc).
+                    // The owning cell is computed with the SAME
+                    // floor(x/cs) arithmetic cellsOf tags with: a
+                    // bounds test built from cx*cs instead can
+                    // disagree with the tagging by one ulp on
+                    // non-dyadic cell sizes, leaving a pair owned by
+                    // zero cells (lost neighbor — breaks the
+                    // resolution invariant) or two (double-counted in
+                    // mergeTopK, which has no dedup) (r20 review)
                     val rEnv = rg.getEnvelopeInternal
                     val refX = math.max(lEnv.getMinX, rEnv.getMinX)
                     val refY = math.max(lEnv.getMinY, rEnv.getMinY)
-                    refX >= cellMinX && refX < cellMaxX &&
-                      refY >= cellMinY && refY < cellMaxY
+                    math.floor(refX / cs).toLong == cx &&
+                      math.floor(refY / cs).toLong == cy
                   }
                   .map { case (rid, rg, rrow) => (lg.distance(rg), rid, rrow) }
                   .filter(_._1 <= rr)

@@ -30,6 +30,11 @@ object Similarity {
       query: Array[Float], k: Int): DataFrame = {
     val q = typedLit(query)
     df.select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      // vec_cosine nulls out non-finite scores so corrupt rows sink
+      // below every real hit — but when k exceeds the admissible row
+      // count the NULL tail would pad the result (the r18/r19 class
+      // pqTopK/binaryTopK already filter; this path must too)
+      .filter(col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -169,16 +174,18 @@ object Similarity {
       .setK(nCells).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("__features").setPredictionCol("cell")
       .fit(featurize(ivfTrainInput(df, idCol, vecCol, trainN)))
-    // null embeddings never index: the kmeans predict UDF NPEs on a
-    // null Vector, so one corrupt row would fail the whole build (the
-    // training input already filters; the assign pass must too). A
-    // null ELEMENT dies the same way inside array_to_vector — excluded
-    // here like everywhere vectors reach a primitive kernel
-    // (BatchChaosProbe policy, r17); ragged null-free vectors hit
-    // MLlib's loud dimension require by design.
+    // the assign pass admits exactly what training admits (vec_is_finite:
+    // non-null, no null elements, no NaN/Infinity). null embeddings NPE
+    // the kmeans predict UDF and null elements die inside
+    // array_to_vector; a NaN/Inf vector is worse — findClosest sees
+    // all-NaN distances (never < bestDistance), assigns cell 0, and the
+    // corrupt row is permanently indexed into the layout where every
+    // probe of that cell scans it (r20 review; pqEncode's finiteOrNull
+    // exists for the same argmin-on-NaN reason). Ragged null-free
+    // vectors hit MLlib's loud dimension require by design.
     val assigned = model
-      .transform(featurize(df.filter(col(vecCol).isNotNull &&
-        !graft.functions.VectorFunctions.vec_has_null(col(vecCol)))))
+      .transform(featurize(df.filter(
+        graft.functions.VectorFunctions.vec_is_finite(col(vecCol)))))
       .drop("__features")
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
@@ -226,6 +233,10 @@ object Similarity {
     assigned
       .filter(col("cell").isin(probeCells: _*))   // partition filter on the ivfWrite layout
       .select(col(idCol), score.as("cosine"))
+      // NULL scores (non-finite vectors that slipped into the layout)
+      // must not pad the tail when k exceeds the probed cells'
+      // admissible rows — same policy as pqTopK/binaryTopK
+      .filter(col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -334,6 +345,7 @@ object Similarity {
     df.withColumn("__bucket", signSignature(col(vecCol), dim, signBits))
       .filter(bit_count(col("__bucket").bitwiseXOR(lit(qSig))) <= probeHamming)
       .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
+      .filter(col("cosine").isNotNull) // no NULL-score tail padding (pqTopK policy)
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

@@ -23,7 +23,20 @@ object Skew {
       buckets: Int,
       partials: Seq[Column],
       finals: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    // the salt MUST be deterministic per row: it feeds a shuffle's
+    // grouping key, and a nondeterministic value (the first cut used
+    // spark_partition_id + monotonically_increasing_id) re-salts rows
+    // differently when a lost map task recomputes — completed reducers
+    // keep partials built from the OLD salting while re-run reducers
+    // read the NEW one, silently double- or zero-counting rows (the
+    // SpatialOps.withRowKey scaladoc documents the same hazard class).
+    // A content hash over every column is retry-stable; its one trade
+    // is that byte-identical duplicate rows share a bucket, so a hot
+    // key composed of EXACT duplicates does not split — acceptable for
+    // a skew-mitigation helper (distinct fact rows are the norm; mass
+    // identical rows are the exact-dedup path's job).
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head, partials.tail: _*)

@@ -103,8 +103,13 @@ object TableStats {
     val med = df.groupBy(ks: _*)
       .agg(expr(s"percentile(${graft.functions.SqlBuilders.quoteId(valueCol)}, 0.5)")
         .as("__med"))
-    val dev = df.join(med, keyCols)
-      .withColumn("__ad", abs(col(valueCol) - col("__med")))
+    // persisted: dev feeds BOTH the MAD aggregate and the final join,
+    // and Catalyst does not dedupe self-referenced subtrees (the
+    // minhashCandidates rule) — unpersisted, the source scan and the
+    // median join execute twice, breaking the documented two-scan
+    // shape. Released by the standard CacheLifecycle sweep.
+    val dev = graft.CacheLifecycle.persist(df.join(med, keyCols)
+      .withColumn("__ad", abs(col(valueCol) - col("__med"))))
     val mad = dev.groupBy(ks: _*)
       .agg(expr("percentile(__ad, 0.5)").as("__mad"))
     dev.join(mad, keyCols)

@@ -429,15 +429,16 @@ object StreamingTwins {
     // fail fast on a non-integral id (the Para encoder needs a Long):
     // cast("long") on a string GUID yields NULL and the primitive
     // encoder then kills the QUERY at runtime with an opaque
-    // null-in-non-nullable error — the batch twin handles any id type,
-    // so a migrating caller deserves an analysis-time message
+    // null-in-non-nullable error — an analysis-time message instead
+    // (the batch twin enforces the same integral/decimal contract,
+    // r20: its decimal rank arithmetic has the same trap)
     require(Set[org.apache.spark.sql.types.DataType](LongType,
         org.apache.spark.sql.types.IntegerType,
         org.apache.spark.sql.types.ShortType,
         org.apache.spark.sql.types.ByteType)
         .contains(docs.schema(idCol).dataType),
       s"streaming paragraphDedup needs an integral $idCol (got " +
-        s"${docs.schema(idCol).dataType}); the batch twin handles any id type")
+        s"${docs.schema(idCol).dataType})")
     val sepRegex = java.util.regex.Pattern.quote(sep)
     val tsCol = eventTimeCol.map(col).getOrElse(lit(null).cast("timestamp"))
     // coalesce(text, ''): the batch twin's contract is "NULL text also

@@ -43,6 +43,28 @@ class ExtOpsSpec extends SparkTestBase {
       pdocs.withColumn("lang", lit("en")), "doc_id", "text")
     assert(extra.columns.toSet == Set("doc_id", "lang", "text"))
     assert(extra.filter($"lang" =!= "en").count() == 0)
+    // a non-numeric id fails LOUDLY at plan time: under ANSI the
+    // decimal rank cast would throw mid-job, and with ANSI off it
+    // yields NULL ranks and rebuilds EVERY document as empty text
+    val e = intercept[IllegalArgumentException] {
+      Dedup.paragraphDedup(
+        pdocs.withColumn("doc_id", concat(lit("u"), $"doc_id")),
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("integral or decimal"))
+  }
+
+  test("exact dedup groups NULL-text rows as one key (SQL GROUP BY semantics)") {
+    // documented policy: md5(NULL) is NULL, groupBy treats NULL as one
+    // group (exactly what the DuckDB oracle's GROUP BY does), so all
+    // but the min-id NULL-text row drop — callers preserving
+    // failed-extraction rows filter them out first
+    val withNulls = docs.unionByName(Seq(
+      (6L, null.asInstanceOf[String]),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val kept = Dedup.exact(withNulls, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
   }
 
   test("pii scrub redacts emails and phones and counts them") {
@@ -198,6 +220,33 @@ class ExtOpsSpec extends SparkTestBase {
     val dirty = Similarity.ivfBuild(emb, "vec_id", "embedding",
       nCells = 4, trainN = 100)
     assert(dirty.assigned.count() == 490L)
+  }
+
+  test("corrupt vectors neither index into IVF cells nor pad any top-k tail") {
+    val rnd = new scala.util.Random(13)
+    // 6 finite vectors + NaN/Inf rows: the assign pass must exclude
+    // them (findClosest on all-NaN distances argmins into cell 0 —
+    // permanently indexing the corrupt row, r20 review), and with
+    // k > finite-row count no NULL-cosine row may pad the result
+    // (the pqTopK/binaryTopK policy, now on every top-k path)
+    val emb = ((1L to 6L).map(i =>
+        (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq)) ++ Seq(
+      (7L, Seq.fill(8)(Float.NaN)),
+      (8L, (Float.PositiveInfinity +: Array.fill(7)(1.0f)).toSeq)))
+      .toDF("vec_id", "embedding")
+    val query = Array.tabulate(8)(i => math.cos(i + 1).toFloat)
+    val index = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      nCells = 2, trainN = 100)
+    assert(index.assigned.count() == 6L,
+      "non-finite vectors must not be assigned a cell")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val clean = Set(1L, 2L, 3L, 4L, 5L, 6L)
+    assert(ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 8)) == clean)
+    assert(ids(Similarity.lshTopK(emb, "vec_id", "embedding", query, 8, 8,
+      signBits = 4, probeHamming = 4)) == clean)
+    assert(ids(Similarity.ivfTopK(index, "vec_id", "embedding", query, 8,
+      nprobe = 2)) == clean)
   }
 
   test("table profile: null handling, one scan, string-typed extremes") {
@@ -369,6 +418,31 @@ class ExtOpsSpec extends SparkTestBase {
       .collect()
     assert(out.toSeq == Seq((None, Some(7L))),
       s"expected attach (NULL, 7) from the matched row, got ${out.toSeq}")
+  }
+
+  test("as-of join: NULL timestamps never match, either side") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // a NULL-ts quote sorts NULLS FIRST with a non-null struct: the
+    // backward sweep would hand it to every trade lacking an earlier
+    // real quote — native ASOF JOIN (the oracle) returns NULL there
+    val trades = Seq((1L, 10L, Some(ts(100))), (2L, 10L, Some(ts(40))),
+      (3L, 10L, None)).toDF("trade_id", "sym", "ts")
+    val quotes = Seq((10L, Option.empty[java.sql.Timestamp], 99.0),
+      (10L, Some(ts(90)), 1.0)).toDF("sym", "ts", "px")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = graft.operators.AsOfJoin
+        .asOfJoin(trades, quotes, Seq("sym"), "ts", Seq("px"), dir)
+        .select($"trade_id", $"asof_px").as[(Long, Option[Double])]
+        .collect().toMap
+      // trade@40: no quote <= 40 exists — the NULL-ts quote must not
+      // stand in for one (backward); trade with NULL ts matches nothing
+      // in any direction
+      if (dir == "backward") {
+        assert(out(1L).contains(1.0) && out(2L).isEmpty, s"$dir: $out")
+      }
+      assert(out(3L).isEmpty, s"$dir: NULL-ts left row must not match, got $out")
+    }
   }
 
   test("connected components converge on a chain deeper than maxIter (pointer doubling)") {

@@ -57,6 +57,24 @@ class GraphCooccurSpec extends SparkTestBase {
     assert(out.length == 1 && out(0).getAs[Long]("support") == 2L)
   }
 
+  test("frequentPairs: NULL baskets and NULL items are excluded, not merged") {
+    // NULL basket ids would groupBy into ONE giant basket (spurious
+    // pairs + lift overstated, since countDistinct skips NULL in N);
+    // SQL equi-join semantics never match NULL baskets (r20 review)
+    val rows = Seq(
+      (Some("b1"), Some("x")), (Some("b1"), Some("y")),
+      (Some("b2"), Some("x")), (Some("b2"), Some("y")),
+      (None, Some("x")), (None, Some("y")), (None, Some("w")),
+      (Some("b3"), None)).toDF("basket", "item")
+    val out = Cooccur.frequentPairs(rows, "basket", "item", minSupport = 2L)
+      .collect()
+    // only the real (x, y) pair from b1/b2; the null-basket rows
+    // contribute no pairs and no basket to N (lift = 2*2/(2*2) = 1)
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("support") == 2L)
+    assert(math.abs(out(0).getAs[Double]("lift") - 1.0) < 1e-9)
+  }
+
   test("frequentPairs: randomized parity with a brute-force reference") {
     // guards the r12 in-row pair expansion (sorted collect_list +
     // nested-transform slice) against its edge cases — empty baskets

@@ -69,5 +69,18 @@ class SqlParitySpec extends SparkTestBase {
     plainSum.zip(saltedSum).foreach { case ((k1, v1), (k2, v2)) =>
       assert(k1 == k2 && math.abs(v1 - v2) < 1e-6)
     }
+
+    // the salt feeds a shuffle's grouping key, so it MUST be
+    // deterministic: a nondeterministic salt (the first cut used
+    // monotonically_increasing_id) re-salts rows differently when a
+    // lost map task recomputes, silently double-/zero-counting across
+    // completed and re-run reducers (r20 review)
+    val analyzed = Skew.saltedCount(li, Seq("l_returnflag"), buckets = 8)
+      .queryExecution.analyzed
+    val nondet = analyzed.collect {
+      case p => p.expressions.flatMap(_.collect { case e if !e.deterministic => e })
+    }.flatten
+    assert(nondet.isEmpty,
+      s"salted aggregate plan carries nondeterministic expressions: $nondet")
   }
 }
