@@ -80,8 +80,16 @@ object TextOps {
     * composed forms.
     */
   def tokenNgrams(u: UTF8String, n: Int, stride: Int): ArrayData = {
-    val parts = ws.split(u.trim().toLowerCase().toString, -1)
-    val len = parts.length
+    val strParts = ws.split(u.trim().toLowerCase().toString, -1)
+    val len = strParts.length
+    // each token appears in up to n grams (stride=1, the span-census
+    // hot path): convert to UTF8String ONCE per token, not once per
+    // gram — UTF8String is immutable, so grams share the instances
+    // (r20 review; saves (n-1)× of the re-encode/copy on the hottest
+    // gram producer)
+    val parts = new Array[UTF8String](len)
+    var p = 0
+    while (p < len) { parts(p) = UTF8String.fromString(strParts(p)); p += 1 }
     val count =
       if (stride == 1) math.max(len - n + 1, 1)
       else math.max((len + stride - 1) / stride, 1)
@@ -90,13 +98,9 @@ object TextOps {
     while (i < count) {
       val start = i * stride
       val end = math.min(start + n, len)
-      if (end - start == 1) out(i) = UTF8String.fromString(parts(start))
-      else {
-        val gram = new Array[UTF8String](end - start)
-        var j = start
-        while (j < end) { gram(j - start) = UTF8String.fromString(parts(j)); j += 1 }
-        out(i) = UTF8String.concatWs(space, gram: _*)
-      }
+      if (end - start == 1) out(i) = parts(start)
+      else out(i) = UTF8String.concatWs(
+        space, java.util.Arrays.copyOfRange(parts, start, end): _*)
       i += 1
     }
     new GenericArrayData(out)

@@ -17,8 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * every pair).
   */
 object VecOps {
+  // dot/cosine return NaN on a LENGTH MISMATCH (instead of silently
+  // truncating to the shorter vector): a ragged corrupt vector scored
+  // over the overlap reads as a perfectly finite ±1.0 cosine —
+  // hijacking rank 1 of every top-k and passing every near-dup
+  // threshold (r20 review; the PQ paths already length-check via
+  // finiteOrNull). The expression wrappers convert NaN to NULL, so
+  // ragged rows SINK exactly like NaN-element rows. Callers comparing
+  // prefixes slice explicitly (x84 Matryoshka) and are unaffected.
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -26,7 +35,8 @@ object VecOps {
   }
 
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
@@ -215,19 +225,36 @@ case class SigEqCountExpr(left: Expression, right: Expression) extends BinaryExp
     copy(left = l, right = r)
 }
 
-/** `vec_dot(a, b)`: float-array dot product. */
+/** `vec_dot(a, b)`: float-array dot product.
+  *
+  * Non-finite results (a NaN/Infinity element, or the kernel's NaN on
+  * a length mismatch) return NULL for the same reason [[VecCosineExpr]]
+  * does: Spark's comparison semantics treat NaN as LARGER than every
+  * real double, so `vec_dot(...) >= threshold` on one corrupt row
+  * would otherwise emit it as a near-duplicate of everything in its
+  * bucket (r20 review — embeddingNearDup is exactly that consumer).
+  */
 case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpression
     with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val d = VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) null else d
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         ${ev.value} = graft.functions.VecOps.dot($a, $b);
+         if (Double.isNaN(${ev.value}) || Double.isInfinite(${ev.value})) {
+           ${ev.isNull} = true;
+         }
+       """)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotExpr =
     copy(left = l, right = r)

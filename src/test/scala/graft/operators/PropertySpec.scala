@@ -349,5 +349,51 @@ class PropertySpec extends SparkTestBase {
     val cleanRows = clean.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
       .toDF("va", "vb").select(vec_cosine($"va", $"vb")).collect()
     assert(cleanRows.forall(!_.isNullAt(0)), "clean pairs must keep a real cosine")
+
+    // ragged FINITE vectors sink too (r20): cosine/dot over the
+    // min-length overlap read a ragged 1-element vector as a finite
+    // ±1.0 — hijacking rank 1 of every top-k exactly like NaN used to.
+    // A length mismatch is corruption, not a prefix comparison
+    // (prefix callers slice explicitly — x84).
+    val ragged = Seq(
+      (Seq(5.0f), clean.head.map(_.floatValue)),
+      (clean.head.map(_.floatValue), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("va", "vb")
+      .select(vec_cosine($"va", $"vb").as("c"), vec_dot($"va", $"vb").as("d"))
+      .collect()
+    ragged.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1),
+        s"ragged pair must score NULL on both kernels: $r")
+    }
+    // vec_dot shares the full null-out contract (its >= threshold
+    // consumer would otherwise emit NaN as TRUE — Spark orders NaN
+    // above every real double)
+    val dotRows = pairs.toDF("va", "vb")
+      .select(vec_dot($"va", $"vb").as("d")).collect()
+    dotRows.foreach { r =>
+      assert(r.isNullAt(0) ||
+        (!r.getDouble(0).isNaN && !r.getDouble(0).isInfinite),
+        s"vec_dot emitted a non-finite non-null: $r")
+    }
+  }
+
+  test("embeddingNearDup: a corrupt (NaN) embedding never emits a pair") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val rows = Seq(
+      (1L, base.toSeq),
+      (2L, base.map(x => x + 1e-4f).toSeq),     // true near-dup of 1
+      (3L, Seq.fill(8)(Float.NaN)),             // corrupt: all-NaN
+      (4L, base.map(-_).toSeq))                 // genuinely far
+      .toDF("doc_id", "embedding")
+    val pairs = graft.operators.Dedup.embeddingNearDup(
+      rows, "doc_id", "embedding", threshold = 0.95, dim = 8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the NaN row signs to bucket 0 of every table (NaN > 0 is false)
+    // and its dot is NaN: pre-r20 `NaN >= threshold` was TRUE in
+    // Spark's ordering and row 3 paired with everything it met
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    graft.CacheLifecycle.release(spark)
   }
 }
