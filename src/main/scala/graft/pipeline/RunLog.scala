@@ -100,7 +100,17 @@ final class RunLog(
     val rec = Record(clock(), lvl, name, msg)
     val line = format(rec)
     console(line)
-    writeRotating(line + "\n")
+    // file-handler failures never propagate — CPython's
+    // RotatingFileHandler.emit routes them through handleError and
+    // keeps going. A disk-full/unwritable log file aborting the RUN
+    // would also suppress the failure alert this module exists to
+    // deliver (flush() builds the issue from `kept`, which still gets
+    // the record) — r20 review.
+    try writeRotating(line + "\n")
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        console(s"--- logging to $logFile failed: $e")
+    }
     kept += rec
   }
 

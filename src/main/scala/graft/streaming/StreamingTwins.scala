@@ -73,15 +73,22 @@ object StreamingTwins {
     } finally raf.close()
   }
 
-  // footer-probed schema memoized per staged dir for the same reason:
+  // footer-probed schema memoized per STAGED dir for the same reason:
   // the probe is a batch read (file listing + footer parse) that the
   // bench streaming entries would otherwise repeat every rep. Staged
-  // dirs are immutable snapshots, so the memo cannot go stale.
+  // dirs are immutable snapshots, so that memo cannot go stale — but a
+  // caller-supplied DIRECTORY input has no staleness machinery at all
+  // (none of the length/mtime/fingerprint legs apply), so memoizing it
+  // would serve a stale schema after an in-place regeneration: exactly
+  // the ÷1000-on-µs corruption readEvents' probe exists to prevent
+  // (r20 review). Directories re-probe every call.
   private val probedSchema =
     scala.collection.concurrent.TrieMap.empty[String, StructType]
 
-  private def schemaOf(spark: SparkSession, dir: String): StructType =
-    probedSchema.getOrElseUpdate(dir, spark.read.parquet(dir).schema)
+  private def schemaOf(
+      spark: SparkSession, dir: String, memoize: Boolean): StructType =
+    if (memoize) probedSchema.getOrElseUpdate(dir, spark.read.parquet(dir).schema)
+    else spark.read.parquet(dir).schema
 
   /** The file stream source reads DIRECTORIES; a single-file path is
     * staged (copied once) into a temp directory. Only a local-harness
@@ -113,7 +120,25 @@ object StreamingTwins {
       // cannot see (r17 advisor residual).
       if (!copy.isFile || copy.length != srcLen || srcLen != f.length ||
           srcMtime != f.lastModified ||
-          contentFingerprint(f) != srcFp) staged.remove(path)
+          contentFingerprint(f) != srcFp) {
+        staged.remove(path)
+        // reclaim the abandoned snapshot NOW: its memoized schema must
+        // never serve again, and the dir itself (one full parquet copy
+        // per regeneration, typically on RAM-backed tmp) would
+        // otherwise live until the JVM-exit TempDirs sweep (r20
+        // review). Best-effort — a running stream may still hold the
+        // old files open; the exit sweep remains the backstop.
+        probedSchema.remove(d)
+        try {
+          val p = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(p)) {
+            val s = java.nio.file.Files.walk(p)
+            try s.sorted(java.util.Comparator.reverseOrder())
+              .forEach(q => java.nio.file.Files.deleteIfExists(q))
+            finally s.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
     staged.getOrElseUpdate(path, {
       // deleteOnExit can't remove a non-empty dir — TempDirs deletes
@@ -161,12 +186,19 @@ object StreamingTwins {
         case Some(v) => spark.conf.set(confKey, v)
         case None => spark.conf.unset(confKey)
       }
-      val d = streamableDir(path)
-      val s =
-        try schemaOf(spark, d)
-        catch { case e: Throwable => restore(); throw e }
-      if (s("ts").dataType != LongType) restore()
-      (d, s)
+      // EVERYTHING after the set runs under the restore guard:
+      // streamableDir does real IO (stage copy, fingerprint reads) and
+      // the ts-field lookup throws on a ts-less table — an escape from
+      // either used to leak the flag session-wide, silently turning
+      // every later NANOS column in unrelated parquet into raw longs
+      // (r20 review). Only the deliberate keep-set path (a nanos file,
+      // success) leaves the flag on.
+      try {
+        val d = streamableDir(path)
+        val s = schemaOf(spark, d, memoize = d != path)
+        if (s("ts").dataType != LongType) restore()
+        (d, s)
+      } catch { case e: Throwable => restore(); throw e }
     }
     val stream = spark.readStream.schema(diskSchema).parquet(dir)
     diskSchema("ts").dataType match {
@@ -188,10 +220,29 @@ object StreamingTwins {
 
   /** Open any parquet table as a stream, schema probed from the
     * footer (single-file paths staged like [[readEvents]]).
+    *
+    * The probe runs with `nanosAsLong` temporarily set (and ALWAYS
+    * restored), so a TIMESTAMP(NANOS) table probes deterministically
+    * instead of pass-or-crash depending on whether a prior readEvents
+    * happened to memoize the schema (r20 review). Actually STREAMING a
+    * nanos table still needs the flag for the incremental file reads —
+    * that is [[readEvents]]' keep-set contract; event-time tables go
+    * through it, not here.
     */
   def readTable(spark: SparkSession, path: String): DataFrame = {
-    val dir = streamableDir(path)
-    spark.readStream.schema(schemaOf(spark, dir)).parquet(dir)
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val (dir, schema) = graft.Tables.nanosConfLock.synchronized {
+      val prior = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, "true")
+      try {
+        val d = streamableDir(path)
+        (d, schemaOf(spark, d, memoize = d != path))
+      } finally prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+    spark.readStream.schema(schema).parquet(dir)
   }
 
   /** Q31 twin: watermarked tumbling 1-hour aggregate. Late events
@@ -429,9 +480,11 @@ object StreamingTwins {
     // fail fast on a non-integral id (the Para encoder needs a Long):
     // cast("long") on a string GUID yields NULL and the primitive
     // encoder then kills the QUERY at runtime with an opaque
-    // null-in-non-nullable error — an analysis-time message instead
-    // (the batch twin enforces the same integral/decimal contract,
-    // r20: its decimal rank arithmetic has the same trap)
+    // null-in-non-nullable error — an analysis-time message instead.
+    // Deliberately NARROWER than the batch twin (which also accepts
+    // DecimalType for its decimal rank arithmetic): this face casts
+    // the id to long for the typed row, so a decimal id wider than 18
+    // digits would silently truncate — integral only here.
     require(Set[org.apache.spark.sql.types.DataType](LongType,
         org.apache.spark.sql.types.IntegerType,
         org.apache.spark.sql.types.ShortType,
@@ -581,32 +634,63 @@ object StreamingTwins {
     * `flatMapGroupsWithState`. State per user is (last-seen ts, session
     * count); emits the updated count every batch (Update mode).
     */
-  def sessionize(events: Dataset[EventRow], gapSeconds: Long = 1800): Dataset[UserSessions] = {
-    import events.sparkSession.implicits._
-
+  /** The ONE session fold both state APIs run — sessionize (fMGWS) and
+    * SessionizeProcessor (transformWithState) are pinned to the same
+    * oracle (x51/x95) and must never drift, so the sort key, the
+    * Long.MinValue cold-start sentinel, and the gap comparison live
+    * here exactly once (the attributionJoin device, applied to the
+    * sessionize twins — r20 review).
+    *
+    * Its own tiny Serializable object, NOT methods on StreamingTwins:
+    * the executor-side closures call it, and a lambda calling an
+    * enclosing-module method captures that module — StreamingTwins
+    * (TrieMap caches and all) is not Serializable and must never ride
+    * a task.
+    */
+  private[streaming] object SessionMath extends Serializable {
     // exact µs, not getTime*1000: getTime is ms-truncated, and the
-    // events corpus carries sub-ms µs components — a gap within 1 ms of
-    // exactly `gapSeconds` (or a same-ms ordering tie) would otherwise
-    // classify differently from the batch twin's unix_micros comparison
+    // events corpus carries sub-ms µs components — a gap within 1 ms
+    // of exactly `gapSeconds` (or a same-ms ordering tie) would
+    // otherwise classify differently from the batch twin's
+    // unix_micros comparison
     def micros(ts: java.sql.Timestamp): Long =
       math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    /** None = the micro-batch carried no rows for this key: emit
+      * nothing, leave state untouched.
+      */
+    def fold(rows: Iterator[EventRow], init: SessionState,
+        gapSeconds: Long): Option[SessionState] = {
+      val sorted = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id))
+      if (sorted.isEmpty) None
+      else {
+        var st = init
+        sorted.foreach { r =>
+          val us = micros(r.ts)
+          val isNew = st.lastTsMicros == Long.MinValue ||
+            (us - st.lastTsMicros) > gapSeconds * 1000000L
+          st = SessionState(us, if (isNew) st.sessions + 1 else st.sessions)
+        }
+        Some(st)
+      }
+    }
+  }
+
+  def sessionize(events: Dataset[EventRow], gapSeconds: Long = 1800): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
 
     def update(
         userId: Long,
         rows: Iterator[EventRow],
-        state: GroupState[SessionState]): Iterator[UserSessions] = {
-      val sorted = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id))
-      if (sorted.isEmpty) return Iterator.empty
-      var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-      sorted.foreach { r =>
-        val us = micros(r.ts)
-        val isNew = st.lastTsMicros == Long.MinValue ||
-          (us - st.lastTsMicros) > gapSeconds * 1000000L
-        st = SessionState(us, if (isNew) st.sessions + 1 else st.sessions)
+        state: GroupState[SessionState]): Iterator[UserSessions] =
+      SessionMath.fold(rows,
+          state.getOption.getOrElse(SessionState(Long.MinValue, 0L)),
+          gapSeconds) match {
+        case None => Iterator.empty
+        case Some(st) =>
+          state.update(st)
+          Iterator.single(UserSessions(userId, st.sessions))
       }
-      state.update(st)
-      Iterator.single(UserSessions(userId, st.sessions))
-    }
 
     events
       .groupByKey(_.user_id)
@@ -660,24 +744,18 @@ object StreamingTwins {
         tv: TimerValues): Unit =
       st.update(initial)
 
-    // same exact-µs arithmetic as sessionize (getTime is ms-truncated)
-    private def micros(ts: java.sql.Timestamp): Long =
-      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-
     override def handleInputRows(userId: Long, rows: Iterator[EventRow],
-        tv: TimerValues): Iterator[UserSessions] = {
-      val sorted = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id))
-      if (sorted.isEmpty) return Iterator.empty
-      var s = if (st.exists()) st.get() else SessionState(Long.MinValue, 0L)
-      sorted.foreach { r =>
-        val us = micros(r.ts)
-        val isNew = s.lastTsMicros == Long.MinValue ||
-          (us - s.lastTsMicros) > gapSeconds * 1000000L
-        s = SessionState(us, if (isNew) s.sessions + 1 else s.sessions)
+        tv: TimerValues): Iterator[UserSessions] =
+      // the shared fold ([[SessionMath.fold]]): both state APIs answer
+      // the same oracle, so the session arithmetic exists exactly once
+      SessionMath.fold(rows,
+          if (st.exists()) st.get() else SessionState(Long.MinValue, 0L),
+          gapSeconds) match {
+        case None => Iterator.empty
+        case Some(s) =>
+          st.update(s)
+          Iterator.single(UserSessions(userId, s.sessions))
       }
-      st.update(s)
-      Iterator.single(UserSessions(userId, s.sessions))
-    }
   }
 
   def sessionizeTws(events: Dataset[EventRow], gapSeconds: Long = 1800): Dataset[UserSessions] = {

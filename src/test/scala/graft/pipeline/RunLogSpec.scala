@@ -37,6 +37,24 @@ class RunLogSpec extends AnyFunSuite {
       """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} INFO {5}graft {11}Logging configured"""))
   }
 
+  test("a failing file handler never aborts the run; the keeper still alerts") {
+    // CPython RotatingFileHandler.emit routes write errors through
+    // handleError and keeps going — a disk-full log file aborting the
+    // run would also suppress the failure alert flush() builds from
+    // the in-memory keeper (r20 review)
+    val dir = Files.createTempDirectory("runlog_ro")
+    val blocked = dir.resolve("as_dir.txt")
+    Files.createDirectories(blocked) // a DIRECTORY at the log path: every write fails
+    val console = new ArrayBuffer[String]
+    val log = new RunLog(blocked, console += _, fixedClock())
+    log.info("still running")
+    log.error("the actual failure")
+    assert(log.records.map(_.message) == Seq("still running", "the actual failure"),
+      "the keeper must hold every record despite the dead file handler")
+    // the handler failure is surfaced on the console fan-out
+    assert(console.exists(_.contains("logging to")), console.mkString("\n"))
+  }
+
   test("level threshold drops records below it") {
     val console = new ArrayBuffer[String]
     val log = new RunLog(tempLog(), console += _, fixedClock(), level = RunLog.Warning)

@@ -668,7 +668,56 @@ class StreamingTwinsSpec extends SparkTestBase {
       assert(d2 != d1, "an older-mtime regeneration must re-stage, not serve the old snapshot")
       val staged2 = Paths.get(d2, src.getFileName.toString)
       assert(Files.readAllBytes(staged2).forall(_ == 2), "re-stage must carry the NEW bytes")
+      // the abandoned snapshot is reclaimed NOW, not at JVM exit: a
+      // long-lived bench JVM over a repeatedly-regenerated source would
+      // otherwise pile one full parquet copy per regeneration onto
+      // (typically RAM-backed) tmp (r20 review)
+      assert(!Files.exists(Paths.get(d1)),
+        s"stale snapshot dir $d1 must be deleted on re-stage")
     } finally Files.deleteIfExists(src)
+  }
+
+  test("readEvents restores nanosAsLong when the probe fails; dirs are not schema-memoized") {
+    import spark.implicits._
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    // whatever the session carries coming in (other suites share it)
+    // must be exactly what every failure path leaves behind
+    val prior = spark.conf.getOption(confKey)
+    // a parquet file WITHOUT a ts column: the ts-field lookup throws
+    // AFTER the probe succeeded — the flag used to leak session-wide
+    // on exactly this path, silently turning every later NANOS column
+    // in unrelated parquet into raw longs (r20 review)
+    val dir = Files.createTempDirectory("graft_notts_")
+    try {
+      val p = dir.resolve("t.parquet").toString
+      Seq((1L, "a")).toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(p)
+      intercept[Exception] { StreamingTwins.readEvents(spark, p) }
+      assert(spark.conf.getOption(confKey) == prior,
+        "nanosAsLong leaked after a failed readEvents probe")
+      // ... and a vanished path fails BEFORE any probe, same guarantee
+      intercept[Exception] {
+        StreamingTwins.readEvents(spark, dir.resolve("absent.parquet").toString)
+      }
+      assert(spark.conf.getOption(confKey) == prior)
+      // DIRECTORY inputs re-probe every call (no staleness machinery
+      // covers them): regenerate the dir in place with a new schema
+      // and the stream must see the new one, not a memo
+      val ddir = dir.resolve("tbl").toString
+      Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(ddir)
+      assert(StreamingTwins.readTable(spark, ddir).schema.fieldNames.toSet ==
+        Set("id", "s"))
+      Seq((1L, 2.0, "x")).toDF("id", "v", "s").write.mode("overwrite").parquet(ddir)
+      assert(StreamingTwins.readTable(spark, ddir).schema.fieldNames.toSet ==
+        Set("id", "v", "s"),
+        "a regenerated directory must re-probe, not serve the stale memoized schema")
+      assert(spark.conf.getOption(confKey) == prior,
+        "readTable must always restore nanosAsLong")
+    } finally {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally s.close()
+    }
   }
 
   test("staging re-stages a source regenerated at IDENTICAL length with a RESTORED mtime") {
