@@ -82,11 +82,17 @@ object Tables {
       case Some(v) => s.conf.set(confKey, v)
       case None => s.conf.unset(confKey)
     }
+    // the ts-field lookup is INSIDE the guard: on a ts-less/renamed
+    // generation `schema("ts")` throws AFTER the probe succeeded, and
+    // an escape there used to leak the flag session-wide (the same
+    // r20 hole fixed in StreamingTwins.readEvents)
     val raw =
-      try rawLoad(s, d, "events")
-      catch { case e: Throwable => restore(); throw e }
-    if (raw.schema("ts").dataType !=
-        org.apache.spark.sql.types.LongType) restore()
+      try {
+        val r = rawLoad(s, d, "events")
+        if (r.schema("ts").dataType !=
+            org.apache.spark.sql.types.LongType) restore()
+        r
+      } catch { case e: Throwable => restore(); throw e }
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {

@@ -105,22 +105,44 @@ final class CredentialVault(
 
   private def persist(c: Credential): Credential = {
     Option(path.getParent).foreach(Files.createDirectories(_))
-    Files.write(path, seal(c, key))
+    // sibling-temp + atomic promote, not a bare Files.write: the
+    // server-side rotation has ALREADY happened when this runs, so a
+    // crash mid-write would tear the vault file and lose the only
+    // copy of the new token (the old one is invalidated) — the
+    // corrupt-reads-as-None fallback then re-rotates from `init`,
+    // which may be single-use (r20 review)
+    AtomicFiles.write(path, seal(c, key))
     c
   }
+
+  /** Rotate with the stored token, falling back to `init` when the
+    * endpoint rejects it: a vault whose token lapsed entirely (the
+    * pipeline paused past the token lifetime) is otherwise stuck
+    * rotating with a dead token on every run — the documented
+    * state-loss recovery ("set it up again with a new initialization
+    * credential") must engage even though the FILE is intact (r20
+    * review). An `init` failure propagates — there is nothing left to
+    * fall back to.
+    */
+  private def rotateWithFallback(storedToken: String, init: => String): Credential =
+    try rotate(storedToken)
+    catch { case scala.util.control.NonFatal(_) => rotate(init) }
 
   /** The daily-run entry point (`cdt_arcgis_auth.py:32-37`): returns a
     * live token, rotating first when none is stored, the store was
     * corrupt, or expiry is inside the refresh margin. `init` is only
-    * evaluated when bootstrapping.
+    * evaluated when bootstrapping or when the stored token is rejected.
     */
   def current(init: => String): Credential = stored match {
     case Some(c) if c.expiresAtMillis - clock() > refreshMargin => c
-    case Some(c) => persist(rotate(c.accessToken))
+    case Some(c) => persist(rotateWithFallback(c.accessToken, init))
     case None    => persist(rotate(init))
   }
 
   /** Unconditional rotation — step 1 of the reference's daily run. */
   def rotateNow(init: => String): Credential =
-    persist(rotate(stored.map(_.accessToken).getOrElse(init)))
+    persist(stored match {
+      case Some(c) => rotateWithFallback(c.accessToken, init)
+      case None    => rotate(init)
+    })
 }

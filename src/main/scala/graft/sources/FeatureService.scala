@@ -125,7 +125,14 @@ object FeatureService {
       val attrs = scala.collection.mutable.Map[String, String]()
       props.fieldNames().forEachRemaining { n =>
         val v = props.get(n)
-        attrs(n) = if (v.isNull) null else v.asText()
+        // containers keep their JSON text: asText() returns "" for
+        // object/array nodes, silently blanking every non-scalar
+        // property — the silent-loss class the hostile-page policy
+        // above exists to prevent (r20 review)
+        attrs(n) =
+          if (v.isNull) null
+          else if (v.isContainerNode) v.toString
+          else v.asText()
       }
       val wkb =
         try GeomCodec.write(parseGeometry(f.path("geometry")))
@@ -213,7 +220,16 @@ object FeatureService {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
-      load(spark, fetch, baseUrl).write.mode("overwrite").parquet(path)
+      // staging-dir + atomic swap (the r20 directory-sink contract),
+      // not a bare overwrite: two pipelines cold-starting the same URL
+      // both miss the marker and run overlapping overwrite jobs into
+      // ONE path — the later delete races the earlier commit and the
+      // mixed part files sit under a valid _SUCCESS forever (a cache
+      // hit can never detect it). With the swap each job builds its
+      // own tagged staging dir and the promote is a rename.
+      AtomicDirs.writeVia(spark, path) { staging =>
+        load(spark, fetch, baseUrl).write.mode("overwrite").parquet(staging)
+      }
     }
     spark.read.parquet(path)
   }

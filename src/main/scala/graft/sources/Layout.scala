@@ -174,14 +174,33 @@ object Layout {
       if (st.isFile && !st.getPath.getName.startsWith("_")) bytes += st.getLen
     }
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // hive-partitioned input keeps its layout: a plain rewrite would
+    // fold the partition columns into the data files and DESTROY the
+    // date=…/ directory structure — partition pruning reverts to full
+    // scans and path-addressed readers find nothing (r20 review).
+    // Detection is schema-diff: recursiveFileLookup disables partition
+    // discovery, so columns present only under discovery are exactly
+    // the partition columns.
+    val full = spark.read.parquet(inDir)
+    val leafCols = spark.read.option("recursiveFileLookup", "true")
+      .parquet(inDir).columns.toSet
+    val partCols = full.columns.filterNot(leafCols).toSeq
     // the staging swap also makes IN-PLACE compaction (outDir == inDir)
     // safe: the job only READS inDir while writing to the staging
     // sibling, and the live directory is replaced wholesale after the
     // job commits — which is the actual maintenance shape (rewriting a
     // LIVE table, not producing a copy)
     AtomicDirs.writeVia(spark, outDir) { staging =>
-      spark.read.parquet(inDir).repartition(n)
-        .write.mode("overwrite").parquet(staging)
+      if (partCols.isEmpty)
+        full.repartition(n).write.mode("overwrite").parquet(staging)
+      else
+        // hash-cluster on the partition columns so each value's rows
+        // land in ONE task → one output file per partition directory
+        // (the small-file fix); an over-targetBytes single value stays
+        // one file — splitting it needs a second write pass and is not
+        // this maintenance job's contract
+        full.repartition(n, partCols.map(col): _*)
+          .write.mode("overwrite").partitionBy(partCols: _*).parquet(staging)
     }
     n
   }

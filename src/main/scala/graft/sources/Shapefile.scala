@@ -417,6 +417,28 @@ object Shapefile {
     val shp = ByteBuffer.allocate(shpLen)
     val shx = ByteBuffer.allocate(100 + 8 * contents.length)
 
+    // ONE bbox fold, outside header(): header runs twice (shp + shx)
+    // and the old per-call four-pass min/max over fresh envelopes
+    // scanned a 1M-geometry layer eight times for two identical
+    // 32-byte header fields (r20 review)
+    val bbox = {
+      var minX = 0.0; var minY = 0.0; var maxX = 0.0; var maxY = 0.0
+      var seen = false
+      geoms.foreach { g =>
+        if (g != null) {
+          val e = g.getEnvelopeInternal
+          if (!seen) { minX = e.getMinX; minY = e.getMinY
+            maxX = e.getMaxX; maxY = e.getMaxY; seen = true }
+          else {
+            if (e.getMinX < minX) minX = e.getMinX
+            if (e.getMinY < minY) minY = e.getMinY
+            if (e.getMaxX > maxX) maxX = e.getMaxX
+            if (e.getMaxY > maxY) maxY = e.getMaxY
+          }
+        }
+      }
+      (minX, minY, maxX, maxY)
+    }
     def header(b: ByteBuffer, fileLenBytes: Int): Unit = {
       b.order(ByteOrder.BIG_ENDIAN)
       b.putInt(0, 9994)
@@ -424,14 +446,8 @@ object Shapefile {
       b.order(ByteOrder.LITTLE_ENDIAN)
       b.putInt(28, 1000)
       b.putInt(32, shapeType)
-      val live = geoms.filter(_ != null)
-      val (minX, minY, maxX, maxY) =
-        if (live.isEmpty) (0.0, 0.0, 0.0, 0.0)
-        else (live.map(_.getEnvelopeInternal.getMinX).min,
-          live.map(_.getEnvelopeInternal.getMinY).min,
-          live.map(_.getEnvelopeInternal.getMaxX).max,
-          live.map(_.getEnvelopeInternal.getMaxY).max)
-      b.putDouble(36, minX).putDouble(44, minY).putDouble(52, maxX).putDouble(60, maxY)
+      b.putDouble(36, bbox._1).putDouble(44, bbox._2)
+        .putDouble(52, bbox._3).putDouble(60, bbox._4)
       // Z/M ranges (68..99) stay zero
     }
     header(shp, shpLen)
@@ -477,8 +493,19 @@ object Shapefile {
         // doubles at %.8f exceed a fixed 19)
         case IntegerType | LongType =>
           Fld(f.name.take(10), 'N', math.max(19, maxLen(0)), 0, idx)
-        case _ =>
+        case _: org.apache.spark.sql.types.NumericType =>
           Fld(f.name.take(10), 'N', math.max(19, maxLen(8)), 8, idx)
+        case _ =>
+          // dates, timestamps, and anything else non-numeric write as
+          // character fields via toString: the old numeric catch-all
+          // mapped them to 'N' and the row writer then died in
+          // toString.toDouble with an opaque NumberFormatException on
+          // the first date column (r20 review). dBASE 'C' round-trips
+          // readDbf as the string the value printed as.
+          val w = math.max(1, math.min(254,
+            rows.map(r => if (r.isNullAt(idx)) 0 else r.get(idx).toString.length)
+              .foldLeft(1)(math.max)))
+          Fld(f.name.take(10), 'C', w, 0, idx)
       }
     }
     flds.foreach(f => require(f.len <= 254,

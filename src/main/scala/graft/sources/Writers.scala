@@ -81,8 +81,22 @@ object Writers {
     val props = df.columns.filterNot(_ == geomCol)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+    // container columns (array/map/struct) render through Spark's
+    // to_json and are spliced in as RAW JSON: the scala-toString
+    // fallback published "WrappedArray(a, b)" debug strings as
+    // property values (r20 review — the same silent-mangling class
+    // the Float/Short/BigDecimal cases below were added to fix)
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType => SqlStructType}
+    val isContainer: Map[String, Boolean] = props.map { p =>
+      p -> (df.schema(p).dataType match {
+        case _: ArrayType | _: MapType | _: SqlStructType => true
+        case _ => false
+      })
+    }.toMap
     val fragments = df.select(
-      (props.map(col) :+ col(geomCol).as("__geom")): _*)
+      (props.map(p =>
+        if (isContainer(p)) to_json(col(p)).as(p) else col(p)) :+
+        col(geomCol).as("__geom")): _*)
 
     // stream to a sibling temp, promote on success (r19 writer-side
     // no-torn-artifact contract): a corrupt WKB row or an unsupported
@@ -104,6 +118,13 @@ object Writers {
         props.zipWithIndex.foreach { case (p, i) =>
           row.get(i) match {
             case null       => propsNode.putNull(p)
+            // a container column arrives as its to_json string (see
+            // the select above): splice it in as raw JSON so the
+            // artifact carries a real nested array/object
+            case v: String if isContainer(p) =>
+              propsNode.putRawValue(p,
+                new com.fasterxml.jackson.databind.util.RawValue(v))
+              ()
             case v: String  => propsNode.put(p, v)
             case v: Long    => propsNode.put(p, v)
             case v: Int     => propsNode.put(p, v)

@@ -91,8 +91,14 @@ object XlsxReader {
   def toDataFrame(spark: SparkSession, path: String, skipRows: Int = 0): DataFrame = {
     val rows = readRows(path).drop(skipRows)
     require(rows.nonEmpty, s"no data rows in $path after skipping $skipRows")
-    val header = rows.head.map(h => Option(h).getOrElse(""))
-    val width = header.length
+    val named = rows.head.map(h => Option(h).getOrElse(""))
+    // data rows wider than the header keep their trailing cells under
+    // pandas' "Unnamed: N" columns (N = 0-based column index) instead
+    // of being silently truncated — a manually-edited workbook with an
+    // unlabeled trailing column used to lose every cell of it with no
+    // signal (r20 review)
+    val width = rows.map(_.length).max
+    val header = named ++ (named.length until width).map(i => s"Unnamed: $i")
     val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
     val data = rows.tail.map { r =>
       Row.fromSeq(r.padTo(width, null).take(width))

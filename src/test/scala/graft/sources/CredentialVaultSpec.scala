@@ -55,6 +55,49 @@ class CredentialVaultSpec extends AnyFunSuite {
     assert(second.expiresAtMillis == now + twoWeeks)
   }
 
+  test("a rejected stored token falls back to init instead of wedging the vault") {
+    // pipeline paused past the token lifetime: the stored token is
+    // intact on disk but DEAD at the endpoint. Rotating with it on
+    // every run wedged the vault until the file was deleted by hand —
+    // the documented state-loss recovery must engage (r20 review).
+    var now = 0L
+    var calls = 0
+    val rejectDead: String => Credential = { old =>
+      calls += 1
+      if (old.startsWith("dead")) throw new RuntimeException("401: token expired")
+      Credential(s"$old/r$calls", now + twoWeeks)
+    }
+    val path = Files.createTempDirectory("vault").resolve("cred.sealed")
+    val vault = new CredentialVault(path, rejectDead, () => now, refreshMargin = day)
+    // seed the vault with a token the endpoint will reject
+    Files.write(path, CredentialVault.seal(Credential("dead-token", now + day / 4)))
+    val c = vault.current("fresh-init")
+    assert(c.accessToken == "fresh-init/r2", s"got ${c.accessToken}")
+    assert(calls == 2, "dead-token rotate, then the init fallback")
+    // an init failure propagates — nothing left to fall back to
+    Files.write(path, CredentialVault.seal(Credential("dead-again", now + day / 4)))
+    intercept[RuntimeException] { vault.current("dead-init") }
+  }
+
+  test("persist survives no partial vault: the publish is temp + atomic promote") {
+    // a crash mid-write would otherwise tear the file AFTER the
+    // server-side rotation invalidated the old token — the sealed
+    // bytes must appear atomically (no .writing residue, full file)
+    var now = 0L
+    val ep = new Endpoint(() => now)
+    val (path, vault) = vaultAt(() => now, ep)
+    vault.current("seed")
+    val dir = path.getParent
+    val s = Files.list(dir)
+    val names = try {
+      val it = s.iterator(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().getFileName.toString
+      b.result()
+    } finally s.close()
+    assert(names == Seq("cred.sealed"), s"unexpected residue: $names")
+    assert(vault.stored.exists(_.accessToken == "seed/r1"))
+  }
+
   test("on-disk bytes never contain the plaintext token and round-trip exactly") {
     val c = Credential("super-secret-publishing-token", 123456789L)
     val sealedBytes = CredentialVault.seal(c)

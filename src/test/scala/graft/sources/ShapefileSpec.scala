@@ -79,6 +79,26 @@ class ShapefileSpec extends SparkTestBase {
     assert(math.abs(area - 92.5) < 1e-9, area)
   }
 
+  test("date and timestamp columns write as dbf character fields, not a crash") {
+    // the numeric catch-all mapped DateType to 'N' and the row writer
+    // died in toString.toDouble — an opaque NumberFormatException on
+    // any frame with a date column (r20 review). 'C' round-trips the
+    // printed value.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shp_date").toString
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2026-08-16"),
+        java.sql.Timestamp.valueOf("2026-08-16 12:30:00"),
+        "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"))
+      .toDF("id", "d", "ts", "wkt")
+      .withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
+    Shapefile.write(df, s"$dir/dated")
+    val back = Shapefile.read(spark, s"$dir/dated").collect()
+    assert(back.length == 1)
+    assert(back(0).getAs[String]("d") == "2026-08-16")
+    assert(back(0).getAs[String]("ts").startsWith("2026-08-16 12:30:00"))
+  }
+
   test("dbf text round-trips Latin-1 (non-ASCII place names survive)") {
     import spark.implicits._
     val gf = graft.geom.GeomCodec

@@ -179,6 +179,51 @@ class WritersSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 4000L)
   }
 
+  test("compaction preserves a hive-partitioned layout (in place)") {
+    import spark.implicits._
+    // a plain rewrite folded the partition columns into the data files
+    // and destroyed the part=… directory structure — pruning reverted
+    // to full scans and path-addressed readers found nothing (r20)
+    val dir = java.nio.file.Files.createTempDirectory("compact_keep").toString + "/t"
+    val df = (1L to 2000L).map(i => (i, i % 3, s"row_$i")).toDF("id", "part", "payload")
+    df.repartition(8).write.partitionBy("part").parquet(dir)
+    def partDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part=")).sortBy(_.getName)
+    assert(partDirs.length == 3)
+    assert(partDirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 8))
+    graft.sources.Layout.compact(spark, dir, dir)
+    assert(partDirs.map(_.getName).toSeq == Seq("part=0", "part=1", "part=2"),
+      "in-place compaction must keep the partition directories")
+    // the small-file fix: each partition dir collapses to ONE file
+    assert(partDirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      partDirs.map(d => d.getName -> d.listFiles().length).mkString(","))
+    // content-preserving (column ORDER differs: partition discovery
+    // appends the partition column — compare on an explicit order)
+    assert(spark.read.parquet(dir).select("id", "part", "payload")
+      .orderBy("id").collect().toSeq ==
+      df.select("id", "part", "payload").orderBy("id").collect().toSeq)
+    // and partition pruning still works on the compacted layout
+    val pruned = spark.read.parquet(dir).filter($"part" === 1)
+    assert(pruned.count() == df.filter($"part" === 1).count())
+  }
+
+  test("geojson container properties publish as real JSON, not scala toString") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a", "b"), Map("k" -> 2L),
+        "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"))
+      .toDF("id", "tags", "meta", "wkt")
+      .withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
+    val path = Files.createTempFile("containers", ".geojson").toString
+    Writers.writeGeoJson(df, "geom", path)
+    val text = new String(Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    assert(!text.contains("WrappedArray") && !text.contains("ArraySeq"),
+      s"scala debug strings leaked into the artifact: $text")
+    // parsePage keeps container properties as their JSON text (r20)
+    val attrs = FeatureService.parsePage(text).head._1
+    assert(attrs("tags") == """["a","b"]""", attrs("tags"))
+    assert(attrs("meta") == """{"k":2}""", attrs("meta"))
+  }
+
   test("compaction: fewer target-sized files, identical content, even sizes") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("compact_spec").toString
