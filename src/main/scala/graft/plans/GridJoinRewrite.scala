@@ -45,6 +45,17 @@ object GridOps {
   private[plans] def cellRange(
       env: Envelope, cellSize: Double): Option[(Long, Long, Long, Long)] = {
     if (env.isNull || env.getMinX.isNaN || env.getMinY.isNaN) return None
+    // infinities are rejected explicitly: min==max==+Inf saturates
+    // BOTH bounds to the same Long, span reads 1, and the corrupt row
+    // sails past the span guard into a sentinel cell where JTS happily
+    // intersects two POINT(Inf Inf) geometries — the exec path then
+    // emits silent garbage where the rewrite path throws (r20 review)
+    if (env.getMinX.isInfinite || env.getMaxX.isInfinite ||
+        env.getMinY.isInfinite || env.getMaxY.isInfinite)
+      throw new IllegalArgumentException(
+        s"geometry envelope [${env.getMinX},${env.getMinY} .. " +
+          s"${env.getMaxX},${env.getMaxY}] has a non-finite coordinate — " +
+          "repair the geometry before the grid join")
     val x0 = math.floor(env.getMinX / cellSize).toLong
     val x1 = math.floor(env.getMaxX / cellSize).toLong
     val y0 = math.floor(env.getMinY / cellSize).toLong
@@ -117,7 +128,28 @@ object GridOps {
     val rEnv = GeomCodec.read(b).getEnvelopeInternal
     val refX = math.max(lEnv.getMinX, rEnv.getMinX)
     val refY = math.max(lEnv.getMinY, rEnv.getMinY)
-    encode(math.floor(refX / cellSize).toInt, math.floor(refY / cellSize).toInt)
+    // the same guards gridCells has (r20 review): an empty geometry's
+    // reference point floored to cell (0,0) silently — the exact
+    // cell-0 corruption gridCells was hardened against — and a
+    // beyond-32-bit coordinate saturated via Double.toInt into a
+    // shared Int.MaxValue cell, mis-owning extreme-coordinate pairs
+    // in a hand-built st_grid_refcell join. BOTH empty shapes are
+    // checked: a JTS NULL envelope (POLYGON EMPTY) reports minX=0,
+    // not NaN, so isNull must be tested alongside the POINT EMPTY
+    // NaN envelope.
+    if (lEnv.isNull || rEnv.isNull || refX.isNaN || refY.isNaN)
+      throw new IllegalArgumentException(
+        "st_grid_refcell: empty geometry (NaN envelope) has no reference " +
+          "cell — filter empty geometries before the join")
+    val cx = math.floor(refX / cellSize)
+    val cy = math.floor(refY / cellSize)
+    if (cx < Int.MinValue || cx > Int.MaxValue ||
+        cy < Int.MinValue || cy > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"st_grid_refcell: cell ($cx, $cy) exceeds the 32-bit cell-id " +
+          s"packing range at cellSize=$cellSize — raise " +
+          s"${SpatialJoinStrategy.GridCellKey}")
+    encode(cx.toInt, cy.toInt)
   }
 }
 
@@ -205,7 +237,14 @@ object GridJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val GridModeKey = "spark.graft.spatial.gridMode"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (conf.getConfString(GridModeKey, "rewrite") != "rewrite") return plan
+    // only the two documented values are accepted: a typo ("Rewrite",
+    // "on") used to silently select the exec path — no AQE skew-split,
+    // no whole-stage codegen — as an invisible performance-path change
+    // (r20 review; gridCellSize rejects malformed values the same way)
+    val mode = conf.getConfString(GridModeKey, "rewrite")
+    require(mode == "rewrite" || mode == "exec",
+      s"$GridModeKey must be 'rewrite' or 'exec', got '$mode'")
+    if (mode != "rewrite") return plan
     SpatialJoinStrategy.gridCellSize match {
       case None => plan
       case Some(cs) => plan.transform {

@@ -93,30 +93,46 @@ case class SpatialIndexJoinExec(
     val outAttrs = output
     val cond = extraCondition
 
+    // stable cache key for the bound build-geometry expression: the
+    // ordinal identifies the column within THIS broadcast's row layout
+    val buildExprKey = buildGeomBound.toString
+
     streamPlan.execute().mapPartitionsWithIndex { (pIdx, iter) =>
-      // Bulk-load the index once per task; geometries decode once here,
-      // not once per probe.
-      val index = new STRtree()
-      broadcastRows.value.foreach { row =>
-        val wkb = buildGeomBound.eval(row).asInstanceOf[Array[Byte]]
-        if (wkb != null) {
-          val g = GeomCodec.read(wkb)
-          index.insert(g.getEnvelopeInternal, (row, g))
+      if (!iter.hasNext) Iterator.empty
+      else {
+        // the index is built ONCE PER EXECUTOR per (broadcast, column)
+        // and shared across tasks: the old per-task bulk-load re-parsed
+        // every build-side WKB for every stream partition scheduled on
+        // the executor — 200 partitions × 1M polygons = 200M redundant
+        // decodes of identical content (r20 review). STRtree queries
+        // are thread-safe once built.
+        val rows = broadcastRows.value
+        val index = SpatialIndexJoinExec.cachedIndex(rows, buildExprKey) {
+          val idx = new STRtree()
+          rows.foreach { row =>
+            val wkb = buildGeomBound.eval(row).asInstanceOf[Array[Byte]]
+            if (wkb != null) {
+              val g = GeomCodec.read(wkb)
+              idx.insert(g.getEnvelopeInternal, (row, g))
+            }
+          }
+          idx.build()
+          idx
         }
-      }
 
-      val joined = new JoinedRow
-      val proj = UnsafeProjection.create(outAttrs, outAttrs)
-      val pred = cond.map(c => Predicate.create(c, outAttrs))
-      // real partition index, not 0: nondeterministic residuals must
-      // seed independently per task (same as Spark's own join execs)
-      pred.foreach(_.initialize(pIdx))
+        val joined = new JoinedRow
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val pred = cond.map(c => Predicate.create(c, outAttrs))
+        // real partition index, not 0: nondeterministic residuals must
+        // seed independently per task (same as Spark's own join execs)
+        pred.foreach(_.initialize(pIdx))
 
-      iter.flatMap { srow =>
-        val wkb = streamGeomBound.eval(srow).asInstanceOf[Array[Byte]]
-        if (wkb == null) Iterator.empty
-        else SpatialProbe.probeOne(index, GeomCodec.read(wkb), srow, rel0,
-          buildIsRight, joined, proj, pred, numOutputRows, SpatialProbe.AlwaysOwns)
+        iter.flatMap { srow =>
+          val wkb = streamGeomBound.eval(srow).asInstanceOf[Array[Byte]]
+          if (wkb == null) Iterator.empty
+          else SpatialProbe.probeOne(index, GeomCodec.read(wkb), srow, rel0,
+            buildIsRight, joined, proj, pred, numOutputRows, SpatialProbe.AlwaysOwns)
+        }
       }
     }
   }
@@ -124,4 +140,32 @@ case class SpatialIndexJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SpatialIndexJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object SpatialIndexJoinExec {
+  /** Executor-side STRtree cache, keyed WEAKLY by the broadcast VALUE
+    * (the one `Array[InternalRow]` each executor holds): the index
+    * lives exactly as long as the broadcast it decodes and evaporates
+    * with it when ContextCleaner destroys the broadcast — no arbitrary
+    * LRU bound to tune, no pinning past the data's own lifetime. The
+    * inner key is the bound geometry expression (two joins may index
+    * DIFFERENT columns of the same broadcast).
+    */
+  private val indexCache = new java.util.WeakHashMap[Array[InternalRow],
+    java.util.concurrent.ConcurrentHashMap[String, STRtree]]()
+
+  private[plans] def cachedIndex(
+      rows: Array[InternalRow], exprKey: String)(build: => STRtree): STRtree = {
+    val inner = indexCache.synchronized {
+      var m = indexCache.get(rows)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, STRtree]()
+        indexCache.put(rows, m)
+      }
+      m
+    }
+    // computeIfAbsent: concurrent first tasks build once, later tasks
+    // (and later jobs reusing the exchange) read the built tree
+    inner.computeIfAbsent(exprKey, _ => build)
+  }
 }

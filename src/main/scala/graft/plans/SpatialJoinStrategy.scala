@@ -67,7 +67,12 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
   }
 
   private[plans] def isEqui(left: LogicalPlan, right: LogicalPlan)(e: Expression): Boolean = e match {
-    case EqualTo(l, r) =>
+    // both sides must REFERENCE their plan side: the empty set is a
+    // subset of both outputSets, so `col = literal` (reachable when
+    // predicate pushdown is excluded) used to count as an equi-key —
+    // bailing the spatial planner out in favor of a hash join Catalyst
+    // cannot actually build on a one-sided key (r20 review)
+    case EqualTo(l, r) if l.references.nonEmpty && r.references.nonEmpty =>
       (l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
         (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet))
     case _ => false

@@ -311,6 +311,56 @@ class GridSpatialJoinSpec extends SparkTestBase {
     }
   }
 
+  test("non-finite coordinates fail LOUDLY in both grid paths, never a sentinel cell") {
+    G.registerAll(spark)
+    // min==max==Inf saturates both Long bounds equally: span read 1 and
+    // the corrupt row sailed into cell (MaxValue, MaxValue) where JTS
+    // intersects(POINT(Inf Inf), POINT(Inf Inf)) is TRUE — the exec
+    // path emitted silent garbage where the rewrite threw (r20 review)
+    val infWkb = GeomCodec.write(GeomCodec.factory.createPoint(
+      new org.locationtech.jts.geom.Coordinate(
+        Double.PositiveInfinity, Double.PositiveInfinity)))
+    val inf = Seq(("bad", infWkb)).toDF("pid", "geom")
+    val b = Seq(("z", square(0.0, 0.0, 2.0))).toDF("zid", "zgeom")
+    for (mode <- Seq("exec", "rewrite")) {
+      val e = intercept[Exception] {
+        if (mode == "exec") withGrid(10.0) {
+          pairsOf(inf.join(b, G.st_intersects($"geom", $"zgeom")))
+        } else withRewrite(10.0) {
+          pairsOf(inf.join(b, G.st_intersects($"geom", $"zgeom")))
+        }
+      }
+      val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      assert(msg.contains("non-finite"), s"$mode: $msg")
+    }
+    // st_grid_refcell refuses an empty geometry instead of cell (0,0)
+    val re = intercept[Exception] {
+      spark.sql(
+        """SELECT st_grid_refcell(st_geomfromwkt('POLYGON EMPTY'),
+          |  st_geomfromwkt('POLYGON((0 0,1 0,1 1,0 1,0 0))'), 10.0D, 0.0D)
+          |""".stripMargin).collect()
+    }
+    val rmsg = Iterator.iterate(re: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(rmsg.contains("no reference"), rmsg)
+  }
+
+  test("a typo'd gridMode fails loudly instead of silently selecting the exec path") {
+    spark.conf.set(GridJoinRewrite.GridModeKey, "Rewrite")
+    try {
+      val e = intercept[Exception] {
+        withGrid(10.0) { // sets cell size; mode stays the typo
+          spark.conf.set(GridJoinRewrite.GridModeKey, "Rewrite")
+          pairsOf(parcels.join(zones, G.st_intersects($"geom", $"zgeom")))
+        }
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+        .contains(GridJoinRewrite.GridModeKey))
+    } finally spark.conf.unset(GridJoinRewrite.GridModeKey)
+  }
+
   test("exec path fails fast on a wrong-units cell size (same cap as the rewrite)") {
     // a 40-unit envelope at cellSize 1e-5 spans 4e6 cells per axis — the
     // rewrite path always errored clearly; the exec path used to emit

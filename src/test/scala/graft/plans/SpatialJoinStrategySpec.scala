@@ -90,6 +90,19 @@ class SpatialJoinStrategySpec extends SparkTestBase {
       Set(("p2", "zB")))
   }
 
+  test("a col=literal conjunct is NOT an equi-key: the spatial planner still engages") {
+    // the empty reference set is a subset of both outputSets, so
+    // EqualTo(col, literal) used to count as an equi-conjunct and bail
+    // the spatial planner toward a hash join Catalyst cannot build on
+    // a one-sided key (r20 review). Normally pushdown removes the
+    // conjunct first; the plan must stay spatial either way.
+    val df = parcels.join(zones,
+      G.st_intersects($"geom", $"zgeom") && $"zid" === lit("zA"))
+    assert(planOf(df).contains("SpatialIndexJoin"), planOf(df))
+    assert(df.select("pid", "zid").as[(String, String)].collect().toSet ==
+      Set(("p0", "zA"), ("p1", "zA")))
+  }
+
   test("equi-conjunct joins are left to Catalyst's hash join") {
     val z2 = zones.withColumn("pid_key", lit("p0"))
     val df = parcels.join(z2,
