@@ -179,11 +179,16 @@ object CorpusQueries {
       |  replace(replace(replace(p_type, 'PROMO ', ''), 'STANDARD ', ''), ' BRASS', '') AS short_type
       |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
     def t(n: String): DataFrame = Tables.load(s, d, n)
+    // literal replace(), matching the oracle's replace() semantics
+    // exactly: the regexp form only agreed because these three tokens
+    // happen to carry no regex metacharacters — a future token with
+    // '.', '+', '(' would silently diverge from the literal oracle
+    // (r20 review)
     t("part")
       .select(col("p_partkey"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("p_type"), lit("PROMO "), lit("")),
+        replace(
+          replace(
+            replace(col("p_type"), lit("PROMO "), lit("")),
             lit("STANDARD "), lit("")),
           lit(" BRASS"), lit("")).as("short_type"))
       .orderBy("p_partkey")

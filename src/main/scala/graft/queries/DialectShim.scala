@@ -32,6 +32,17 @@ object DialectShim {
     // DuckDB regexp_extract_all defaults to group 0; Spark to group 1
     s = s.replaceAll("""regexp_extract_all\(([^,]+),\s*('(?:[^'])*')\)""",
       "regexp_extract_all($1, $2, 0)")
+    // the rewrite's simple-arg pattern cannot see a comma-bearing
+    // first argument or an escaped-quote pattern — a miss there used
+    // to pass through UNREWRITTEN and run with Spark's group-1
+    // default, a silent wrong-answer in the parity gate (r20 review):
+    // any two-arg call left after the rewrite is a loud error instead
+    require(!"""regexp_extract_all\((?:[^()']|'(?:[^'])*'|\([^()]*\))*\)"""
+        .r.findAllIn(s).exists(c => !c.matches(""".*,\s*\d+\s*\)""")),
+      "DialectShim: a regexp_extract_all call is too complex for the " +
+        "group-0 rewrite (comma in the first argument, or an escaped " +
+        "quote in the pattern) — add the explicit group argument in " +
+        s"the oracle SQL itself: $s")
     // date_diff('day', a, b) -> datediff(b, a): swap the two args
     val dd = """date_diff\('day',\s*""".r
     while (dd.findFirstIn(s).isDefined) {

@@ -168,6 +168,15 @@ object ExtQueries {
     verifiedCache.filterInPlace { case ((sess, _), _) => sess ne s }
     compsCache.filterInPlace { case ((sess, _), _) => sess ne s }
     winnowFpCache.filterInPlace { case ((sess, _), _) => sess ne s }
+    // the LAYOUT memos survive release by design (the layout is on
+    // disk; forgetting the path would re-run a full distributed write
+    // per release) — but entries for STOPPED sessions are dead weight
+    // that strongly retains the whole SparkSession forever (r20
+    // review): evict those here, the one periodic hook this file has
+    lshLayoutCache.filterInPlace { case ((sess, _), _) =>
+      !sess.sparkContext.isStopped }
+    semDedupLayoutCache.filterInPlace { case ((sess, _), _) =>
+      !sess.sparkContext.isStopped }
   }
 
   // guards every memo builder below: TrieMap.getOrElseUpdate may
@@ -182,6 +191,14 @@ object ExtQueries {
 
   private val semDedupLayoutCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  // the layout builders run FULL distributed writes — multi-second
+  // jobs that must not hold the global cacheLock (every unrelated memo
+  // access across every session would block behind them, r20 review).
+  // Each gets its own lock: double-evaluation protection is per cache,
+  // and the builders touch no other memo (no ordering hazard).
+  private val lshLayoutLock = new Object
+  private val semDedupLayoutLock = new Object
 
   private def minhashCands(s: SparkSession, d: String): DataFrame =
     cacheLock.synchronized { candCache.getOrElseUpdate((s, d),
@@ -368,7 +385,7 @@ object ExtQueries {
     // write-once, probe-many is the layout's contract: memoize the
     // written path per (session, sfDir) so repeated runs (bench
     // iterations, verify) time the PROBE, not a fresh full write
-    val dir = cacheLock.synchronized { lshLayoutCache.getOrElseUpdate((s, d), {
+    val dir = lshLayoutLock.synchronized { lshLayoutCache.getOrElseUpdate((s, d), {
       val p = graft.TempDirs.register(
         java.nio.file.Files.createTempDirectory("lsh")).toString + "/emb_by_bucket"
       Similarity.lshWrite(Tables.embeddings(s, d), "embedding", p, dim = 64)
@@ -1188,7 +1205,13 @@ object ExtQueries {
     * yields bit-identical doubles); both sides round the sort key to 4
     * decimals so independent implementations agree at ties.
     */
-  val x39_bm25_topk: QuerySpec = q("x39_bm25_topk",
+  /** The BM25 toks/stats/scored CTE block (k1=1.2, b=0.75, the three
+    * fixed query terms, the 4dp rounding convention) — shared by x39
+    * (scores directly) and x94 (fuses with dense ranks) so the two
+    * oracles can never silently disagree about the same kernel (r20
+    * review; the hourlyOracle/topKOracle sharing pattern).
+    */
+  private val bm25ScoredCte =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
       |stats AS (
@@ -1209,7 +1232,11 @@ object ExtQueries {
       |          CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf0,
       |          CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf1,
       |          CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf2
-      |        FROM toks), stats)
+      |        FROM toks), stats)""".stripMargin
+
+  val x39_bm25_topk: QuerySpec = q("x39_bm25_topk",
+    bm25ScoredCte +
+      """
       |SELECT doc_id, round(score, 4) AS score
       |FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
     Bm25.topK(Tables.documents(s, d), "doc_id", "text",
@@ -2095,7 +2122,7 @@ object ExtQueries {
     s"""SELECT vec_id, cell, kept FROM ${Goldens.valuesTable("x70_semdedup.tsv",
          Seq("vec_id" -> "BIGINT", "cell" -> "INTEGER", "kept" -> "BOOLEAN"))}
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val dir = cacheLock.synchronized { semDedupLayoutCache.getOrElseUpdate((s, d), {
+    val dir = semDedupLayoutLock.synchronized { semDedupLayoutCache.getOrElseUpdate((s, d), {
       val p = graft.TempDirs.register(
         java.nio.file.Files.createTempDirectory("semdedup")).toString + "/emb_by_cell"
       Dedup.semDedupWrite(
@@ -2537,7 +2564,9 @@ object ExtQueries {
     val sink = "x83_kmv_sink"
     s.catalog.dropTempView(sink)
     val ev = StreamingTwins.readEvents(s, s"$d/events.parquet")
-    withStateParts(s, 8) {
+    // complete-mode sink (replaced wholesale per batch) — the same
+    // noDataBatches=false class as x54/x93/x96 (r20 review)
+    withStateParts(s, 8, noDataBatches = false) {
       val query = ev.unionAll(ev)
         .select(md5(col("event_id").cast("string")).as("h"))
         .agg(SketchAggs.kmv_min_k(k)(col("h")).as("sk"))
@@ -2586,6 +2615,14 @@ object ExtQueries {
     * pooled two-proportion z-score. The whole readout is one scan +
     * two tiny aggregates; the z arithmetic is spelled in the same
     * literal shape on both sides so the doubles fold identically.
+    *
+    * KNOWN EDGE (documented, not reachable on the md5-50/50 fixture):
+    * if a future corpus hashed every user into ONE arm, the Spark
+    * cross-join returns ZERO rows while the oracle's scalar subqueries
+    * return one row of NULLs — a row-count divergence, not a silent
+    * wrong value. Making the shapes agree would need NULL-exact
+    * conditional aggregation on the Spark side; revisit only if a
+    * fixture can actually produce an empty arm (r20 review).
     */
   val x85_ab_test: QuerySpec = {
     val Seq(t1) = graft.operators.HashSplit.armThresholds(
@@ -2822,7 +2859,8 @@ object ExtQueries {
       |  FROM (SELECT vec_id,
       |      unnest([{'i': i, 'x': embedding[i]}
       |              FOR i IN range(1, len(embedding) + 1)]) AS u
-      |    FROM embeddings)),
+      |    FROM embeddings
+      |    WHERE len(list_filter(embedding, x -> x IS NULL)) = 0)),
       |s AS (SELECT i, sum(x) AS sx, count(*) AS n FROM v GROUP BY i),
       |p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
       |      FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
@@ -2907,27 +2945,7 @@ object ExtQueries {
   val x94_rrf_fusion: QuerySpec = q("x94_rrf_fusion", {
     val qv = (1 to 64).map(i => s"CAST(CAST(sin($i) AS REAL) AS DOUBLE)")
       .mkString("[", ", ", "]")
-    s"""WITH toks AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
-       |stats AS (
-       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(t)) AS avgdl,
-       |    CAST(count(*) FILTER (WHERE list_contains(t, 'spark')) AS DOUBLE) AS df0,
-       |    CAST(count(*) FILTER (WHERE list_contains(t, 'join')) AS DOUBLE) AS df1,
-       |    CAST(count(*) FILTER (WHERE list_contains(t, 'vector')) AS DOUBLE) AS df2
-       |  FROM toks),
-       |scored AS (
-       |  SELECT doc_id,
-       |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
-       |      * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-       |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
-       |      * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-       |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
-       |      * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
-       |  FROM (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
-       |          CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf0,
-       |          CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf1,
-       |          CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf2
-       |        FROM toks), stats),
+    bm25ScoredCte + s""",
        |lex AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS lrank
        |  FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 50),

@@ -261,7 +261,11 @@ object GeomQueries {
     val df = Seq(("Donut", 96.0, donut), ("Square", 1.0, sq(20, 20, 21, 21)))
       .toDF("name", "area_attr", "wkt")
       .withColumn("geom", G.st_geomfromwkt($"wkt")).drop("wkt")
-    val base = java.nio.file.Files.createTempDirectory("g10_shp").toString + "/layer"
+    // registered for JVM-exit cleanup: g10 runs per verify round AND
+    // per bench warmup/rep — unregistered, a long session piles up one
+    // orphaned 5-file shapefile dir per execution (r20 review)
+    val base = graft.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("g10_shp")).toString + "/layer"
     graft.sources.Shapefile.write(df, base)
     graft.sources.Shapefile.read(s, base)
       .select($"NAME".as("name"), $"AREA_ATTR".as("area_attr"),

@@ -22,11 +22,18 @@ object Goldens {
     require(in != null, s"missing golden resource $resource")
     // split limit -1: the default drops TRAILING empty fields, so a
     // golden row whose last column is an empty string would lose
-    // columns and break the VALUES arity (or, single-column, vanish
-    // into the nonEmpty filter) — misread as an engine regression
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).map(_.split("\t", -1)).toIndexedSeq
-    finally in.close()
+    // columns and break the VALUES arity. Only TRAILING empty lines
+    // are dropped (the file's final newline); an INTERIOR empty line
+    // is a real row — for a single-column golden it is an
+    // empty-string value, and a blanket nonEmpty filter silently
+    // deleted it, shorting the oracle by one row (r20 review). In a
+    // multi-column golden an interior empty line now breaks the
+    // VALUES arity LOUDLY instead of vanishing.
+    try {
+      val all = scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toIndexedSeq
+      all.reverse.dropWhile(_.isEmpty).reverse.map(_.split("\t", -1))
+    } finally in.close()
   }
 
   /** `(VALUES (...), ...) AS t(c1, c2, ...)` with per-column SQL types
