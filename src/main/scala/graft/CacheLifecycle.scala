@@ -44,7 +44,18 @@ object CacheLifecycle {
   def onRelease(hook: SparkSession => Unit): Unit = releaseHooks.add(hook)
 
   /** Unpersist every tracked DataFrame belonging to `spark` and run
-    * the release hooks. Entries from other sessions are untouched.
+    * the release hooks. Live entries from other sessions are
+    * untouched; entries whose owning session has been STOPPED are
+    * reaped regardless (see below).
+    *
+    * CONCURRENCY CONTRACT: release() must not race memo BUILDERS on
+    * the same session — a builder that re-memoizes between the hook
+    * sweep and the unpersist loop would hand out a frame whose persist
+    * this call then removes (silent recompute per use). Callers
+    * release at quiesce points (bench group boundaries, suite
+    * teardown), never concurrently with query construction on the
+    * same session; ConcurrencySpec's multi-threaded load runs between
+    * releases, not across them.
     */
   def release(spark: SparkSession): Unit = {
     // isolate each hook: a hook that throws must not abort the
@@ -63,13 +74,21 @@ object CacheLifecycle {
             s"[CacheLifecycle] release hook failed (continuing): $e")
       }
     }
+    // a STOPPED session's entries are also reaped here (their data is
+    // gone with the context; unpersist would throw): without this, a
+    // sibling session stopped without its own release() left entries
+    // no release(other) could ever remove (owner eq fails) — strongly
+    // retaining the dead SparkSession and its plans for the JVM
+    // lifetime (r20 review, the layout-memo hazard one level down)
+    def dead(s: SparkSession): Boolean =
+      try s.sparkContext.isStopped catch { case _: Throwable => true }
     val it = tracked.iterator()
     while (it.hasNext) {
       val df = it.next()
       if (df.sparkSession eq spark) {
         df.unpersist(blocking = false)
         it.remove()
-      }
+      } else if (dead(df.sparkSession)) it.remove()
     }
     val rit = trackedRdds.iterator()
     while (rit.hasNext) {
@@ -81,7 +100,7 @@ object CacheLifecycle {
       if (owner eq spark) {
         rdd.unpersist(blocking = false)
         rit.remove()
-      }
+      } else if (dead(owner)) rit.remove()
     }
   }
 

@@ -35,8 +35,12 @@ object GraftSession {
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
-  /** Local session used by tests and mains (driver supplies master for
-    * Verify/Bench; tests call this).
+  /** Local session used by tests. Verify/Bench build their own session
+    * through [[builder]] with an explicitly hardcoded `local[$cpus]`
+    * master (SPARK_GRAFT_CPUS) — they are local-mode mains by contract,
+    * not spark-submit apps, and a submit-supplied master would be
+    * overridden there (r20 review: this doc used to claim the driver
+    * supplies the master, which contradicted both mains).
     */
   def local(appName: String = "graft", threads: Int = cpus): SparkSession = {
     val s = builder(appName)

@@ -30,10 +30,14 @@ object TempDirs {
     */
   private[graft] def deleteNow(p: java.nio.file.Path): Unit = {
     deleteRecursively(p)
-    roots.remove(p)
+    // unregister only when the tree is actually gone: a partial delete
+    // (a streaming query still holding files open) used to forfeit the
+    // shutdown-hook retry, leaking the remainder on RAM-backed tmpfs
+    // past JVM exit (r20 review)
+    if (!java.nio.file.Files.exists(p)) roots.remove(p)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     try {
       if (java.nio.file.Files.exists(p)) {
         val walk = java.nio.file.Files.walk(p)

@@ -7,8 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     // optional trailing args: run only these query names (local dev
-    // iteration on one entry; the driver always passes exactly two)
+    // iteration on one entry; the driver always passes exactly two).
+    // Unknown names fail LOUDLY: a typo'd filter used to select
+    // nothing, write an empty oracle_sql.json and an empty failure
+    // manifest, and exit 0 — a green-looking run in which the query
+    // never executed (r20 review; Profile errors the same way)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"Verify: unknown query name(s) ${unknown.mkString(", ")} — " +
+        s"known: ${SparkEntry.queries.keys.toSeq.sorted.take(8).mkString(", ")}…")
     def selected(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // GraftSession.builder: UTC, TIMESTAMP_MICROS parquet output (the
@@ -30,11 +38,8 @@ object Verify {
         // delete any PREVIOUS run's output for this query: a reused
         // outDir would otherwise hand the DuckDB compare stale-but-
         // matching parquet and report a green round on broken code
-        val dir = new java.io.File(s"$outDir/$name")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        if (dir.exists()) rm(dir)
+        // (TempDirs' recursive delete — one implementation, r20 review)
+        TempDirs.deleteRecursively(Paths.get(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
