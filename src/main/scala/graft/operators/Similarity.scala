@@ -153,41 +153,57 @@ object Similarity {
 
   def ivfBuild(
       df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int = 16, seed: Long = 42L, trainN: Int = 4096): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
-    def featurize(d: DataFrame): DataFrame =
-      d.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
-
+      nCells: Int = 16, trainN: Int = 4096): IvfIndex = {
     // Train on a bounded sample (same contract as pqTrain's
     // trainSample): coarse-quantizer quality saturates on a few
     // thousand vectors, and Lloyd iterations over the full corpus are
     // a scale-killer — 8 iterations × 100 TB passes before a single
-    // vector is indexed. With the cap, only the single `transform`
-    // assign pass below ever streams the whole table.
-    // 8 Lloyd iterations is the standard IVF training budget (vs
-    // mllib's default 20); recall is governed by nprobe, not centroid
-    // polish.
-    val model = new KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("__features").setPredictionCol("cell")
-      .fit(featurize(ivfTrainInput(df, idCol, vecCol, trainN)))
-    // the assign pass admits exactly what training admits (vec_is_finite:
-    // non-null, no null elements, no NaN/Infinity). null embeddings NPE
-    // the kmeans predict UDF and null elements die inside
-    // array_to_vector; a NaN/Inf vector is worse — findClosest sees
-    // all-NaN distances (never < bestDistance), assigns cell 0, and the
-    // corrupt row is permanently indexed into the layout where every
-    // probe of that cell scans it (r20 review; pqEncode's finiteOrNull
-    // exists for the same argmin-on-NaN reason). Ragged null-free
-    // vectors hit MLlib's loud dimension require by design.
-    val assigned = model
-      .transform(featurize(df.filter(
-        graft.functions.VectorFunctions.vec_is_finite(col(vecCol)))))
-      .drop("__features")
-    IvfIndex(assigned, model.clusterCenters.map(_.toArray))
+    // vector is indexed. With the cap, only the single assign pass
+    // below ever streams the whole table.
+    //
+    // r21 optimization (guide §1.2 "per-task work" + §4 "prefer
+    // codegen-friendly expressions"): the coarse quantizer now trains
+    // with the SAME deterministic driver-local Lloyd the PQ family
+    // uses ([[kmeansCodebook]]; init = first nCells samples, strict-<
+    // argmin, 8 iterations — the standard IVF budget, recall is
+    // governed by nprobe, not centroid polish) instead of MLlib's
+    // distributed KMeans. MLlib's fit launched a k-means|| init
+    // cascade plus one Spark job per Lloyd iteration over a
+    // 512-row sample — measured ~0.9 s wall at 0.16 task-CPU-s per
+    // x15 bench rep, pure driver/job-scheduling latency — and its
+    // predict UDF ran the assign pass outside whole-stage codegen
+    // with an array→ml.Vector conversion per row. Now training is
+    // one bounded collect + microseconds of driver Lloyd, and the
+    // assign pass (the ONLY full-table pass) is the codegen'd
+    // [[graft.functions.VectorExpressions.IvfCellExpr]] argmin the
+    // IVF-PQ encode path already uses. Results are invariant: a cell
+    // id is an internal routing label, every finite vector gets
+    // exactly one, and probes either scan all cells (exact) or
+    // nprobe-of-centroid cells (approximate by contract).
+    //
+    // The assign pass admits exactly what training admits
+    // (vec_is_finite: non-null, no null elements, no NaN/Infinity) — a
+    // NaN/Inf vector would argmin into an arbitrary cell and be
+    // permanently indexed into the layout (r20 review). Ragged
+    // null-free vectors stay a LOUD error (previously MLlib's
+    // dimension require; now an explicit raise_error — PqOps.ivfCell
+    // would silently truncate the distance loop instead).
+    val sample = trainSample(df, idCol, vecCol, trainN)
+    require(sample.length >= nCells,
+      s"need at least nCells=$nCells finite training vectors, got ${sample.length}")
+    val centroids = kmeansCodebook(sample, nCells, iters = 8)
+    val dim = sample(0).length
+    val coarseSeq: Seq[Seq[Double]] = centroids.map(_.toSeq).toSeq
+    val cell = when(size(col(vecCol)) === dim,
+        graft.functions.VectorFunctions.ivf_cell(col(vecCol), coarseSeq, dim))
+      .otherwise(raise_error(concat(
+        lit("ivf assign: vector of "), size(col(vecCol)).cast("string"),
+        lit(s" dims cannot assign into a dim=$dim coarse quantizer - " +
+          "repair or filter the column first"))))
+    val assigned = df
+      .filter(graft.functions.VectorFunctions.vec_is_finite(col(vecCol)))
+      .withColumn("cell", cell)
+    IvfIndex(assigned, centroids)
   }
 
   /** The `nprobe` cell ids whose centroids are nearest to the query —
@@ -464,9 +480,7 @@ object Similarity {
     // NaN cluster — the whole codebook silently degenerates.
     // tools/golden_ext.py mirrors the null filter in its corpus query;
     // clean corpora carry none of these, so goldens are unaffected.
-    val rows = df
-      .filter(graft.functions.VectorFunctions.vec_is_finite(col(vecCol)))
-      .orderBy(col(idCol)).limit(trainN)
+    val rows = ivfTrainInput(df, idCol, vecCol, trainN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     // RAGGED (null-free, mixed-length) vectors are a CALLER error —
