@@ -242,7 +242,17 @@ object TextAnalysis {
   def unigramLogProb(
       docs: DataFrame, idCol: String, textCol: String, digits: Int = 4): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val freq = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    // persisted (r21): `freq` feeds BOTH the one-row total and the
+    // score join, and without the persist each action ran the
+    // corpus-sized explode + frequency aggregation TWICE (the plan
+    // showed two independent Generate→HashAggregate chains). The
+    // frequency table is vocabulary-bounded — the canonical
+    // persist-worthy frame: tiny at rest, corpus-priced to rebuild.
+    // Plan is canonicalization-stable (built-ins only), so repeated
+    // invocations share one cache entry; released by CacheLifecycle
+    // like every operator persist.
+    val freq = graft.CacheLifecycle.persist(
+      toks.groupBy("token").agg(count(lit(1)).as("c")))
     val tot = freq.agg(sum(col("c")).cast("double").as("t"))
     toks.join(freq, "token").crossJoin(broadcast(tot))
       .groupBy(idCol)

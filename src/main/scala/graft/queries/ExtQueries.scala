@@ -2470,8 +2470,15 @@ object ExtQueries {
     val steps = Tables.events(s, d)
       .select(lag(col("event_type"), 1).over(w).as("prev"),
         col("event_type").as("next"))
-    val trans = steps.where(col("prev").isNotNull)
-      .groupBy("prev", "next").agg(count(lit(1)).cast("bigint").as("n"))
+    // persisted (r21): `tot` derives from `trans`, and without the
+    // persist the scan→window→aggregate subtree executed twice per
+    // action (once per join side — Spark does not share common
+    // subtrees across a join). The transition table is bounded by
+    // |event-type vocabulary|² at ANY corpus size, so caching it is
+    // free while the recompute it saves is a full raw pass.
+    val trans = graft.CacheLifecycle.persist(
+      steps.where(col("prev").isNotNull)
+        .groupBy("prev", "next").agg(count(lit(1)).cast("bigint").as("n")))
     val tot = trans.groupBy("prev").agg(sum(col("n")).as("t"))
     trans.join(broadcast(tot), "prev")
       .select(col("prev"), col("next"), col("n"),
