@@ -222,6 +222,25 @@ class ExtOpsSpec extends SparkTestBase {
     assert(dirty.assigned.count() == 490L)
   }
 
+  test("ivf assign fails LOUDLY on ragged null-free vectors (r21 local-Lloyd path)") {
+    // the r21 rewrite replaced MLlib's dimension require with an
+    // explicit raise_error in the assign projection — PqOps.ivfCell
+    // alone would silently truncate the distance loop and route the
+    // ragged row into a real cell. The loud-failure contract must
+    // survive the rewrite.
+    val emb = ((1L to 8L).map(i => (i, Seq.fill(8)(i.toFloat))) :+
+      (9L, Seq.fill(5)(1.0f))).toDF("vec_id", "embedding")
+    val index = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      nCells = 2, trainN = 4)
+    // collect(), not count(): column pruning would drop the unused
+    // cell projection from a count plan and never evaluate the guard
+    val e = intercept[Exception] { index.assigned.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("cannot assign into a dim=8")), e.toString)
+  }
+
   test("corrupt vectors neither index into IVF cells nor pad any top-k tail") {
     val rnd = new scala.util.Random(13)
     // 6 finite vectors + NaN/Inf rows: the assign pass must exclude
