@@ -53,10 +53,11 @@ class BatchChaosSpec extends SparkTestBase {
       assert(o.error.get.contains("mixes vector dimensions 16/64"),
         s"$n must die with the clear mixed-dimension require, got: ${o.error.get}")
     }
-    // the MLlib-backed IVF trainer carries its own equally clear require
+    // the IVF trainer shares trainSample since r21 (local Lloyd), so it
+    // dies with the SAME clear mixed-dimension require as the PQ family
     val ivf = StreamChaosProbe.run(spark, dir, "x15_ann_ivf")
-    assert(ivf.error.exists(_.contains("Dimensions mismatch")),
-      s"x15 must fail with MLlib's dimension require, got: ${ivf.error}")
+    assert(ivf.error.exists(_.contains("mixes vector dimensions 16/64")),
+      s"x15 must fail with the clear mixed-dimension require, got: ${ivf.error}")
     // covariance: the documented GramAgg dim require
     val cov = StreamChaosProbe.run(spark, dir, "x91_embedding_covariance")
     assert(cov.error.exists(e => e.contains("expected dim-") && e.contains("64")),

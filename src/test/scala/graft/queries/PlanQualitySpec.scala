@@ -176,7 +176,10 @@ class PlanQualitySpec extends SparkTestBase {
         .join(Layout.table(spark, "orders_b"),
           col("c_custkey") === col("o_custkey"))
       val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan)
+      // either co-partitioned strategy proves the bucket layout served;
+      // with spark.sql.join.preferSortMergeJoin=false (r21, guide §9)
+      // the planner picks shuffled-hash when the build side fits
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
