@@ -35,6 +35,19 @@ object PhaseProbe {
       t = System.nanoTime(); df.count(); val tExec = ms(t)
       println(f"PHASE $name%-24s rep=$i build=$tBuild%7.1f analyze=$tAnalyze%7.1f " +
         f"cache=$tCache%7.1f optimize=$tOpt%7.1f physical=$tPhys%7.1f exec=$tExec%7.1f ms")
+      // PROBE_SHOW_JOINS=1: execute THIS QueryExecution (RDD count) so
+      // AQE finalizes, then print the join strategies it actually ran —
+      // explain() before execution only shows the initial plan, which
+      // is exactly the wrong evidence for runtime join-strategy checks
+      if (i == reps && sys.env.get("PROBE_SHOW_JOINS").contains("1")) {
+        qe.executedPlan.execute().count()
+        val joins = qe.executedPlan.toString.linesIterator
+          .map(_.trim.dropWhile(c => c == '+' || c == '-' || c == ':' || c == ' ' || c == '*' || c == '('))
+          .filter(l => l.contains("Join") || l.contains("CartesianProduct"))
+          .map(_.takeWhile(_ != '[')).toSeq
+        println(s"JOINS $name executed: " +
+          joins.groupBy(identity).map { case (k, v) => s"${v.size}x $k" }.mkString("; "))
+      }
     }
     spark.stop()
   }
