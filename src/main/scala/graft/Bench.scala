@@ -331,7 +331,10 @@ object Bench {
     */
   final case class Sample(wall: Double, cpu: Double, gcMs: Long,
       jitMs: Long = -1L, evict: Long = -1L, storMb: Long = -1L,
-      taskCpu: Double = -1.0, primes: Int = 1)
+      taskCpu: Double = -1.0, primes: Int = 1,
+      // per-rep task-CPU in EXECUTION order, recorded only for
+      // double-primed (persist-bearing) entries — see renderDetail
+      repTaskCpus: Seq[Double] = Nil)
 
   /** Streaming entries get fewer reps, min-reporting, and the
     * lifecycle-floor adjudication (BASELINE.md; StreamFloorProbe
@@ -382,6 +385,21 @@ object Bench {
     val detail = results.map { case (k, s) =>
       s"${jstr(k)}:${s.map(sampleRow).getOrElse("null")}"
     }.mkString("{", ",", "}")
+    // Per-rep task-CPU, EXECUTION order, for double-primed entries only
+    // (r20 verdict task 1): the r20 driver sweep read x68 at 2.95
+    // task-CPU-s where the same-heap preflight read 0.45, and the
+    // median-only row could not say whether the three timed reps still
+    // rode a cached-read transient the double-prime failed to absorb
+    // THERE, or all three reps genuinely ran hot. With the per-rep
+    // vector in the artifact, a decaying [2.9, 0.6, 0.5] (transient —
+    // the estimator should not have seen it) is distinguishable from a
+    // flat [2.9, 3.0, 2.9] (environment multiplier on steady state)
+    // without a driver-side re-run. Bounded: only persist-bearing
+    // entries (~25 of 151) carry the field.
+    val repJson = results.collect {
+      case (k, Some(s)) if s.repTaskCpus.nonEmpty =>
+        s"${jstr(k)}:${s.repTaskCpus.map(f(_, 2)).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val retryJson = retried
       .map { case (k, s) => s"${jstr(k)}:${sampleRow(s)}" }
       .mkString("{", ",", "}")
@@ -398,6 +416,7 @@ object Bench {
     // (the r19 x68 adjudication had to assume it).
     s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s,primes]","sf":${jstr(sfDir)},"reps":$reps,"heap_gb":$heapGb,""" +
       s""""code_cache_mb":$codeCacheJson,"regressed":$reg,"retried":$retryJson,""" +
+      s""""rep_task_cpu":$repJson,""" +
       s""""total":${totalTriple(results)},"entries":$detail}"""
   }
 
@@ -610,7 +629,15 @@ object Bench {
         } catch { case _: Throwable => None }
       }
       if (samples.size != reps) None
-      else Some(samples.sortBy(_.wall).apply(if (reportMin) 0 else reps / 2))
+      else {
+        val chosen = samples.sortBy(_.wall).apply(if (reportMin) 0 else reps / 2)
+        // double-primed entries carry their per-rep task-CPU vector in
+        // execution order (renderDetail's rep_task_cpu field) so a
+        // persist-serving transient vs a steady-state multiplier is
+        // adjudicable from the artifact
+        Some(if (primedTwice) chosen.copy(repTaskCpus = samples.map(_.taskCpu))
+        else chosen)
+      }
     }
 
     // group boundaries (name prefix) are where accumulated operator

@@ -16,12 +16,46 @@ object PhaseProbe {
     val name = args.headOption.getOrElse("p03_quality_gate")
     val reps = if (args.length > 1) args(1).toInt else 3
     val sf = sys.env.getOrElse("PROBE_SF", "/root/testdata/sf0.1")
-    val spark = graft.GraftSession.builder("phase-probe").master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32").getOrCreate()
+    val b = graft.GraftSession.builder("phase-probe").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+    // PROBE_NO_BROADCAST=1: disable auto-broadcast so fixture-scale
+    // dimension/rank/message frames take the SHUFFLE join path they
+    // would take at 100 TB (where they exceed any broadcast threshold)
+    // — the stages/shuffle_kb telemetry then measures the scale plan's
+    // exchange structure instead of the broadcast-everything local one.
+    val spark = (if (sys.env.get("PROBE_NO_BROADCAST").contains("1"))
+      b.config("spark.sql.autoBroadcastJoinThreshold", "-1") else b)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
+    // Shuffle telemetry (guide §2.3: "shuffle fewer bytes" needs the
+    // bytes measured, not inferred from plan text): stages run and
+    // shuffle bytes written during each rep, from the engine's own
+    // task metrics. Executed-stage count is the live shuffle-boundary
+    // count — plan-string Exchange greps overcount because cached
+    // frames print their build plan inside InMemoryRelation.
+    val stages = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        shufWrite.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def settle(): Unit = { Thread.sleep(150) }
+    // PROBE_NOOP=1: time the noop sink instead of count() (guide §1.4
+    // — count() lets the optimizer prune columns and even whole join
+    // subtrees: x63's 3-iteration rank chain collapses to |verts| under
+    // count() because a left join on a unique key with no referenced
+    // right columns is eliminable). The bench keeps count() by driver
+    // contract; this knob exists so optimization evidence can measure
+    // the full computation.
+    val noop = sys.env.get("PROBE_NOOP").contains("1")
+    def act(df: org.apache.spark.sql.DataFrame): Unit =
+      if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
     // priming execution, like Bench.measure
-    fn(spark, sf).count()
+    act(fn(spark, sf))
     (1 to reps).foreach { i =>
       def ms(t0: Long): Double = (System.nanoTime() - t0) / 1e6
       var t = System.nanoTime()
@@ -32,9 +66,12 @@ object PhaseProbe {
       t = System.nanoTime(); qe.withCachedData; val tCache = ms(t)
       t = System.nanoTime(); qe.optimizedPlan; val tOpt = ms(t)
       t = System.nanoTime(); qe.executedPlan; val tPhys = ms(t)
-      t = System.nanoTime(); df.count(); val tExec = ms(t)
+      settle(); val s0 = stages.get(); val b0 = shufWrite.get()
+      t = System.nanoTime(); act(df); val tExec = ms(t)
+      settle()
       println(f"PHASE $name%-24s rep=$i build=$tBuild%7.1f analyze=$tAnalyze%7.1f " +
-        f"cache=$tCache%7.1f optimize=$tOpt%7.1f physical=$tPhys%7.1f exec=$tExec%7.1f ms")
+        f"cache=$tCache%7.1f optimize=$tOpt%7.1f physical=$tPhys%7.1f exec=$tExec%7.1f ms " +
+        f"stages=${stages.get() - s0}%3d shuffle_kb=${(shufWrite.get() - b0) >> 10}%d")
       // PROBE_SHOW_JOINS=1: execute THIS QueryExecution (RDD count) so
       // AQE finalizes, then print the join strategies it actually ran —
       // explain() before execution only shows the initial plan, which

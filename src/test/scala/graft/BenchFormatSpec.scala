@@ -298,6 +298,26 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(plain.get("retried").size == 0)
   }
 
+  test("detail JSON carries per-rep task-CPU for double-primed entries") {
+    // r20 verdict task 1: the driver's x68 reading (2.95 task-CPU vs a
+    // 0.45 same-heap preflight) was unadjudicable from a median-only
+    // row — the artifact must show whether reps DECAY (a transient the
+    // double-prime missed there) or sit FLAT (environment multiplier).
+    val detail = mapper.readTree(Bench.renderDetail(Seq(
+      "x68" -> Some(Bench.Sample(0.3, 0.8, 0L, primes = 2,
+        repTaskCpus = Seq(2.41, 0.52, 0.47))),
+      "q01" -> Some(Bench.Sample(0.1, 0.1, 0L))), "sf", 3))
+    val reps = detail.get("rep_task_cpu")
+    assert(reps.size == 1)                       // primed entries only
+    val v = reps.get("x68")
+    assert(v.isArray && v.size == 3)
+    // EXECUTION order preserved (the decay shape is the signal)
+    assert(v.get(0).asDouble == 2.41 && v.get(2).asDouble == 0.47)
+    assert(reps.get("q01") == null)
+    // the 8-column row shape is unchanged by the side field
+    assert(detail.get("entries").get("x68").size == 8)
+  }
+
   test("previousCpu reads a detail file's per-entry wall+cpu, same-sf only") {
     val dir = java.nio.file.Files.createTempDirectory("bench_gate_")
     val p = dir.resolve("bench_detail.json")

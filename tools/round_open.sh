@@ -74,7 +74,7 @@ env_hits="$(grep -rIhoE --exclude=round_open.sh \
     'sys\.env(\.get(OrElse)?)?[^"]{0,10}"[A-Z0-9_]+"|System\.getenv\s*\(\s*"[A-Z0-9_]+"|os\.environ(\.get)?[\(\[][^"'"'"']{0,5}["'"'"'][A-Z0-9_]+' \
     src tools build.sbt 2>/dev/null | \
   grep -oE '["'"'"'][A-Z0-9_]+"?' | tr -d '"'"'"'' | sort -u | \
-  grep -vE '^(SPARK_[A-Z0-9_]+|GRAFT_[A-Z0-9_]+|FILE_[A-Z0-9_]+|JAVA_[A-Z0-9_]+|PYTHONOPTIMIZE|COURSIER_[A-Z0-9_]+|HOME|PATH|USER|TMPDIR|TZ|LANG|PWD|PROBE_(SF|REPS|PLAN|GRID_N|LEGS|SHOW_JOINS)|PERSIST_SPEC_SF)$' || true)"
+  grep -vE '^(SPARK_[A-Z0-9_]+|GRAFT_[A-Z0-9_]+|FILE_[A-Z0-9_]+|JAVA_[A-Z0-9_]+|PYTHONOPTIMIZE|COURSIER_[A-Z0-9_]+|HOME|PATH|USER|TMPDIR|TZ|LANG|PWD|PROBE_(SF|REPS|PLAN|GRID_N|LEGS|SHOW_JOINS|NO_BROADCAST|NOOP)|PERSIST_SPEC_SF)$' || true)"
 if [ -n "$env_hits" ]; then
   echo "LEAK[env-var] (unexpected env reads):"; echo "$env_hits" | sed 's/^/    /'; leak_fail=1
 fi
