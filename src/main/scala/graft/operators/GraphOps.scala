@@ -57,11 +57,23 @@ object GraphOps {
     // the two out-neighbors by the SAME (deg, id) key the orientation
     // uses, so only the one closable wedge order is produced (the
     // naive v1 =!= v2 variant generates every wedge twice)
+    // Persisted PRE-HASH-PARTITIONED on the wedge-join key (guide
+    // §2.4): e1 ⋈ e2 below reads this frame twice joined on `u`, and
+    // the cached partitioning otherwise comes from the degree joins
+    // (hash(b) at scale, where `deg` no longer broadcasts) — the wedge
+    // join would then re-exchange the edge-cardinality frame TWICE.
+    // Pre-partitioned, both wedge legs are co-partitioned for free and
+    // the only edge-frame exchange left is the closure probe's (whose
+    // key (u,w) genuinely differs). Explicit conf-derived N, not a
+    // bare repartition(col), so AQE cannot coalesce the two legs to
+    // different counts (x59 lesson).
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val oriented = graft.CacheLifecycle.persist(
       withDeg.select(
         when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("w"),
-        when(aFirst, col("db")).otherwise(col("da")).as("dw")))
+        when(aFirst, col("db")).otherwise(col("da")).as("dw"))
+        .repartition(parts, col("u")))
 
     // wedges centered at u: out-neighbor pairs (v1, v2) with v1 before
     // v2 in orientation order; the triangle closes iff the oriented

@@ -411,6 +411,42 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("REPARTITION_BY_NUM"), plan)
   }
 
+  test("triangle wedge join reuses the pre-partitioned oriented cache — no live u-exchange") {
+    // r21 (guide §2.4): `oriented` persists REPARTITION_BY_NUM on the
+    // wedge-join key u, so both wedge legs read a co-partitioned cache
+    // and the EXECUTED plan re-exchanges the edge-cardinality frame
+    // zero times on u (measured under no-broadcast: 6 → 4 stages,
+    // 320 → 100 shuffle-KB at sf0.1). Broadcast is disabled so the
+    // wedge join takes the shuffle path it would take at scale; the
+    // remaining live exchanges are the closure probe's pair-keyed ones
+    // and the final single-partition count — neither is keyed on u
+    // alone, which is exactly what this pins.
+    import graft.operators.GraphOps
+    import spark.implicits._
+    val edges = (1L to 60L).flatMap { i =>
+      Seq((i, (i % 7) + 100L), ((i % 7) + 100L, (i % 5) + 200L), (i, (i % 5) + 200L))
+    }.toDF("s", "t")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = GraphOps.triangleCount(edges, "s", "t")
+      assert(df.collect().head.getLong(0) > 0)  // AQE finalizes
+      val liveUExchanges = physNodes(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if (e.outputPartitioning match {
+              case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+                h.expressions.flatMap(_.references.toSeq).map(_.name) == Seq("u")
+              case _ => false
+            }) => e
+      }
+      assert(liveUExchanges.isEmpty,
+        s"wedge legs re-exchanged on u:\n${df.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      graft.CacheLifecycle.release(spark)
+    }
+  }
+
   test("pagerank persists the edge prep — iterations reuse one materialization") {
     import graft.operators.PageRank
     import spark.implicits._
