@@ -10,6 +10,11 @@ package graft.tools
   * each.
   *
   *   sbt "runMain graft.tools.PhaseProbe p03_quality_gate 3"
+  *
+  * The first argument takes a comma-separated list (or a name PREFIX —
+  * same matching as SPARK_GRAFT_BENCH_ONLY) so one JVM can sweep a
+  * family; between entries the operator persists are released like a
+  * bench group boundary, so each entry's telemetry starts cold-cache.
   */
 object PhaseProbe {
   def main(args: Array[String]): Unit = {
@@ -27,7 +32,6 @@ object PhaseProbe {
       b.config("spark.sql.autoBroadcastJoinThreshold", "-1") else b)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = graft.SparkEntry.queries(name)
     // Shuffle telemetry (guide §2.3: "shuffle fewer bytes" needs the
     // bytes measured, not inferred from plan text): stages run and
     // shuffle bytes written during each rep, from the engine's own
@@ -54,37 +58,46 @@ object PhaseProbe {
     val noop = sys.env.get("PROBE_NOOP").contains("1")
     def act(df: org.apache.spark.sql.DataFrame): Unit =
       if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
-    // priming execution, like Bench.measure
-    act(fn(spark, sf))
-    (1 to reps).foreach { i =>
-      def ms(t0: Long): Double = (System.nanoTime() - t0) / 1e6
-      var t = System.nanoTime()
-      val df = fn(spark, sf)
-      val tBuild = ms(t)
-      val qe = df.queryExecution
-      t = System.nanoTime(); qe.analyzed; val tAnalyze = ms(t)
-      t = System.nanoTime(); qe.withCachedData; val tCache = ms(t)
-      t = System.nanoTime(); qe.optimizedPlan; val tOpt = ms(t)
-      t = System.nanoTime(); qe.executedPlan; val tPhys = ms(t)
-      settle(); val s0 = stages.get(); val b0 = shufWrite.get()
-      t = System.nanoTime(); act(df); val tExec = ms(t)
-      settle()
-      println(f"PHASE $name%-24s rep=$i build=$tBuild%7.1f analyze=$tAnalyze%7.1f " +
-        f"cache=$tCache%7.1f optimize=$tOpt%7.1f physical=$tPhys%7.1f exec=$tExec%7.1f ms " +
-        f"stages=${stages.get() - s0}%3d shuffle_kb=${(shufWrite.get() - b0) >> 10}%d")
-      // PROBE_SHOW_JOINS=1: execute THIS QueryExecution (RDD count) so
-      // AQE finalizes, then print the join strategies it actually ran —
-      // explain() before execution only shows the initial plan, which
-      // is exactly the wrong evidence for runtime join-strategy checks
-      if (i == reps && sys.env.get("PROBE_SHOW_JOINS").contains("1")) {
-        qe.executedPlan.execute().count()
-        val joins = qe.executedPlan.toString.linesIterator
-          .map(_.trim.dropWhile(c => c == '+' || c == '-' || c == ':' || c == ' ' || c == '*' || c == '('))
-          .filter(l => l.contains("Join") || l.contains("CartesianProduct"))
-          .map(_.takeWhile(_ != '[')).toSeq
-        println(s"JOINS $name executed: " +
-          joins.groupBy(identity).map { case (k, v) => s"${v.size}x $k" }.mkString("; "))
+    val wanted = name.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.exists(n.startsWith) }
+    require(selected.nonEmpty, s"no declared entry matches '$name'")
+    selected.foreach { case (entry, fn) =>
+      // priming execution, like Bench.measure
+      act(fn(spark, sf))
+      (1 to reps).foreach { i =>
+        def ms(t0: Long): Double = (System.nanoTime() - t0) / 1e6
+        var t = System.nanoTime()
+        val df = fn(spark, sf)
+        val tBuild = ms(t)
+        val qe = df.queryExecution
+        t = System.nanoTime(); qe.analyzed; val tAnalyze = ms(t)
+        t = System.nanoTime(); qe.withCachedData; val tCache = ms(t)
+        t = System.nanoTime(); qe.optimizedPlan; val tOpt = ms(t)
+        t = System.nanoTime(); qe.executedPlan; val tPhys = ms(t)
+        settle(); val s0 = stages.get(); val b0 = shufWrite.get()
+        t = System.nanoTime(); act(df); val tExec = ms(t)
+        settle()
+        println(f"PHASE $entry%-24s rep=$i build=$tBuild%7.1f analyze=$tAnalyze%7.1f " +
+          f"cache=$tCache%7.1f optimize=$tOpt%7.1f physical=$tPhys%7.1f exec=$tExec%7.1f ms " +
+          f"stages=${stages.get() - s0}%3d shuffle_kb=${(shufWrite.get() - b0) >> 10}%d")
+        // PROBE_SHOW_JOINS=1: execute THIS QueryExecution (RDD count) so
+        // AQE finalizes, then print the join strategies it actually ran —
+        // explain() before execution only shows the initial plan, which
+        // is exactly the wrong evidence for runtime join-strategy checks
+        if (i == reps && sys.env.get("PROBE_SHOW_JOINS").contains("1")) {
+          qe.executedPlan.execute().count()
+          val joins = qe.executedPlan.toString.linesIterator
+            .map(_.trim.dropWhile(c => c == '+' || c == '-' || c == ':' || c == ' ' || c == '*' || c == '('))
+            .filter(l => l.contains("Join") || l.contains("CartesianProduct"))
+            .map(_.takeWhile(_ != '[')).toSeq
+          println(s"JOINS $entry executed: " +
+            joins.groupBy(identity).map { case (k, v) => s"${v.size}x $k" }.mkString("; "))
+        }
       }
+      // bench group boundary semantics between entries
+      graft.CacheLifecycle.release(spark)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
