@@ -18,6 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Derived-width memo (r21). [[autoBucketWidth]] is a driver-side
+    * ACTION (an aggregation job over both inputs) that runs at
+    * plan-construction time — before the memo, EVERY invocation of the
+    * width-less overload re-paid that job for a value that is
+    * deterministic per input (x27 measured ~0.2–0.3 s of its per-rep
+    * wall in exactly this derivation). An in-plan variant (one-row
+    * width aggregate broadcast into both sides) was MEASURED AND
+    * REJECTED: the two crossJoin(broadcast(width)) subtrees did not
+    * reuse one exchange, so the lens aggregation ran twice per action
+    * (x27: 5 → 8 stages, 46 → 101 shuffle-KB, exec 0.36 → 0.72 s).
+    * Keyed by the CANONICALIZED analyzed lens plan, so two builds of
+    * the same derivation hit one entry (the r12 canonicalization-
+    * stability rule is what makes this sound); evicted on
+    * CacheLifecycle.release like every plan-handing memo.
+    */
+  private val widthMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Double]
+
+  graft.CacheLifecycle.onRelease { s =>
+    widthMemo.keys.filter(_._1 eq s).foreach(widthMemo.remove)
+  }
+
   def bandJoin(
       intervals: DataFrame, loCol: String, hiCol: String,
       values: DataFrame, vCol: String,
@@ -49,14 +72,17 @@ object RangeJoin {
       b: DataFrame, bLo: String, bHi: String): Double = {
     val lens = a.select((col(aHi) - col(aLo)).cast("double").as("len"))
       .unionAll(b.select((col(bHi) - col(bLo)).cast("double").as("len")))
-    val row = lens.agg(
-      percentile_approx(col("len"), lit(0.5), lit(10000)).as("med"),
-      max(col("len")).as("mx")).head()
-    val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-    val mx = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
-    // degenerate inputs: all point intervals (med = 0) still need a
-    // positive width; any value gives replication 1 per row
-    if (med > 0) med else if (mx > 0) mx else 1.0
+    widthMemo.getOrElseUpdate(
+      (a.sparkSession, lens.queryExecution.analyzed.canonicalized), {
+        val row = lens.agg(
+          percentile_approx(col("len"), lit(0.5), lit(10000)).as("med"),
+          max(col("len")).as("mx")).head()
+        val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+        val mx = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+        // degenerate inputs: all point intervals (med = 0) still need a
+        // positive width; any value gives replication 1 per row
+        if (med > 0) med else if (mx > 0) mx else 1.0
+      })
   }
 
   /** Interval-overlap join: pair every `[aLo, aHi]` with every

@@ -521,6 +521,47 @@ class ExtOpsSpec extends SparkTestBase {
     assert(graft.operators.RangeJoin.autoBucketWidth(pts, "p_lo", "p_hi", pts, "p_lo", "p_hi") > 0)
   }
 
+  test("autoBucketWidth memoizes per canonicalized input — repeats run zero jobs") {
+    // r21: the width derivation is a driver-blocking aggregation job at
+    // plan-construction time; re-invoking the operator on the SAME
+    // inputs (every bench rep, every re-use of a declared query) must
+    // serve the deterministic value from the memo instead of re-running
+    // the job. Evicts on CacheLifecycle.release like every memo.
+    import spark.implicits._
+    def freshInputs() = {
+      val rnd = new scala.util.Random(7)
+      val rows = (0 until 40).map { i =>
+        val lo = rnd.nextDouble() * 100; (s"m$i", lo, lo + rnd.nextDouble() * 20)
+      }
+      (rows.toDF("aid", "a_lo", "a_hi"), rows.toDF("bid", "b_lo", "b_hi"))
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    graft.CacheLifecycle.release(spark)
+    val (a1, b1) = freshInputs()
+    val w1 = graft.operators.RangeJoin.autoBucketWidth(a1, "a_lo", "a_hi", b1, "b_lo", "b_hi")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // fresh DataFrames, same derivation: canonicalized plans match
+      val (a2, b2) = freshInputs()
+      val w2 = graft.operators.RangeJoin.autoBucketWidth(a2, "a_lo", "a_hi", b2, "b_lo", "b_hi")
+      Thread.sleep(300)  // bounded drain of the async listener bus
+      assert(w2 == w1)
+      assert(jobs.get() == 0, s"memoized derivation still ran ${jobs.get()} job(s)")
+      // release evicts: the next derivation recomputes (runs jobs again)
+      graft.CacheLifecycle.release(spark)
+      val (a3, b3) = freshInputs()
+      val w3 = graft.operators.RangeJoin.autoBucketWidth(a3, "a_lo", "a_hi", b3, "b_lo", "b_hi")
+      val deadline = System.nanoTime() + 3_000_000_000L
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(w3 == w1 && jobs.get() > 0, "release did not evict the width memo")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("HLL approx distinct stays within 5% of exact at corpus scale") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
     val row = li.agg(
