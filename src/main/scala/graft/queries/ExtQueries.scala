@@ -26,6 +26,29 @@ object ExtQueries {
       body: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, body, Some(oracle), sparkParity = false)
 
+  /** Checkpoint-file checksums (Spark 4.1 ships them ON) generate a
+    * sidecar checksum file — and, measured on this build, one
+    * short-lived thread per file close (`ChecksumCancellableFSDataOutputStream.close`
+    * fires a Future on a fresh-thread pool) — for EVERY checkpoint
+    * file: offsets, commits, and each state store instance's delta
+    * per batch. That protection is for DURABLE checkpoints recovered
+    * across process lifetimes; every streaming entry here runs a
+    * memory-sink query against a throwaway temp-dir checkpoint that
+    * is written and discarded inside one process, where a verify-on-
+    * reread of a file this same JVM just wrote buys nothing. Measured
+    * (r22, StreamBatchProbe): the attribution join's 32 store
+    * instances paid 6.9–12.6 summed commit-seconds per batch with
+    * checksums vs 1.4–1.7 without (x90 wall 6.4 → 2.6 s). Scoped to
+    * these ephemeral-checkpoint queries, NOT a session default — a
+    * production stream with a durable checkpoint should keep it on.
+    */
+  private def withEphemeralCheckpoint[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Stateful streaming entries: state partitioning is fixed at QUERY
     * START and every partition carries its own state stores with a
     * per-batch commit cost, so size it to the fixture key cardinality
@@ -55,7 +78,7 @@ object ExtQueries {
     // state-store load/commit + planning per run — a pure lifecycle
     // constant at any corpus size.
     s.conf.set(ndKey, noDataBatches.toString)
-    try body finally {
+    try withEphemeralCheckpoint(s)(body) finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.conf.set(ndKey, prevNd)
     }
@@ -1758,11 +1781,13 @@ object ExtQueries {
         (30, "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"))
       .toDF("fid", "wkt")
       .select(col("fid"), G.st_geomfromwkt(col("wkt")).as("fgeom"))
-    val query = graft.streaming.StreamingTwins.geofence(points, "geom", fences, "fgeom")
-      .select("id", "fid")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try { query.processAllAvailable() } finally { query.stop() }
+    withEphemeralCheckpoint(s) {
+      val query = graft.streaming.StreamingTwins.geofence(points, "geom", fences, "fgeom")
+        .select("id", "fid")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { query.processAllAvailable() } finally { query.stop() }
+    }
     s.table(sink).orderBy("id", "fid")
   }
 
