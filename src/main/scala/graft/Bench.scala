@@ -256,6 +256,36 @@ object Bench {
     else baselinePath.toAbsolutePath
       .resolveSibling(s"bench_baseline_${sfSlug(sfDir)}.bigheap.json")
 
+  /** Where a sweep's detail artifact lands, keyed by core count: the
+    * driver runs the bench TWICE per round (32-core main + a lower-core
+    * scaling leg), and with one shared path the second run overwrote
+    * the first's evidence — the r21 driver's 8-core sweep clobbered the
+    * 32-core `bench_detail.json` (and through refreshTarget, the
+    * bigheap side baseline) before anyone could read the per-rep
+    * vectors recorded there (r21 verdict "what's wrong" #1). The
+    * default core count keeps the canonical name so every existing
+    * reader (gate fallback, baseline_check.py, the driver's detail
+    * pointer) is untouched; any other count gets its own
+    * `bench_detail.<cpus>c.json`, so consecutive different-cpus runs
+    * leave BOTH files readable.
+    */
+  private[graft] def detailFileName(cpus: String): String =
+    if (cpus == defaultCpus) "bench_detail.json"
+    else s"bench_detail.${cpus.replaceAll("[^A-Za-z0-9]", "_")}c.json"
+
+  /** The env default for SPARK_GRAFT_CPUS — the core count the
+    * canonical artifacts (detail file, baseline refresh) belong to.
+    */
+  private[graft] val defaultCpus = "32"
+
+  /** Baseline refreshes happen only at the default core count: a
+    * lower-core scaling sweep measures systematically different walls
+    * (the same r15/r16 cross-condition-contamination class the heap
+    * guard exists for — the r21 8-core driver leg overwrote the
+    * bigheap baseline with its 48.88 s total).
+    */
+  private[graft] def refreshAllowed(cpus: String): Boolean = cpus == defaultCpus
+
   /** `/root/testdata/sf0.1` → `sf0.1` (baseline-file suffix). Trailing
     * slashes are stripped first — `"/t/sf0.1/"` must not degenerate to
     * the empty slug, whose baseline file would collide across scale
@@ -381,7 +411,8 @@ object Bench {
   private[graft] def renderDetail(
       results: Seq[(String, Option[Sample])], sfDir: String, reps: Int,
       regressed: Seq[String] = Nil,
-      retried: Seq[(String, Sample)] = Nil): String = {
+      retried: Seq[(String, Sample)] = Nil,
+      cpus: Int = -1): String = {
     val detail = results.map { case (k, s) =>
       s"${jstr(k)}:${s.map(sampleRow).getOrElse("null")}"
     }.mkString("{", ",", "}")
@@ -414,7 +445,10 @@ object Bench {
     // got — 2 when the persist-detection fired, 1 otherwise. Makes the
     // double-prime decision readable from the driver artifact itself
     // (the r19 x68 adjudication had to assume it).
-    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s,primes]","sf":${jstr(sfDir)},"reps":$reps,"heap_gb":$heapGb,""" +
+    // `cpus` makes the artifact self-describing the way heap_gb does
+    // (r21 verdict: the 32c and 8c driver sweeps were only
+    // distinguishable by guesswork); -1 = not recorded (unit tests)
+    s"""{"fmt":"[wall_s,cpu_s,gc_ms,jit_ms,evict_blocks,stor_mb,task_cpu_s,primes]","sf":${jstr(sfDir)},"reps":$reps,"heap_gb":$heapGb,"cpus":$cpus,""" +
       s""""code_cache_mb":$codeCacheJson,"regressed":$reg,"retried":$retryJson,""" +
       s""""rep_task_cpu":$repJson,""" +
       s""""total":${totalTriple(results)},"entries":$detail}"""
@@ -476,7 +510,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     // GraftSession.builder wires the extensions (native ST functions +
     // spatial join strategy) so benchmarks measure the planned engine,
     // not a fallback path
@@ -660,7 +694,7 @@ object Bench {
     // (read before overwrite). r10's x68 7x-CPU eviction artifact
     // would have been flagged here in-round instead of costing the
     // round's perf verdict.
-    val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
+    val detailPath = java.nio.file.Paths.get(detailFileName(cpus)).toAbsolutePath
     val baselinePath =
       java.nio.file.Paths.get(s"bench_baseline_${sfSlug(sfDir)}.json").toAbsolutePath
     val (gateRef, gateRefIsTask) = gateBaseline(detailPath, baselinePath, sfDir)
@@ -676,7 +710,8 @@ object Bench {
       n => queriesByName.get(n)
         .flatMap(fn => measure(fn, 2 min reps, reportMin = true)))
     val detailJson =
-      renderDetail(resultsFinal, sfDir, reps, regressed, retried).getBytes("UTF-8")
+      renderDetail(resultsFinal, sfDir, reps, regressed, retried,
+        cpus = scala.util.Try(cpus.toInt).getOrElse(-1)).getBytes("UTF-8")
     // a filtered dev run never overwrites the reference files: a
     // partial entry set would stand the gate down for everything it
     // skipped
@@ -704,7 +739,10 @@ object Bench {
     // big-heap clean sweeps to an untracked `.bigheap` side file makes
     // that slip structurally impossible: the tracked file never changes
     // in the working tree unless a small-heap sweep earned it.
-    if (clean && warmOnly.isEmpty) {
+    // ... and ONLY at the default core count (refreshAllowed): the
+    // driver's lower-core scaling leg must never become anyone's
+    // reference — its walls are a different measurement condition.
+    if (clean && warmOnly.isEmpty && refreshAllowed(cpus)) {
       val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
       val target = refreshTarget(baselinePath, sfDir, heapGb)
       java.nio.file.Files.write(target, detailJson)

@@ -372,6 +372,35 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(big.getParent == canonical.toAbsolutePath.getParent)
   }
 
+  test("detail artifacts are keyed by core count; refreshes only at the default") {
+    // the r21 driver's 8-core scaling leg overwrote the 32-core sweep's
+    // bench_detail.json (losing the per-rep vectors recorded there) and,
+    // via the clean-sweep refresh, the bigheap side baseline. Per-cpu
+    // detail names make two consecutive different-cpus runs leave both
+    // files readable; the default count keeps the canonical name so
+    // existing readers (gate fallback, baseline_check.py, the driver's
+    // printed detail pointer) see no change.
+    assert(Bench.detailFileName("32") == "bench_detail.json")
+    assert(Bench.detailFileName("8") == "bench_detail.8c.json")
+    assert(Bench.detailFileName("16") == "bench_detail.16c.json")
+    // hostile env values stay file-safe
+    assert(Bench.detailFileName("8/../x") == "bench_detail.8____xc.json")
+    // baseline refresh (tracked canonical AND bigheap side file) is a
+    // default-core-count privilege — a scaling leg is a different
+    // measurement condition and must never become anyone's reference
+    assert(Bench.refreshAllowed("32"))
+    assert(!Bench.refreshAllowed("8"))
+    assert(!Bench.refreshAllowed("64"))
+    // the detail JSON self-describes its core count (like heap_gb)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val withCpus = mapper.readTree(Bench.renderDetail(
+      Seq("q01" -> Some(Bench.Sample(0.1, 0.2, 0L))), "/t/sf0.1", 3, cpus = 8))
+    assert(withCpus.get("cpus").asInt == 8)
+    val noCpus = mapper.readTree(Bench.renderDetail(
+      Seq("q01" -> Some(Bench.Sample(0.1, 0.2, 0L))), "/t/sf0.1", 3))
+    assert(noCpus.get("cpus").asInt == -1)
+  }
+
   test("sf slug strips the path and keeps the sf name file-safe") {
     assert(Bench.sfSlug("/root/testdata/sf0.1") == "sf0.1")
     assert(Bench.sfSlug("sf0.001") == "sf0.001")
