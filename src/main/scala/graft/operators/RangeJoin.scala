@@ -38,7 +38,14 @@ object RangeJoin {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Double]
 
   graft.CacheLifecycle.onRelease { s =>
-    widthMemo.keys.filter(_._1 eq s).foreach(widthMemo.remove)
+    // also reap entries owned by sessions stopped WITHOUT their own
+    // release(): owner-eq eviction alone can never remove them, so they
+    // strongly retain the dead SparkSession and its analyzed plans for
+    // the JVM lifetime — the same hazard the lshLayout/semDedup caches
+    // fixed with an isStopped sweep (r21 advisor)
+    def dead(k: (org.apache.spark.sql.SparkSession, _)): Boolean =
+      try k._1.sparkContext.isStopped catch { case _: Throwable => true }
+    widthMemo.keys.filter(k => (k._1 eq s) || dead(k)).foreach(widthMemo.remove)
   }
 
   def bandJoin(

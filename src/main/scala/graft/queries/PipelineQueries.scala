@@ -124,6 +124,14 @@ object PipelineQueries {
   // wall at 0.01 task-CPU-s walking it. Execution still reads the
   // flow's cached (and deterministic — contentGuid is content-derived)
   // layer; only the analyzer-visible tree shrinks.
+  //
+  // Pre-projected to p02's four scalar columns BEFORE the re-root: a
+  // LogicalRDD leaf blocks column pruning, so a full-width re-root
+  // would pump the layer's GEOMETRY column through the Row round-trip
+  // on every p02 action even though p02 reads none of it — a net win
+  // at fixture scale that inverts as geometry width grows (r21
+  // advisor). The narrow frame is what p02 consumes; nothing else
+  // reads this memo.
   private val unincMemo = scala.collection.concurrent.TrieMap
     .empty[SparkSession, DataFrame]
 
@@ -132,6 +140,7 @@ object PipelineQueries {
   private def unincTruncated(s: SparkSession): DataFrame = synchronized {
     unincMemo.getOrElseUpdate(s, {
       val df = runFlow(s).unincorporated
+        .select(col(C.City), col(C.County), col(C.Copri), col("AREA_SQMI"))
       s.createDataFrame(df.rdd, df.schema)
     })
   }

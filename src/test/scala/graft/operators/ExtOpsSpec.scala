@@ -535,16 +535,26 @@ class ExtOpsSpec extends SparkTestBase {
       }
       (rows.toDF("aid", "a_lo", "a_hi"), rows.toDF("bid", "b_lo", "b_hi"))
     }
+    // count only jobs ATTRIBUTABLE to the width derivation (job group
+    // set on the calling thread — autoBucketWidth's aggregation runs
+    // synchronously on it): a global counter plus a fixed sleep was
+    // flaky in both directions on a shared test session — any
+    // incidental job in the drain window false-failed the zero
+    // assertion, and a slow bus false-passed it (r21 advisor)
+    val groupId = "width-memo-spec"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (e.properties != null &&
+            groupId == e.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
     }
     graft.CacheLifecycle.release(spark)
     val (a1, b1) = freshInputs()
     val w1 = graft.operators.RangeJoin.autoBucketWidth(a1, "a_lo", "a_hi", b1, "b_lo", "b_hi")
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(groupId, "width memo spec")
     try {
       // fresh DataFrames, same derivation: canonicalized plans match
       val (a2, b2) = freshInputs()
@@ -559,7 +569,10 @@ class ExtOpsSpec extends SparkTestBase {
       val deadline = System.nanoTime() + 3_000_000_000L
       while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
       assert(w3 == w1 && jobs.get() > 0, "release did not evict the width memo")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("HLL approx distinct stays within 5% of exact at corpus scale") {
