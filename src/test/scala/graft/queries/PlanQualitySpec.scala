@@ -755,4 +755,53 @@ class PlanQualitySpec extends SparkTestBase {
     assert(firstTop >= 0 && (firstWindow < 0 || firstTop < firstWindow ||
       plan.indexOf("TakeOrderedAndProject", firstWindow) >= 0), plan)
   }
+
+  test("AQE skew split still engages on a forced shuffled-hash join (the SHJ default's safety net)") {
+    // r21 advisor (medium): preferSortMergeJoin=false is session-wide,
+    // and SHJ's per-partition build side cannot spill the way SMJ's
+    // sort does — so the defense against a skewed stream partition at
+    // scale is AQE's OptimizeSkewedJoin splitting it. That rewrite
+    // supports shuffled-hash joins, but nothing PINNED the interaction:
+    // a Spark upgrade (or conf drift) that quietly limited skew
+    // handling to sort-merge would leave every SHUFFLE_HASH-hinted
+    // known-skew path (the span-dedup family) one hot key away from an
+    // executor OOM with no test failing. Executed-plan assertion on
+    // the join operator's own isSkewJoin flag, not plan-text grep.
+    // Thresholds are scaled DOWN to fixture bytes (the decision inputs,
+    // not the decision rule); factor/min-partition-num stay default.
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",          // no broadcast escape
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1", // ...nor at AQE time
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32k",
+      "spark.sql.shuffle.partitions" -> "8")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // one hot key owns 90% of a wide-payload fact side; the dim side
+      // is uniform. Deterministic skew, no rand() (the §2.5 retry rule).
+      val fact = spark.range(0, 60000).select(
+        when($"id" < 54000, 0L).otherwise($"id" % 50 + 1).as("k"),
+        concat(lit("p" * 96), $"id".cast("string")).as("payload"))
+      val dim = spark.range(0, 51).select($"id".as("k"), lit("d").as("tag"))
+      // the span-dedup family's shape: SHUFFLE_HASH hint on the small
+      // side forces SHJ (under no-broadcast the size conditions alone
+      // would fall back to SMJ, which is not the path being pinned)
+      val joined = fact.join(dim.hint("shuffle_hash"), Seq("k"))
+      // execute THIS Dataset's QueryExecution (a write/count would plan
+      // a fresh one and the asserted plan would stay isFinalPlan=false)
+      joined.queryExecution.toRdd.count()
+      val joins = physNodes(joined.queryExecution.executedPlan)
+        .collect { case j: ShuffledHashJoinExec => j }
+      assert(joins.nonEmpty, "expected a ShuffledHashJoinExec in the executed plan")
+      assert(joins.exists(_.isSkewJoin),
+        s"AQE did not split the skewed SHJ partition: " +
+          joined.queryExecution.executedPlan.toString)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
