@@ -42,11 +42,38 @@ object ExtQueries {
     * these ephemeral-checkpoint queries, NOT a session default — a
     * production stream with a durable checkpoint should keep it on.
     */
+  /** Second leg, same rationale: the default FileContext-based
+    * checkpoint manager's `renameTempFile` runs Hadoop's
+    * `FileSystem.rename(src, dst, OVERWRITE)`, whose symlink probe
+    * (`getFileLinkStatus` → `FileUtil.readLink`) FORKS a `readlink`
+    * process per rename when the native Hadoop library is absent —
+    * thread dumps showed 40% of streaming task samples inside
+    * `ProcessImpl.forkAndExec` under that rename, ~10–40 ms per
+    * checkpoint file (every state-store delta + offsets + commits,
+    * per batch). Spark's own FileSystem-based manager renames via
+    * `fs.rename(src, dst)` (plain `File.renameTo`, no probe):
+    * measured, store commit 1.39 → 0.06–0.12 summed seconds on the
+    * attribution join, walCommit/commitOffsets 40 → ~10 ms. Its
+    * rename is check-then-rename rather than atomic-overwrite, which
+    * is irrelevant for a single-process throwaway checkpoint (one
+    * writer per file, directory deleted at stop); durable multi-writer
+    * checkpoints should keep the FileContext default.
+    */
   private def withEphemeralCheckpoint[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "false")
-    try body finally s.conf.set(key, prev)
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val fmKey = "spark.sql.streaming.checkpointFileManagerClass"
+    val prevCk = s.conf.get(ckKey)
+    val prevFm = s.conf.getOption(fmKey)
+    s.conf.set(ckKey, "false")
+    s.conf.set(fmKey,
+      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+    try body finally {
+      s.conf.set(ckKey, prevCk)
+      prevFm match {
+        case Some(v) => s.conf.set(fmKey, v)
+        case None => s.conf.unset(fmKey)
+      }
+    }
   }
 
   /** Stateful streaming entries: state partitioning is fixed at QUERY
